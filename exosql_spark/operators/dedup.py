@@ -1,0 +1,377 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale design (the whole point at 100 TB):
+
+- Exact dedup is one hash-shuffle on a 16-byte digest — never on the
+  raw text (shuffling full documents would move the whole corpus).
+- Near-dup never does an all-pairs comparison. MinHash/SimHash banding
+  turns O(n²) into "explode to (band, key) → shuffle on band key →
+  pairs only within colliding buckets". Candidate verification
+  (exact Jaccard / Hamming) runs only on bucket collisions.
+- Everything is native Column expressions (xxhash64, higher-order array
+  functions) — no Python in the row path, no driver-side loops.
+- Connected components over candidate pairs are approximated with the
+  standard min-representative convention (keep = min doc_id of each
+  duplicate group); full transitive closure would be iterative
+  (GraphFrames/Pregel) and is rarely worth it for dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from exosql_spark.operators.text import normalize_text, tokens
+
+
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Spread compute-heavy narrow stages across all cores: a tiny
+    single-file input arrives as 1 partition and would serialize the
+    expensive signature math. At real scale inputs already have ≥
+    defaultParallelism splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+# --------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct (normalized) content: the kept id, copy count,
+    and the content digest. Shuffles 16-byte digests, not documents."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop exact (normalized) duplicates, keeping the min-id row."""
+    keep = exact_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(F.broadcast(keep), id_col, "left_semi")
+
+
+def fingerprint(text_col: str) -> F.Column:
+    return F.md5(normalize_text(text_col))
+
+
+# --------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# --------------------------------------------------------------------
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of the normalized text. Documents shorter
+    than k words contribute their whole token sequence as one shingle."""
+    toks = tokens(normalize_text(text_col))
+    n = F.size(toks)
+    full = F.array(F.array_join(toks, " "))
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, k), " "),
+    )
+    return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard similarity of two string arrays (assumed distinct)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH banding
+# --------------------------------------------------------------------
+
+
+_MAX_LONG = (1 << 63) - 1
+
+
+def minhash_signature(text_col: str, num_hashes: int = 64, k: int = 3) -> F.Column:
+    """num_hashes-wide MinHash signature: for seed i, min over shingles
+    of xxhash64(shingle, i).
+
+    Written as ONE aggregate pass that references the shingle expression
+    exactly once — `array(*[array_min(transform(sh, ...)) ...])` would
+    inline the (expensive) tokenize+shingle subtree num_hashes times
+    (Catalyst has no CSE across array elements)."""
+    sh = shingles(text_col, k)
+
+    def merge(acc: F.Column, s: F.Column) -> F.Column:
+        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    return F.aggregate(
+        sh,
+        F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes),
+        merge,
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """LSH-banded candidate pairs (id_a < id_b, band-collision count).
+
+    rows_per_band = num_hashes // bands sets the similarity threshold
+    s ≈ (1/bands)^(1/rows_per_band) — 16 bands × 4 rows ≈ 0.5.
+
+    Plan shape: map (signature) → explode bands (×bands rows, but each
+    row is just (band_key, id)) → shuffle on band_key → within-bucket
+    self-join → dedup pairs. No all-pairs stage anywhere.
+    """
+    rows_per_band = num_hashes // bands
+    # Persist the signature: (a) the self-join below reads it twice;
+    # (b) without a materialization barrier Catalyst's projection
+    # collapse would inline the 64-hash expression into every band
+    # slice (≈16× recompute). At 100 TB you'd checkpoint signatures to
+    # parquet for exactly the same reason.
+    sig = (
+        _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_band_hits"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate pairs verified with exact Jaccard ≥ threshold.
+    Columns: id_a, id_b, jaccard_sim."""
+    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # verify only docs that appear in some candidate pair: semi-join
+    # reduction keeps the (expensive) shingle recompute proportional to
+    # candidates, not corpus
+    cand_ids = (
+        cands.select(F.explode(F.array("id_a", "id_b")).alias("_id")).distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", shingles("_t", k).alias("_sh"))
+    )
+    return (
+        cands.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates: every doc that matched a lower-id doc goes.
+    (Min-representative convention, not full transitive closure.)"""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, threshold, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------
+# n-gram Jaccard (exact, bucketed by MinHash LSH so it scales)
+# --------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Exact k-gram Jaccard over LSH candidates. More bands (32×2) than
+    the dedup default → lower collision threshold ≈ 0.18, so moderately
+    similar pairs still reach exact verification."""
+    return minhash_dedup_pairs(
+        df, text_col, id_col, threshold, num_hashes=num_hashes, bands=bands, k=k
+    )
+
+
+# --------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+
+
+def simhash(text_col: str) -> F.Column:
+    """64-bit SimHash over tokens: bit i = sign of Σ_tokens (±1 by token
+    hash bit i). One pass builds the per-token hash array; the 64
+    per-bit sign sums unfold statically into a single JVM expression
+    tree (shift amounts must be Python ints in Spark) — no explode, no
+    shuffle."""
+    toks = tokens(normalize_text(text_col))
+    # bind the token hash as a lambda variable (evaluated once per
+    # token) — the 64 bit probes below reference it 64×
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def merge(acc: F.Column, h: F.Column) -> F.Column:
+        contrib = F.array(
+            *[
+                F.when(
+                    F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long")) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for i in range(_SIMHASH_BITS)
+            ]
+        )
+        return F.zip_with(acc, contrib, lambda a, c: a + c)
+
+    # one pass: the tokenize expression appears exactly once (see
+    # minhash_signature's CSE note)
+    sums = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS), merge
+    )
+    # fold sign bits: sum of distinct powers of two == bitwise OR
+    # (bit 63 is min-long; total stays in signed-64 range)
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(_SIMHASH_BITS)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            pow2,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit longs (popcount of xor —
+    static unroll; shift amounts must be Python ints)."""
+    x = a.bitwiseXOR(b)
+    bits = [
+        F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1).cast("long"))
+        for i in range(_SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b_ in bits[1:]:
+        out = out + b_
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: split the 64-bit hash into
+    `bands` chunks; by pigeonhole, any pair within Hamming ≤ bands-1 on
+    the whole hash collides on ≥1 exact chunk. Verify with true Hamming.
+    Columns: id_a, id_b, hamming."""
+    width = _SIMHASH_BITS // bands
+    # persist: self-join reads twice + barrier against projection
+    # collapse inlining the 64-bit-sum expression into every band
+    sh = (
+        _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+        .select("_id", simhash("_t").alias("_sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    banded = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("_sh", b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sh", "bk.band", "bk.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sh"), F.col("b._sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,135 @@
+"""Multimodal column conventions: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (clearly marked); everything Spark-side — schema,
+batch iteration, partition sizing, UDF signatures — is the real pattern
+you would ship: binary payloads stay in Arrow buffers end-to-end, the
+pandas iterator processes one record batch at a time (bounded memory
+regardless of partition size), and per-file metadata rides in a struct
+column so filters on e.g. width/duration prune without touching bytes.
+
+At 100 TB: store payloads in parquet with a small row-group size (or
+pointers into an object store and fetch inside mapInPandas), partition
+by content type, and keep `spark.sql.files.maxPartitionBytes` small
+enough that a partition of blobs fits executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Standard multimodal record schema: payload + typed metadata struct.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_s", T.DoubleType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_sha1", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
+    """STUB: deterministic fake for the codec-dependent decode step.
+
+    A real deployment replaces this body with e.g. PIL/torchaudio decode
+    + model features. Raise-or-fake is configurable at call site; the
+    fake derives `dim` floats from the sha1 digest so tests are stable.
+    """
+    h = hashlib.sha1(payload).digest()
+    return [h[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+    """Decode + featurize media payloads via mapInPandas (Arrow batches).
+
+    ``strict=True`` raises NotImplementedError where the real codec
+    would run — use it to prove the plumbing without pretending the
+    container can decode media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "media decode requires codec libraries not present in "
+                    "this container; replace _fake_decode_features"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "content_sha1": pdf["payload"].map(
+                        lambda b: hashlib.sha1(b).hexdigest()
+                    ),
+                    "feature": pdf["payload"].map(
+                        lambda b: _fake_decode_features(b, dim)
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Frame-sampling stand-in: emit one row per sampled "frame" offset.
+
+    For video this is where a real pipeline emits (media_id, frame_no,
+    frame_bytes); the explode/repartition shape — one input row fanning
+    out to many — is the part that matters for scale (fan-out happens
+    executor-side, never on the driver).
+    """
+    n_frames = F.greatest(
+        (F.length("payload") / F.lit(every_n_bytes)).cast("int"), F.lit(1)
+    )
+    return df.select(
+        "media_id",
+        "kind",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_"),
+    ).select("media_id", "kind", "frame_no")
+
+
+def synthetic_media(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Build a media table from the documents fixture (text bytes as
+    payload) so the multimodal plumbing is testable in this container."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,274 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs:
+
+- :func:`cosine_topk` — exact brute-force top-k. The query set is
+  broadcast (small side); the corpus scan is embarrassingly parallel;
+  per-partition top-k then global top-k via TakeOrderedAndProject.
+  Right for ≤ a few thousand queries against any corpus size.
+- :func:`lsh_topk` — random-hyperplane (sign) LSH: corpus and queries
+  hash to sign-pattern buckets; candidates = bucket collisions (with
+  multi-probe on the query side); exact cosine re-rank inside buckets.
+  Turns all-pairs into a bucket-key equi-join — the scale path.
+- :func:`ivf_topk` — IVF-style coarse quantization without training:
+  assign each vector to its nearest of `n_cells` sampled centroids
+  (one broadcast pass), probe the closest cells per query.
+
+All dot products are native higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    """Cosine similarity of two float arrays (as double)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return _dot(da, db) / (_norm(da) * _norm(db))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    ``queries`` columns: (query_id, embedding). Broadcast it — the
+    corpus side streams; rank per query with a window (one shuffle on
+    query_id, whose cardinality = |queries| · k after pre-filtering).
+    Columns: query_id, vec_id, cosine_sim, rank.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    ).crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Random-hyperplane LSH (sign LSH ≈ cosine)
+# --------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def signature_bits(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-pattern bucket id (long) for a vector against fixed planes."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        key = key.bitwiseOR(bit)
+    return key
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: `n_tables` independent sign-LSH tables of
+    `n_planes` bits each; candidates = any-table bucket collision; exact
+    cosine re-rank. Recall rises with n_tables, bucket size shrinks with
+    n_planes. Columns: query_id, vec_id, cosine_sim, rank."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.col(vecc).alias(out_vec),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signature_bits(F.col(vecc), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+    c = bucketed(corpus, id_col, vec_col, "vec_id", "c_vec")
+    q = bucketed(queries, query_id_col, vec_col, "query_id", "q_vec")
+    cands = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select("query_id", "vec_id", "c_vec", "q_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cands.select(
+        "query_id", "vec_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+# --------------------------------------------------------------------
+# IVF-style coarse quantization (training-free variant)
+# --------------------------------------------------------------------
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF without k-means: centroids are fixed random directions
+    (deterministic); each corpus vector is assigned to its best cell
+    (argmax dot), each query probes its `n_probe` best cells. Exact
+    cosine re-rank within probed cells. At scale the corpus should be
+    written partitioned/bucketed by cell id so probes prune partitions."""
+    cents = _hyperplanes(dim, n_cells, seed)
+
+    def cell_scores(vecc: F.Column) -> F.Column:
+        v = F.transform(vecc, lambda x: x.cast("double"))
+        return F.array(
+            *[
+                F.struct(
+                    _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+    )
+    q_probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe
+            )
+        ).alias("probe"),
+    ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
+    scored = c_assigned.join(F.broadcast(q_probes), "cell").select(
+        "query_id", "vec_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_sim ≥
+    threshold) via the same sign-LSH bucketing — self-join edition."""
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        signature_bits(F.col(vec_col), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("_id", "_vec", "tb.table", "tb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._vec").alias("va"),
+            F.col("b._vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

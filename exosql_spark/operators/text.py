@@ -1,0 +1,168 @@
+"""Text analysis for training-data pipelines: tokenization, language ID,
+quality scoring, fingerprinting.
+
+All pure Column expressions (JVM, codegen) — zero Python in the row
+path. At 100 TB these are embarrassingly parallel map stages: no
+shuffle, no state, scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------
+# Tokenization
+# --------------------------------------------------------------------
+
+#: Whitespace tokenizer — split on runs of whitespace, drop empties.
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+#: BPE-ish subword segmenter: words, numbers, and single punctuation
+#: marks each count as a token (regexp-based approximation of a
+#: GPT-style pre-tokenizer).
+_BPEISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpeish(col: Column | str) -> Column:
+    """Pre-tokenizer-style token count (words / numbers / punct marks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPEISH_RE), 0))
+
+
+# --------------------------------------------------------------------
+# Quality scoring — length / punctuation / stopword / repetition ratios
+# (the classic Gopher/C4-style cheap filters).
+# --------------------------------------------------------------------
+
+_STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that with "
+    "for on as at by from not".split()
+)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append cheap quality-filter features to a documents DataFrame."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS_EN))
+    )
+    n_chars = F.length(c)
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("q_avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("q_punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("q_stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("q_distinct_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single [0,1] quality score: penalize very short docs, low stopword
+    density, and heavy repetition (1 - distinct ratio)."""
+    feat = quality_features(df, text_col)
+    length_ok = F.least(F.col("q_n_tokens") / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(F.col("q_stopword_ratio") / F.lit(0.2), F.lit(1.0))
+    rep_ok = F.col("q_distinct_ratio")
+    return feat.withColumn(
+        "quality", F.round((length_ok + stop_ok + rep_ok) / 3.0, 4)
+    )
+
+
+# --------------------------------------------------------------------
+# Language ID — stopword-hit heuristic over a tiny per-language lexicon.
+# (Real pipelines use fastText; this is the dependency-free n-gram/
+# lexicon heuristic, good enough to route documents.)
+# --------------------------------------------------------------------
+
+_LANG_LEXICON: dict[str, list[str]] = {
+    "en": "the and of to in is it you that was for are with his they at".split(),
+    "es": "el la de que y en un ser se no por con para como su al lo".split(),
+    "fr": "le la de et les des en un du une que est pour qui dans ce il".split(),
+    "de": "der die und in den von zu das mit sich des auf für ist im nicht".split(),
+    "zh": "的 一 是 不 了 人 我 在 有 他 这 中 大 来 上 国 个 到 说".split(),
+}
+
+
+def lang_scores(col: Column | str) -> Column:
+    """Map<lang, hits/token> of lexicon hit-rates."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1))
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            (F.size(F.filter(toks, lambda t: t.isin(*words))) / n).alias("score"),
+        )
+        for lang, words in _LANG_LEXICON.items()
+    ]
+    return F.map_from_entries(F.array(*pairs))
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over lang_scores; 'und' when nothing hits."""
+    toks = F.transform(tokens(col), lambda t: F.lower(t))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(*words))) / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in _LANG_LEXICON.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+# --------------------------------------------------------------------
+# Fingerprinting
+# --------------------------------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for hashing: lowercase, collapse whitespace, strip
+    punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text (engine-portable —
+    DuckDB computes the identical digest, so it's oracle-checkable)."""
+    return F.md5(normalize_text(col))
+
+
+_ROLL_MOD = (1 << 57) - 13  # keeps acc*31 + h inside signed-64 (ANSI-safe)
+
+
+def fingerprint_rolling(col: Column | str) -> Column:
+    """Polynomial rolling hash over tokens:
+    ``h = (h*31 + (xxhash64(token) mod M)) mod M`` — order-sensitive
+    (unlike a bag-of-words hash), one JVM pass via higher-order
+    aggregate. Modular so ANSI overflow checking never trips."""
+    toks = tokens(normalize_text(col))
+    m = F.lit(_ROLL_MOD).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m
+        ),
+    )

@@ -1,0 +1,186 @@
+"""Aggregation: GROUP BY, whole-table agg, count/count-distinct,
+sum/avg/min/max, HAVING, collect, rollup/cube (extension).
+
+SURVEY.md §2.4 rows A1–A8. Reference anchors:
+``lib/exosql/executor.ex :: execute`` ``:group_by`` / ``:table_to_row``
+clauses; ``lib/exosql/builtins.ex`` aggregate section.
+
+Scale notes: all of these are partial+final hash aggregations (map-side
+combine) in Spark — the reference materializes every group's rows in a
+single process. count(DISTINCT) at 100 TB should usually be
+approx_count_distinct (exposed as a separate entry, rows-only check since
+HLL values differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+
+
+@register(
+    "group_by_having",
+    oracle="""
+SELECT l_suppkey,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS total_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(min(l_discount), 4) AS min_disc,
+       round(max(l_discount), 4) AS max_disc
+FROM lineitem
+GROUP BY l_suppkey
+HAVING count(*) > 50 AND sum(l_extendedprice) > 100000
+""",
+    tags=("agg",),
+    bench=True,
+)
+def group_by_having(spark, sf_dir):
+    """GROUP BY with HAVING over aggregates (A1, A5, A6)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.min("l_discount"), 4).alias("min_disc"),
+            F.round(F.max("l_discount"), 4).alias("max_disc"),
+            F.sum("l_extendedprice").alias("_raw_total"),
+        )
+        .filter((F.col("n_items") > 50) & (F.col("_raw_total") > 100000))
+        .drop("_raw_total")
+    )
+
+
+@register(
+    "agg_whole_table",
+    oracle="""
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem
+""",
+    tags=("agg",),
+)
+def agg_whole_table(spark, sf_dir):
+    """Aggregates without GROUP BY → single row (A2, A3, A4, A5)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+@register(
+    "count_distinct_grouped",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(l_comment_missing) AS n_nonnull
+FROM (SELECT l_returnflag, l_suppkey,
+             CASE WHEN l_discount > 0.05 THEN l_suppkey END AS l_comment_missing
+      FROM lineitem) t
+GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def count_distinct_grouped(spark, sf_dir):
+    """count(DISTINCT) per group + count(expr) null-skipping (A3, A4)."""
+    t = Tables(spark, sf_dir)
+    base = t.lineitem.select(
+        "l_returnflag",
+        "l_suppkey",
+        F.when(F.col("l_discount") > 0.05, F.col("l_suppkey")).alias(
+            "l_comment_missing"
+        ),
+    )
+    return base.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("l_comment_missing").alias("n_nonnull"),
+    )
+
+
+@register(
+    "approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    tags=("agg", "scale"),
+)
+def approx_count_distinct(spark, sf_dir):
+    """The 100 TB-scale variant of A4: HyperLogLog++ distinct count.
+    rsd=0.02; a single pass, no shuffle of distinct values."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@register(
+    "array_agg_collect",
+    oracle="""
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers
+FROM lineitem
+WHERE l_orderkey <= 64
+GROUP BY l_orderkey
+""",
+    tags=("agg",),
+)
+def array_agg_collect(spark, sf_dir):
+    """collect_list / array_agg (A8), sorted + stringified on both sides
+    so the hash is order-stable."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_orderkey") <= 64)
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("l_linenumber"))).alias(
+                "line_numbers"
+            )
+        )
+    )
+
+
+@register(
+    "rollup_extension",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("agg", "extension"),
+)
+def rollup_extension(spark, sf_dir):
+    """ROLLUP subtotals (A7 — absent in reference, free in Spark)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_extension",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg", "extension"),
+)
+def cube_extension(spark, sf_dir):
+    """CUBE over two dims (A7 extension)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )

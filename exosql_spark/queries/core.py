@@ -1,0 +1,276 @@
+"""Core relational surface: scan/project/filter/predicates/case/
+subqueries/sort/limit/CTE/generate_series.
+
+SURVEY.md §2 rows covered: S1, S6, S7, S8, P1–P7, O1–O4.
+Reference anchors: ``lib/exosql/executor.ex :: execute/2`` (``:execute``,
+``:select``, ``:filter``, ``:order_by``, ``:limit``, ``:offset`` clauses),
+``lib/exosql/expr.ex :: run_expr/2`` (predicates, CASE, scalar subquery),
+``lib/exosql/builtins.ex :: generate_series``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+
+# --------------------------------------------------------------------
+# M0 flagship — TPC-H-Q1-style pricing summary.
+# Exercises scan + filter (pushed to parquet) + project + hash agg
+# (partial/final, whole-stage codegen) + sort. At 100 TB: lineitem scan
+# is embarrassingly parallel, agg output is 4 groups → no skew concern.
+# --------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "flagship"),
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------
+# S1/P1/P3 — scan with projection + filter; both reach the parquet scan
+# (PushedFilters / ReadSchema asserted in tests/test_plans.py).
+# --------------------------------------------------------------------
+
+
+@register(
+    "scan_project_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity >= 45 AND l_discount > 0.05
+""",
+    tags=("scan",),
+)
+def scan_project_filter(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.lineitem.filter(
+        (F.col("l_quantity") >= 45) & (F.col("l_discount") > 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+# --------------------------------------------------------------------
+# P4 — predicate zoo: IN list, BETWEEN, LIKE, IS NULL, NOT.
+# --------------------------------------------------------------------
+
+
+@register(
+    "predicates_zoo",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice BETWEEN 1000 AND 50000
+  AND o_orderstatus LIKE 'O%'
+  AND o_custkey IS NOT NULL
+  AND NOT (o_orderkey < 10)
+""",
+    tags=("filter",),
+)
+def predicates_zoo(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_totalprice").between(1000, 50000)
+        & F.col("o_orderstatus").like("O%")
+        & F.col("o_custkey").isNotNull()
+        & ~(F.col("o_orderkey") < 10)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "predicate_ilike",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE c_mktsegment ILIKE '%bui%'
+""",
+    tags=("filter",),
+)
+def predicate_ilike(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.filter(F.col("c_mktsegment").ilike("%bui%")).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------
+# P6 — CASE (searched and matched forms).
+# --------------------------------------------------------------------
+
+
+@register(
+    "case_expr",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 150000 THEN 'medium'
+            ELSE 'large' END AS size_bucket,
+       CASE o_orderstatus WHEN 'O' THEN 'open'
+                          WHEN 'F' THEN 'finished'
+                          ELSE 'other' END AS status_name
+FROM orders
+""",
+    tags=("expr",),
+)
+def case_expr(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+        .alias("size_bucket"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("other")
+        .alias("status_name"),
+    )
+
+
+# --------------------------------------------------------------------
+# P7 — scalar subquery in expression position.
+# --------------------------------------------------------------------
+
+
+@register(
+    "scalar_subquery",
+    oracle="""
+SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+    tags=("subquery",),
+)
+def scalar_subquery(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# O1–O3 — ORDER BY (multi-key, mixed direction) + LIMIT + OFFSET.
+# Ordered by a unique key so the row set is deterministic; Spark compiles
+# orderBy+limit to TakeOrderedAndProject (top-k, no global sort).
+# --------------------------------------------------------------------
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 10
+""",
+    tags=("sort",),
+)
+def sort_limit_offset(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------
+# S7 — CTE; S8 — subquery in FROM.
+# --------------------------------------------------------------------
+
+
+@register(
+    "cte_from_subquery",
+    oracle="""
+WITH big_orders AS (
+  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+  FROM orders
+  WHERE o_totalprice > 100000
+  GROUP BY o_custkey
+)
+SELECT t.o_custkey, t.n_orders, t.spend
+FROM (SELECT * FROM big_orders WHERE n_orders >= 2) t
+""",
+    tags=("cte",),
+)
+def cte_from_subquery(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+          FROM orders
+          WHERE o_totalprice > 100000
+          GROUP BY o_custkey
+        )
+        SELECT t.o_custkey, t.n_orders, t.spend
+        FROM (SELECT * FROM big_orders WHERE n_orders >= 2) t
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# S6 — generate_series as a FROM source (table function).
+# Spark: spark.range (parallel, partitioned — scales to any N without
+# materializing on the driver).
+# --------------------------------------------------------------------
+
+
+@register(
+    "generate_series",
+    oracle="""
+SELECT n, n * n AS n_squared
+FROM generate_series(1, 1000, 7) AS t(n)
+""",
+    tags=("source",),
+)
+def generate_series(spark, sf_dir):
+    return (
+        spark.range(1, 1001, 7)
+        .select(F.col("id").alias("n"))
+        .withColumn("n_squared", F.col("n") * F.col("n"))
+    )

@@ -1,0 +1,178 @@
+"""Event-table queries: time bucketing, JSON props, datetime compat,
+sessionization — the batch half of the streaming extension (SURVEY.md
+§2.9: the reference has no streaming/windows; these use the same
+``F.window`` / JSON machinery the streaming jobs reuse, and the DuckDB
+oracle checks them via ``time_bucket`` / JSON functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.functions.json_compat import jp
+from exosql_spark.io import Tables
+
+
+@register(
+    "events_time_bucket",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("events", "datetime"),
+    bench=True,
+)
+def events_time_bucket(spark, sf_dir):
+    """Tumbling 1-hour buckets (batch F.window — identical semantics to
+    the streaming job in exosql_spark.streaming). One hash-shuffle on
+    (bucket, type); partial aggregation first, so 100 TB of events
+    reduces map-side before the exchange."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+""",
+    tags=("events", "json"),
+)
+def events_json_props(spark, sf_dir):
+    """``json()``/``jp()`` compat (reference builtins.ex json/jp): JSON
+    pointer '/k' → get_json_object '$.k' — JVM-side, no UDF."""
+    t = Tables(spark, sf_dir)
+    k = jp(F.col("props"), "/k")
+    return (
+        t.events.select(
+            "event_id",
+            k.alias("k_str"),
+            k.cast("bigint").alias("k_num"),
+        )
+        .filter(F.col("k_num") > 50)
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       cast(date_diff('second', min(ts), max(ts)) AS bigint) AS duration_s
+FROM sess
+GROUP BY user_id, session_id
+""",
+    tags=("events", "window"),
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min inactivity gap) via lag + running
+    sum — the classic gaps-and-islands shape; the streaming twin uses
+    session_window (exosql_spark.streaming). Shuffles once on user_id."""
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ntz → ltz cast is identity under the UTC session timezone
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch_s - F.lag(epoch_s).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    sess = t.events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        )
+        .cast("bigint")
+        .alias("duration_s"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) + s.n * INTERVAL 1 MINUTE AS window_start,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events, (SELECT unnest([0, -30]) AS n) s
+GROUP BY 1
+""",
+    tags=("events", "datetime"),
+)
+def events_sliding_window(spark, sf_dir):
+    """Sliding window (1h wide, 30m slide): each event lands in 2
+    buckets. Spark's F.window handles the fan-out natively; the DuckDB
+    oracle reconstructs it with an unnest of slide offsets."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "events_duration_filter",
+    oracle="""
+SELECT event_id, ts, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 23:26:16.220708' - INTERVAL 7 DAY
+  AND event_type IN ('purchase', 'signup')
+""",
+    tags=("events", "datetime"),
+)
+def events_duration_filter(spark, sf_dir):
+    """Relative duration strings (reference ``to_datetime("-7d")``,
+    datetime.ex duration grammar): '-7d' parsed by our compat layer into
+    a real INTERVAL; anchored to max(ts) so the query is deterministic."""
+    from exosql_spark.functions.datetime_compat import duration_interval
+
+    t = Tables(spark, sf_dir)
+    anchor = F.lit("2024-01-30 23:26:16.220708").cast("timestamp_ntz")
+    cutoff = F.to_timestamp(anchor) + duration_interval("-7d")
+    return t.events.filter(
+        (F.col("ts") >= cutoff)
+        & F.col("event_type").isin("purchase", "signup")
+    ).select("event_id", "ts", "event_type")

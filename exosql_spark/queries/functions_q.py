@@ -1,0 +1,261 @@
+"""Builtin scalar function surface (SURVEY.md §2.8).
+
+Reference: ``lib/exosql/builtins.ex :: ExoSQL.Builtins`` (string, math,
+null, regex, datetime, JSON, URL, format families) +
+``lib/exosql/datetime.ex`` + ``lib/exosql/format.ex``.
+
+Each query exercises one family end-to-end against the DuckDB oracle.
+All Spark-side expressions are native Column functions (JVM/codegen);
+the compat shims (strftime/jp/format) compile to Column trees too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.functions.datetime_compat import exo_datediff, strftime
+from exosql_spark.functions.format_compat import exo_format
+from exosql_spark.io import Tables
+
+
+@register(
+    "fn_strings",
+    oracle="""
+SELECT c_custkey,
+       upper(c_mktsegment)                  AS seg_upper,
+       lower(c_name)                        AS name_lower,
+       substr(c_name, 10, 4)                AS name_mid,
+       trim(concat('  ', c_mktsegment, ' ')) AS seg_trim,
+       length(c_name)                       AS name_len,
+       replace(c_name, 'Customer', 'Cust')  AS name_repl,
+       array_to_string(string_split(c_name, '#'), '|') AS name_split_join,
+       reverse(c_mktsegment)                AS seg_rev
+FROM customer
+""",
+    tags=("functions",),
+)
+def fn_strings(spark, sf_dir):
+    """upper/lower/substr/trim/length/replace/split+join/reverse."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.lower("c_name").alias("name_lower"),
+        F.substring("c_name", 10, 4).alias("name_mid"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias(
+            "seg_trim"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "name_repl"
+        ),
+        F.array_join(F.split("c_name", "#"), "|").alias("name_split_join"),
+        F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1)                  AS price_r1,
+       cast(ceil(l_extendedprice) AS double)      AS price_ceil,
+       cast(floor(l_extendedprice) AS double)     AS price_floor,
+       abs(l_discount - 0.05)                     AS disc_dist,
+       cast(l_linenumber % 3 AS int)              AS ln_mod,
+       round(power(l_quantity, 2), 4)             AS qty_sq,
+       round(sqrt(l_extendedprice), 4)            AS price_sqrt,
+       greatest(l_discount, l_tax)                AS max_rate,
+       least(l_discount, l_tax)                   AS min_rate,
+       CASE WHEN l_quantity < 1 THEN 0
+            WHEN l_quantity >= 50 THEN 11
+            ELSE cast(floor((l_quantity - 1) / 4.9) AS int) + 1 END AS qty_bucket
+FROM lineitem
+WHERE l_orderkey <= 1000
+""",
+    tags=("functions",),
+)
+def fn_math(spark, sf_dir):
+    """round/ceil/floor/abs/mod/power/sqrt/greatest/least/width_bucket.
+    width_bucket(l_quantity, 1, 50, 10) is native in Spark; DuckDB lacks
+    it so the oracle expands the same arithmetic."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.filter(F.col("l_orderkey") <= 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dist"),
+        (F.col("l_linenumber") % 3).cast("int").alias("ln_mod"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.width_bucket("l_quantity", F.lit(1.0), F.lit(50.0), F.lit(10)).cast(
+            "int"
+        ).alias("qty_bucket"),
+    )
+
+
+@register(
+    "fn_null_handling",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS if_like,
+       nullif(o_orderpriority, '3-MEDIUM') AS prio_nullable
+FROM orders
+""",
+    tags=("functions",),
+)
+def fn_null_handling(spark, sf_dir):
+    """coalesce / nullif / if() (reference ``if(cond,a,b)`` builtin)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")
+        ).alias("status_or_open"),
+        F.when(F.col("o_totalprice") > 100000, "big")
+        .otherwise("small")
+        .alias("if_like"),
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias(
+            "prio_nullable"
+        ),
+    )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1)            AS cust_num,
+       regexp_replace(c_name, '0+', '0', 'g')           AS name_squeezed,
+       CASE WHEN regexp_matches(c_name, '^Customer#0*[0-9]{1,3}$')
+            THEN 1 ELSE 0 END                           AS is_low_id
+FROM customer
+""",
+    tags=("functions",),
+)
+def fn_regex(spark, sf_dir):
+    """regex capture / regex_replace / match test (reference ``regex``,
+    ``regex_replace`` builtins; capture-map form in operators.text)."""
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("cust_num"),
+        F.regexp_replace("c_name", "0+", "0").alias("name_squeezed"),
+        F.when(
+            F.col("c_name").rlike("^Customer#0*[0-9]{1,3}$"), 1
+        ).otherwise(0).alias("is_low_id"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')        AS order_day,
+       strftime(o_orderdate, '%Y/%m')           AS order_month,
+       strftime(o_orderdate, '%H:%M:%S')        AS order_time,
+       cast(date_part('year', o_orderdate) AS int)   AS order_year,
+       cast(date_part('dow', o_orderdate) AS int)    AS order_dow,
+       cast(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS bigint) AS days_to_y2k,
+       cast(epoch(o_orderdate) AS bigint)       AS epoch_s
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("functions", "datetime"),
+)
+def fn_datetime(spark, sf_dir):
+    """strftime compat + date parts + datediff + epoch (reference
+    ``strftime``, ``datediff``, ``to_timestamp``)."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        strftime("o_orderdate", "%Y-%m-%d").alias("order_day"),
+        strftime("o_orderdate", "%Y/%m").alias("order_month"),
+        strftime("o_orderdate", "%H:%M:%S").alias("order_time"),
+        F.year("o_orderdate").alias("order_year"),
+        # Spark dayofweek: 1=Sunday; DuckDB dow: 0=Sunday
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+        exo_datediff(
+            F.lit("2000-01-01").cast("timestamp_ntz"), F.col("o_orderdate"), "days"
+        ).alias("days_to_y2k"),
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_format",
+    oracle="""
+SELECT o_orderkey,
+       printf('Order %d: %.2f (%s)', o_orderkey, o_totalprice, o_orderstatus) AS label
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("functions", "format"),
+)
+def fn_format(spark, sf_dir):
+    """printf ``format()`` C subset → native format_string (reference
+    ``lib/exosql/format.ex``). The ``%k`` SI suffix is covered by
+    fn_humanize_si (rows-only)."""
+    t = Tables(spark, sf_dir)
+    return t.orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        exo_format(
+            "Order %d: %.2f (%s)",
+            F.col("o_orderkey"),
+            F.col("o_totalprice"),
+            F.col("o_orderstatus"),
+        ).alias("label"),
+    )
+
+
+@register(
+    "fn_humanize_si",
+    oracle=None,  # %.1f string rendering differs across engines → rows-only
+    tags=("functions", "format"),
+)
+def fn_humanize_si(spark, sf_dir):
+    """Dashboard ``%k`` SI suffix (1234567 → '1.2M') — pure-Column."""
+    from exosql_spark.functions.format_compat import humanize_si
+
+    t = Tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey", humanize_si(F.col("o_totalprice")).alias("price_human")
+    )
+
+
+@register(
+    "fn_url",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query
+FROM (SELECT c_custkey,
+             concat('https://shop.example.com/seg/', lower(c_mktsegment),
+                    '?cust=', c_custkey) AS url
+      FROM customer) t
+""",
+    tags=("functions",),
+)
+def fn_url(spark, sf_dir):
+    """urlparse → native parse_url (DuckDB lacks it; oracle uses regex)."""
+    t = Tables(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://shop.example.com/seg/"),
+        F.lower("c_mktsegment"),
+        F.lit("?cust="),
+        F.col("c_custkey").cast("string"),
+    )
+    return t.customer.select(
+        "c_custkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )

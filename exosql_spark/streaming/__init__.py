@@ -1,0 +1,23 @@
+"""Structured Streaming extension (SURVEY.md §2.9 — absent in the
+reference; this is the beyond-reference streaming surface over event
+tables)."""
+
+from exosql_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    read_events_stream,
+    tumbling_counts,
+    sliding_value_avg,
+    session_aggregate,
+    dedup_within_watermark,
+    run_to_memory,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_value_avg",
+    "session_aggregate",
+    "dedup_within_watermark",
+    "run_to_memory",
+]

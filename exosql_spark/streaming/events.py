@@ -1,0 +1,154 @@
+"""Streaming operators over the events table.
+
+The reference has no streaming at all (batch pull-based only — SURVEY.md
+§2.9); this module is the Structured Streaming extension. Each
+transformation is written against a *streaming* DataFrame but is equally
+valid on a batch one — the batch twins in
+:mod:`exosql_spark.queries.events_q` share the same ``F.window``
+semantics, which is how tests verify streaming output == batch output.
+
+Scale notes:
+- Watermarks bound state: an aggregation over (window, key) keeps state
+  only until watermark passes window end. At 100 TB/day the state store
+  (RocksDB in prod) holds ~|active windows × keys| rows, not the stream.
+- ``session_window`` merges per-key gap sessions incrementally — the
+  streaming twin of the batch gaps-and-islands pattern.
+- ``dropDuplicatesWithinWatermark`` is the streaming exact-dedup: state
+  = one digest per event id within the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, parquet_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events parquet path.
+
+    The driver testdata stores ts as TIMESTAMP(NANOS) which Spark's
+    vectorized reader surfaces as bigint (nanosAsLong) — normalize to
+    timestamp_ntz exactly like the batch loader (io.load_table).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    if not os.path.isdir(parquet_path):
+        # the file-stream source wants a directory; stage a symlink dir
+        # for single-file inputs (testdata layout)
+        d = tempfile.mkdtemp(prefix="exosql_stream_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+    df = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(parquet_path)
+    )
+    # watermarks require TIMESTAMP (ltz) event time; under the UTC
+    # session timezone this is value-identical to the batch ntz column
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window average value."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (inactivity gap) — incremental state
+    merge; the streaming twin of events_q.events_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, name: str, mode: str = "append", timeout_s: int = 120
+):
+    """Execute a streaming query to a memory sink with availableNow
+    (process-everything-then-stop — the batch-parity test harness).
+    Returns the StreamingQuery after it has fully drained."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q

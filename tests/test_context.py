@@ -1,0 +1,122 @@
+"""Federation API tests — the exosql entry-point surface
+(ExoSQL.query/explain/format_result + context map + $vars)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from exosql_spark.context import Context, explain, format_result, query
+
+
+@pytest.fixture(scope="module")
+def csv_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvdb")
+    (d / "products.csv").write_text(
+        "id,name,price,stock\n1,widget,10.5,100\n2,gadget,99.0,5\n3,gizmo,1.25,0\n"
+    )
+    (d / "users.csv").write_text("id,name,email\n1,ann,a@x.io\n2,bo,b@x.io\n")
+    (d / "purchases.csv").write_text(
+        "id,user_id,product_id\n1,1,1\n2,1,2\n3,2,3\n"
+    )
+    return str(d)
+
+
+class TestCsvContext:
+    def test_schema_discovery(self, spark, csv_db):
+        ctx = Context(spark, {"shop": {"csv": csv_db}})
+        assert sorted(ctx.table_names()) == [
+            "shop.products",
+            "shop.purchases",
+            "shop.users",
+        ]
+
+    def test_db_table_query(self, spark, csv_db):
+        ctx = Context(spark, {"shop": {"csv": csv_db}})
+        rows = ctx.sql(
+            "SELECT name, price FROM shop.products WHERE price > 5 ORDER BY price"
+        ).collect()
+        assert [(r.name, float(r.price)) for r in rows] == [
+            ("widget", 10.5),
+            ("gadget", 99.0),
+        ]
+
+    def test_reference_canonical_join(self, spark, csv_db):
+        """users ⋈ purchases ⋈ products — the reference test suite's
+        canonical shape (FIXTURES.md §B)."""
+        ctx = Context(spark, {"shop": {"csv": csv_db}})
+        rows = ctx.sql(
+            """
+            SELECT u.name AS user_name, p.name AS product_name
+            FROM shop.users u
+            JOIN shop.purchases pu ON pu.user_id = u.id
+            JOIN shop.products p ON p.id = pu.product_id
+            ORDER BY u.name, p.name
+            """
+        ).collect()
+        assert [(r.user_name, r.product_name) for r in rows] == [
+            ("ann", "gadget"),
+            ("ann", "widget"),
+            ("bo", "gizmo"),
+        ]
+
+    def test_vars_binding(self, spark, csv_db):
+        ctx = Context(spark, {"shop": {"csv": csv_db}})
+        rows = ctx.sql(
+            "SELECT name FROM shop.products WHERE price > $min_price",
+            vars={"min_price": 50},
+        ).collect()
+        assert [r.name for r in rows] == ["gadget"]
+
+    def test_all_strings_mode_coercion(self, spark, csv_db):
+        """infer_schema=False reproduces the reference CSV model (all
+        strings) and the coercion helpers still do math."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.functions.coercion import to_number
+
+        ctx = Context(spark, {"shop": {"csv": csv_db, "infer_schema": False}})
+        df = ctx.table("shop", "products")
+        assert dict(df.dtypes)["price"] == "string"
+        total = df.select(F.sum(to_number("price")).alias("s")).collect()[0].s
+        assert total == pytest.approx(110.75)
+
+
+class TestOtherSources:
+    def test_env_source(self, spark):
+        os.environ["EXOSQL_TEST_MARKER"] = "42"
+        ctx = Context(spark, {"sys": {"env": True}})
+        rows = ctx.sql(
+            "SELECT value FROM sys.env WHERE key = 'EXOSQL_TEST_MARKER'"
+        ).collect()
+        assert rows[0].value == "42"
+
+    def test_tables_source_and_query_helper(self, spark):
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+        out = query(
+            spark,
+            "SELECT tag FROM mem.t WHERE id = 2",
+            {"mem": {"tables": {"t": df}}},
+        ).collect()
+        assert out[0].tag == "b"
+
+    def test_parquet_source(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        n = ctx.sql("SELECT count(*) AS n FROM tpch.region").collect()[0].n
+        assert n == 5
+
+
+class TestExplainAndFormat:
+    def test_explain_returns_plan(self, spark, csv_db):
+        s = explain(
+            spark,
+            "SELECT name FROM shop.products WHERE price > 5",
+            {"shop": {"csv": csv_db}},
+        )
+        assert "Physical Plan" in s
+
+    def test_format_result(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id long, v string")
+        s = format_result(df)
+        assert "id" in s and "x" in s

@@ -1,0 +1,59 @@
+"""Unit tests for the compat mini-languages (pure Python — no Spark)."""
+
+from __future__ import annotations
+
+import pytest
+
+from exosql_spark.functions.datetime_compat import parse_duration, strftime_to_java
+from exosql_spark.functions.json_compat import jp_to_jsonpath
+
+
+class TestStrftimeTranslate:
+    def test_basic_date(self):
+        assert strftime_to_java("%Y-%m-%d") == "yyyy-MM-dd"
+
+    def test_time(self):
+        assert strftime_to_java("%H:%M:%S") == "HH:mm:ss"
+
+    def test_literal_text_quoted(self):
+        # letters outside tokens must be quoted so they aren't patterns
+        assert strftime_to_java("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH"
+
+    def test_percent_escape(self):
+        assert strftime_to_java("%d%%") == "dd'%'"
+
+    def test_names(self):
+        assert strftime_to_java("%A %B") == "EEEE MMMM"
+
+
+class TestDuration:
+    def test_simple(self):
+        assert parse_duration("1D")["d"] == 1
+        assert parse_duration("-30m")["m"] == -30
+        assert parse_duration("2h")["h"] == 2
+        assert parse_duration("1M")["M"] == 1
+        assert parse_duration("1Y")["Y"] == 1
+
+    def test_compound(self):
+        u = parse_duration("1d 2h 30m")
+        assert (u["d"], u["h"], u["m"]) == (1, 2, 30)
+
+    def test_negative_compound(self):
+        u = parse_duration("-1d 12h")
+        assert (u["d"], u["h"]) == (-1, -12)
+
+    def test_invalid(self):
+        with pytest.raises(ValueError):
+            parse_duration("soon")
+
+
+class TestJsonPointer:
+    def test_root(self):
+        assert jp_to_jsonpath("/") == "$"
+        assert jp_to_jsonpath("") == "$"
+
+    def test_object_keys(self):
+        assert jp_to_jsonpath("/a/b") == "$.a.b"
+
+    def test_array_index(self):
+        assert jp_to_jsonpath("/a/0/b") == "$.a[0].b"

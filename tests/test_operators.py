@@ -1,0 +1,198 @@
+"""Behavioral tests for the LLM-pipeline operators on small synthetic
+data with KNOWN duplicates/neighbors — these verify semantics the
+DuckDB oracle can't express (LSH candidate generation, Hamming
+banding, ANN recall)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exosql_spark.operators import dedup, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different content about spark sql engines"),
+    (5, "The Quick Brown Fox jumps over the lazy dog!"),  # normalized dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        rows = {r.keep_id: r.n_copies for r in dedup.exact_groups(docs).collect()}
+        assert rows[1] == 3  # 1, 2, 5 normalize identically
+        assert rows[3] == 1
+        assert rows[4] == 1
+
+    def test_dedup_keeps_min_id(self, docs):
+        kept = {r.doc_id for r in dedup.exact_dedup(docs).collect()}
+        assert kept == {1, 3, 4}
+
+
+class TestMinHash:
+    def test_near_dup_found(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.3).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs  # one-word change on 9 words
+        assert not any(4 in p for p in pairs)
+
+    def test_dedup_drops_losers(self, docs):
+        kept = {r.doc_id for r in dedup.minhash_dedup(docs, threshold=0.3).collect()}
+        assert 1 in kept and 4 in kept
+        assert 2 not in kept and 5 not in kept
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        sh = df.select(dedup.shingles("text", 3).alias("s")).collect()[0].s
+        assert sorted(sh) == ["a b c", "b c d"]
+
+    def test_short_doc_whole_shingle(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        sh = df.select(dedup.shingles("text", 3).alias("s")).collect()[0].s
+        assert sh == ["a b"]
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.hamming
+            for r in dedup.simhash_pairs(docs, max_hamming=10).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert pairs[(1, 5)] == 0  # normalization
+        if (1, 3) in pairs:
+            assert pairs[(1, 3)] <= 10
+
+    def test_simhash_deterministic(self, docs):
+        a = docs.select(dedup.simhash("text").alias("h")).collect()
+        b = docs.select(dedup.simhash("text").alias("h")).collect()
+        assert a == b
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vectors(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((20, 8))
+        base[1] = base[0] + 0.01 * rng.standard_normal(8)  # near-dup of 0
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_self_top1(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        top = similarity.cosine_topk(vectors, q, k=3).orderBy("rank").collect()
+        assert top[0].vec_id == 0 and top[0].cosine_sim == 1.0
+        assert top[1].vec_id == 1  # the planted near-dup
+
+    def test_lsh_finds_planted_neighbor(self, vectors):
+        q = vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = similarity.lsh_topk(vectors, q, k=5, dim=8, n_tables=6).collect()
+        ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        assert 0 in ids and 1 in ids
+
+    def test_near_dupes(self, vectors):
+        pairs = similarity.embedding_near_dupes(
+            vectors, threshold=0.99, dim=8, n_tables=8
+        ).collect()
+        assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello,  world! 42",)], "text string")
+        row = df.select(
+            text.token_count_ws("text").alias("ws"),
+            text.token_count_bpeish("text").alias("bpe"),
+        ).collect()[0]
+        assert row.ws == 3
+        # hello , world ! 42 → 5
+        assert row.bpe == 5
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("en", "the cat and the dog are in the house"),
+                ("es", "el perro y el gato en la casa de su amigo"),
+                ("fr", "le chat et le chien dans la maison de la ville"),
+                ("de", "der Hund und die Katze sind in dem Haus"),
+            ],
+            "lang string, text string",
+        )
+        rows = df.select("lang", text.lang_id(F.col("text")).alias("pred")).collect()
+        assert all(r.lang == r.pred for r in rows)
+
+    def test_quality_repetition_penalty(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog and runs far away to the hills today again"),
+                (2, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.quality for r in text.quality_score(df).collect()}
+        assert rows[1] > rows[2]
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello,  World!"), (2, "hello world")], "doc_id long, text string"
+        )
+        fps = [r.fp for r in df.select(text.fingerprint_md5("text").alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_rolling_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
+        )
+        fps = [
+            r.fp for r in df.select(text.fingerprint_rolling("text").alias("fp")).collect()
+        ]
+        assert fps[0] != fps[1]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import multimodal
+
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        media = multimodal.synthetic_media(docs)
+        feats = multimodal.extract_features(media, dim=8)
+        rows = feats.collect()
+        assert len(rows) == 20
+        assert all(len(r.feature) == 8 for r in rows)
+        assert all(len(r.content_sha1) == 40 for r in rows)
+
+    def test_strict_mode_raises(self, spark, sf_dir):
+        from py4j.protocol import Py4JJavaError
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import multimodal
+
+        docs = load_table(spark, sf_dir, "documents").limit(1)
+        media = multimodal.synthetic_media(docs)
+        with pytest.raises(Exception):  # NotImplementedError crosses the JVM
+            multimodal.extract_features(media, strict=True).collect()
+
+    def test_frame_sampling_fanout(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import multimodal
+
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        media = multimodal.synthetic_media(docs)
+        frames = multimodal.sample_frames(media, every_n_bytes=100)
+        assert frames.count() >= 5

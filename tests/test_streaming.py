@@ -1,0 +1,92 @@
+"""Streaming extension tests: every streaming transformation must agree
+with its batch twin when drained with availableNow (batch-parity — the
+strategy SURVEY.md §2.9 prescribes since the reference has no streaming
+semantics to copy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exosql_spark import streaming
+from exosql_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def drain(stream_df, name, mode="append"):
+    q = streaming.run_to_memory(stream_df, name, mode=mode)
+    spark = stream_df.sparkSession
+    out = spark.table(name)
+    q.stop()
+    return out
+
+
+class TestBatchParity:
+    """Append-mode streams only emit windows the final watermark has
+    closed (end ≤ max event time − watermark) — parity is asserted on
+    that finalized subset, which is exactly the late-data guarantee."""
+
+    def test_tumbling_counts(self, spark, events_stream, events_batch):
+        max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+        got = {
+            tuple(r)
+            for r in drain(streaming.tumbling_counts(events_stream), "t_tumbling")
+            .filter(F.col("bucket_start") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in (
+                events_batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 4).alias("total_value"),
+                )
+                .select(
+                    F.col("w.start").cast("timestamp").alias("bucket_start"),
+                    "event_type",
+                    "n_events",
+                    "total_value",
+                )
+                .filter(
+                    F.col("bucket_start") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+                )
+                .collect()
+            )
+        }
+        assert got == want and len(got) > 100
+
+    def test_session_aggregate(self, spark, events_stream, events_batch):
+        got = drain(
+            streaming.session_aggregate(events_stream), "t_sessions"
+        )
+        # all but the trailing (unfinalized) sessions are emitted
+        emitted = got.agg(F.sum("n_events")).collect()[0][0]
+        total = events_batch.count()
+        assert total * 0.99 <= emitted <= total
+        # sessions are well-formed intervals
+        assert got.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+    def test_dedup_within_watermark(self, spark, events_stream, events_batch):
+        got = drain(
+            streaming.dedup_within_watermark(events_stream), "t_dedup"
+        )
+        assert got.count() == events_batch.select("event_id").distinct().count()
+
+
+class TestStreamingPlan:
+    def test_is_streaming(self, events_stream):
+        assert events_stream.isStreaming
+
+    def test_watermark_in_plan(self, events_stream):
+        agg = streaming.tumbling_counts(events_stream)
+        assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
