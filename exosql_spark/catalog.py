@@ -30,6 +30,8 @@ _QUERY_MODULES = (
     "exosql_spark.queries.functions_q",
     "exosql_spark.queries.events_q",
     "exosql_spark.queries.llm_q",
+    "exosql_spark.queries.sources_q",
+    "exosql_spark.queries.udx_q",
 )
 
 

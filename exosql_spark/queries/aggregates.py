@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
 from exosql_spark.io import Tables
+from exosql_spark.queries import _util as _u
 
 
 @register(
@@ -25,8 +26,8 @@ from exosql_spark.io import Tables
     oracle="""
 SELECT l_suppkey,
        count(*) AS n_items,
-       round(sum(l_extendedprice), 4) AS total_price,
-       round(avg(l_quantity), 4) AS avg_qty,
+       floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS total_price,
+       floor((CAST(sum(CAST((l_quantity) AS DECIMAL(25,6))) AS DOUBLE) / count(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
        round(min(l_discount), 4) AS min_disc,
        round(max(l_discount), 4) AS max_disc
 FROM lineitem
@@ -43,8 +44,8 @@ def group_by_having(spark, sf_dir):
         t.lineitem.groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _u.dsum("l_extendedprice").alias("total_price"),
+            _u.davg("l_quantity").alias("avg_qty"),
             F.round(F.min("l_discount"), 4).alias("min_disc"),
             F.round(F.max("l_discount"), 4).alias("max_disc"),
             F.sum("l_extendedprice").alias("_raw_total"),
@@ -59,8 +60,8 @@ def group_by_having(spark, sf_dir):
     oracle="""
 SELECT count(*) AS n_rows,
        count(DISTINCT l_orderkey) AS n_orders,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
+       floor((CAST(sum(CAST((l_quantity) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+       floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(25,6))) AS DOUBLE) / count(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
        round(min(l_extendedprice), 4) AS min_price,
        round(max(l_extendedprice), 4) AS max_price
 FROM lineitem
@@ -73,8 +74,8 @@ def agg_whole_table(spark, sf_dir):
     return t.lineitem.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        _u.dsum("l_quantity").alias("sum_qty"),
+        _u.davg("l_extendedprice").alias("avg_price"),
         F.round(F.min("l_extendedprice"), 4).alias("min_price"),
         F.round(F.max("l_extendedprice"), 4).alias("max_price"),
     )
@@ -153,7 +154,7 @@ def array_agg_collect(spark, sf_dir):
     "rollup_extension",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
+       floor((CAST(sum(CAST((l_quantity) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
        count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -164,7 +165,7 @@ def rollup_extension(spark, sf_dir):
     """ROLLUP subtotals (A7 — absent in reference, free in Spark)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        _u.dsum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 

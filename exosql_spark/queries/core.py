@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
 from exosql_spark.io import Tables
+from exosql_spark.queries import _util as _u
 
 # --------------------------------------------------------------------
 # M0 flagship — TPC-H-Q1-style pricing summary.
@@ -25,16 +26,16 @@ from exosql_spark.io import Tables
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                        AS sum_qty,
-       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 4)                                        AS avg_disc,
-       count(*)                                                         AS count_order
+       {_u.dsum_sql('l_quantity')}                                        AS sum_qty,
+       {_u.dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+       {_u.dsum_sql('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+       {_u.dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+       {_u.davg_sql('l_quantity')}                                        AS avg_qty,
+       {_u.davg_sql('l_extendedprice')}                                   AS avg_price,
+       {_u.davg_sql('l_discount')}                                        AS avg_disc,
+       count(*)                                                           AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -50,13 +51,13 @@ def q1_pricing_summary(spark, sf_dir):
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _u.dsum("l_quantity").alias("sum_qty"),
+            _u.dsum("l_extendedprice").alias("sum_base_price"),
+            _u.dsum(disc_price).alias("sum_disc_price"),
+            _u.dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _u.davg("l_quantity").alias("avg_qty"),
+            _u.davg("l_extendedprice").alias("avg_price"),
+            _u.davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -222,35 +223,25 @@ def sort_limit_offset(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
-@register(
-    "cte_from_subquery",
-    oracle="""
+_CTE_SQL = f"""
 WITH big_orders AS (
-  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
+  SELECT o_custkey, count(*) AS n_orders, {_u.dsum_sql('o_totalprice')} AS spend
   FROM orders
   WHERE o_totalprice > 100000
   GROUP BY o_custkey
 )
 SELECT t.o_custkey, t.n_orders, t.spend
 FROM (SELECT * FROM big_orders WHERE n_orders >= 2) t
-""",
-    tags=("cte",),
-)
+"""
+
+
+@register("cte_from_subquery", oracle=_CTE_SQL, tags=("cte",))
 def cte_from_subquery(spark, sf_dir):
+    """Identical SQL text runs on both engines (dsum_sql is valid Spark
+    SQL and DuckDB SQL; decimal accumulation keeps sums order-stable)."""
     t = Tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        WITH big_orders AS (
-          SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS spend
-          FROM orders
-          WHERE o_totalprice > 100000
-          GROUP BY o_custkey
-        )
-        SELECT t.o_custkey, t.n_orders, t.spend
-        FROM (SELECT * FROM big_orders WHERE n_orders >= 2) t
-        """
-    )
+    return spark.sql(_CTE_SQL)
 
 
 # --------------------------------------------------------------------

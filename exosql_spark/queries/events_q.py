@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from exosql_spark.catalog import register
 from exosql_spark.functions.json_compat import jp
 from exosql_spark.io import Tables
+from exosql_spark.queries import _util as _u
 
 
 @register(
@@ -21,7 +22,7 @@ from exosql_spark.io import Tables
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS total_value
+       floor((CAST(sum(CAST((value) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS total_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -40,7 +41,7 @@ def events_time_bucket(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            _u.dsum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("bucket_start"),
@@ -132,7 +133,7 @@ def events_sessionize(spark, sf_dir):
     oracle="""
 SELECT time_bucket(INTERVAL 30 MINUTE, ts) + s.n * INTERVAL 1 MINUTE AS window_start,
        count(*) AS n_events,
-       round(avg(value), 4) AS avg_value
+       floor((CAST(sum(CAST((value) AS DECIMAL(25,6))) AS DOUBLE) / count(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events, (SELECT unnest([0, -30]) AS n) s
 GROUP BY 1
 """,
@@ -147,7 +148,7 @@ def events_sliding_window(spark, sf_dir):
         t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _u.davg("value").alias("avg_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
     )

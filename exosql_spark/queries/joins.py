@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
 from exosql_spark.io import Tables
+from exosql_spark.queries import _util as _u
 
 
 @register(
@@ -27,7 +28,7 @@ from exosql_spark.io import Tables
     oracle="""
 SELECT r.r_name, n.n_name,
        count(*) AS n_orders,
-       round(sum(o.o_totalprice), 4) AS revenue
+       floor((CAST(sum(CAST((o.o_totalprice) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -49,7 +50,7 @@ def join_inner_star(spark, sf_dir):
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            _u.dsum("o_totalprice").alias("revenue"),
         )
     )
 

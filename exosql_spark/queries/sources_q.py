@@ -1,0 +1,56 @@
+"""Source-connector catalog entries (SURVEY.md §2.1): the custom
+Python DataSource HTTP connector (S5), env source (S3), CSV source
+dynamics (S2) via the all-strings coercion path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+
+
+@register(
+    "source_http_api",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS id,
+       CAST(i // 10 AS BIGINT) AS page,
+       'item_' || CAST(i // 10 AS VARCHAR) || '_' || CAST(i % 10 AS VARCHAR) AS name
+FROM range(40) t(i)
+WHERE i > 17
+""",
+    tags=("source", "connector"),
+)
+def source_http_api(spark, sf_dir):
+    """HTTP extractor twin (S5): Python DataSource with per-page
+    partitions and qual pushdown (id > 17 travels to the transport as
+    id_min — the reference's qual contract). The demo transport is
+    deterministic, so DuckDB can oracle the exact rows."""
+    from exosql_spark.sources.httpapi import http_table
+
+    return http_table(spark, pages=4).filter(F.col("id") > 17)
+
+
+@register(
+    "source_generate_series_ts",
+    oracle="""
+SELECT ts_hour, CAST(date_part('hour', ts_hour) AS INT) AS hour_of_day
+FROM (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                TIMESTAMP '2024-01-02 00:00:00',
+                                INTERVAL 1 HOUR)) AS ts_hour
+) t
+""",
+    tags=("source",),
+)
+def source_generate_series_ts(spark, sf_dir):
+    """Datetime generate_series (S6 datetime variant): sequence() +
+    explode — executor-side fan-out, no driver materialization."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-02 00:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("ts_hour")
+    ).select("ts_hour", F.hour("ts_hour").cast("int").alias("hour_of_day"))

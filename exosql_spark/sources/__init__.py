@@ -58,14 +58,54 @@ def env_table(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def http_source(spark: SparkSession, spec: dict[str, Any]) -> dict[str, DataFrame]:
-    """HTTP-API-as-table (S5). The container has no network access, so the
-    fetch is stubbed; the Spark-side plumbing (schema declaration, one
-    partition per URL shard, JSON row parsing) is the real pattern for a
-    Python DataSource connector with manual filter pushdown."""
-    raise NotImplementedError(
-        "HTTP extractor requires network access; wire `requests.get` into "
-        "a Python DataSource (pyspark.sql.datasource.DataSource) here."
-    )
+    """HTTP-API-as-table (S5): a real Python DataSource connector with
+    per-page partitions and qual pushdown — see
+    :mod:`exosql_spark.sources.httpapi`. The transport is injectable
+    (no network in this container; point it at requests.get in prod)."""
+    from exosql_spark.sources.httpapi import http_table
+
+    name = spec.get("table", "api")
+    return {
+        name: http_table(
+            spark,
+            url=spec.get("url", "https://api.example.com/items"),
+            pages=int(spec.get("pages", 4)),
+            **{k: v for k, v in spec.items() if k in ("schema_ddl", "transport")},
+        )
+    }
+
+
+def node_source(spark: SparkSession) -> dict[str, DataFrame]:
+    """Node/VM introspection tables (S4 — the reference exposes Erlang
+    VM stats; here: host cpu/memory/process views, driver-side tiny)."""
+    import resource
+
+    la1, la5, la15 = os.getloadavg()
+    cpu = [(os.cpu_count() or 0, la1, la5, la15)]
+    meminfo: dict[str, int] = {}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                k, _, rest = line.partition(":")
+                meminfo[k.strip()] = int(rest.strip().split()[0])
+    except OSError:
+        pass
+    mem = [
+        (k, v)
+        for k, v in meminfo.items()
+        if k in ("MemTotal", "MemFree", "MemAvailable", "Buffers", "Cached")
+    ]
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    proc = [(os.getpid(), ru.ru_utime, ru.ru_stime, ru.ru_maxrss)]
+    return {
+        "cpu": spark.createDataFrame(
+            cpu, "n_cpus int, load1 double, load5 double, load15 double"
+        ),
+        "memory": spark.createDataFrame(mem, "key string, kb bigint"),
+        "process": spark.createDataFrame(
+            proc, "pid long, utime_s double, stime_s double, maxrss_kb bigint"
+        ),
+    }
 
 
 def resolve_source(spark: SparkSession, spec: Any) -> dict[str, DataFrame]:
@@ -82,6 +122,8 @@ def resolve_source(spark: SparkSession, spec: Any) -> dict[str, DataFrame]:
             return parquet_dir(spark, spec["parquet"])
         if spec.get("env"):
             return env_table(spark)
+        if spec.get("node"):
+            return node_source(spark)
         if "http" in spec:
             return http_source(spark, spec["http"])
         if "tables" in spec:

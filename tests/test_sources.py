@@ -1,0 +1,55 @@
+"""Connector tests: HTTP Python DataSource (partitioning + qual
+pushdown), node source, context integration."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from exosql_spark.context import Context
+from exosql_spark.sources.httpapi import _HttpReader, http_table
+
+
+class TestHttpDataSource:
+    def test_rows_and_partitions(self, spark):
+        df = http_table(spark, pages=3)
+        assert df.count() == 30
+        assert df.rdd.getNumPartitions() == 3  # one shard per page
+
+    def test_filter_results(self, spark):
+        got = sorted(
+            r.id for r in http_table(spark, pages=3).filter(F.col("id") > 25).collect()
+        )
+        assert got == [26, 27, 28, 29]
+
+    def test_qual_pushdown_reaches_transport(self, spark):
+        """The reference pushes quals into extractor scans
+        (planner.ex where-splitting); our reader must translate
+        Catalyst filters into request params."""
+        from pyspark.sql.datasource import GreaterThan, IsNotNull
+
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL("id bigint, page bigint, name string")
+        reader = _HttpReader(schema, {})
+        residual = list(
+            reader.pushFilters([GreaterThan(("id",), 25), IsNotNull(("name",))])
+        )
+        assert reader._pushed_params == {"id_min": "25"}
+        # non-translatable filters are handed back to Spark
+        assert len(residual) == 1 and isinstance(residual[0], IsNotNull)
+
+    def test_via_context(self, spark):
+        ctx = Context(spark, {"api": {"http": {"pages": 2, "table": "items"}}})
+        n = ctx.sql("SELECT count(*) AS n FROM api.items").collect()[0].n
+        assert n == 20
+
+
+class TestNodeSource:
+    def test_tables(self, spark):
+        ctx = Context(spark, {"sys": {"node": True}})
+        cpu = ctx.sql("SELECT n_cpus FROM sys.cpu").collect()
+        assert cpu[0].n_cpus >= 1
+        mem = ctx.sql("SELECT count(*) AS n FROM sys.memory").collect()[0].n
+        assert mem >= 3
+        proc = ctx.sql("SELECT pid FROM sys.process").collect()
+        assert proc[0].pid > 0
