@@ -1,0 +1,118 @@
+"""As-of (most-recent-match) and range joins — time-series operators
+Spark lacks natively (SURVEY.md §2.3 J8: absent in the reference too;
+this is extension surface a training-data/metrics pipeline needs).
+
+Scale design:
+
+- The naive formulation is a per-row correlated subquery (quadratic).
+  :func:`asof_join` instead uses the union+window merge: tag both
+  sides, union, one window sorted by (key, ts) carrying the last right
+  row forward, keep left rows. Cost = one shuffle on the key + one
+  per-partition sort — the same complexity as a sort-merge join, no
+  range explosion, no skew amplification. This is how kdb/QuestDB/
+  Flink implement it; DuckDB's native ASOF JOIN is the oracle.
+- :func:`range_join` keeps the equi key as the shuffle key and applies
+  the range predicate as a post-join filter; Catalyst hashes on the
+  equi conjunct so the cross product is per-key only. For keys with
+  heavy timelines, bucket the timestamp (coarse grid) into the join
+  key to cap per-task pair counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (``<`` when strict) within the same ``on``
+    key. Left rows with no prior right row keep nulls.
+
+    Returns all left columns plus ``<value_col><suffix>`` columns and
+    ``<right_ts><suffix>`` (the matched right timestamp).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (on, right_ts)
+    ]
+
+    def struct_ddl(df: DataFrame, cols: list[str]) -> str:
+        fields = df.select(*cols).schema.fields
+        return (
+            "struct<"
+            + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in fields)
+            + ">"
+        )
+
+    r_ddl = struct_ddl(right, [right_ts, *value_cols])
+    l_ddl = struct_ddl(left, list(left.columns))
+
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right on ties (<=)
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_ddl).alias("_r"),
+    )
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_ddl).alias("_l"),
+        F.struct(F.col(right_ts), *[F.col(c) for c in value_cols]).alias("_r"),
+    )
+    # strict (<): left rows sort BEFORE right rows at equal ts so the
+    # carried value excludes same-instant right rows
+    order_side = F.col("_side").asc() if not strict else F.col("_side").desc()
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), order_side)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = l_tagged.unionByName(r_tagged).withColumn(
+        "_match", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *[F.col("_l")[c].alias(c) for c in left.columns],
+        *[
+            F.col("_match")[c].alias(f"{c}{suffix}")
+            for c in [right_ts, *value_cols]
+        ],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: int = 0,
+    upper: int = 300,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows within a time range: same key and
+    ``lower <= left.ts - right.ts <= upper`` (seconds). The equi key
+    hashes; the range predicate filters post-hash — per-key work only."""
+    l = left.alias("l")
+    r = right.alias("r")
+    diff = F.col(f"l.{left_ts}").cast("timestamp").cast("long") - F.col(
+        f"r.{right_ts}"
+    ).cast("timestamp").cast("long")
+    return l.join(
+        r,
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (diff >= lower)
+        & (diff <= upper),
+        how,
+    )

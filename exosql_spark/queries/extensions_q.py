@@ -1,0 +1,428 @@
+"""Extension operator entries beyond the reference surface: as-of /
+range / full-outer joins, statistical aggregates, GROUPING SETS,
+pivot, EXISTS, richer window frames, string/array function zoo.
+
+(All absent in serverboards/exosql — SURVEY.md §2.3 J8, §2.4 A7, §2.5
+absence rows; first-class here because a real analytics engine needs
+them and Spark gives most natively.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.io import Tables
+from exosql_spark.queries import _util as _u
+
+
+# --------------------------------------------------------------------
+# Time-series joins
+# --------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS ts_right,
+       v.event_id AS view_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
+""",
+    tags=("join", "extension", "timeseries"),
+    bench=True,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase gets the user's most recent prior (or
+    same-instant) view. Union+window merge (one shuffle on user_id, one
+    sort) — DuckDB's native ASOF JOIN is the oracle."""
+    from exosql_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    return asof_join(purchases, views, on="user_id").withColumnRenamed(
+        "view_event_id_right", "view_event_id"
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND date_diff('second', b.ts, a.ts) BETWEEN 0 AND 600
+ AND a.event_id <> b.event_id
+GROUP BY a.user_id
+""",
+    tags=("join", "extension", "timeseries"),
+)
+def join_range(spark, sf_dir):
+    """Range join: ordered event pairs per user within 10 minutes. The
+    equi key (user_id) is the shuffle key; the range predicate filters
+    per-key — no cross-table explosion."""
+    from exosql_spark.operators.asof import range_join
+
+    t = Tables(spark, sf_dir)
+    e = t.events.select("event_id", "user_id", "ts")
+    joined = range_join(e, e, on="user_id", lower=0, upper=600)
+    return (
+        joined.filter(F.col("l.event_id") != F.col("r.event_id"))
+        .groupBy(F.col("l.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       count(DISTINCT c.c_custkey) AS n_customers,
+       count(DISTINCT s.s_suppkey) AS n_suppliers
+FROM customer c
+FULL OUTER JOIN supplier s ON c.c_nationkey = s.s_nationkey
+GROUP BY 1
+""",
+    tags=("join", "extension"),
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join (J8 — absent in reference)."""
+    t = Tables(spark, sf_dir)
+    c, s = t.customer, t.supplier
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .groupBy(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey")
+        )
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT n_nationkey, n_name
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+  AND NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0)
+""",
+    tags=("subquery", "extension"),
+)
+def subquery_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS (decorrelated to semi/anti joins
+    by Catalyst). Identical SQL on both engines."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("nation")
+    t.supplier.createOrReplaceTempView("supplier")
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_nationkey, n_name
+        FROM nation n
+        WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0)
+        """
+    )
+
+
+# --------------------------------------------------------------------
+# Statistical aggregates
+# --------------------------------------------------------------------
+
+
+@register(
+    "agg_statistics",
+    oracle=f"""
+SELECT l_returnflag,
+       {_u.fround_sql('stddev_samp(l_quantity)')} AS qty_stddev,
+       {_u.fround_sql('var_samp(l_quantity)')}    AS qty_var,
+       {_u.fround_sql('corr(l_quantity, l_extendedprice)', 6)} AS qty_price_corr,
+       {_u.fround_sql('covar_samp(l_discount, l_tax)', 8)}     AS disc_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "extension", "stats"),
+)
+def agg_statistics(spark, sf_dir):
+    """stddev/variance/correlation/covariance (none in reference)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        _u.fround(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        _u.fround(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        _u.fround(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        _u.fround(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle=f"""
+SELECT l_returnflag,
+       {_u.fround_sql('quantile_cont(l_extendedprice, 0.5)')} AS median_price,
+       {_u.fround_sql('quantile_cont(l_extendedprice, 0.9)')} AS p90_price,
+       {_u.fround_sql('quantile_cont(l_quantity, 0.25)')}     AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "extension", "stats"),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    quantile_cont). At 100 TB use approx_percentile (t-digest sketch,
+    single pass, mergeable) — covered rows-only below."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        _u.fround(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        _u.fround(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        _u.fround(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based; rows-only check
+    tags=("agg", "extension", "stats", "scale"),
+)
+def agg_approx_percentile(spark, sf_dir):
+    """The 100 TB percentile: single-pass mergeable sketch."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_est"
+        )
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT l_returnflag,
+       arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+       arg_max(l_orderkey, l_extendedprice) AS priciest_order
+FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) t
+GROUP BY l_returnflag
+""",
+    tags=("agg", "extension"),
+)
+def agg_min_max_by(spark, sf_dir):
+    """min_by/max_by (DuckDB arg_min/arg_max). Restricted to
+    l_linenumber=1 so the extremum is unique → deterministic."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_linenumber") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by("l_orderkey", "l_extendedprice").alias("cheapest_order"),
+            F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
+        )
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    tags=("agg", "extension"),
+)
+def grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping() markers (A7)."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "pivot_status_priority",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("agg", "extension"),
+)
+def pivot_status_priority(spark, sf_dir):
+    """Pivot (long→wide). Spark's native pivot; oracle via FILTER aggs."""
+    t = Tables(spark, sf_dir)
+    out = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
+
+
+# --------------------------------------------------------------------
+# Window frame extras
+# --------------------------------------------------------------------
+
+
+@register(
+    "window_frame_values",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS latest_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    tags=("window", "extension"),
+)
+def window_frame_values(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle=f"""
+SELECT o_orderkey, o_totalprice,
+       count(*) OVER w AS n_similar_price,
+       {_u.fround_sql('CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) / count(*) OVER w')} AS avg_similar_price
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+""",
+    tags=("window", "extension"),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based window): orders within ±1000 of each
+    price. Unpartitioned (fine at orders-dim cardinality; shard the
+    ORDER BY key for fact-scale)."""
+    t = Tables(spark, sf_dir)
+    w = W.orderBy("o_totalprice").rangeBetween(-1000, 1000)
+    n = F.count(F.lit(1)).over(w)
+    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
+    return t.orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        n.alias("n_similar_price"),
+        _u.fround(dec_sum.cast("double") / n, 4).alias("avg_similar_price"),
+    )
+
+
+# --------------------------------------------------------------------
+# Function zoo round 2
+# --------------------------------------------------------------------
+
+
+@register(
+    "fn_strings2",
+    oracle="""
+SELECT c_custkey,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0')   AS padded_key,
+       rpad(c_mktsegment, 12, '.')                AS padded_seg,
+       left(c_name, 8)                            AS name_left,
+       right(c_name, 3)                           AS name_right,
+       repeat('ab', 3)                            AS repeated,
+       CAST(strpos(c_name, '#') AS INT)           AS hash_pos,
+       translate(c_mktsegment, 'AEIOU', 'aeiou')  AS seg_translated
+FROM customer
+""",
+    tags=("functions", "extension"),
+)
+def fn_strings2(spark, sf_dir):
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.substring("c_name", 1, 8).alias("name_left"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+    )
+
+
+@register(
+    "fn_arrays",
+    oracle="""
+SELECT doc_id,
+       len(toks)                                   AS n_toks,
+       toks[1]                                     AS first_tok,
+       toks[len(toks)]                             AS last_tok,
+       array_to_string(toks[1:3], ' ')             AS first3,
+       CAST(list_contains(toks, 'spark') AS INT)   AS has_spark,
+       len(list_distinct(toks))                    AS n_distinct,
+       array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS top5_sorted
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 50) t
+""",
+    tags=("functions", "extension", "arrays"),
+)
+def fn_arrays(spark, sf_dir):
+    """Array function family over tokenized text (size/element_at/
+    slice/contains/distinct/sort)."""
+    t = Tables(spark, sf_dir)
+    toks = F.split("text", " ")
+    base = t.documents.filter(F.col("doc_id") < 50).select(
+        "doc_id", toks.alias("toks")
+    )
+    a = F.col("toks")
+    return base.select(
+        "doc_id",
+        F.size(a).alias("n_toks"),
+        F.element_at(a, 1).alias("first_tok"),
+        F.element_at(a, -1).alias("last_tok"),
+        F.array_join(F.slice(a, 1, 3), " ").alias("first3"),
+        F.array_contains(a, "spark").cast("int").alias("has_spark"),
+        F.size(F.array_distinct(a)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(a)), 1, 5), ","
+        ).alias("top5_sorted"),
+    )

@@ -259,3 +259,63 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY")).alias("query"),
     )
+
+
+@register(
+    "fn_to_datetime",
+    oracle="""
+SELECT o_orderkey,
+       make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000) AS parsed_ts,
+       make_timestamp(CAST(epoch(o_orderdate) AS BIGINT) * 1000000)
+         + INTERVAL 1 DAY + INTERVAL 2 HOUR AS shifted_ts
+FROM orders
+WHERE o_orderkey <= 500
+""",
+    tags=("functions", "datetime"),
+)
+def fn_to_datetime(spark, sf_dir):
+    """Permissive ``to_datetime`` (reference ``builtins.ex ::
+    to_datetime/1,2``): numeric epoch dispatch + relative duration
+    modifier ("1d 2h" — ``datetime.ex`` duration grammar)."""
+    from exosql_spark.functions.datetime_compat import exo_to_datetime
+
+    t = Tables(spark, sf_dir)
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    return t.orders.filter(F.col("o_orderkey") <= 500).select(
+        "o_orderkey",
+        exo_to_datetime(epoch).cast("timestamp_ntz").alias("parsed_ts"),
+        exo_to_datetime(epoch, "1d 2h").cast("timestamp_ntz").alias("shifted_ts"),
+    )
+
+
+@register(
+    "fn_coercion_dynamic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) + 2 AS qty_plus2,
+       CASE WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                 < CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
+            THEN -1
+            WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                 > CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
+            THEN 1 ELSE 0 END AS cmp_qty_price
+FROM lineitem
+WHERE l_orderkey <= 200
+""",
+    tags=("functions", "compat"),
+)
+def fn_coercion_dynamic(spark, sf_dir):
+    """Dynamic string↔number coercion (reference ``utils.ex ::
+    to_number`` + ``expr.ex`` arithmetic clauses — '1' + 2 → 3): math
+    and comparisons on stringified columns via try_cast chains."""
+    from exosql_spark.functions.coercion import exo_add, exo_compare
+
+    t = Tables(spark, sf_dir)
+    qty_s = F.col("l_quantity").cast("string")
+    price_s = F.col("l_extendedprice").cast("string")
+    return t.lineitem.filter(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        exo_add(qty_s, F.lit("2")).alias("qty_plus2"),
+        exo_compare(qty_s, price_s).alias("cmp_qty_price"),
+    )

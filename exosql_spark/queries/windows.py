@@ -72,29 +72,36 @@ def window_lag_lead(spark, sf_dir):
     "window_running_agg",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
-       round(avg(o_totalprice) OVER (
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS running_spend,
+       floor((CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS moving_avg3
 FROM orders
 """,
     tags=("window", "extension"),
     bench=True,
 )
 def window_running_agg(spark, sf_dir):
+    """Frame aggregates accumulate in engine-specific order → exact
+    decimal sums inside the frame, engine-deterministic rounding out."""
     t = Tables(spark, sf_dir)
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(25,6)")
+    run = F.sum(dec).over(w.rowsBetween(W.unboundedPreceding, 0))
+    mov = F.sum(dec).over(w.rowsBetween(-2, 0))
+    nmov = F.count(F.lit(1)).over(w.rowsBetween(-2, 0))
+    from exosql_spark.queries._util import fround
+
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(
-            F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 4
-        ).alias("running_spend"),
-        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias(
-            "moving_avg3"
-        ),
+        fround(run.cast("double"), 4).alias("running_spend"),
+        fround(mov.cast("double") / nmov, 4).alias("moving_avg3"),
     )
 
 
