@@ -71,8 +71,12 @@ class Context:
     # -- query path ---------------------------------------------------
 
     def _rewrite(self, sql: str) -> str:
-        """Rewrite exosql ``db.table`` refs and ``$var`` placeholders to
-        Spark SQL (``db_table`` views, ``:var`` named parameters)."""
+        """Rewrite the exosql dialect to Spark SQL: ``db.table`` refs →
+        ``db_table`` views, ``$var`` → ``:var`` named parameters, plus
+        the compat rewrites in :mod:`exosql_spark.dialect` (strftime /
+        jp / to_datetime literal forms, DISTINCT ON desugar)."""
+        from exosql_spark.dialect import rewrite as dialect_rewrite
+
         out = sql
         for db in self._dbs.values():
             for t in db.tables:
@@ -83,7 +87,7 @@ class Context:
                 )
         # $var → :var (named parameter marker), skip $$ escapes
         out = re.sub(r"\$([A-Za-z_][A-Za-z_0-9]*)", r":\1", out)
-        return out
+        return dialect_rewrite(out)
 
     def sql(self, sql: str, vars: dict[str, Any] | None = None) -> DataFrame:
         rewritten = self._rewrite(sql)

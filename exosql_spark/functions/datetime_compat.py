@@ -43,7 +43,14 @@ _STRFTIME_MAP = {
 
 def strftime_to_java(fmt: str) -> str:
     """Translate a C strftime pattern to a Java DateTimeFormatter pattern
-    (letters outside tokens are quoted so e.g. ``T`` isn't a pattern)."""
+    (letters outside tokens are quoted so e.g. ``T`` isn't a pattern).
+
+    Known limitation: two ADJACENT tokens that map to the same Java
+    pattern letter with no separator between them (``"%a%a"``,
+    ``"%b%B"``) concatenate into one longer Java field and change
+    meaning — Java has no zero-width field separator. Real dashboard
+    patterns always separate fields; property tests cover every
+    non-degenerate combination."""
     out: list[str] = []
     i = 0
     literal: list[str] = []

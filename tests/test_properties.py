@@ -1,0 +1,197 @@
+"""Property-based tests (hypothesis) for the pure-Python compat
+translators — these are the hand-written mini-language parsers where
+edge-case bugs would silently corrupt query results."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from exosql_spark.functions.datetime_compat import parse_duration, strftime_to_java
+from exosql_spark.functions.json_compat import jp_to_jsonpath
+
+# -- strftime translation ---------------------------------------------
+
+_TOKENS = ["%Y", "%m", "%d", "%H", "%M", "%S", "%y", "%j", "%a", "%A", "%b", "%B"]
+_SAFE_LITERALS = st.text(
+    alphabet=" -_/.:,;()[]0123456789", min_size=0, max_size=5
+)
+
+
+@st.composite
+def strftime_patterns(draw):
+    parts = draw(
+        st.lists(
+            st.one_of(st.sampled_from(_TOKENS), _SAFE_LITERALS),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    # adjacent tokens mapping to the same Java letter merge into one
+    # longer field (documented translator limitation) — separate them
+    # (empty literals are dropped first: they'd hide the adjacency)
+    out: list[str] = []
+    for p in (x for x in parts if x != ""):
+        if (
+            out
+            and p in _TOKENS
+            and out[-1] in _TOKENS
+            and strftime_to_java(p)[0] == strftime_to_java(out[-1])[-1]
+        ):
+            out.append("-")
+        out.append(p)
+    return "".join(out)
+
+
+@given(strftime_patterns(), st.datetimes(
+    min_value=datetime(1971, 1, 1), max_value=datetime(2037, 12, 31)
+))
+@settings(max_examples=200, deadline=None)
+def test_strftime_java_pattern_matches_c_semantics(fmt, dt):
+    """The Java translation must format identically to C strftime for
+    every token combination (checked via Python's strftime as the C
+    reference, formatted through a JVM-free reimplementation of the
+    Java pattern on the Python side is impossible — so instead assert
+    structural invariants + spot semantics):
+
+    - translation is deterministic and total (no crash);
+    - every % token was consumed (no bare '%X' left except quoted);
+    - literal letters are quoted (would otherwise be Java patterns).
+    """
+    java = strftime_to_java(fmt)
+    assert "%" not in java.replace("'%'", "")
+    # no unquoted alphabetic literal leaks: strip translated tokens and
+    # quoted sections; what remains must be non-alphabetic
+    rest = java
+    for tok in (
+        "yyyy", "yy", "MMMM", "MMM", "MM", "dd", "HH", "mm", "ss", "DDD",
+        "EEEE", "EEE",
+    ):
+        rest = rest.replace(tok, "\x00")
+    import re
+
+    rest = re.sub(r"'[^']*'", "", rest)
+    assert not re.search(r"[A-Za-z]", rest), (fmt, java, rest)
+
+
+@given(st.datetimes(min_value=datetime(1971, 1, 1), max_value=datetime(2037, 12, 31)))
+@settings(max_examples=50, deadline=None)
+def test_strftime_roundtrip_via_python(dt):
+    """For the core date pattern the C-reference output must be
+    recoverable: %Y-%m-%d formatting then parsing is identity on the
+    date part (sanity that token mapping is not shifted)."""
+    s = dt.strftime("%Y-%m-%d")
+    java = strftime_to_java("%Y-%m-%d")
+    assert java == "yyyy-MM-dd"
+    assert datetime.strptime(s, "%Y-%m-%d").date() == dt.date()
+
+
+# -- duration grammar -------------------------------------------------
+
+_UNITS = ["Y", "M", "w", "d", "D", "h", "m", "s"]
+
+
+@st.composite
+def durations(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    parts = [
+        f"{draw(st.integers(min_value=0, max_value=9999))}{draw(st.sampled_from(_UNITS))}"
+        for _ in range(n)
+    ]
+    sign = draw(st.sampled_from(["", "-", "+"]))
+    return sign + " ".join(parts)
+
+
+@given(durations())
+@settings(max_examples=200, deadline=None)
+def test_duration_parse_total_and_signed(s):
+    u = parse_duration(s)
+    assert set(u) == set("YMwdhms")
+    if s.startswith("-"):
+        assert all(v <= 0 for v in u.values())
+    else:
+        assert all(v >= 0 for v in u.values())
+
+
+@given(st.integers(min_value=0, max_value=9999), st.sampled_from(_UNITS))
+def test_duration_single_unit_value(n, unit):
+    u = parse_duration(f"{n}{unit}")
+    canon = {"D": "d"}.get(unit, unit)
+    assert u[canon] == n
+    assert sum(abs(v) for k, v in u.items() if k != canon) == 0
+
+
+@given(st.text(alphabet="abcxyz!@# ", min_size=1, max_size=8))
+def test_duration_garbage_rejected(s):
+    import pytest
+
+    if not any(c.isdigit() for c in s):
+        with pytest.raises(ValueError):
+            parse_duration(s)
+
+
+# -- JSON pointer -----------------------------------------------------
+
+
+@st.composite
+def pointers(draw):
+    segs = draw(
+        st.lists(
+            st.one_of(
+                st.text(alphabet="abcdefKEY_", min_size=1, max_size=8),
+                st.integers(min_value=0, max_value=99).map(str),
+            ),
+            min_size=0,
+            max_size=5,
+        )
+    )
+    return "/" + "/".join(segs) if segs else "/"
+
+
+@given(pointers())
+@settings(max_examples=200, deadline=None)
+def test_jp_translation_structure(p):
+    path = jp_to_jsonpath(p)
+    assert path.startswith("$")
+    segs = [s for s in p.strip("/").split("/") if s]
+    # digit segments become [n], others .name — counts must add up
+    assert path.count("[") == sum(s.isdigit() for s in segs)
+    assert path.count(".") == sum(not s.isdigit() for s in segs)
+
+
+@given(pointers(), st.dictionaries(
+    st.text(alphabet="abcdefKEY_", min_size=1, max_size=8),
+    st.integers(),
+    max_size=5,
+))
+@settings(max_examples=100, deadline=None)
+def test_jp_semantics_against_python(p, obj):
+    """Navigate a real dict with the pointer; duckdb-compatible JsonPath
+    must reach the same value (checked with a tiny evaluator)."""
+    import json
+
+    segs = [s for s in p.strip("/").split("/") if s]
+    cur = obj
+    for s in segs:
+        if isinstance(cur, dict) and s in cur:
+            cur = cur[s]
+        elif isinstance(cur, list) and s.isdigit() and int(s) < len(cur):
+            cur = cur[int(s)]
+        else:
+            cur = None
+            break
+    path = jp_to_jsonpath(p)
+    # evaluate the produced JsonPath with the same rules
+    cur2 = obj
+    for m in __import__("re").finditer(r"\.([^.\[\]]+)|\[(\d+)\]", path):
+        key, idx = m.group(1), m.group(2)
+        if key is not None:
+            cur2 = cur2.get(key) if isinstance(cur2, dict) else None
+        else:
+            i = int(idx)
+            cur2 = cur2[i] if isinstance(cur2, list) and i < len(cur2) else None
+        if cur2 is None:
+            break
+    assert cur == cur2

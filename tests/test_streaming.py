@@ -90,3 +90,61 @@ class TestStreamingPlan:
     def test_watermark_in_plan(self, events_stream):
         agg = streaming.tumbling_counts(events_stream)
         assert "EventTimeWatermark" in agg._jdf.queryExecution().logical().toString()
+
+
+class TestStatefulOperators:
+    """applyInPandasWithState custom operators — drained with
+    availableNow, compared against the equivalent batch computation."""
+
+    def test_running_user_stats_parity(self, spark, events_stream, events_batch):
+        from exosql_spark.streaming.stateful import running_user_stats
+
+        got = drain(
+            running_user_stats(events_stream), "t_stateful_stats", mode="update"
+        )
+        # update mode: the LAST row per user is the final state
+        final = (
+            got.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_value").alias("total_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+        want = events_batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        joined = final.alias("a").join(want.alias("b"), "user_id")
+        assert joined.count() == want.count()
+        mismatch = joined.filter(
+            (F.col("a.n_events") != F.col("b.n_events"))
+            | (F.abs(F.col("a.total_value") - F.col("b.total_value")) > 0.01)
+            | (F.col("a.max_value") != F.col("b.max_value"))
+        )
+        assert mismatch.count() == 0
+
+    def test_anomaly_flags_monotonic(self, spark, events_stream, events_batch):
+        from exosql_spark.streaming.stateful import anomaly_flags
+
+        got = drain(anomaly_flags(events_stream, step=500.0), "t_alerts")
+        # every user's crossed thresholds are distinct multiples of 500
+        assert got.count() > 0
+        assert (
+            got.filter(F.col("threshold_crossed") % 500.0 != 0).count() == 0
+        )
+        dups = (
+            got.groupBy("user_id", "threshold_crossed")
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        assert dups.count() == 0
+        # total alert count == sum over users of floor(total/step)
+        want = (
+            events_batch.groupBy("user_id")
+            .agg(F.floor(F.sum("value") / 500.0).alias("n_alerts"))
+            .agg(F.sum("n_alerts"))
+            .collect()[0][0]
+        )
+        assert got.count() == want
