@@ -1,0 +1,83 @@
+"""End-to-end training-data curation pipeline — the composition the
+individual operators exist for: one declarative DataFrame chain from
+raw documents to a deduplicated, quality-filtered, token-counted
+corpus. Runs as a single Spark job graph (Catalyst fuses the map
+stages; the only shuffles are the dedup hash and the near-dup band
+join).
+
+    curated = curate_corpus(docs)          # lazy
+    sinks.write_table(curated, path, partition_by=["lang_pred"])
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exosql_spark.operators import dedup, text
+
+
+@dataclass
+class CurateConfig:
+    min_tokens: int = 10
+    min_quality: float = 0.3
+    near_dup_threshold: float = 0.5
+    use_components: bool = False  # transitive clusters vs min-representative
+    minhash_hashes: int = 64
+    minhash_bands: int = 16
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: CurateConfig | None = None,
+) -> DataFrame:
+    """documents → lang-id → quality features/filter → exact dedup →
+    MinHash near-dup removal → token counts. Returns the curated
+    corpus with provenance columns (lang_pred, quality, n_tokens,
+    content_hash)."""
+    cfg = config or CurateConfig()
+
+    # 1. cheap per-row features (pure map — fused into the scan)
+    featured = text.quality_score(docs, text_col).withColumn(
+        "lang_pred", text.lang_id(F.col(text_col))
+    ).withColumn("n_tokens", F.col("q_n_tokens")).withColumn(
+        "content_hash", text.fingerprint_md5(F.col(text_col))
+    )
+
+    # 2. quality gate (pushable predicates)
+    filtered = featured.filter(
+        (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("quality") >= cfg.min_quality)
+    )
+
+    # 3. exact dedup on the content hash (shuffles digests only)
+    exact = dedup.exact_dedup(filtered, text_col, id_col)
+
+    # 4. near-dup removal (LSH banding; optionally transitive clusters)
+    pairs = dedup.minhash_dedup_pairs(
+        exact,
+        text_col,
+        id_col,
+        threshold=cfg.near_dup_threshold,
+        num_hashes=cfg.minhash_hashes,
+        bands=cfg.minhash_bands,
+    )
+    if cfg.use_components:
+        from exosql_spark.operators.components import dedup_components
+
+        curated = dedup_components(exact, pairs, id_col)
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        curated = exact.join(losers, id_col, "left_anti")
+
+    keep_cols = [c for c in docs.columns] + [
+        "lang_pred",
+        "quality",
+        "n_tokens",
+        "content_hash",
+    ]
+    return curated.select(*keep_cols)

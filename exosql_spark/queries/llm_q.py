@@ -261,3 +261,66 @@ def multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media, dim=8).select(
         "media_id", "kind", "n_bytes", "content_sha1"
     )
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=None,  # LSH + iterative components; rows-only check
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_components(spark, sf_dir):
+    """Cluster-level near-dup removal: LSH pairs → connected components
+    (transitive closure via min-label propagation) → keep one doc per
+    cluster."""
+    from exosql_spark.operators.components import dedup_components
+
+    t = Tables(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(t.documents, "text", "doc_id", threshold=0.5)
+    return dedup_components(t.documents, pairs, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "curate_corpus_pipeline",
+    oracle=None,  # composed pipeline; rows-only check
+    tags=("llm", "pipeline"),
+    bench=True,
+)
+def curate_corpus_pipeline(spark, sf_dir):
+    """The end-to-end curation pipeline: lang-id + quality filter +
+    exact dedup + near-dup removal + token counts in one job graph."""
+    from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+    t = Tables(spark, sf_dir)
+    return curate_corpus(t.documents, config=CurateConfig(min_tokens=5))
+
+
+@register(
+    "text_token_topk",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+)
+SELECT token, n
+FROM counts
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tags=("llm", "text"),
+)
+def text_token_topk(spark, sf_dir):
+    """Corpus-wide token frequency top-k (heavy hitters): explode →
+    two-stage hash agg → TakeOrderedAndProject. The exact form; at
+    100 TB swap the final exact sort for count-min/approx_top_k."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )

@@ -196,3 +196,105 @@ class TestMultimodal:
         media = multimodal.synthetic_media(docs)
         frames = multimodal.sample_frames(media, every_n_bytes=100)
         assert frames.count() >= 5
+
+
+class TestConnectedComponents:
+    def test_transitive_closure(self, spark):
+        """A~B, B~C but no A~C edge: all three must land in one
+        component (this is exactly what min-representative misses)."""
+        from exosql_spark.operators.components import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+            "id_a long, id_b long",
+        )
+        comp = {r.id: r.component for r in connected_components(edges).collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[10] == comp[11] == 10
+        assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+    def test_dedup_components_keeps_representatives(self, spark):
+        from exosql_spark.operators.components import dedup_components
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        kept = sorted(r.doc_id for r in dedup_components(df, pairs).collect())
+        assert kept == [1, 4, 5]
+
+
+class TestSkewOperators:
+    def test_salted_agg_matches_plain(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.skew import salted_agg
+
+        li = load_table(spark, sf_dir, "lineitem")
+        plain = {
+            r.l_returnflag: (r.c, round(r.s, 2))
+            for r in li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("c"), F.sum("l_quantity").alias("s"))
+            .collect()
+        }
+        salted = {
+            r.l_returnflag: (r.c, round(r.s, 2))
+            for r in salted_agg(
+                li,
+                ["l_returnflag"],
+                [F.count("*").alias("c"), F.sum("l_quantity").alias("s")],
+                [F.sum("c").alias("c"), F.sum("s").alias("s")],
+            ).collect()
+        }
+        assert plain == salted
+
+    def test_salted_join_matches_plain(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.skew import salted_join
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        plain = orders.join(cust, "o_custkey").count()
+        salted = salted_join(orders, cust, "o_custkey").count()
+        assert plain == salted
+
+
+class TestCuratePipeline:
+    def test_end_to_end(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        curated = curate_corpus(docs, config=CurateConfig(min_tokens=5))
+        rows = curated.collect()
+        assert 0 < len(rows) <= docs.count()
+        cols = set(curated.columns)
+        assert {"doc_id", "text", "lang_pred", "quality", "n_tokens",
+                "content_hash"} <= cols
+        # quality gate respected
+        assert all(r.n_tokens >= 5 for r in rows)
+
+    def test_components_mode(self, spark):
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog again and again today"),
+                (2, "the quick brown fox jumps over the lazy dog again and again today"),
+                (3, "the quick brown fox jumps over the lazy cat again and again today"),
+                (4, "completely different text about query engines and spark sql plans here"),
+            ],
+            "doc_id long, text string",
+        )
+        curated = curate_corpus(
+            docs,
+            config=CurateConfig(
+                min_tokens=2, min_quality=0.0, near_dup_threshold=0.3,
+                use_components=True,
+            ),
+        )
+        kept = sorted(r.doc_id for r in curated.collect())
+        assert kept == [1, 4]

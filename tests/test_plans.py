@@ -96,3 +96,35 @@ class TestNoDriverLoops:
         for name, q in all_queries().items():
             df = q.fn(spark, sf_dir)
             assert isinstance(df, DataFrame), name
+
+
+class TestNoAccidentalCartesian:
+    """Guard: no catalog entry may compile to a cartesian product or
+    broadcast nested-loop join unless it is an intentional cross/theta
+    join — at 100 TB an accidental BNLJ is a query that never ends."""
+
+    ALLOWED = {
+        "join_cross",           # intentional cartesian
+        "similarity_topk_cosine",  # intentional broadcast×scan (query set)
+        "similarity_topk_lsh",
+        "similarity_topk_ivf",
+        "events_sliding_window",
+    }
+
+    def test_no_unexpected_cartesian(self, spark, sf_dir):
+        from exosql_spark.catalog import all_queries
+
+        bad = []
+        for name, q in all_queries().items():
+            if name in self.ALLOWED:
+                continue
+            try:
+                df = q.fn(spark, sf_dir)
+                p = df._jdf.queryExecution().executedPlan().toString()
+            except Exception:
+                continue  # streaming/stateful entries can't explain here
+            if "CartesianProduct" in p:
+                bad.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in p and "similarity" not in name:
+                bad.append((name, "BroadcastNestedLoopJoin"))
+        assert not bad, bad
