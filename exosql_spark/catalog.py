@@ -33,6 +33,7 @@ _QUERY_MODULES = (
     "exosql_spark.queries.sources_q",
     "exosql_spark.queries.udx_q",
     "exosql_spark.queries.extensions_q",
+    "exosql_spark.queries.tpch_q",
 )
 
 
