@@ -13,9 +13,16 @@ the beyond-reference streaming/LLM-pipeline extensions). Tests
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the driver's working directory
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from exosql_spark import catalog
 from exosql_spark.session import ensure_session_confs

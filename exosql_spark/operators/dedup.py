@@ -95,24 +95,51 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
 
 
 _MAX_LONG = (1 << 63) - 1
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _uh_params(num_hashes: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing mod 2^31-1."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, _MERSENNE31)), int(rng.integers(0, _MERSENNE31)))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signature(text_col: str, num_hashes: int = 64, k: int = 3) -> F.Column:
-    """num_hashes-wide MinHash signature: for seed i, min over shingles
-    of xxhash64(shingle, i).
+    """num_hashes-wide MinHash signature via universal hashing: each
+    shingle is string-hashed ONCE (xxhash64 → reduced mod 2^31-1),
+    then the num_hashes values derive as ``(a_i*h + b_i) mod 2^31-1``
+    — 64 cheap long ops instead of 64 string hashes per shingle, all
+    inside signed-64 range (ANSI-safe: a,h < 2^31 ⇒ a*h+b < 2^62).
 
-    Written as ONE aggregate pass that references the shingle expression
-    exactly once — `array(*[array_min(transform(sh, ...)) ...])` would
-    inline the (expensive) tokenize+shingle subtree num_hashes times
-    (Catalyst has no CSE across array elements)."""
-    sh = shingles(text_col, k)
+    Written as ONE aggregate pass that references the shingle
+    expression exactly once — composing `array_min(transform(...))`
+    per hash would inline the (expensive) tokenize+shingle subtree
+    num_hashes times (Catalyst has no CSE across array elements)."""
+    params = _uh_params(num_hashes)
+    m = F.lit(_MERSENNE31).cast("long")
+    # bind the per-shingle base hash as a lambda variable (evaluated
+    # once per element) — referencing an xxhash64 *expression* 64
+    # times inside the array would re-inline it 64× (no CSE)
+    base_hashes = F.transform(
+        shingles(text_col, k), lambda s: F.pmod(F.xxhash64(s), m)
+    )
 
-    def merge(acc: F.Column, s: F.Column) -> F.Column:
-        hashes = F.array(*[F.xxhash64(s, F.lit(i)) for i in range(num_hashes)])
-        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+    def merge(acc: F.Column, h: F.Column) -> F.Column:
+        hashes = F.array(
+            *[
+                F.pmod(F.lit(a).cast("long") * h + F.lit(b).cast("long"), m)
+                for a, b in params
+            ]
+        )
+        return F.zip_with(acc, hashes, lambda x, y: F.least(x, y))
 
     return F.aggregate(
-        sh,
+        base_hashes,
         F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes),
         merge,
     )

@@ -426,3 +426,67 @@ def fn_arrays(spark, sf_dir):
             F.slice(F.array_sort(F.array_distinct(a)), 1, 5), ","
         ).alias("top5_sorted"),
     )
+
+
+@register(
+    "fn_maps",
+    oracle="""
+SELECT doc_id,
+       CAST(m['lang'][1] AS VARCHAR)  AS m_lang,
+       CAST(m['source'][1] AS VARCHAR) AS m_source,
+       len(map_keys(m)) AS n_keys
+FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
+      FROM documents WHERE doc_id < 20) t
+""",
+    tags=("functions", "extension", "maps"),
+)
+def fn_maps(spark, sf_dir):
+    """Map type family: construction, key lookup, map_keys."""
+    t = Tables(spark, sf_dir)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return t.documents.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        m["lang"].alias("m_lang"),
+        m["source"].alias("m_source"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "setops_all_variants",
+    oracle="""
+SELECT nationkey, count(*) AS n FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) GROUP BY nationkey
+""",
+    tags=("setop", "extension"),
+)
+def setops_all_variants(spark, sf_dir):
+    """INTERSECT ALL (multiplicity-preserving, U4 extension)."""
+    t = Tables(spark, sf_dir)
+    c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "fn_nondeterministic",
+    oracle=None,  # uuid()/rand() — rows-only by nature
+    tags=("functions", "compat"),
+)
+def fn_nondeterministic(spark, sf_dir):
+    """Reference builtins uuid() / random() / randint(a,b)
+    (``builtins.ex`` misc section) — shape/range checked rows-only."""
+    t = Tables(spark, sf_dir)
+    return t.region.select(
+        "r_regionkey",
+        F.expr("uuid()").alias("row_uuid"),
+        F.rand(seed=42).alias("random_val"),
+        (F.floor(F.rand(seed=7) * 10) + 1).cast("int").alias("randint_1_10"),
+    )
