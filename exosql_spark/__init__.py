@@ -22,7 +22,7 @@ Architecture (Spark-first, NOT a port):
 
 from exosql_spark.session import get_spark
 from exosql_spark.io import TABLES, load_table, register_views
-from exosql_spark.context import Context, query, explain, format_result
+from exosql_spark.context import Context, Result, query, explain, format_result, to_result
 
 __all__ = [
     "get_spark",
@@ -33,6 +33,8 @@ __all__ = [
     "query",
     "explain",
     "format_result",
+    "Result",
+    "to_result",
 ]
 
 __version__ = "0.1.0"

@@ -133,3 +133,25 @@ def format_result(df: DataFrame, n: int = 100) -> str:
     """``ExoSQL.format_result/1`` equivalent — ASCII table of the first n
     rows (driver-side; for interactive/dashboard use only)."""
     return df._show_string(n, 0, False)
+
+
+@dataclass
+class Result:
+    """``%ExoSQL.Result{columns, rows}`` parity shape
+    (``lib/exosql/result.ex``): column names + row-oriented values.
+    Only materialize at the API edge — everything upstream stays a
+    lazy DataFrame."""
+
+    columns: list[str]
+    rows: list[list[Any]]
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+
+def to_result(df: DataFrame, limit: int | None = None) -> Result:
+    """Materialize a DataFrame into the reference's Result shape.
+    ``limit`` guards accidental full-table driver collects."""
+    if limit is not None:
+        df = df.limit(limit)
+    return Result(columns=list(df.columns), rows=[list(r) for r in df.collect()])

@@ -10,6 +10,7 @@ from exosql_spark.streaming.events import (
     session_aggregate,
     dedup_within_watermark,
     run_to_memory,
+    enrich_with_dimension,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "session_aggregate",
     "dedup_within_watermark",
     "run_to_memory",
+    "enrich_with_dimension",
 ]

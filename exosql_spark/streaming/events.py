@@ -152,3 +152,19 @@ def run_to_memory(
     )
     q.awaitTermination(timeout_s)
     return q
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on_left: str = "user_id",
+    on_right: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (batch)
+    dimension table. Spark broadcasts/rescans the static side per
+    micro-batch — no state, no watermark needed; the streaming twin of
+    the star-schema dim join. At 100 TB keep the dim broadcast-sized
+    or pre-bucket both sides."""
+    return events.join(
+        dim, events[on_left] == dim[on_right], "left"
+    )

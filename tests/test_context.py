@@ -120,3 +120,22 @@ class TestExplainAndFormat:
         df = spark.createDataFrame([(1, "x")], "id long, v string")
         s = format_result(df)
         assert "id" in s and "x" in s
+
+
+class TestResultShape:
+    def test_to_result_parity_shape(self, spark):
+        """%ExoSQL.Result{columns, rows} equivalent (lib/exosql/result.ex)."""
+        from exosql_spark.context import to_result
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        r = to_result(df.orderBy("id"))
+        assert r.columns == ["id", "v"]
+        assert r.rows == [[1, "a"], [2, "b"]]
+        assert len(r) == 2
+
+    def test_to_result_limit_guard(self, spark, sf_dir):
+        from exosql_spark.context import to_result
+        from exosql_spark.io import load_table
+
+        r = to_result(load_table(spark, sf_dir, "lineitem"), limit=10)
+        assert len(r) == 10

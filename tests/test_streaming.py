@@ -148,3 +148,27 @@ class TestStatefulOperators:
             .collect()[0][0]
         )
         assert got.count() == want
+
+
+class TestStreamStaticJoin:
+    def test_enrich_with_dimension(self, spark, events_stream, events_batch, sf_dir):
+        from exosql_spark.io import load_table
+
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        enriched = streaming.enrich_with_dimension(events_stream, cust)
+        assert enriched.isStreaming
+        got = drain(
+            enriched.select("event_id", "user_id", "c_mktsegment"),
+            "t_enriched",
+        )
+        assert got.count() == events_batch.count()  # left join keeps all
+        # users that exist in the dim got a segment
+        matched = got.filter(F.col("c_mktsegment").isNotNull()).count()
+        want = (
+            events_batch.join(
+                cust, events_batch.user_id == cust.c_custkey, "inner"
+            ).count()
+        )
+        assert matched == want
