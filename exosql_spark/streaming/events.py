@@ -26,6 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _as_stream_dir(parquet_path: str) -> str:
+    """The file-stream source wants a directory; stage a symlink dir for
+    single-file inputs (testdata layout). DETERMINISTIC per source path
+    — a checkpointed query records the source dir, so restarting with a
+    fresh random dir would fail with 'Wrong basePath'."""
+    if os.path.isdir(parquet_path):
+        return parquet_path
+    import hashlib
+
+    tag = hashlib.md5(os.path.abspath(parquet_path).encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"exosql_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(parquet_path))
+    if not os.path.exists(link):
+        os.symlink(parquet_path, link)
+    return d
+
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -58,12 +76,7 @@ def read_events_stream(
             T.StructField("props", T.StringType()),
         ]
     )
-    if not os.path.isdir(parquet_path):
-        # the file-stream source wants a directory; stage a symlink dir
-        # for single-file inputs (testdata layout)
-        d = tempfile.mkdtemp(prefix="exosql_stream_")
-        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
-        parquet_path = d
+    parquet_path = _as_stream_dir(parquet_path)
     df = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -298,3 +298,44 @@ class TestCuratePipeline:
         )
         kept = sorted(r.doc_id for r in curated.collect())
         assert kept == [1, 4]
+
+
+class TestAsofJoin:
+    def test_inclusive_vs_strict_bounds(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, lv string")
+        right = spark.createDataFrame(
+            [(1, 10, "R@10"), (1, 5, "R@5"), (1, 20, "R@20")],
+            "k long, ts long, rv string",
+        )
+        incl = asof_join(left, right, on="k").collect()[0]
+        assert incl.rv_right == "R@10"  # <= matches same instant
+        excl = asof_join(left, right, on="k", strict=True).collect()[0]
+        assert excl.rv_right == "R@5"  # < excludes same instant
+
+    def test_no_prior_match_keeps_nulls(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 3, "L")], "k long, ts long, lv string")
+        right = spark.createDataFrame([(1, 5, "R@5")], "k long, ts long, rv string")
+        row = asof_join(left, right, on="k").collect()[0]
+        assert row.rv_right is None and row.ts_right is None
+
+    def test_range_join_bounds(self, spark):
+        from exosql_spark.operators.asof import range_join
+
+        a = spark.createDataFrame([(1, 100, "a")], "k long, ts long, v string")
+        b = spark.createDataFrame(
+            [(1, 100, "same"), (1, 50, "in50"), (1, 99, "in1"),
+             (1, 101, "future"), (1, 0, "tooold")],
+            "k long, ts long, v string",
+        )
+        # ts here are epoch seconds already; cast path expects timestamps,
+        # so build timestamp columns
+        from pyspark.sql import functions as FF
+        a2 = a.withColumn("ts", FF.timestamp_seconds("ts"))
+        b2 = b.withColumn("ts", FF.timestamp_seconds("ts"))
+        got = {r["v"] for r in range_join(a2, b2, on="k", lower=0, upper=60)
+               .select(FF.col("r.v").alias("v")).collect()}
+        assert got == {"same", "in50", "in1"}

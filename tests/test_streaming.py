@@ -172,3 +172,45 @@ class TestStreamStaticJoin:
             ).count()
         )
         assert matched == want
+
+
+class TestStreamingCorpus:
+    """The batch curation operators run unchanged on a document stream
+    — identical Column expressions, streaming execution."""
+
+    def test_curate_stream_matches_batch(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+        from exosql_spark.streaming import corpus
+
+        s = corpus.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+        q = streaming.run_to_memory(
+            corpus.curate_stream(s, min_tokens=5, min_quality=0.3), "t_curated"
+        )
+        got = spark.table("t_curated")
+        batch_docs = load_table(spark, sf_dir, "documents")
+        # batch pipeline WITHOUT dedup stages = the same per-row curation
+        from exosql_spark.operators import text as t_ops
+
+        want = (
+            t_ops.quality_score(batch_docs, "text")
+            .filter((F.col("q_n_tokens") >= 5) & (F.col("quality") >= 0.3))
+        )
+        assert got.count() == want.count()
+        assert got.filter(F.col("lang_pred").isNull()).count() == 0
+        q.stop()
+
+    def test_stream_exact_dedup(self, spark, sf_dir):
+        from exosql_spark.streaming import corpus
+
+        s = corpus.read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+        q = streaming.run_to_memory(
+            corpus.stream_exact_dedup(
+                corpus.curate_stream(s, min_tokens=0, min_quality=0.0)
+            ),
+            "t_dedup_stream",
+        )
+        got = spark.table("t_dedup_stream")
+        n = got.count()
+        assert n == got.select("content_hash").distinct().count()
+        q.stop()
