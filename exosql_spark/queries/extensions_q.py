@@ -490,3 +490,70 @@ def fn_nondeterministic(spark, sf_dir):
         F.rand(seed=42).alias("random_val"),
         (F.floor(F.rand(seed=7) * 10) + 1).cast("int").alias("randint_1_10"),
     )
+
+
+@register(
+    "fn_fuzzy_strings",
+    oracle="""
+SELECT c_custkey,
+       levenshtein(c_mktsegment, 'BUILDING') AS lev_building,
+       CAST(jaccard(lower(c_mktsegment), 'building') >= 0.99 AS INT) AS is_building_jac
+FROM customer
+WHERE c_custkey <= 50
+""",
+    tags=("functions", "extension", "fuzzy"),
+)
+def fn_fuzzy_strings(spark, sf_dir):
+    """Fuzzy string matching: edit distance (both engines agree
+    exactly) + a character-set Jaccard equality check. The fuzzy-dedup
+    primitive for short fields (names/titles)."""
+    t = Tables(spark, sf_dir)
+    seg = F.col("c_mktsegment")
+    # DuckDB jaccard() is character-multiset based; replicate with a
+    # char-split + array ops so both engines compute the same thing
+    def charset(c):
+        return F.array_distinct(F.split(F.lower(c), ""))
+
+    inter = F.size(F.array_intersect(charset(seg), charset(F.lit("building"))))
+    union = F.size(F.array_union(charset(seg), charset(F.lit("building"))))
+    return t.customer.filter(F.col("c_custkey") <= 50).select(
+        "c_custkey",
+        F.levenshtein(seg, F.lit("BUILDING")).alias("lev_building"),
+        ((inter / union) >= 0.99).cast("int").alias("is_building_jac"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(l_linenumber) AS lines_and,
+       bit_or(l_linenumber)  AS lines_or,
+       bit_xor(l_linenumber) AS lines_xor
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("agg", "extension"),
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates (set-membership compaction tricks)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor("l_linenumber").alias("lines_xor"),
+    )
+
+
+@register(
+    "sample_fraction",
+    oracle=None,  # sampling RNG is engine-specific; rows-only check
+    tags=("extension", "scale"),
+)
+def sample_fraction(spark, sf_dir):
+    """Bernoulli sampling with a fixed seed (deterministic within
+    Spark) — the cheap way to develop against a 100 TB table."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )

@@ -57,3 +57,32 @@ class TestJsonPointer:
 
     def test_array_index(self):
         assert jp_to_jsonpath("/a/0/b") == "$.a[0].b"
+
+
+class TestStrftimeSemantics:
+    """The Java translation must FORMAT identically to C strftime —
+    checked through Spark date_format vs Python's strftime."""
+
+    PATTERNS = [
+        "%Y-%m-%d", "%H:%M:%S", "%Y/%m", "%d.%m.%y", "%j",
+        "%a %b %d", "%A %B", "%Y-%m-%dT%H:%M:%S", "%I %p",
+    ]
+
+    def test_formats_match_c_reference(self, spark):
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from exosql_spark.functions.datetime_compat import strftime
+
+        dts = [
+            datetime(1999, 12, 31, 23, 59, 59),
+            datetime(2024, 1, 1, 0, 0, 0),
+            datetime(2007, 6, 15, 9, 5, 30),
+        ]
+        df = spark.createDataFrame([(d,) for d in dts], "ts timestamp_ntz")
+        for fmt in self.PATTERNS:
+            got = [r.x for r in df.select(strftime("ts", fmt).alias("x")).collect()]
+            want = [d.strftime(fmt) for d in dts]
+            # C %I is zero-padded; locale AM/PM capitalization matches
+            assert got == want, (fmt, got, want)
