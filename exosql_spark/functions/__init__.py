@@ -25,6 +25,8 @@ the federation SQL path.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string hints here
+
 from pyspark.sql import SparkSession
 
 from exosql_spark.functions.datetime_compat import (
@@ -52,6 +54,7 @@ __all__ = [
     "exo_add",
     "exo_compare",
     "register_all",
+    "regex_map",
 ]
 
 
@@ -72,3 +75,37 @@ def register_all(spark: SparkSession) -> None:
     )
     # strftime / jp as SQL expressions via small SQL-macro style UDFs
     spark.udf.register("jp_path", _jp2p, T.StringType())
+
+
+def regex_map(col, pattern: str):
+    """Reference ``regex(str, re)`` capture-map form
+    (``builtins.ex :: regex``): returns map<string,string> of named
+    captures (or numbered captures when unnamed). The ONE builtin that
+    genuinely needs Python (Java regex named-group enumeration isn't
+    exposed to Spark SQL) — implemented as an Arrow-batched pandas UDF,
+    not a row-at-a-time UDF."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    compiled = _re.compile(pattern)
+    names = list(compiled.groupindex)
+
+    @pandas_udf(T.MapType(T.StringType(), T.StringType()))
+    def _extract(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            m = compiled.search(v)
+            if not m:
+                return None
+            if names:
+                return {k: m.group(k) for k in names}
+            return {str(i): g for i, g in enumerate(m.groups(), 1)}
+
+        return s.map(one)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _extract(c)

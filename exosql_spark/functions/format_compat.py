@@ -21,15 +21,21 @@ _SI = [(1e12, "T"), (1e9, "G"), (1e6, "M"), (1e3, "k")]
 
 
 def humanize_si(col: Column | str, decimals: int = 1) -> Column:
-    """1234567 → '1.2M' — pure Column (chained when/otherwise)."""
+    """1234567 → '1.2M' — pure Column (chained when/otherwise).
+
+    Conditions are wrapped smallest-threshold-first so the LARGEST
+    threshold ends outermost (wrapping largest-first would make the
+    'k' branch shadow everything above it); format_string keeps fixed
+    notation (a double→string cast goes scientific ≥1e7)."""
     c = F.col(col) if isinstance(col, str) else col
     c = c.cast("double")
     absc = F.abs(c)
-    expr = F.concat(F.round(c, decimals).cast("string"))
-    for thresh, suffix in _SI:
+    fmt = f"%.{decimals}f"
+    expr = F.format_string(fmt, c)
+    for thresh, suffix in reversed(_SI):
         expr = F.when(
             absc >= thresh,
-            F.concat(F.round(c / thresh, decimals).cast("string"), F.lit(suffix)),
+            F.concat(F.format_string(fmt, c / thresh), F.lit(suffix)),
         ).otherwise(expr)
     return expr
 

@@ -86,3 +86,55 @@ class TestStrftimeSemantics:
             want = [d.strftime(fmt) for d in dts]
             # C %I is zero-padded; locale AM/PM capitalization matches
             assert got == want, (fmt, got, want)
+
+
+class TestRegexMap:
+    def test_named_captures(self, spark):
+        from exosql_spark.functions import regex_map
+
+        df = spark.createDataFrame([("Customer#000000042",)], "s string")
+        m = df.select(
+            regex_map("s", r"(?P<word>[A-Za-z]+)#(?P<num>\d+)").alias("m")
+        ).collect()[0].m
+        assert m == {"word": "Customer", "num": "000000042"}
+
+    def test_numbered_captures_and_miss(self, spark):
+        from exosql_spark.functions import regex_map
+
+        df = spark.createDataFrame([("abc 123",), ("nope",)], "s string")
+        rows = df.select(regex_map("s", r"([a-z]+) (\d+)").alias("m")).collect()
+        assert rows[0].m == {"1": "abc", "2": "123"}
+        assert rows[1].m is None
+
+
+class TestFormatCompat:
+    def test_exo_format_c_subset_and_si(self, spark):
+        from pyspark.sql import functions as F
+
+        from exosql_spark.functions.format_compat import exo_format
+
+        df = spark.createDataFrame([(42, 1234567.0, "ok")], "n long, v double, s string")
+        row = df.select(
+            exo_format("%d items: %s", F.col("n"), F.col("s")).alias("a"),
+            exo_format("rev %k!", F.col("v")).alias("b"),
+            exo_format("%.2f", F.col("v")).alias("c"),
+        ).collect()[0]
+        assert row.a == "42 items: ok"
+        assert row.b == "rev 1.2M!"
+        assert row.c == "1234567.00"
+
+    def test_humanize_si_thresholds(self, spark):
+        from pyspark.sql import functions as F
+
+        from exosql_spark.functions.format_compat import humanize_si
+
+        df = spark.createDataFrame(
+            [(999.0,), (1500.0,), (2_500_000.0,), (3.2e9,), (-1.5e12,)], "v double"
+        )
+        got = [r.h for r in df.select(humanize_si("v").alias("h")).collect()]
+        assert got == ["999.0", "1.5k", "2.5M", "3.2G", "-1.5T"]
+
+    def test_format_py_fallback(self):
+        from exosql_spark.functions.format_compat import _format_py
+
+        assert _format_py("%d/%s = %k", [7, "x", 2_000_000]) == "7/x = 2.0M"
