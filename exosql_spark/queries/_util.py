@@ -42,8 +42,13 @@ def fround(col: Column, nd: int = 4) -> Column:
 
 
 def fround_sql(expr: str, nd: int = 4) -> str:
+    # CAST the scale literal: Spark SQL parses bare `10000.0` as
+    # DECIMAL (the DataFrame lit() parses double), which would keep
+    # the whole expression decimal when the same SQL text runs on
+    # Spark; DuckDB treats both forms as DOUBLE.
     s = float(10**nd)
-    return f"floor(({expr}) * {s} + 0.5) / {s}"
+    scale = f"CAST({s} AS DOUBLE)"
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
 
 
 def dsum(col: Column | str, nd: int = 4) -> Column:

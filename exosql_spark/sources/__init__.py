@@ -23,11 +23,19 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _require_dir(path: str) -> None:
+    if not os.path.isdir(path):
+        from pyspark.errors import AnalysisException
+
+        raise AnalysisException(f"[PATH_NOT_FOUND] Path does not exist: {path}")
+
+
 def csv_dir(spark: SparkSession, path: str, infer_schema: bool = True) -> dict[str, DataFrame]:
     """Directory of ``*.csv`` = database; file stem = table; header row =
     columns. With ``infer_schema=False`` reproduces the reference's
     all-values-are-strings model (``lib/exosql/csv.ex``) for coercion
     compat tests."""
+    _require_dir(path)
     tables = {}
     for f in sorted(glob.glob(os.path.join(path, "*.csv"))):
         name = os.path.splitext(os.path.basename(f))[0]
@@ -43,6 +51,7 @@ def parquet_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Directory of ``*.parquet`` = database (the testdata layout)."""
     from exosql_spark.io import load_table
 
+    _require_dir(path)
     tables = {}
     for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
         name = os.path.splitext(os.path.basename(f))[0]

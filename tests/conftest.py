@@ -87,3 +87,14 @@ def assert_oracle_match(spark_df, duck_con, oracle: str, name: str = "?") -> Non
             f"{name}: column {col!r} differs at {len(bad)} rows; "
             f"first: idx={bad[0][0]} spark={bad[0][1]!r} duck={bad[0][2]!r}"
         )
+    # strict string-level hash (the driver's comparator stringifies —
+    # a dtype drift like decimal-vs-double or hugeint-vs-bigint makes
+    # equal values render differently)
+    sa = a.astype(str)
+    sb = b.astype(str)
+    diff_cols = [c for c in sa.columns if not sa[c].equals(sb[c])]
+    assert not diff_cols, (
+        f"{name}: value-equal but string-rendering differs in {diff_cols} "
+        f"(dtype drift: spark={[str(sp[c].dtype) for c in diff_cols]} "
+        f"duck={[str(du[c].dtype) for c in diff_cols]})"
+    )
