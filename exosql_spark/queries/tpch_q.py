@@ -150,3 +150,426 @@ def tpch_q10_returned_items(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name")
     )
+
+
+_DEC = "decimal(25,6)"
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+    tags=("tpch", "semi", "agg"),
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4 shape: EXISTS-correlated semi-join (equi key + non-equi
+    residual) feeding a priority rollup. Spark plans the residual as a
+    LeftSemi hash join on l_orderkey — one shuffle, no dedup pass."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    l = t.lineitem
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {_u.dsum_sql('l_extendedprice * l_discount')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+  AND l_quantity < CAST(24 AS DOUBLE)
+""",
+    tags=("tpch", "scan", "agg"),
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6 shape: pure scan→filter→agg, the pushdown showcase — all
+    three predicates reach the parquet reader (min/max row-group skip
+    at scale), no shuffle beyond the single partial-agg exchange."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _u.dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {_u.dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+    OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """Q7 shape: nation-pair trade volume by year. The nation self-use
+    (supplier's vs customer's) needs two aliased broadcast copies; the
+    disjunctive pair predicate stays post-join (Catalyst can't split
+    it), but both nation filters are pushed into the broadcast sides as
+    an IN ('NATION_9','NATION_6') prefilter we add explicitly."""
+    t = Tables(spark, sf_dir)
+    pair = ["NATION_9", "NATION_6"]
+    n1 = t.nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t.nation.filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    l = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        l.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
+            | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_9"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            _u.dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+SELECT year(o.o_orderdate) AS o_year,
+       {_u.fround_sql(
+           "CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_9' "
+           "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END "
+           "AS DECIMAL(25,6))) AS DOUBLE) / "
+           "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+           "AS DECIMAL(25,6))) AS DOUBLE)"
+       )} AS mkt_share
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+JOIN region r   ON n1.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY o_year
+ORDER BY o_year
+""",
+    tags=("tpch", "join", "agg", "ratio"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 shape: one supplier-nation's share of regional volume —
+    ratio of conditional sum to total sum in a single grouped pass
+    (one shuffle; both sums share the partial-agg). 8-table star:
+    every dim broadcasts, lineitem⋈orders is the only hash join."""
+    t = Tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = t.region.filter(F.col("r_name") == "ASIA")
+    p = t.part.filter(F.col("p_type") == "ECONOMY")
+    o = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    num = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _u.fround(
+                F.sum(num.cast(_DEC)).cast("double")
+                / F.sum(vol.cast(_DEC)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT {_u.fround_sql(
+        "CAST(100.0 AS DOUBLE) * "
+        "CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END "
+        "AS DECIMAL(25,6))) AS DOUBLE) / "
+        "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+        "AS DECIMAL(25,6))) AS DOUBLE)"
+    )} AS promo_revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+    tags=("tpch", "join", "ratio"),
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14 shape: promo share of one month's revenue. part broadcasts;
+    the month predicate prunes lineitem at the scan."""
+    t = Tables(spark, sf_dir)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _u.fround(
+                F.lit(100.0)
+                * F.sum(promo.cast(_DEC)).cast("double")
+                / F.sum(vol.cast(_DEC)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=f"""
+WITH pq AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(25,6))) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {_u.fround_sql(
+        "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE)"
+        " / CAST(7.0 AS DOUBLE)"
+    )} AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN pq     ON pq.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND CAST(l.l_quantity AS DECIMAL(25,6)) * 5 * pq.cnt_qty < pq.sum_qty
+""",
+    tags=("tpch", "join", "agg", "correlated"),
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17 shape: lineitems below 20% of their part's average quantity.
+    The correlated avg subquery decorrelates to a per-part aggregate
+    joined back; the threshold comparison is kept in exact decimal
+    (qty*5*count < sum) so both engines agree bit-for-bit at the
+    boundary — never compare against a divided double."""
+    t = Tables(spark, sf_dir)
+    pq = t.lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    ).withColumnRenamed("l_partkey", "pq_partkey")
+    p = t.part.filter(F.col("p_brand") == "Brand#23")
+    return (
+        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(
+            F.col("l_quantity").cast(_DEC) * F.lit(5) * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            _u.fround(
+                F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {_u.dsum_sql('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""",
+    tags=("tpch", "join", "agg", "semi"),
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    """Q18 shape: orders whose total quantity tops a threshold. The
+    HAVING pre-aggregate doubles as the semi-join filter (Spark:
+    left_semi against the aggregated keys — at 100 TB this is the
+    small side and broadcasts after AQE sizes it)."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    l = t.lineitem.join(
+        big.withColumnRenamed("l_orderkey", "big_key"),
+        F.col("l_orderkey") == F.col("big_key"),
+        "left_semi",
+    )
+    return (
+        l.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(_u.dsum("l_quantity").alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {_u.dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15
+       AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+    tags=("tpch", "join", "disjunctive"),
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """Q19 shape: OR-of-conjuncts across both join sides. Catalyst
+    derives the common implied predicates (brand IN (...), size<=50,
+    quantity<=30) and pushes them to the scans; the residual OR
+    evaluates post-join inside codegen."""
+    t = Tables(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#13") & s.between(10, 30) & q.between(10, 20))
+        | ((b == "Brand#23") & s.between(20, 50) & q.between(20, 30))
+    )
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _u.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_rich_customers",
+    oracle=f"""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(25,6))) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, count(*) AS numcust,
+       {_u.dsum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(25,6)) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+    tags=("tpch", "anti", "agg", "scalar-subquery"),
+)
+def tpch_q22_dormant_rich_customers(spark, sf_dir):
+    """Q22 shape: above-average-balance customers with no urgent
+    orders (testdata gives every customer orders, so the classic
+    no-orders anti-join is keyed on the urgent subset instead).
+    The global average is a 1-row broadcast cross join; the
+    above-average test multiplies through by the count so it stays
+    in exact decimal. Anti side prefilters to '1-URGENT' before the
+    shuffle."""
+    t = Tables(spark, sf_dir)
+    pos = t.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast(_DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        t.customer.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal").cast(_DEC) * F.col("n") > F.col("s"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _u.dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
