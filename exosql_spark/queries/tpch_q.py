@@ -573,3 +573,452 @@ def tpch_q22_dormant_rich_customers(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+       {_u.fround_sql('CAST(cost.c AS DOUBLE)')} AS supply_cost
+FROM part p
+JOIN cost       ON cost.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = cost.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_size IN (5, 15, 25)
+  AND p.p_type IN ('STANDARD', 'ECONOMY')
+  AND cost.c = (SELECT min(c2.c) FROM cost c2
+                WHERE c2.l_partkey = p.p_partkey)
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 20
+""",
+    tags=("tpch", "correlated", "join"),
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: for each part, the cheapest supplier (testdata has no
+    partsupp, so per-pair cost is the lineitem spend sum). The
+    correlated MIN subquery decorrelates to a per-part min-aggregate
+    joined back on exact-decimal equality — decimal, not double, so
+    the boundary row set is identical on both engines."""
+    t = Tables(spark, sf_dir)
+    cost = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).alias("c")
+    )
+    minc = cost.groupBy("l_partkey").agg(F.min("c").alias("minc")).withColumnRenamed(
+        "l_partkey", "min_partkey"
+    )
+    p = t.part.filter(
+        F.col("p_size").isin(5, 15, 25) & F.col("p_type").isin("STANDARD", "ECONOMY")
+    )
+    n = t.nation.join(
+        F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        cost.join(
+            minc,
+            (F.col("l_partkey") == F.col("min_partkey"))
+            & (F.col("c") == F.col("minc")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            _u.fround(F.col("c").cast("double")).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {_u.dsum_sql(
+           "l.l_extendedprice * (1 - l.l_discount)"
+           " - p.p_retailprice * l.l_quantity * CAST(0.1 AS DOUBLE)"
+       )} AS profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    tags=("tpch", "join", "agg"),
+)
+def tpch_q9_product_type_profit(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and order year over a
+    part-name LIKE filter (no partsupp → cost proxied as 10% of retail
+    value; same arithmetic left-to-right on both engines). part/
+    supplier/nation broadcast; lineitem⋈orders is the lone shuffle."""
+    t = Tables(spark, sf_dir)
+    p = t.part.filter(F.col("p_name").like("%red%"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_u.dsum(profit).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH v AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS s
+  FROM lineitem l
+  JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+  JOIN nation n    ON n.n_nationkey = sp.s_nationkey
+  WHERE n.n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(s AS DOUBLE) AS part_value
+FROM v, (SELECT sum(s) AS total, CAST(count(*) AS DECIMAL(10,0)) AS n FROM v) tot
+WHERE s * tot.n > CAST(2 AS DECIMAL(2,0)) * tot.total
+ORDER BY part_value DESC, l_partkey
+""",
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 shape: parts whose spend share (within two nations'
+    suppliers) beats a global threshold — here 2× the mean share, so
+    the predicate is scale-factor-free. The global (total, count) is a
+    1-row broadcast; the comparison multiplies through by the count to
+    stay in exact decimal (s·n > 2·total), never dividing into
+    doubles. Exact decimal sums are hash-safe; the output value is the
+    raw decimal cast to double (no rounding needed — sums of 2-decimal
+    inputs are exactly representable)."""
+    t = Tables(spark, sf_dir)
+    sp = (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    v = (
+        t.lineitem.join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("s"))
+    )
+    tot = v.agg(
+        F.sum("s").alias("total"),
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .filter(F.col("s") * F.col("n") > F.lit(2).cast("decimal(2,0)") * F.col("total"))
+        .select("l_partkey", F.col("s").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l.l_shipdate >  o.o_orderdate + INTERVAL 180 DAY
+GROUP BY ship_class
+ORDER BY ship_class
+""",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """Q12 shape: late shipments classified by line status (testdata
+    has no l_shipmode/l_receiptdate, so "late" is shipped >180 days
+    after order date), with urgent-vs-other conditional counts in one
+    grouped pass — both CASE sums share the partial aggregate."""
+    t = Tables(spark, sf_dir)
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 180 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("tpch", "outer-join", "double-agg"),
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13 shape: order-count histogram over customers including
+    zero-order ones — LEFT JOIN with a join-time (not WHERE) residual
+    filter, count(col) null-skipping semantics, then a second
+    aggregation over the first's output."""
+    t = Tables(spark, sf_dir)
+    o = t.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, {_u.fround_sql('CAST(rev.total AS DOUBLE)')} AS total_revenue
+FROM supplier s
+JOIN rev ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total = (SELECT max(total) FROM rev)
+ORDER BY s.s_suppkey
+""",
+    tags=("tpch", "scalar-subquery", "agg"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 shape: supplier(s) with the quarter's max revenue. The
+    MAX scalar subquery becomes a 1-row aggregate joined back on
+    exact-decimal *equality* — an equi-join, so no nested-loop plan,
+    and ties at the max are kept identically by both engines."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+            ).alias("total")
+        )
+    )
+    maxr = rev.agg(F.max("total").alias("max_total"))
+    return (
+        rev.join(F.broadcast(maxr), F.col("total") == F.col("max_total"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            _u.fround(F.col("total").cast("double")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+    tags=("tpch", "anti", "distinct-agg"),
+)
+def tpch_q16_supplier_part_counts(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute triple,
+    excluding blacklisted suppliers (negative balance stands in for
+    the complaints filter) via NOT IN → left_anti. The distinct-agg
+    expands to a two-phase (dedup, then count) plan; the anti side is
+    a broadcast."""
+    t = Tables(spark, sf_dir)
+    bad = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t.part.filter(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20_volume_share_suppliers",
+    oracle="""
+WITH base AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(25,6))) AS sq
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'red%'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (SELECT l_partkey, sum(sq) AS tq FROM base GROUP BY l_partkey)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (
+    SELECT b.l_suppkey FROM base b
+    JOIN tot t ON t.l_partkey = b.l_partkey
+    WHERE b.sq * 3 > t.tq * 2
+  )
+ORDER BY s.s_name
+""",
+    tags=("tpch", "semi", "correlated"),
+)
+def tpch_q20_volume_share_suppliers(spark, sf_dir):
+    """Q20 shape: suppliers dominating a part's shipped volume (no
+    partsupp availqty, so the threshold is >2/3 of the part's 1997
+    'red%' volume — a share predicate, scale-factor-free). Two stacked
+    aggregates feed a semi-join into the supplier dimension; the
+    threshold multiplies through (3·sq > 2·tq) to stay exact-decimal."""
+    t = Tables(spark, sf_dir)
+    base = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(
+            F.broadcast(t.part.filter(F.col("p_name").like("red%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
+    )
+    tot = base.groupBy("l_partkey").agg(F.sum("sq").alias("tq")).withColumnRenamed(
+        "l_partkey", "tot_partkey"
+    )
+    dominant = (
+        base.join(tot, F.col("l_partkey") == F.col("tot_partkey"))
+        .filter(F.col("sq") * 3 > F.col("tq") * 2)
+        .select("l_suppkey")
+    )
+    n = t.nation.join(
+        F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        t.supplier.join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 365 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    tags=("tpch", "exists", "anti", "agg"),
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21 shape: the sole-late-supplier query — EXISTS (another
+    supplier in the order) plus doubly-correlated NOT EXISTS (no other
+    supplier also late). Decorrelated to one per-order aggregate:
+    n_supp = distinct suppliers, n_late = distinct late suppliers; a
+    late line qualifies iff n_supp > 1 and n_late = 1 (it is itself
+    late, so the single late supplier is its own). One lineitem scan
+    computes the stats; joining them back on orderkey replaces two
+    correlated subquery scans — at 100 TB that's one shuffle instead
+    of three."""
+    t = Tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 365 DAYS")
+    lo = t.lineitem.join(
+        t.orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn("is_late", late)
+    stats = lo.groupBy(F.col("l_orderkey").alias("st_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(F.col("is_late"))
+        .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -110,6 +110,7 @@ class TestNoAccidentalCartesian:
         "similarity_topk_ivf",
         "events_sliding_window",
         "tpch_q22_dormant_rich_customers",  # 1-row global-avg broadcast scalar
+        "tpch_q11_important_stock",  # 1-row global-total broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
