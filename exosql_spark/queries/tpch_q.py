@@ -442,6 +442,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
 
 @register(
     "tpch_q18_large_volume_customers",
+    bench=True,
     oracle=f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem
@@ -640,6 +641,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 
 @register(
     "tpch_q9_product_type_profit",
+    bench=True,
     oracle=f"""
 SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
        {_u.dsum_sql(
@@ -970,6 +972,7 @@ def tpch_q20_volume_share_suppliers(spark, sf_dir):
 
 @register(
     "tpch_q21_waiting_suppliers",
+    bench=True,
     oracle="""
 SELECT s.s_name, count(*) AS numwait
 FROM supplier s
