@@ -52,10 +52,22 @@ def curate_corpus(
     filtered = featured.filter(
         (F.col("n_tokens") >= cfg.min_tokens)
         & (F.col("quality") >= cfg.min_quality)
-    )
+    ).persist()
+    # persist: every downstream branch (exact-dedup keep set, minhash
+    # signatures, the two anti/semi joins back) re-reads this frame;
+    # without the barrier the regex-heavy feature chain re-executes
+    # once per branch (~4× measured). At 100 TB this is the
+    # "checkpoint curated features to parquet" step.
 
-    # 3. exact dedup on the content hash (shuffles digests only)
-    exact = dedup.exact_dedup(filtered, text_col, id_col)
+    # 3. exact dedup on the already-computed content hash (shuffles
+    # 16-byte digests only — dedup.exact_dedup would re-derive
+    # md5(normalize) from raw text; the column is sitting right there)
+    keep = (
+        filtered.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    exact = filtered.join(F.broadcast(keep), id_col, "left_semi")
 
     # 4. near-dup removal (LSH banding; optionally transitive clusters)
     pairs = dedup.minhash_dedup_pairs(
