@@ -10,6 +10,7 @@ from exosql_spark.streaming.events import (
     session_aggregate,
     dedup_within_watermark,
     run_to_memory,
+    attribution_join,
     enrich_with_dimension,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "session_aggregate",
     "dedup_within_watermark",
     "run_to_memory",
+    "attribution_join",
     "enrich_with_dimension",
 ]

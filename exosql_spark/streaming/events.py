@@ -181,3 +181,48 @@ def enrich_with_dimension(
     return events.join(
         dim, events[on_left] == dim[on_right], "left"
     )
+
+
+def attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to the
+    view(s) by the same user within ``horizon`` before it.
+
+    Both sides carry a watermark and the join condition bounds event
+    time in BOTH directions (p.ts in [v.ts, v.ts + horizon]), so Spark
+    can expire join state: a buffered view is droppable once the
+    purchase-side watermark passes v.ts + horizon. Without the time
+    bound the state store grows without limit — the canonical
+    stream-stream join mistake at scale. Inner matches emit as soon as
+    both rows arrive (watermark only gates state cleanup), so results
+    equal the batch join exactly.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "v_ts",
+        "p_ts",
+        "purchase_value",
+    )

@@ -214,3 +214,34 @@ class TestStreamingCorpus:
         n = got.count()
         assert n == got.select("content_hash").distinct().count()
         q.stop()
+
+
+class TestStreamStreamJoin:
+    """Stream-stream interval join (view→purchase attribution):
+    inner matches emit regardless of watermark (it only gates state
+    cleanup), so the drained stream equals the batch join exactly."""
+
+    def test_attribution_matches_batch(self, spark, events_stream, events_batch):
+        sv = events_stream.filter(F.col("event_type") == "view")
+        sp = events_stream.filter(F.col("event_type") == "purchase")
+        out = drain(
+            streaming.attribution_join(sv, sp), "t_attrib"
+        ).orderBy("purchase_id", "view_id")
+
+        bv = events_batch.filter(F.col("event_type") == "view")
+        bp = events_batch.filter(F.col("event_type") == "purchase")
+        expected = streaming.attribution_join(bv, bp).orderBy(
+            "purchase_id", "view_id"
+        )
+        got = [tuple(r) for r in out.collect()]
+        want = [tuple(r) for r in expected.collect()]
+        assert len(want) > 0  # fixture actually produces matches
+        assert got == want
+
+    def test_state_bound_in_plan(self, events_stream):
+        sv = events_stream.filter(F.col("event_type") == "view")
+        sp = events_stream.filter(F.col("event_type") == "purchase")
+        j = streaming.attribution_join(sv, sp)
+        assert j.isStreaming
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert "watermark" in plan.lower()
