@@ -166,3 +166,39 @@ def fingerprint_rolling(col: Column | str) -> Column:
             acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m
         ),
     )
+
+
+# --------------------------------------------------------------------
+# PII redaction — regex scrubbing for training corpora.
+# --------------------------------------------------------------------
+
+#: Patterns restricted to syntax Java regex and RE2 (DuckDB) treat
+#: identically: no lookaround, no backreferences, \b/\d/character
+#: classes only — so redaction is oracle-checkable across engines.
+_PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d().-]{7,}\d\b",
+}
+
+
+def pii_redact(col: Column | str, replacement: str = "[PII]") -> Column:
+    """Scrub emails, IPv4 addresses, and phone-number-shaped digit
+    runs from text — chained regexp_replace, one fused JVM pass, no
+    UDF. Order matters: emails first (an address contains dots that
+    would otherwise half-match the IP pattern). Real pipelines add
+    NER-model scrubbing on top; this is the cheap always-on layer."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat in _PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def pii_redact_sql(expr: str, replacement: str = "[PII]") -> str:
+    """The DuckDB-equivalent SQL for :func:`pii_redact` (the 'g' flag
+    mirrors Spark's replace-all default). DuckDB string literals are
+    not escape-processed, so backslashes pass through verbatim."""
+    for pat in _PII_PATTERNS.values():
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{replacement}', 'g')"
+    return expr

@@ -324,3 +324,54 @@ def text_token_topk(spark, sf_dir):
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+SELECT doc_id,
+       {text.pii_redact_sql(
+           "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+           "'@example.com or 10.0.', CAST(doc_id % 200 AS VARCHAR), "
+           "'.7 tel +1555', CAST(1000000 + doc_id AS VARCHAR))"
+       )} AS redacted
+FROM documents
+""",
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redact(spark, sf_dir):
+    """Regex PII scrubbing (emails / IPv4 / phone runs) as a fused
+    JVM regexp_replace chain — no UDF. The fixture corpus contains no
+    PII, so the query plants a deterministic email+IP+phone per row
+    and the oracle proves both engines scrub the identical spans
+    (patterns are restricted to the Java-regex ∩ RE2 dialect)."""
+    t = Tables(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 tel +1555"),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    return t.documents.select(
+        "doc_id", text.pii_redact(planted).alias("redacted")
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle=None,  # sampling RNG is engine-specific; rows-only check
+    tags=("llm", "extension", "scale"),
+)
+def sample_stratified(spark, sf_dir):
+    """Stratified (per-language) Bernoulli sampling via sampleBy —
+    the corpus-rebalancing primitive: downsample the dominant language
+    without touching the tails. One scan, no shuffle; exact-fraction
+    variants would need a count + window pass."""
+    t = Tables(spark, sf_dir)
+    fractions = {"en": 0.2, "es": 1.0, "fr": 1.0, "de": 1.0, "zh": 1.0}
+    return t.documents.sampleBy("lang", fractions, seed=42).select(
+        "doc_id", "lang"
+    )

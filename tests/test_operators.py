@@ -339,3 +339,24 @@ class TestAsofJoin:
         got = {r["v"] for r in range_join(a2, b2, on="k", lower=0, upper=60)
                .select(FF.col("r.v").alias("v")).collect()}
         assert got == {"same", "in50", "in1"}
+
+
+class TestPiiRedact:
+    def test_redacts_all_three_kinds(self, spark):
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@x-mail.co.uk node 192.168.1.254 call +1(555)123-4567 ok")],
+            "id long, t string",
+        )
+        out = df.select(text.pii_redact("t").alias("r")).first().r
+        assert "@" not in out and "192.168" not in out and "555" not in out
+        assert out.count("[PII]") == 3
+        assert out.endswith(" ok")
+
+    def test_plain_text_untouched(self, spark):
+        df = spark.createDataFrame(
+            [(1, "version 3.2 costs 12 dollars on march 4")], "id long, t string"
+        )
+        assert (
+            df.select(text.pii_redact("t").alias("r")).first().r
+            == "version 3.2 costs 12 dollars on march 4"
+        )
