@@ -14,10 +14,10 @@ Scale design (the whole point at 100 TB):
   numpy pandas-UDF: Spark's higher-order array functions evaluate
   interpreted (outside codegen), and the measured gap is ~6× (see
   minhash_signature); a pure-Column variant is kept alongside.
-- Connected components over candidate pairs are approximated with the
-  standard min-representative convention (keep = min doc_id of each
-  duplicate group); full transitive closure would be iterative
-  (GraphFrames/Pregel) and is rarely worth it for dedup.
+- Pairwise dedup here keeps the min-representative of each PAIR;
+  true transitive clusters (A~B, B~C => {A,B,C}) are one call away in
+  operators/components.py (iterative min-label propagation over the
+  candidate-pair edge list, which is vastly smaller than the corpus).
 """
 
 from __future__ import annotations
@@ -65,9 +65,13 @@ def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Drop exact (normalized) duplicates, keeping the min-id row."""
+    """Drop exact (normalized) duplicates, keeping the min-id row.
+
+    No broadcast hint on the keep set: it is one id per DISTINCT
+    document — proportional to the corpus, unbounded at 100 TB. AQE
+    broadcasts it anyway whenever the runtime size is small."""
     keep = exact_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
-    return df.join(F.broadcast(keep), id_col, "left_semi")
+    return df.join(keep, id_col, "left_semi")
 
 
 def fingerprint(text_col: str) -> F.Column:

@@ -67,7 +67,10 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    exact = filtered.join(F.broadcast(keep), id_col, "left_semi")
+    # no broadcast hint: keep is one id per distinct document —
+    # corpus-proportional, so forcing a broadcast would OOM at scale;
+    # AQE still broadcasts it when the runtime size allows
+    exact = filtered.join(keep, id_col, "left_semi")
 
     # 4. near-dup removal (LSH banding; optionally transitive clusters)
     pairs = dedup.minhash_dedup_pairs(
