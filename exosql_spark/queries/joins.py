@@ -43,7 +43,7 @@ def join_inner_star(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return (
         t.orders.join(
-            F.broadcast(t.customer), t.orders.o_custkey == t.customer.c_custkey
+            t.customer, t.orders.o_custkey == t.customer.c_custkey
         )
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))

@@ -3,6 +3,13 @@ multi-join + aggregation + sort + limit in one plan, the shapes that
 exercise join ordering, broadcast choice, and partial aggregation
 together. (The reference never ran TPC-H; these demonstrate the full
 relational surface composing, and anchor the benchmark.)
+
+Broadcast policy: explicit `F.broadcast` hints ONLY on sides whose
+size is bounded by construction — nation (25 rows), region (5), and
+1-row global aggregates. customer/part/supplier/orders scale with the
+data, so their join strategy is left to AQE, which broadcasts them at
+bench scale and shuffles them at 100 TB; a hard-coded hint would OOM
+the driver there.
 """
 
 from __future__ import annotations
@@ -42,7 +49,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     o = t.orders.filter(F.col("o_orderdate") < cutoff)
     l = t.lineitem.filter(F.col("l_shipdate") > cutoff)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -87,9 +94,9 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     r = t.region.filter(F.col("r_name") == "ASIA")
     return (
         t.lineitem.join(o, t.lineitem.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(t.customer), o.o_custkey == t.customer.c_custkey)
+        .join(t.customer, o.o_custkey == t.customer.c_custkey)
         .join(
-            F.broadcast(t.supplier),
+            t.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -135,7 +142,7 @@ def tpch_q10_returned_items(spark, sf_dir):
     l = t.lineitem.filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(t.customer), o.o_custkey == t.customer.c_custkey)
+        .join(t.customer, o.o_custkey == t.customer.c_custkey)
         .join(
             F.broadcast(t.nation),
             F.col("c_nationkey") == F.col("n_nationkey"),
@@ -265,10 +272,10 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
     )
     return (
-        l.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
             ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_6"))
@@ -333,11 +340,11 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     num = F.when(F.col("supp_nation") == "NATION_9", vol).otherwise(F.lit(0.0))
     return (
-        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
@@ -380,7 +387,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
             (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             _u.fround(
                 F.lit(100.0)
@@ -425,7 +432,7 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     ).withColumnRenamed("l_partkey", "pq_partkey")
     p = t.part.filter(F.col("p_brand") == "Brand#23")
     return (
-        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
         .filter(
             F.col("l_quantity").cast(_DEC) * F.lit(5) * F.col("cnt_qty")
@@ -479,7 +486,7 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
     )
     return (
         l.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(_u.dsum("l_quantity").alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -517,7 +524,7 @@ def tpch_q19_disjunctive_revenue(spark, sf_dir):
         | ((b == "Brand#23") & s.between(20, 50) & q.between(20, 30))
     )
     return (
-        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
             _u.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -627,8 +634,8 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
             (F.col("l_partkey") == F.col("min_partkey"))
             & (F.col("c") == F.col("minc")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
@@ -671,8 +678,8 @@ def tpch_q9_product_type_profit(spark, sf_dir):
         - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     )
     return (
-        t.lineitem.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
@@ -720,7 +727,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         ).select("s_suppkey")
     )
     v = (
-        t.lineitem.join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(sp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast(_DEC)).alias("s"))
     )
@@ -852,7 +859,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     maxr = rev.agg(F.max("total").alias("max_total"))
     return (
         rev.join(F.broadcast(maxr), F.col("total") == F.col("max_total"))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name",
             _u.fround(F.col("total").cast("double")).alias("total_revenue"),
@@ -892,9 +899,9 @@ def tpch_q16_supplier_part_counts(spark, sf_dir):
     )
     return (
         t.lineitem.join(
-            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+            bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -942,7 +949,7 @@ def tpch_q20_volume_share_suppliers(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         )
         .join(
-            F.broadcast(t.part.filter(F.col("p_name").like("red%"))),
+            t.part.filter(F.col("p_name").like("red%")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("l_partkey", "l_suppkey")
@@ -1019,7 +1026,7 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
         lo.filter(F.col("is_late"))
         .join(stats, F.col("l_orderkey") == F.col("st_orderkey"))
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
