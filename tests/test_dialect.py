@@ -47,6 +47,48 @@ class TestRewriteUnits:
         sql = "SELECT a, count(*) FROM t GROUP BY a ORDER BY a"
         assert rewrite(sql) == sql
 
+    def test_string_literals_never_rewritten(self):
+        sql = (
+            "SELECT 'call strftime(ts, ''%Y'') later' AS note, "
+            "strftime(ts, '%Y') AS y FROM t"
+        )
+        out = rewrite(sql)
+        assert "'call strftime(ts, ''%Y'') later'" in out
+        assert "date_format(ts, 'yyyy')" in out
+
+    def test_nested_two_levels(self):
+        out = rewrite_functions(
+            "SELECT strftime(to_datetime(jp(js, '/ts')), '%Y-%m') FROM t"
+        )
+        assert out.startswith("SELECT date_format((coalesce(timestamp_seconds(")
+        assert "get_json_object(js, '$.ts')" in out
+        assert "'yyyy-MM')" in out
+
+    def test_distinct_on_star_no_helper_leak(self):
+        out = rewrite_distinct_on("SELECT DISTINCT ON (k) * FROM t ORDER BY k, v")
+        assert "SELECT * EXCEPT (__exo_rn) FROM" in out
+
+    def test_distinct_on_in_subquery(self):
+        out = rewrite_distinct_on(
+            "SELECT count(*) AS n FROM "
+            "(SELECT DISTINCT ON (k) k, v FROM t ORDER BY k, v DESC) s"
+        )
+        assert "row_number() OVER (PARTITION BY k ORDER BY k, v DESC)" in out
+        assert out.startswith("SELECT count(*) AS n FROM (")
+
+    def test_distinct_on_literal_containing_keyword(self):
+        out = rewrite_distinct_on(
+            "SELECT DISTINCT ON (k) k, 'ORDER BY trap LIMIT 3' AS s FROM t"
+        )
+        assert "'ORDER BY trap LIMIT 3'" in out
+        assert "__exo_rn = 1" in out and not out.rstrip().endswith("LIMIT 3")
+
+    def test_distinct_on_function_keys(self):
+        out = rewrite_distinct_on(
+            "SELECT DISTINCT ON (lower(k), f(a, b)) k, v FROM t"
+        )
+        assert "PARTITION BY lower(k), f(a, b)" in out
+
 
 class TestDialectEndToEnd:
     def test_strftime_in_federated_sql(self, spark, sf_dir):
@@ -91,3 +133,72 @@ class TestDialectEndToEnd:
             "SELECT to_datetime(0) AS epoch0"
         ).collect()
         assert str(rows[0].epoch0).startswith("1970-01-01")
+
+    def test_db_table_inside_literal_untouched(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        rows = ctx.sql(
+            "SELECT 'visit tpch.orders today' AS s, count(*) AS n FROM tpch.orders"
+        ).collect()
+        assert rows[0].s == "visit tpch.orders today" and rows[0].n > 0
+
+    def test_distinct_on_star_schema(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        df = ctx.sql(
+            "SELECT DISTINCT ON (o_custkey) * FROM tpch.orders "
+            "ORDER BY o_custkey, o_orderdate DESC"
+        )
+        assert "__exo_rn" not in df.columns
+        assert df.columns == ctx.table("tpch", "orders").columns
+
+    def test_dollar_var_and_dollar_escape(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        rows = ctx.sql(
+            "SELECT concat('price in $', 'USD') AS cur, o_orderkey "
+            "FROM tpch.orders WHERE o_orderkey = $k",
+            vars={"k": 1},
+        ).collect()
+        assert rows[0].cur == "price in $USD" and rows[0].o_orderkey == 1
+
+
+class TestContextApi:
+    def test_lazy_registration(self, spark, sf_dir):
+        calls = []
+
+        def failing_source(s):
+            calls.append(1)
+            raise RuntimeError("must not resolve unreferenced db")
+
+        ctx = Context(
+            spark,
+            {"tpch": {"parquet": sf_dir}, "broken": failing_source},
+        )
+        # query touching only tpch: broken must never resolve
+        n = ctx.sql("SELECT count(*) AS n FROM tpch.orders").first().n
+        assert n > 0 and calls == []
+
+    def test_prepare_reexecute(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        handle = ctx.prepare(
+            "SELECT o_orderkey, o_totalprice FROM tpch.orders WHERE o_orderkey = $k"
+        )
+        r1 = handle.run({"k": 1}).collect()
+        r2 = handle({"k": 2}).collect()
+        assert r1[0].o_orderkey == 1 and r2[0].o_orderkey == 2
+
+    def test_coercion_arithmetic(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}}, coerce=True)
+        row = ctx.sql(
+            "SELECT '1' + o_orderkey AS plus, "
+            "cast(o_orderkey AS string) * 2 AS twice, "
+            "('10' > o_orderkey) AS gt, "
+            "'n/a' + 0 AS bad "
+            "FROM tpch.orders WHERE o_orderkey = 4"
+        ).first()
+        assert row.plus == 5.0 and row.twice == 8.0
+        assert row.gt is True and row.bad is None
+
+    def test_coercion_off_by_default_restores_conf(self, spark, sf_dir):
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        before = spark.conf.get("spark.sql.ansi.enabled")
+        ctx.sql("SELECT 1 AS x", coerce=True).collect()
+        assert spark.conf.get("spark.sql.ansi.enabled") == before
