@@ -175,11 +175,25 @@ def fingerprint_rolling(col: Column | str) -> Column:
 #: Patterns restricted to syntax Java regex and RE2 (DuckDB) treat
 #: identically: no lookaround, no backreferences, \b/\d/character
 #: classes only — so redaction is oracle-checkable across engines.
+#: Phone matching is shape-anchored, not "any long digit run": the old
+#: ``\+?\d[\d().-]{7,}\d`` redacted ISO dates (2026-08-13) and dotted
+#: version/ID strings, corrupting ordinary text. Now either an
+#: international ``+CC …`` number or a NANP 3-3-4 grouping, both
+#: word-bounded so longer digit runs (order ids, hashes) pass through.
 _PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-    "phone": r"\+?\d[\d().-]{7,}\d\b",
+    "phone": (
+        r"\+\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{2,4}\b"
+        r"|\b\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b"
+    ),
 }
+
+
+def _java_replacement(replacement: str) -> str:
+    r"""Escape ``\`` and ``$`` so the replacement is spliced literally
+    into Java's regexp_replace (both are group-reference syntax there)."""
+    return replacement.replace("\\", "\\\\").replace("$", "\\$")
 
 
 def pii_redact(col: Column | str, replacement: str = "[PII]") -> Column:
@@ -189,16 +203,20 @@ def pii_redact(col: Column | str, replacement: str = "[PII]") -> Column:
     would otherwise half-match the IP pattern). Real pipelines add
     NER-model scrubbing on top; this is the cheap always-on layer."""
     c = F.col(col) if isinstance(col, str) else col
+    repl = _java_replacement(replacement)
     for pat in _PII_PATTERNS.values():
-        c = F.regexp_replace(c, pat, replacement)
+        c = F.regexp_replace(c, pat, repl)
     return c
 
 
 def pii_redact_sql(expr: str, replacement: str = "[PII]") -> str:
-    """The DuckDB-equivalent SQL for :func:`pii_redact` (the 'g' flag
+    r"""The DuckDB-equivalent SQL for :func:`pii_redact` (the 'g' flag
     mirrors Spark's replace-all default). DuckDB string literals are
-    not escape-processed, so backslashes pass through verbatim."""
+    not escape-processed, so backslashes pass through verbatim — but
+    ``'`` must be doubled and ``\`` in the replacement escaped (RE2
+    replacement treats ``\1`` as a group reference)."""
+    repl_sql = replacement.replace("\\", "\\\\").replace("'", "''")
     for pat in _PII_PATTERNS.values():
         pat_sql = pat.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{pat_sql}', '{replacement}', 'g')"
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
     return expr

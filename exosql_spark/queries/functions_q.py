@@ -215,9 +215,21 @@ def fn_format(spark, sf_dir):
     )
 
 
+def _humanize_oracle() -> str:
+    from exosql_spark.functions.format_compat import humanize_si_sql
+
+    return (
+        "SELECT o_orderkey, "
+        f"{humanize_si_sql('o_totalprice')} AS price_human FROM orders"
+    )
+
+
 @register(
     "fn_humanize_si",
-    oracle=None,  # %.1f string rendering differs across engines → rows-only
+    # Exact oracle: humanize_si pre-rounds half-up on the binary double
+    # (fround) before formatting, so Java %.1f (HALF_UP) and DuckDB
+    # printf (half-even) agree on every value — no rendering ties left.
+    oracle=_humanize_oracle(),
     tags=("functions", "format"),
 )
 def fn_humanize_si(spark, sf_dir):
@@ -318,4 +330,37 @@ def fn_coercion_dynamic(spark, sf_dir):
         "l_linenumber",
         exo_add(qty_s, F.lit("2")).alias("qty_plus2"),
         exo_compare(qty_s, price_s).alias("cmp_qty_price"),
+    )
+
+
+@register(
+    "fn_coercion_sql",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       1 + CAST(l_quantity AS DOUBLE) AS qty_plus1,
+       CAST(l_quantity AS DOUBLE) * 2 AS qty_twice,
+       CASE WHEN CAST(l_quantity AS DOUBLE) > 25 THEN 1 ELSE 0 END AS big,
+       CAST(NULL AS DOUBLE) AS bad
+FROM lineitem
+WHERE l_orderkey <= 200
+""",
+    tags=("functions", "compat", "federation"),
+)
+def fn_coercion_sql(spark, sf_dir):
+    """Dynamic typing *through the federation SQL path* (reference
+    ``expr.ex`` arithmetic clauses + ``utils.ex :: to_number``):
+    ``Context(..., coerce=True)`` runs the query with permissive
+    string↔number coercion in arithmetic and comparisons —
+    ``'1' + qty`` works on a string column, unparseable → NULL —
+    closing the round-1 gap where ``Context.sql`` was ANSI-only."""
+    from exosql_spark.context import Context
+
+    ctx = Context(spark, {"db": {"parquet": sf_dir}}, coerce=True)
+    return ctx.sql(
+        "SELECT l_orderkey, l_linenumber, "
+        "'1' + cast(l_quantity AS string) AS qty_plus1, "
+        "cast(l_quantity AS string) * 2 AS qty_twice, "
+        "CASE WHEN cast(l_quantity AS string) > 25 THEN 1 ELSE 0 END AS big, "
+        "'n/a' + 0 AS bad "
+        "FROM db.lineitem WHERE l_orderkey <= 200"
     )

@@ -197,6 +197,84 @@ class TestMultimodal:
         frames = multimodal.sample_frames(media, every_n_bytes=100)
         assert frames.count() >= 5
 
+    def test_custom_decoder_via_argument(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import multimodal
+
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        media = multimodal.synthetic_media(docs)  # kind="image"
+
+        def len_decoder(payload: bytes) -> list[float]:
+            return [float(len(payload)), 1.0]
+
+        feats = multimodal.extract_features(
+            media, strict=True, decoders={"image": len_decoder}
+        )
+        rows = feats.collect()  # strict + decoder present: must NOT raise
+        assert all(r.feature == [float(r.n_bytes), 1.0] for r in rows)
+
+    def test_custom_decoder_via_registry(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import multimodal
+
+        docs = load_table(spark, sf_dir, "documents").limit(3)
+        media = multimodal.synthetic_media(docs, kind="audio")
+
+        def len_decoder(payload: bytes) -> list[float]:
+            return [float(len(payload)), 1.0]
+
+        multimodal.register_decoder("audio", len_decoder)
+        try:
+            feats = multimodal.extract_features(media, strict=True)
+            assert all(r.feature[1] == 1.0 for r in feats.collect())
+        finally:
+            multimodal.unregister_decoder("audio")
+        # after unregistering, a NEW strict plan falls back to raising
+        with pytest.raises(Exception):
+            multimodal.extract_features(media, strict=True).collect()
+
+
+class TestDecontaminate:
+    def test_flags_overlapping_docs(self, spark):
+        from exosql_spark.operators import decontam
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "unrelated content entirely different words here"),
+                (3, "prefix alpha beta gamma delta suffix tail"),  # shares 4-gram with 1
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") == 1)
+        hits = decontam.decontaminate_hits(docs, bench, n=4)
+        got = {r.doc_id for r in hits.collect()}
+        assert got == {1, 3}
+        clean = decontam.decontaminate(docs, bench, n=4)
+        assert {r.doc_id for r in clean.collect()} == {2}
+
+    def test_short_docs_whole_text_gram(self, spark):
+        from exosql_spark.operators import decontam
+
+        docs = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, "other")], "doc_id long, text string"
+        )
+        hits = decontam.decontaminate_hits(docs, docs.filter(F.col("doc_id") == 1), n=8)
+        assert {r.doc_id for r in hits.collect()} == {1, 2}
+
+
+class TestLabelCentroids:
+    def test_centroid_values(self, spark):
+        rows = [
+            (1, [1.0, 2.0], 0),
+            (2, [3.0, 4.0], 0),
+            (3, [10.0, 20.0], 1),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+        got = {r.label: (r.n_vecs, r.centroid) for r in similarity.label_centroids(df).collect()}
+        assert got[0] == (2, [2.0, 3.0])
+        assert got[1] == (1, [10.0, 20.0])
+
 
 class TestConnectedComponents:
     def test_transitive_closure(self, spark):
@@ -360,3 +438,48 @@ class TestPiiRedact:
             df.select(text.pii_redact("t").alias("r")).first().r
             == "version 3.2 costs 12 dollars on march 4"
         )
+
+    def test_dates_versions_ids_untouched(self, spark):
+        # The old any-digit-run phone pattern redacted all of these.
+        untouched = [
+            "released 2026-08-13 at noon",
+            "build 1.2.3.4567.89 shipped",
+            "order 1234567890123 confirmed",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(untouched)], "id long, t string")
+        got = [r.r for r in df.select("id", text.pii_redact("t").alias("r")).orderBy("id").collect()]
+        assert got == untouched
+
+    def test_phone_shapes_redacted(self, spark):
+        phones = ["call 555-123-4567 now", "or (555) 123 4567", "intl +44 20.7946.0958 ok"]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(phones)], "id long, t string")
+        for r in df.select(text.pii_redact("t").alias("r")).collect():
+            assert "[PII]" in r.r
+
+    def test_replacement_escaped_for_java(self, spark):
+        # "$1\" would be a group reference if spliced unescaped.
+        df = spark.createDataFrame([(1, "mail a@b.co end")], "id long, t string")
+        out = df.select(text.pii_redact("t", replacement=r"[$1\PII]").alias("r")).first().r
+        assert out == r"mail [$1\PII] end"
+
+    def test_sql_twin_matches_spark(self, spark, duck):
+        texts = [
+            "released 2026-08-13 build 1.2.3.4567.89",
+            "call +1(555)123-4567 or 555 123 4567",
+            "mail a.b+c@x-mail.co.uk node 192.168.1.254",
+            "order 1234567890123 on 10.0.0.1",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+        spark_out = [
+            r.r for r in df.select("id", text.pii_redact("t").alias("r")).orderBy("id").collect()
+        ]
+        sql = text.pii_redact_sql("t")
+        duck_out = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT {sql} FROM (SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+                + ") v(id, t)) ORDER BY id"
+            ).fetchall()
+        ]
+        assert spark_out == duck_out
