@@ -35,14 +35,38 @@ from pyspark.storagelevel import StorageLevel
 
 from exosql_spark.operators.text import normalize_text, tokens
 
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf ("134217728", "134217728b", "128m",
+    "128MB") into bytes."""
+    try:
+        raw = str(spark.conf.get(key, str(default))).strip().lower()
+        m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+        return int(m.group(1)) * _SIZE_SUFFIX.get(m.group(2) or "b", 1) if m else default
+    except Exception:
+        return default
+
 
 def _parallelize(df: DataFrame) -> DataFrame:
     """Spread compute-heavy narrow stages across all cores: a tiny
     single-file input arrives as 1 partition and would serialize the
     expensive signature math. At real scale inputs already have ≥
-    defaultParallelism splits and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    defaultParallelism splits and this is a no-op.
+
+    Smallness is decided from the optimizer's size estimate (one JVM
+    call, no job, no RDD conversion — ``.rdd.getNumPartitions()`` would
+    force analysis plus a Python↔JVM round-trip and read the pre-AQE
+    split count). Inputs below one scan-split per core get an explicit
+    round-robin spread; anything larger already parallelizes."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.repartition(target)  # estimate unavailable: spread defensively
+    if size < target * _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20):
         return df.repartition(target)
     return df
 
@@ -235,6 +259,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs (id_a < id_b, band-collision count).
 
@@ -244,18 +269,26 @@ def minhash_candidates(
     Plan shape: map (signature) → explode bands (×bands rows, but each
     row is just (band_key, id)) → shuffle on band_key → within-bucket
     self-join → dedup pairs. No all-pairs stage anywhere.
+
+    ``signatures``: optional precomputed ``(_id, _sig)`` frame (e.g. a
+    column the caller already persisted alongside other per-doc
+    features — see pipeline.curate_corpus). The caller owns its
+    caching; when omitted it is computed and persisted here.
     """
     rows_per_band = num_hashes // bands
-    # Persist the signature: (a) the self-join below reads it twice;
-    # (b) without a materialization barrier Catalyst's projection
-    # collapse would inline the 64-hash expression into every band
-    # slice (≈16× recompute). At 100 TB you'd checkpoint signatures to
-    # parquet for exactly the same reason.
-    sig = (
-        _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
-        .select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if signatures is not None:
+        sig = signatures.select("_id", "_sig")
+    else:
+        # Persist the signature: (a) the self-join below reads it twice;
+        # (b) without a materialization barrier Catalyst's projection
+        # collapse would inline the 64-hash expression into every band
+        # slice (≈16× recompute). At 100 TB you'd checkpoint signatures
+        # to parquet for exactly the same reason.
+        sig = (
+            _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
+            .select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
     banded = sig.select(
         "_id",
         F.explode(
@@ -300,12 +333,13 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs verified with exact Jaccard ≥ threshold.
     Columns: id_a, id_b, jaccard_sim."""
-    cands = minhash_candidates(df, text_col, id_col, num_hashes, bands, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cands = minhash_candidates(
+        df, text_col, id_col, num_hashes, bands, k, signatures=signatures
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # verify only docs that appear in some candidate pair: semi-join
     # reduction keeps the (expensive) shingle recompute proportional to
     # candidates, not corpus

@@ -41,11 +41,25 @@ def curate_corpus(
     content_hash)."""
     cfg = config or CurateConfig()
 
-    # 1. cheap per-row features (pure map — fused into the scan)
+    # Spread small inputs across cores first: every downstream stage
+    # (regex features, MinHash UDF) is a narrow map over this frame, and
+    # a single-file local input would otherwise run the whole chain on
+    # one partition. No-op at real scale (inputs arrive pre-split).
+    docs = dedup._parallelize(docs)
+
+    # 1. cheap per-row features (pure map — fused into the scan), plus
+    # the MinHash signature so the SAME persisted frame feeds every
+    # downstream consumer. Computing the signature pre-exact-dedup
+    # means some work on rows exact-dedup will drop, but it removes
+    # the second cached copy the signature used to need inside
+    # minhash_candidates (round-1 held two persists); at very high
+    # exact-dup rates flip to checkpointing post-dedup instead.
     featured = text.quality_score(docs, text_col).withColumn(
         "lang_pred", text.lang_id(F.col(text_col))
     ).withColumn("n_tokens", F.col("q_n_tokens")).withColumn(
         "content_hash", text.fingerprint_md5(F.col(text_col))
+    ).withColumn(
+        "_sig", dedup.minhash_signature(text_col, cfg.minhash_hashes)
     )
 
     # 2. quality gate (pushable predicates)
@@ -54,10 +68,12 @@ def curate_corpus(
         & (F.col("quality") >= cfg.min_quality)
     ).persist()
     # persist: every downstream branch (exact-dedup keep set, minhash
-    # signatures, the two anti/semi joins back) re-reads this frame;
+    # banding, the two anti/semi joins back) re-reads this frame;
     # without the barrier the regex-heavy feature chain re-executes
-    # once per branch (~4× measured). At 100 TB this is the
-    # "checkpoint curated features to parquet" step.
+    # once per branch (~4× measured), and Catalyst's projection
+    # collapse would re-inline the signature into every band slice.
+    # At 100 TB this is the "checkpoint curated features to parquet"
+    # step.
 
     # 3. exact dedup on the already-computed content hash (shuffles
     # 16-byte digests only — dedup.exact_dedup would re-derive
@@ -72,7 +88,9 @@ def curate_corpus(
     # AQE still broadcasts it when the runtime size allows
     exact = filtered.join(keep, id_col, "left_semi")
 
-    # 4. near-dup removal (LSH banding; optionally transitive clusters)
+    # 4. near-dup removal (LSH banding; optionally transitive clusters).
+    # Signatures ride along from the persisted feature frame — no
+    # recompute, no second cache inside the dedup operator.
     pairs = dedup.minhash_dedup_pairs(
         exact,
         text_col,
@@ -80,6 +98,7 @@ def curate_corpus(
         threshold=cfg.near_dup_threshold,
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
+        signatures=exact.select(F.col(id_col).alias("_id"), "_sig"),
     )
     if cfg.use_components:
         from exosql_spark.operators.components import dedup_components
