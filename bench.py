@@ -3,15 +3,19 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "stddev": {...}, "sf": ...}
 
-value = sum of per-query wall seconds (post-warmup, best of 2).
+value = sum of per-query wall seconds (post-warmup, median of 3).
+"stddev" carries the per-query sample standard deviation across the 3
+timed runs so round-over-round diffs can be read against run noise.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +23,7 @@ from exosql_spark.catalog import all_queries
 from exosql_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = 3
 
 
 def _run_once(fn, spark, sf_dir) -> float:
@@ -39,9 +44,11 @@ def main() -> None:
         break
 
     per_query: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, q in bench.items():
-        best = min(_run_once(q.fn, spark, SF_DIR) for _ in range(2))
-        per_query[name] = round(best, 3)
+        times = [_run_once(q.fn, spark, SF_DIR) for _ in range(RUNS)]
+        per_query[name] = round(statistics.median(times), 3)
+        spread[name] = round(statistics.stdev(times), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -49,6 +56,7 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "stddev": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

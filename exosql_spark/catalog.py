@@ -96,6 +96,9 @@ _VERIFY_FIRST = (
     # -- promoted/new oracle entries this round --
     "fn_humanize_si",
     "fn_coercion_sql",
+    "text_decontaminate",
+    "embedding_centroids",
+    "events_funnel",
     # -- unseen, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
     "dedup_minhash_pairs",

@@ -18,7 +18,7 @@ enough that a partition of blobs fits executor memory.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -60,29 +60,72 @@ _FEATURE_SCHEMA = T.StructType(
 def _fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
     """STUB: deterministic fake for the codec-dependent decode step.
 
-    A real deployment replaces this body with e.g. PIL/torchaudio decode
-    + model features. Raise-or-fake is configurable at call site; the
-    fake derives `dim` floats from the sha1 digest so tests are stable.
+    A real deployment registers real decoders instead (see
+    :func:`register_decoder`) — e.g. PIL/torchaudio decode + model
+    features. Raise-or-fake is configurable at call site; the fake
+    derives `dim` floats from the sha1 digest so tests are stable.
     """
     h = hashlib.sha1(payload).digest()
     return [h[i] / 255.0 for i in range(dim)]
 
 
-def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+#: Decoder: payload bytes → feature vector. Must be picklable (defined
+#: at module top level) — it is shipped to executors inside the
+#: mapInPandas closure.
+Decoder = Callable[[bytes], list[float]]
+
+#: Per-``kind`` decoder registry. A deployment drops in real codecs
+#: without touching the operator:
+#:
+#:     from exosql_spark.operators import multimodal
+#:     multimodal.register_decoder("image", my_pil_features)
+#:     multimodal.register_decoder("audio", my_torchaudio_features)
+_DECODERS: dict[str, Decoder] = {}
+
+
+def register_decoder(kind: str, fn: Decoder) -> None:
+    """Register ``fn`` as the decoder for media ``kind`` (image/audio/
+    video/...). Overwrites any previous registration."""
+    _DECODERS[kind] = fn
+
+
+def unregister_decoder(kind: str) -> None:
+    _DECODERS.pop(kind, None)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    strict: bool = False,
+    decoders: dict[str, Decoder] | None = None,
+) -> DataFrame:
     """Decode + featurize media payloads via mapInPandas (Arrow batches).
 
-    ``strict=True`` raises NotImplementedError where the real codec
-    would run — use it to prove the plumbing without pretending the
-    container can decode media.
+    Decoder resolution per row ``kind``: ``decoders`` argument →
+    module registry (:func:`register_decoder`) → fallback. The fallback
+    is the deterministic fake, or with ``strict=True`` a
+    NotImplementedError where the real codec would run — use strict to
+    prove the plumbing without pretending the container can decode
+    media. The resolved mapping is captured at call time (pickled into
+    the closure), so registry edits after the DataFrame is built don't
+    change a running query.
     """
+    resolved: dict[str, Decoder] = {**_DECODERS, **(decoders or {})}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        def decode(kind: str, payload: bytes) -> list[float]:
+            fn = resolved.get(kind)
+            if fn is not None:
+                return fn(payload)
             if strict:
                 raise NotImplementedError(
-                    "media decode requires codec libraries not present in "
-                    "this container; replace _fake_decode_features"
+                    f"no decoder registered for kind={kind!r} and this "
+                    "container has no codec libraries; "
+                    "multimodal.register_decoder() one"
                 )
+            return _fake_decode_features(payload, dim)
+
+        for pdf in batches:
             out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -91,9 +134,9 @@ def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataF
                     "content_sha1": pdf["payload"].map(
                         lambda b: hashlib.sha1(b).hexdigest()
                     ),
-                    "feature": pdf["payload"].map(
-                        lambda b: _fake_decode_features(b, dim)
-                    ),
+                    "feature": [
+                        decode(k, b) for k, b in zip(pdf["kind"], pdf["payload"])
+                    ],
                 }
             )
             yield out

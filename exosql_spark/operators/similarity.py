@@ -272,3 +272,29 @@ def embedding_near_dupes(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def label_centroids(
+    df: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label centroid vectors — the k-means / IVF-coarse-quantizer
+    building block: (label, n_vecs, centroid array<double>).
+
+    posexplode → one (label, pos) shuffle with map-side partial sums →
+    re-assemble by sorting (pos, mean) structs. Component count per
+    group is the vector dim (bounded), so collect_list is safe at any
+    corpus size; the shuffle key space is |labels|·dim — never skewed
+    by corpus growth."""
+    ex = df.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("pos", "v")
+    )
+    comps = ex.groupBy("label", "pos").agg(
+        (F.sum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return comps.groupBy("label").agg(
+        F.min("n_vecs").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+    )

@@ -177,3 +177,52 @@ def events_duration_filter(spark, sf_dir):
         (F.col("ts") >= cutoff)
         & F.col("event_type").isin("purchase", "signup")
     ).select("event_id", "ts", "event_type")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS tc
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY e.user_id)
+SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+""",
+    tags=("events", "extension"),
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per-stage user counts
+    where each stage's first event is at-or-after the previous stage's.
+    Three aggregations all keyed on user_id — the exchanges reuse one
+    hash partitioning, and AQE broadcasts the shrinking stage frames
+    into the next join."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    stage = lambda name, df: df.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit(name).alias("stage"), "n_users"
+    )
+    return stage("view", v).unionAll(stage("click", c)).unionAll(stage("purchase", p))

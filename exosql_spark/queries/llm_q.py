@@ -375,3 +375,86 @@ def sample_stratified(spark, sf_dir):
     return t.documents.sampleBy("lang", fractions, seed=42).select(
         "doc_id", "lang"
     )
+
+
+@register(
+    "text_decontaminate",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                          '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 4
+                     THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+3], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS g
+  FROM norm
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id <= 20)
+SELECT doc_id, count(*) AS n_hits
+FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+""",
+    tags=("llm", "text", "decontam"),
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C-style n-gram overlap): flag
+    documents sharing word n-grams with an evaluation set — here the
+    first 20 docs stand in for the benchmark suite. Benchmark n-grams
+    broadcast (bounded by construction); corpus streams through the
+    join with zero shuffle before the per-doc count."""
+    from exosql_spark.operators import decontam
+
+    t = Tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") <= 20)
+    return decontam.decontaminate_hits(t.documents, bench, "text", "doc_id", n=4)
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+WITH ex AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+ncnt AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT ex.label, ex.pos,
+       floor((CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+             * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS centroid,
+       min(ncnt.n_vecs) AS n_vecs
+FROM ex JOIN ncnt USING (label)
+GROUP BY ex.label, ex.pos
+""",
+    tags=("llm", "embedding"),
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid components (the k-means/IVF building block):
+    posexplode the vector column, one (label, pos) shuffle with
+    map-side partial sums, order-stable decimal averaging (see
+    _util.davg) so the result hash-matches DuckDB exactly. The
+    assembled-array variant is operators/similarity.label_centroids."""
+    from exosql_spark.queries._util import fround
+
+    t = Tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based like generate_subscripts
+    ncnt = t.embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        ex.join(ncnt, "label")
+        .groupBy("label", "pos")
+        .agg(
+            fround(
+                F.sum(F.col("v").cast("double").cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("centroid"),
+            F.min("n_vecs").alias("n_vecs"),
+        )
+    )

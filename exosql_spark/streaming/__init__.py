@@ -10,6 +10,7 @@ from exosql_spark.streaming.events import (
     session_aggregate,
     dedup_within_watermark,
     run_to_memory,
+    start_to_parquet,
     attribution_join,
     enrich_with_dimension,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "session_aggregate",
     "dedup_within_watermark",
     "run_to_memory",
+    "start_to_parquet",
     "attribution_join",
     "enrich_with_dimension",
 ]

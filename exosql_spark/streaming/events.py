@@ -167,6 +167,31 @@ def run_to_memory(
     return q
 
 
+def start_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+):
+    """Start a checkpointed parquet-sink query with availableNow.
+
+    This is the production-shaped sink: the checkpoint's offset log +
+    the file sink's commit manifest give end-to-end exactly-once — a
+    query stopped mid-stream and restarted with the SAME path and
+    checkpoint resumes from the last committed batch, never duplicating
+    and never dropping rows (asserted in
+    tests/test_streaming.py::TestCheckpointRestart). Returns the
+    running StreamingQuery; callers stop/await it."""
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def enrich_with_dimension(
     events: DataFrame,
     dim: DataFrame,

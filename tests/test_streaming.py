@@ -245,3 +245,52 @@ class TestStreamStreamJoin:
         assert j.isStreaming
         plan = j._jdf.queryExecution().analyzed().toString()
         assert "watermark" in plan.lower()
+
+
+class TestCheckpointRestart:
+    """Exactly-once across restart: a checkpointed parquet-sink query
+    killed mid-stream and restarted from the same checkpoint must
+    produce every source row exactly once (offset log + file-sink
+    manifest — the guarantee COVERAGE.md claims)."""
+
+    def test_no_dup_no_loss_after_restart(self, spark, sf_dir, tmp_path):
+        import time
+
+        src_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        # many small source files → many micro-batches (1 file/trigger)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        events.repartition(16).write.parquet(src_dir)
+        n_src = events.count()
+
+        stream = (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+
+        # run 1: stop as soon as at least one batch has committed
+        q1 = streaming.start_to_parquet(stream, out_dir, ckpt)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if any(p for p in q1.recentProgress):
+                break
+            time.sleep(0.05)
+        q1.stop()
+        q1.awaitTermination(30)
+        batches_run1 = len(q1.recentProgress)
+
+        # run 2: same sink path + checkpoint → resumes, never re-emits
+        q2 = streaming.start_to_parquet(stream, out_dir, ckpt)
+        q2.awaitTermination(120)
+
+        out = spark.read.parquet(out_dir)
+        assert out.count() == n_src, f"run1 committed {batches_run1} batches"
+        assert out.select("event_id").distinct().count() == n_src
+        assert (
+            out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+        )
