@@ -17,8 +17,9 @@ need textual rewriting before ``spark.sql`` sees them:
   at top level and inside any parenthesized subquery.
 
 All rewrites are applied through a quote-aware scanner: content of
-single-quoted string literals (including ``''`` escapes) is never
-rewritten, and function rewrites nest to arbitrary depth
+string literals — single- or double-quoted (exosql accepts both),
+with doubled-quote and backslash escapes — is never rewritten, and
+function rewrites nest to arbitrary depth
 (``strftime(to_datetime(jp(js,'/t')), '%Y')`` resolves inside-out).
 """
 
@@ -36,15 +37,27 @@ from exosql_spark.functions.json_compat import jp_to_jsonpath
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*")
 
+#: Characters that open a string literal. exosql's own dialect (and
+#: Spark SQL's default parser) accept BOTH single- and double-quoted
+#: strings, so a reference user's ``LIKE "%x%"`` must be treated as
+#: literal content too.
+_QUOTES = ("'", '"')
+
 
 def _skip_literal(sql: str, i: int) -> int:
-    """``sql[i]`` is an opening ``'`` — return the index just past the
-    closing quote (``''`` is an escaped quote, not a terminator)."""
+    """``sql[i]`` is an opening quote — return the index just past the
+    closing quote. Handles doubled-quote escapes (``''`` / ``""``) and
+    backslash escapes (``\\'`` — Spark's default parser honors both)."""
+    q = sql[i]
     i += 1
     n = len(sql)
     while i < n:
-        if sql[i] == "'":
-            if i + 1 < n and sql[i + 1] == "'":
+        c = sql[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == q:
+            if i + 1 < n and sql[i + 1] == q:
                 i += 2
                 continue
             return i + 1
@@ -53,7 +66,7 @@ def _skip_literal(sql: str, i: int) -> int:
 
 
 def mask_literals(sql: str) -> tuple[str, list[str]]:
-    """Replace every single-quoted literal with a ``\\x00<idx>\\x01``
+    """Replace every quoted literal with a ``\\x00<idx>\\x01``
     placeholder so regex-based rewrites can't touch literal content.
     Control characters can't appear in valid SQL text, so placeholders
     never collide and never form identifier characters (``\\b`` regexes
@@ -63,7 +76,7 @@ def mask_literals(sql: str) -> tuple[str, list[str]]:
     i = 0
     n = len(sql)
     while i < n:
-        if sql[i] == "'":
+        if sql[i] in _QUOTES:
             j = _skip_literal(sql, i)
             out.append(f"\x00{len(lits)}\x01")
             lits.append(sql[i:j])
@@ -84,7 +97,7 @@ def _matching_paren(sql: str, i: int) -> int | None:
     n = len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in _QUOTES:
             i = _skip_literal(sql, i)
             continue
         if c == "(":
@@ -107,7 +120,7 @@ def _split_args(body: str) -> list[str]:
     n = len(body)
     while i < n:
         c = body[i]
-        if c == "'":
+        if c in _QUOTES:
             i = _skip_literal(body, i)
             continue
         if c == "(":
@@ -138,7 +151,7 @@ def _rewrite_calls(sql: str, handlers: dict[str, Handler]) -> str:
     n = len(sql)
     while i < n:
         c = sql[i]
-        if c == "'":
+        if c in _QUOTES:
             j = _skip_literal(sql, i)
             out.append(sql[i:j])
             i = j
@@ -176,10 +189,13 @@ def _rewrite_calls(sql: str, handlers: dict[str, Handler]) -> str:
 
 
 def _literal(arg: str) -> str | None:
-    """The python value of ``arg`` if it is a bare quoted literal."""
+    """The python value of ``arg`` if it is a bare quoted literal
+    (either quote style — exosql queries write both ``'%Y'`` and
+    ``"%Y"``)."""
     a = arg.strip()
-    if len(a) >= 2 and a[0] == "'" and _skip_literal(a, 0) == len(a):
-        return a[1:-1].replace("''", "'")
+    if len(a) >= 2 and a[0] in _QUOTES and _skip_literal(a, 0) == len(a):
+        q = a[0]
+        return a[1:-1].replace(q + q, q).replace("\\" + q, q)
     return None
 
 

@@ -89,6 +89,17 @@ class TestRewriteUnits:
         )
         assert "PARTITION BY lower(k), f(a, b)" in out
 
+    def test_double_quoted_strings_masked(self):
+        # exosql examples write double-quoted strings (LIKE "%x%")
+        sql = 'SELECT "call strftime(ts) now" AS s, strftime(ts, "%Y") AS y FROM t'
+        out = rewrite(sql)
+        assert '"call strftime(ts) now"' in out
+        assert "date_format(ts, 'yyyy')" in out
+
+    def test_backslash_escaped_quote_in_literal(self):
+        sql = r"SELECT 'it\'s strftime(x, \'%Y\') time' AS s FROM t"
+        assert rewrite(sql) == sql
+
 
 class TestDialectEndToEnd:
     def test_strftime_in_federated_sql(self, spark, sf_dir):
