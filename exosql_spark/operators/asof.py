@@ -33,14 +33,23 @@ def asof_join(
     value_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` (``<`` when strict) within the same ``on``
-    key. Left rows with no prior right row keep nulls.
+    key — or, with ``direction="forward"``, the *earliest* right row
+    with ``right.ts >= left.ts`` (``>`` when strict). Left rows with
+    no matching right row keep nulls.
+
+    Forward mode reuses the same union+window merge scanned in
+    descending timestamp order (cost identical: one shuffle on the
+    key + one sort) — no second code path, no range explosion.
 
     Returns all left columns plus ``<value_col><suffix>`` columns and
     ``<right_ts><suffix>`` (the matched right timestamp).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -70,12 +79,14 @@ def asof_join(
         F.lit(None).cast(l_ddl).alias("_l"),
         F.struct(F.col(right_ts), *[F.col(c) for c in value_cols]).alias("_r"),
     )
-    # strict (<): left rows sort BEFORE right rows at equal ts so the
-    # carried value excludes same-instant right rows
+    # strict (</>): left rows sort BEFORE right rows at equal ts so the
+    # carried value excludes same-instant right rows. Forward mode =
+    # the same merge over descending ts (carry the next right row).
     order_side = F.col("_side").asc() if not strict else F.col("_side").desc()
+    order_ts = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), order_side)
+        .orderBy(order_ts, order_side)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l_tagged.unionByName(r_tagged).withColumn(

@@ -1,0 +1,242 @@
+"""Corpus term-ranking operators — TF-IDF term weighting and BM25
+keyword retrieval over the documents table (beyond-reference LLM-
+pipeline surface; the reference has no text-retrieval operators).
+
+Scale design (both operators):
+
+- One explode pass produces (doc, term) pairs; every aggregation
+  after that is keyed on ``term`` or the document id, so the shuffles
+  carry small (key, count) tuples — never document text.
+- Corpus-level scalars (document count, average doc length) are
+  computed as 1-row aggregates and attached via ``crossJoin`` of a
+  broadcast single row: they stay inside the job graph (no driver
+  ``collect``) and cost one broadcast of a few bytes.
+- IDF / score arithmetic is written as the *same* IEEE-double
+  expression sequence in the DataFrame code and the DuckDB oracle
+  SQL, with :func:`exosql_spark.queries._util.fround` applied at the
+  end, so cross-engine comparisons are bit-stable.
+
+At 100 TB the explode output is wide but the two-stage hash
+aggregation (partial map-side combine) reduces it before the
+exchange; the term dictionary after aggregation is tiny relative to
+the corpus, so the final ``broadcast`` joins of idf tables are the
+right physical plan and are hinted explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exosql_spark.queries._util import fround
+
+
+def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) pairs — whitespace tokens, the corpus's native shape."""
+    return df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 25,
+    nd: int = 4,
+) -> DataFrame:
+    """Top-``k`` corpus terms by summed TF-IDF weight.
+
+    Smoothed IDF (sklearn's convention): ``idf = ln((1+N)/(1+df)) + 1``
+    with ``N`` = corpus size, ``df`` = number of documents containing
+    the term. Score = ``total_tf * idf`` — the corpus-level mass each
+    term contributes. Deterministic ordering: score desc, then term.
+    """
+    terms = _terms(df, text_col, id_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_term = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+    )
+    idf = (
+        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("doc_freq")))
+        + F.lit(1.0)
+    )
+    return (
+        per_term.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "total_tf",
+            "doc_freq",
+            fround(F.col("total_tf") * idf, nd).alias("tfidf"),
+        )
+        .orderBy(F.col("tfidf").desc(), "term")
+        .limit(k)
+    )
+
+
+def tfidf_top_terms_sql(k: int = 25, nd: int = 4) -> str:
+    """DuckDB oracle for :func:`tfidf_top_terms` — identical IEEE
+    expression sequence (see module docstring)."""
+    from exosql_spark.queries._util import fround_sql
+
+    one = "CAST(1.0 AS DOUBLE)"  # keep DuckDB in pure-double arithmetic
+    score = fround_sql(
+        f"total_tf * (ln(({one} + n_docs) / ({one} + doc_freq)) + {one})", nd
+    )
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_term AS (
+  SELECT term, count(*) AS total_tf, count(DISTINCT doc_id) AS doc_freq
+  FROM terms GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, total_tf, doc_freq, {score} AS tfidf
+FROM per_term, n
+ORDER BY tfidf DESC, term
+LIMIT {k}
+"""
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    nd: int = 4,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for ``query_terms``
+    (Robertson/Sparck Jones; the standard Okapi form).
+
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score(d) = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))``.
+
+    Plan shape: the query terms (a handful) pivot into per-term tf
+    columns, so ONE corpus scan and ONE doc-keyed shuffle produce doc
+    length + all tfs; corpus scalars and per-term doc frequencies come
+    from a 1-row aggregate over that reduced frame and ride a
+    broadcast crossJoin back in. Per-doc scores add term contributions
+    in fixed left-to-right order (bit-stable vs the oracle; a row-wise
+    Σ would sum in shuffle order). Deterministic ordering: score desc,
+    then id. Only documents containing ≥1 query term are scored.
+    """
+    qt = [str(t) for t in query_terms]
+    terms = _terms(df, text_col, id_col)
+    # Pivot the (few) query terms into columns: ONE corpus scan, ONE
+    # shuffle keyed on the doc id produces doc length + per-term tf.
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            for i, t in enumerate(qt)
+        ],
+    )
+    # per_doc feeds BOTH the stats aggregate and the scoring pass;
+    # without a persist Catalyst re-expands the subtree and scans the
+    # corpus twice (verified via executedPlan — 2 parquet scans).
+    # per_doc is |docs| small rows, orders of magnitude below the
+    # corpus, so MEMORY_AND_DISK is the right trade at any scale.
+    from pyspark.storagelevel import StorageLevel
+
+    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    # Corpus scalars + per-term doc frequencies in one 1-row aggregate
+    # over the already-reduced per_doc frame; broadcast back in.
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(qt))
+        ],
+    )
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        )
+        return idf * tf * F.lit(k1 + 1.0) / denom
+
+    # Fixed left-to-right addition over the term columns — bit-stable
+    # (a row-wise Σ over an exploded frame would sum in shuffle order).
+    score = contrib(0)
+    for i in range(1, len(qt)):
+        score = score + contrib(i)
+    any_term = None
+    for i in range(len(qt)):
+        cond = F.col(f"tf_{i}") > 0
+        any_term = cond if any_term is None else (any_term | cond)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(any_term)
+        .select(F.col(id_col), fround(score, nd).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    nd: int = 4,
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk`."""
+    from exosql_spark.queries._util import fround_sql
+
+    # CAST every fractional literal: DuckDB parses bare `1.2` as DECIMAL
+    # and would run parts of the arithmetic in exact decimal, diverging
+    # from Spark's pure-double sequence in the last ulp.
+    d = "CAST({} AS DOUBLE)".format
+    n = len(query_terms)
+    tf_cols = ",\n         ".join(
+        "sum(CASE WHEN term = '{}' THEN 1 ELSE 0 END) AS tf_{}".format(
+            t.replace("'", "''"), i
+        )
+        for i, t in enumerate(query_terms)
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}" for i in range(n)
+    )
+    contribs = [
+        (
+            f"ln({d('1.0')} + (n_docs - df_{i} + {d('0.5')}) / (df_{i} + {d('0.5')})) "
+            f"* tf_{i} * {d(repr(k1 + 1.0))} / "
+            f"(tf_{i} + {d(repr(k1))} * ({d('1.0')} - {d(repr(b))} "
+            f"+ {d(repr(b))} * dl / avgdl))"
+        )
+        for i in range(n)
+    ]
+    score = fround_sql(" + ".join(f"({c})" for c in contribs), nd)
+    any_term = " OR ".join(f"tf_{i} > 0" for i in range(n))
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM terms GROUP BY doc_id
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {df_cols}
+  FROM per_doc
+)
+SELECT doc_id, {score} AS bm25
+FROM per_doc, stats
+WHERE {any_term}
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""

@@ -220,3 +220,56 @@ def pii_redact_sql(expr: str, replacement: str = "[PII]") -> str:
         pat_sql = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{pat_sql}', '{repl_sql}', 'g')"
     return expr
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    §A1.1; the C4/Gopher quality-filter family):
+
+    - ``distinct_word_ratio``: distinct words / total words (low =
+      repetitive boilerplate)
+    - ``top_word_frac``: occurrences of the most common word / total
+      words
+    - ``top_bigram_frac``: occurrences of the most common bigram /
+      total bigrams (0.0 for single-word docs)
+
+    Scale design: a single scan explodes unigrams AND bigrams in one
+    pass (tagged structs), then two hash aggregations both keyed on
+    the document id — no self-join of the corpus, no second scan, and
+    the shuffle carries (id, token, count) triples, never documents.
+    The per-token HOF alternative (``size(filter(w, ...))`` per
+    distinct word) is O(len²) per document and was rejected.
+    """
+    w = F.split(F.col(text_col), " ")
+    tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(0).alias("kind"), x.alias("tok"))),
+        F.transform(
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            lambda x: F.struct(F.lit(1).alias("kind"), x.alias("tok")),
+        ),
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tagged).alias("_t")
+    ).select(id_col, F.col("_t.kind").alias("kind"), F.col("_t.tok").alias("tok"))
+    counts = toks.groupBy(id_col, "kind", "tok").agg(F.count(F.lit(1)).alias("n"))
+    uni_n = F.when(F.col("kind") == 0, F.col("n"))
+    bi_n = F.when(F.col("kind") == 1, F.col("n"))
+    from exosql_spark.queries._util import fround
+
+    return counts.groupBy(id_col).agg(
+        fround(
+            F.count(uni_n).cast("double") / F.sum(uni_n), 6
+        ).alias("distinct_word_ratio"),
+        fround(F.max(uni_n).cast("double") / F.sum(uni_n), 6).alias(
+            "top_word_frac"
+        ),
+        F.coalesce(
+            fround(F.max(bi_n).cast("double") / F.sum(bi_n), 6), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )

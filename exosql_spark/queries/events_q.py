@@ -226,3 +226,47 @@ def events_funnel(spark, sf_dir):
         F.lit(name).alias("stage"), "n_users"
     )
     return stage("view", v).unionAll(stage("click", c)).unionAll(stage("purchase", p))
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('day', f.w0, date_trunc('week', e.ts)) / 7 AS INTEGER) AS wk
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT wk, count(*) AS n_users
+FROM act GROUP BY wk ORDER BY wk
+""",
+    tags=("events", "extension"),
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users active k weeks after their first
+    event. Classic product-analytics rollup — two aggregations and a
+    join, all keyed on user_id (one reusable hash partitioning), then
+    a tiny groupBy on the week offset. The per-user first-week frame
+    is |users|-sized, so AQE broadcasts it back into the join."""
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0")) / 7
+            )
+            .cast("int")
+            .alias("wk"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users")).orderBy("wk")
+    )

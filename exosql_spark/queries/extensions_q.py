@@ -54,6 +54,41 @@ def join_asof(spark, sf_dir):
 
 
 @register(
+    "join_asof_forward",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts,
+       v.ts AS ts_right,
+       v.event_id AS next_view_event_id
+FROM (SELECT event_id, user_id, ts, -epoch(ts) AS nts
+      FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, event_id, -epoch(ts) AS nts
+                FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.nts <= p.nts
+""",
+    tags=("join", "extension", "timeseries"),
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase gets the user's *next*
+    at-or-after view — the same union+window merge as backward mode,
+    scanned in descending timestamp order (one shuffle + one sort; no
+    range explosion). DuckDB has no forward ASOF, so the oracle runs
+    its backward ASOF JOIN over negated epoch seconds, which picks
+    exactly the minimal ``v.ts >= p.ts`` match."""
+    from exosql_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("next_view_event_id")
+    )
+    return asof_join(
+        purchases, views, on="user_id", direction="forward"
+    ).withColumnRenamed("next_view_event_id_right", "next_view_event_id")
+
+
+@register(
     "join_range",
     oracle="""
 SELECT a.user_id, count(*) AS n_pairs

@@ -11,7 +11,8 @@ from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
 from exosql_spark.io import Tables
-from exosql_spark.operators import dedup, similarity, text
+from exosql_spark.operators import dedup, ranking, similarity, text
+from exosql_spark.queries import _util as _u
 
 
 # --------------------------------------------------------------------
@@ -458,3 +459,69 @@ def embedding_centroids(spark, sf_dir):
             F.min("n_vecs").alias("n_vecs"),
         )
     )
+
+
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+uni AS (SELECT doc_id, unnest(s) AS tok FROM w),
+uc AS (SELECT doc_id, tok, count(*) AS n FROM uni GROUP BY 1, 2),
+ua AS (
+  SELECT doc_id,
+         {r1} AS distinct_word_ratio,
+         {r2} AS top_word_frac
+  FROM uc GROUP BY 1),
+bg AS (SELECT doc_id, s[i] || ' ' || s[i + 1] AS tok
+       FROM w, LATERAL unnest(range(1, len(s))) AS t(i)),
+bc AS (SELECT doc_id, tok, count(*) AS n FROM bg GROUP BY 1, 2),
+ba AS (SELECT doc_id, {r3} AS top_bigram_frac FROM bc GROUP BY 1)
+SELECT ua.doc_id, ua.distinct_word_ratio, ua.top_word_frac,
+       coalesce(ba.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+"""
+
+
+@register(
+    "text_repetition",
+    oracle=_REPETITION_ORACLE.format(
+        r1=_u.fround_sql("CAST(count(*) AS DOUBLE) / sum(n)", 6),
+        r2=_u.fround_sql("CAST(max(n) AS DOUBLE) / sum(n)", 6),
+        r3=_u.fround_sql("CAST(max(n) AS DOUBLE) / sum(n)", 6),
+    ),
+    tags=("llm", "text", "quality"),
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (distinct-word ratio, top-word
+    fraction, top-bigram fraction) — the repetitive-boilerplate filter
+    of the Gopher/C4 quality family. One scan explodes unigrams and
+    bigrams together; both aggregations key on doc_id."""
+    t = Tables(spark, sf_dir)
+    return text.repetition_signals(t.documents, "text", "doc_id")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=ranking.tfidf_top_terms_sql(),
+    tags=("llm", "text", "ranking"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """Top-25 corpus terms by summed TF-IDF (smoothed sklearn idf):
+    explode → two-stage hash agg → broadcast 1-row corpus-size join →
+    TakeOrderedAndProject."""
+    t = Tables(spark, sf_dir)
+    return ranking.tfidf_top_terms(t.documents)
+
+
+_BM25_TERMS = ["spark", "table", "hash"]
+
+
+@register(
+    "text_bm25_topk",
+    oracle=ranking.bm25_topk_sql(_BM25_TERMS),
+    tags=("llm", "text", "ranking"),
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval for a fixed query — doc lengths and
+    per-term tf from one explode; tiny idf tables broadcast; corpus
+    scalars ride a broadcast 1-row crossJoin (no driver collect)."""
+    t = Tables(spark, sf_dir)
+    return ranking.bm25_topk(t.documents, _BM25_TERMS)

@@ -155,6 +155,23 @@ class TestText:
         fps = [r.fp for r in df.select(text.fingerprint_md5("text").alias("fp")).collect()]
         assert fps[0] == fps[1]
 
+    def test_repetition_signals(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b a b a b"),   # 2 distinct / 6; top word 3/6; top bigram 3/5
+                (2, "only"),          # single word: no bigrams
+                (3, "w x y z"),       # all distinct
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in text.repetition_signals(df).collect()}
+        assert abs(rows[1].distinct_word_ratio - 2 / 6) < 1e-6
+        assert abs(rows[1].top_word_frac - 3 / 6) < 1e-6
+        assert abs(rows[1].top_bigram_frac - 3 / 5) < 1e-6
+        assert rows[2].distinct_word_ratio == 1.0
+        assert rows[2].top_bigram_frac == 0.0
+        assert abs(rows[3].top_word_frac - 0.25) < 1e-6
+
     def test_rolling_fingerprint_order_sensitive(self, spark):
         df = spark.createDataFrame(
             [(1, "a b c"), (2, "c b a")], "doc_id long, text string"
@@ -399,6 +416,34 @@ class TestAsofJoin:
         right = spark.createDataFrame([(1, 5, "R@5")], "k long, ts long, rv string")
         row = asof_join(left, right, on="k").collect()[0]
         assert row.rv_right is None and row.ts_right is None
+
+    def test_forward_direction(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, lv string")
+        right = spark.createDataFrame(
+            [(1, 10, "R@10"), (1, 5, "R@5"), (1, 20, "R@20"), (1, 30, "R@30")],
+            "k long, ts long, rv string",
+        )
+        incl = asof_join(left, right, on="k", direction="forward").collect()[0]
+        assert incl.rv_right == "R@10"  # >= matches same instant
+        excl = asof_join(
+            left, right, on="k", direction="forward", strict=True
+        ).collect()[0]
+        assert excl.rv_right == "R@20"  # > takes the next-later row
+        # no following right row -> nulls
+        late = spark.createDataFrame([(1, 99, "L")], "k long, ts long, lv string")
+        row = asof_join(late, right, on="k", direction="forward").collect()[0]
+        assert row.rv_right is None
+
+    def test_direction_validated(self, spark):
+        import pytest as _pt
+
+        from exosql_spark.operators.asof import asof_join
+
+        df = spark.createDataFrame([(1, 1, "x")], "k long, ts long, v string")
+        with _pt.raises(ValueError):
+            asof_join(df, df, on="k", direction="nearest")
 
     def test_range_join_bounds(self, spark):
         from exosql_spark.operators.asof import range_join

@@ -111,6 +111,8 @@ class TestNoAccidentalCartesian:
         "events_sliding_window",
         "tpch_q22_dormant_rich_customers",  # 1-row global-avg broadcast scalar
         "tpch_q11_important_stock",  # 1-row global-total broadcast scalar
+        "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
+        "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
