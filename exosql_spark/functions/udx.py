@@ -38,6 +38,29 @@ def gini_normalize(v: pd.Series) -> pd.Series:
     return (r - 1) / max(n - 1, 1)
 
 
+def rank_normalize_grouped(
+    df, group_col: str, value_col: str, out_col: str = "rank_norm"
+):
+    """Deterministic rank-normalization to [0,1] *within each group* via
+    ``applyInPandas`` (Arrow-batched pandas per group — the vectorized
+    UDX path, but partition-independent so it is oracle-checkable:
+    pandas ``rank(method='average')`` ≡ SQL
+    ``rank() + (ties-1)/2``). One shuffle on the group key; each group
+    must fit one executor's memory — same envelope as any grouped
+    pandas UDF."""
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.DoubleType())]
+    )
+
+    def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = pdf[value_col].rank(method="average")
+        n = max(len(pdf), 1)
+        pdf[out_col] = (r - 1) / max(n - 1, 1)
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_norm, schema=out_schema)
+
+
 # -- grouped-agg pandas UDF (UDAF) ------------------------------------
 
 

@@ -152,19 +152,26 @@ def fingerprint_md5(col: Column | str) -> Column:
 _ROLL_MOD = (1 << 57) - 13  # keeps acc*31 + h inside signed-64 (ANSI-safe)
 
 
+def _token_hash(t: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex digits of md5,
+    taken mod M. md5 is bit-identical in Spark and DuckDB, so the
+    rolling fingerprint below is oracle-checkable (xxhash64 is not)."""
+    m = F.lit(_ROLL_MOD).cast("long")
+    return F.pmod(F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), m)
+
+
 def fingerprint_rolling(col: Column | str) -> Column:
     """Polynomial rolling hash over tokens:
-    ``h = (h*31 + (xxhash64(token) mod M)) mod M`` — order-sensitive
-    (unlike a bag-of-words hash), one JVM pass via higher-order
-    aggregate. Modular so ANSI overflow checking never trips."""
+    ``h = (h*31 + token_hash(token)) mod M`` — order-sensitive (unlike
+    a bag-of-words hash), one JVM pass via higher-order aggregate.
+    Modular so ANSI overflow checking never trips: acc,h < M = 2^57-13
+    keeps acc*31+h < 2^62."""
     toks = tokens(normalize_text(col))
     m = F.lit(_ROLL_MOD).cast("long")
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), m), m
-        ),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + _token_hash(t), m),
     )
 
 

@@ -182,9 +182,40 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+# Shared SQL fragments so the DuckDB oracles use the *same* constants
+# as the Spark operators (no drift between engines).
+_SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_SQL_STOPS = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS_EN) + "]"
+
+
 @register(
     "text_quality_score",
-    oracle=None,  # composite heuristic; rows-only check
+    oracle=rf"""
+WITH f AS (
+  SELECT doc_id,
+         {_SQL_TOKS} AS toks,
+         len(regexp_extract_all(text, '[^\w\s]')) AS punct,
+         length(text) AS n_chars
+  FROM documents
+), g AS (
+  SELECT doc_id, punct, n_chars,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> list_contains({_SQL_STOPS}, lower(t)))) AS stop_hits,
+         len(list_distinct(toks)) AS n_distinct
+  FROM f
+), h AS (
+  SELECT doc_id,
+         n_tok AS q_n_tokens,
+         round(punct / greatest(n_chars, 1), 4) AS q_punct_ratio,
+         round(stop_hits / greatest(n_tok, 1), 4) AS q_stopword_ratio,
+         round(n_distinct / greatest(n_tok, 1), 4) AS q_distinct_ratio
+  FROM g
+)
+SELECT doc_id, q_n_tokens, q_punct_ratio, q_stopword_ratio, q_distinct_ratio,
+       round((least(q_n_tokens / 20.0, 1.0) + least(q_stopword_ratio / 0.2, 1.0)
+              + q_distinct_ratio) / 3.0, 4) AS quality
+FROM h
+""",
     tags=("llm", "text"),
 )
 def text_quality_score(spark, sf_dir):
@@ -196,9 +227,35 @@ def text_quality_score(spark, sf_dir):
     )
 
 
+def _lang_scored_sql() -> str:
+    """DuckDB list-of-structs mirroring text.lang_id's (score, lang)
+    argmax array — struct field order (score first) drives the same
+    lexicographic max/tie-break in both engines."""
+    entries = []
+    for lang, words in text._LANG_LEXICON.items():
+        lex = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        entries.append(
+            "{'score': len(list_filter(toks, t -> list_contains("
+            f"{lex}, t))) / greatest(len(toks), 1), 'lang': '{lang}'}}"
+        )
+    return "[" + ", ".join(entries) + "]"
+
+
 @register(
     "text_lang_id",
-    oracle=None,  # heuristic classifier; rows-only check
+    oracle=rf"""
+WITH f AS (
+  SELECT doc_id, lang,
+         list_transform({_SQL_TOKS}, t -> lower(t)) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, list_sort({_lang_scored_sql()})[-1] AS best
+  FROM f
+)
+SELECT doc_id, lang,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM s
+""",
     tags=("llm", "text"),
 )
 def text_lang_id(spark, sf_dir):
@@ -231,11 +288,29 @@ def text_fingerprint(spark, sf_dir):
 
 @register(
     "text_fingerprint_rolling",
-    oracle=None,  # xxhash64 is Spark-specific; rows-only check
+    oracle=rf"""
+WITH f AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(
+             string_split_regex(
+               trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                   '\s+', ' ', 'g')), '\s+'),
+             x -> x <> ''),
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {text._ROLL_MOD}) AS ht
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(ht) = 0 THEN CAST(0 AS BIGINT)
+            ELSE list_reduce(ht, (acc, h) -> (acc * 31 + h) % {text._ROLL_MOD})
+       END AS fp_rolling
+FROM f
+""",
     tags=("llm", "text"),
 )
 def text_fingerprint_rolling(spark, sf_dir):
-    """Order-sensitive 64-bit rolling hash over tokens (one JVM pass)."""
+    """Order-sensitive rolling hash over tokens (one JVM pass;
+    md5-derived token hashes so DuckDB reproduces it bit-for-bit)."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
         "doc_id", text.fingerprint_rolling(F.col("text")).alias("fp_rolling")

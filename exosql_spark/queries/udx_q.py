@@ -64,14 +64,30 @@ def udtf_split_words(spark, sf_dir):
 
 @register(
     "udf_scalar_rank_normalize",
-    oracle=None,  # batch-relative normalization; rows-only check
+    oracle="""
+WITH r AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(c_acctbal AS DOUBLE) AS bal,
+         rank() OVER (PARTITION BY c_nationkey ORDER BY CAST(c_acctbal AS DOUBLE)) AS rk,
+         count(*) OVER (PARTITION BY c_nationkey, c_acctbal) AS ties,
+         count(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM customer
+)
+SELECT c_custkey, c_nationkey, bal,
+       ((rk + (ties - 1) / 2.0) - 1) / greatest(n - 1, 1) AS acctbal_rank
+FROM r
+""",
     tags=("udx",),
 )
 def udf_scalar_rank_normalize(spark, sf_dir):
-    """Scalar pandas UDF (vectorized Arrow path)."""
-    from exosql_spark.functions.udx import gini_normalize
+    """Arrow-batched pandas rank-normalize per nation group
+    (applyInPandas — deterministic, unlike a per-batch scalar UDF, so
+    the pandas path is exactly oracle-checkable against SQL window
+    rank)."""
+    from exosql_spark.functions.udx import rank_normalize_grouped
 
     t = Tables(spark, sf_dir)
-    return t.customer.select(
-        "c_custkey", gini_normalize("c_acctbal").alias("acctbal_rank")
+    base = t.customer.select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("bal")
     )
+    return rank_normalize_grouped(base, "c_nationkey", "bal", "acctbal_rank")
