@@ -93,12 +93,20 @@ _VERIFY_FIRST = (
     "tpch_q20_volume_share_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_rich_customers",
-    # -- promoted/new oracle entries this round --
+    # -- promoted/new oracle entries (rounds 2+) --
     "fn_humanize_si",
     "fn_coercion_sql",
     "text_decontaminate",
     "embedding_centroids",
     "events_funnel",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint_rolling",
+    "udf_scalar_rank_normalize",
+    "shard_export_stats",
+    "pack_sequences",
+    "mixture_sample",
+    "dedup_jaccard_exact_pairs",
     # -- unseen, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
     "dedup_minhash_pairs",
@@ -107,13 +115,9 @@ _VERIFY_FIRST = (
     "dedup_embedding_cosine",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint_rolling",
     "multimodal_features",
     "dedup_minhash_components",
     "sample_stratified",
-    "udf_scalar_rank_normalize",
     "agg_approx_percentile",
     "fn_nondeterministic",
     "sample_fraction",

@@ -399,6 +399,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_index_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    max_df: int = 100,
+) -> DataFrame:
+    """EXACT all-pairs k-gram Jaccard via an inverted-index join — the
+    deterministic complement to the probabilistic LSH paths (and hence
+    exactly oracle-checkable, which minhash/simhash cannot be).
+
+    Plan shape: explode shingles → drop stop-shingles (document
+    frequency > ``max_df`` — they would fan the self-join out
+    quadratically while carrying no similarity signal) → self-join on
+    the 60-bit shingle *hash* (an 8-byte shuffle key, never the
+    shingle string) → per-pair intersection counts → Jaccard from
+    per-doc set sizes. Similarity is over the non-stop shingle sets,
+    so sizes are computed after the frequency filter — self-consistent
+    semantics on both engines.
+
+    Scale: no all-pairs stage. Cost is Σ_shingle df² over surviving
+    shingles, capped by ``max_df``; the shuffle moves (hash, id) longs
+    only. This is the standard exact near-dup join (cf. prefix/DF
+    filtering in set-similarity-join literature).
+    """
+    from exosql_spark.operators.text import _token_hash
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles(text_col, k)).alias("_s"),
+    ).select("_id", _token_hash(F.col("_s")).alias("_h"))
+    # stop-shingle removal: df > max_df
+    keep = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df")).filter(
+        F.col("_df") <= max_df
+    )
+    sh = sh.join(keep.select("_h"), "_h")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
 # --------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------

@@ -600,3 +600,162 @@ def text_bm25_topk(spark, sf_dir):
     scalars ride a broadcast 1-row crossJoin (no driver collect)."""
     t = Tables(spark, sf_dir)
     return ranking.bm25_topk(t.documents, _BM25_TERMS)
+
+
+# --------------------------------------------------------------------
+# Training-data export: sharding, packing, mixtures, exact Jaccard
+# (operators/packing.py, dedup.jaccard_index_pairs)
+# --------------------------------------------------------------------
+
+# Normalized-token list (lower, strip punct, ws-split) — the DuckDB
+# twin of text.tokens(text.normalize_text(c)).
+_SQL_NTOKS = (
+    r"list_filter(string_split_regex(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '')"
+)
+# Portable 60-bit md5 hash of an expression (packing.portable_hash60).
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "shard_export_stats",
+    oracle=rf"""
+SELECT {_sql_h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+FROM documents
+GROUP BY 1
+""",
+    tags=("llm", "export", "scale"),
+)
+def shard_export_stats(spark, sf_dir):
+    """Deterministic shard manifest for a training-data export:
+    md5-derived shard id (reproducible run-to-run AND engine-portable)
+    plus per-shard doc/token/byte totals. One scan, one 8-byte-key
+    shuffle."""
+    from exosql_spark.operators import packing
+
+    t = Tables(spark, sf_dir)
+    return packing.shard_stats(t.documents, "doc_id", "text", n_shards=8)
+
+
+@register(
+    "pack_sequences",
+    oracle=rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         {_sql_h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         len({_SQL_TOKS}) AS n_tokens
+  FROM documents
+), seq AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+), p AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
+         CASE WHEN p.used + s.n_tokens > 512 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.used + s.n_tokens > 512 THEN s.n_tokens
+              ELSE p.used + s.n_tokens END
+  FROM seq s JOIN p ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_id, n_tokens FROM p
+""",
+    tags=("llm", "export", "scale"),
+)
+def pack_sequences(spark, sf_dir):
+    """Greedy first-fit sequence packing into 512-token training rows,
+    parallel across deterministic shards (groupBy(shard).applyInPandas
+    — the sequential scan is per-shard; only two longs per doc cross
+    the shuffle). The DuckDB oracle replays the same greedy fold as a
+    recursive CTE."""
+    from exosql_spark.operators import packing
+
+    t = Tables(spark, sf_dir)
+    return packing.pack_sequences(t.documents, "doc_id", "text", budget=512, n_shards=8)
+
+
+_MIX_FRACTIONS = {"en": 0.3, "es": 1.0, "fr": 1.0, "de": 0.5, "zh": 1.0}
+
+
+@register(
+    "mixture_sample",
+    oracle=rf"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM r
+WHERE rn <= ceil(n * CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 1.0
+                               WHEN 'fr' THEN 1.0 WHEN 'de' THEN 0.5
+                               WHEN 'zh' THEN 1.0 END)
+""",
+    tags=("llm", "export", "scale"),
+)
+def mixture_sample(spark, sf_dir):
+    """Reproducible training-mixture subsample: rank docs inside each
+    language by the portable md5 hash (a deterministic shuffle order)
+    and keep the first ceil(frac·n). Unlike Bernoulli sampleBy the
+    result is exact-fraction and byte-identical across runs/engines —
+    what a mixture spec needs for a resumable 100 TB export."""
+    from exosql_spark.operators import packing
+
+    t = Tables(spark, sf_dir)
+    return packing.mixture_sample(t.documents, _MIX_FRACTIONS, "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "dedup_jaccard_exact_pairs",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, {_SQL_NTOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END)) AS s
+  FROM d
+), h AS (
+  SELECT doc_id, {_sql_h60("s")} % {text._ROLL_MOD} AS hh FROM sh
+), keep AS (
+  SELECT hh FROM h GROUP BY hh HAVING count(*) <= 100
+), h2 AS (
+  SELECT h.doc_id, h.hh FROM h JOIN keep USING (hh)
+), n AS (
+  SELECT doc_id, count(*) AS nd FROM h2 GROUP BY doc_id
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM h2 a JOIN h2 b ON a.hh = b.hh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (na.nd + nb.nd - inter), 4) AS jaccard_sim
+FROM p
+JOIN n na ON p.id_a = na.doc_id
+JOIN n nb ON p.id_b = nb.doc_id
+WHERE round(inter / (na.nd + nb.nd - inter), 4) >= 0.3
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_jaccard_exact_pairs(spark, sf_dir):
+    """EXACT 3-gram Jaccard pairs via inverted-index join (explode →
+    stop-shingle DF-filter → self-join on the 60-bit shingle hash) —
+    the deterministic, oracle-checkable complement to the LSH paths.
+    No all-pairs stage; the shuffle carries (hash, id) longs only."""
+    t = Tables(spark, sf_dir)
+    return dedup.jaccard_index_pairs(
+        t.documents, "text", "doc_id", k=3, threshold=0.3, max_df=100
+    )

@@ -5,6 +5,8 @@ banding, ANN recall)."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -528,3 +530,76 @@ class TestPiiRedact:
             ).fetchall()
         ]
         assert spark_out == duck_out
+
+
+class TestPacking:
+    def test_pack_respects_budget(self, spark):
+        from exosql_spark.operators import packing
+
+        rows = [(i, " ".join(["w"] * n)) for i, n in
+                [(1, 5), (2, 5), (3, 5), (4, 20), (5, 3), (6, 12)]]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        packed = packing.pack_sequences(df, budget=10, n_shards=1).collect()
+        by_seq = {}
+        for r in packed:
+            by_seq.setdefault(r.seq_id, []).append(r)
+        for seq, members in by_seq.items():
+            total = sum(m.n_tokens for m in members)
+            # a sequence only exceeds budget when a single doc does
+            assert total <= 10 or len(members) == 1
+        # greedy in id order: 5+5=10 | 5 | 20 | 3 | 12  → doc 3 starts seq 1
+        seq_of = {r.doc_id: r.seq_id for r in packed}
+        assert seq_of[1] == seq_of[2]
+        assert seq_of[3] != seq_of[2]
+        assert len({seq_of[4]} | {seq_of[5]}) == 2  # 20 won't share with 3
+
+    def test_pack_deterministic_across_runs(self, spark, sf_dir):
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import packing
+
+        docs = Tables(spark, sf_dir).documents
+        a = sorted(map(tuple, packing.pack_sequences(docs).collect()))
+        b = sorted(map(tuple, packing.pack_sequences(docs).collect()))
+        assert a == b
+
+    def test_mixture_exact_fractions(self, spark, sf_dir):
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import packing
+
+        docs = Tables(spark, sf_dir).documents
+        totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        frac = {"en": 0.25, "de": 1.0}
+        out = packing.mixture_sample(docs, frac).groupBy("lang").agg(
+            F.count("*").alias("n")
+        ).collect()
+        got = {r.lang: r.n for r in out}
+        assert set(got) == {"en", "de"}  # absent strata dropped
+        assert got["en"] == math.ceil(0.25 * totals["en"])
+        assert got["de"] == totals["de"]
+
+    def test_shard_assign_covers_all_shards(self, spark, sf_dir):
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import packing
+
+        docs = Tables(spark, sf_dir).documents
+        shards = {r.shard for r in packing.shard_stats(docs, n_shards=4).collect()}
+        assert shards == {0, 1, 2, 3}
+
+
+class TestJaccardIndexPairs:
+    def test_exact_pairs_found(self, spark):
+        df = spark.createDataFrame(DOCS, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in dedup.jaccard_index_pairs(df, threshold=0.2).collect()
+        }
+        assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0  # normalized dups
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+        assert not any(4 in p for p in pairs)
+
+    def test_stop_shingle_pruning(self, spark):
+        # a shingle shared by every doc is pruned at max_df=2 → no pairs
+        rows = [(i, f"common shingle here unique{i} tail{i} word{i}") for i in range(1, 5)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup.jaccard_index_pairs(df, threshold=0.1, max_df=2).collect()
+        assert out == []
