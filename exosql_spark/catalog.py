@@ -116,6 +116,7 @@ _VERIFY_FIRST = (
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "multimodal_features",
+    "embedding_kmeans",
     "dedup_minhash_components",
     "sample_stratified",
     "agg_approx_percentile",

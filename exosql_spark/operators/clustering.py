@@ -1,0 +1,124 @@
+"""Embedding clustering: Lloyd's k-means over an `array<float>` column.
+
+The iterative workload pattern at 100 TB:
+
+- Centroids are TINY (k × dim doubles) — they live on the driver
+  between iterations and enter each assignment pass as *literal
+  arrays* folded into the expression tree (an explicit broadcast of
+  bounded size, like components.py's edge list). The corpus frame is
+  never collected.
+- Each iteration is one scan + one k-way partial aggregation: assign
+  (argmin over k squared distances, all JVM Column math — zip_with/
+  aggregate, no Python in the row path) → groupBy(cluster) partial
+  sums → k rows to the driver. Shuffle volume per iteration is
+  k × dim × n_partitions partial sums, independent of corpus size.
+- Iteration count is a fixed budget (`iters`), not a convergence
+  loop over the full corpus: at scale you run a fixed number of
+  passes (or test movement on the k×dim centroid matrix driver-side,
+  which is free).
+
+Determinism: init takes the k lowest-id vectors (no RNG), ties in
+argmin break toward the lower cluster id — rerunning yields identical
+assignments, so the operator is reproducible (the catalog entry is
+rows-only only because cross-engine float summation order differs,
+not because the algorithm is nondeterministic).
+
+Reference: this is an extension beyond serverboards/exosql (no
+clustering there); the Spark-side pattern follows the classic MLlib
+KMeans shape re-expressed in DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec: F.Column, centroid: list[float]) -> F.Column:
+    """Squared L2 distance between an array column and a literal
+    centroid — one fused zip_with/aggregate pass, JVM-side."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append `cluster` (argmin of squared distance, ties → lower id)
+    and `sq_dist`. Centroids are literals: no join, no shuffle — the
+    assignment fuses into the scan."""
+    vec = F.col(vec_col).cast("array<double>")
+    scored = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(vec, c).alias("d"), F.lit(i).alias("cluster")
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )[0]
+    return df.withColumn("cluster", scored["cluster"]).withColumn(
+        "sq_dist", scored["d"]
+    )
+
+
+def _mean_centroids(assigned: DataFrame, vec_col: str, dim: int, k: int) -> list[list[float]]:
+    """Per-cluster mean vectors via posexplode + (cluster, pos) agg —
+    k × dim result rows; the only driver-side data is that matrix."""
+    rows = (
+        assigned.select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("col").alias("v"))
+        .collect()
+    )
+    out: dict[int, list[float]] = {}
+    for r in rows:
+        out.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["v"]
+    # empty clusters keep their previous position implicitly (caller
+    # passes previous centroids as fallback)
+    return [out.get(i) for i in range(k)]
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 5,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's algorithm with deterministic lowest-id init. Returns
+    (final centroids, assigned frame with cluster/sq_dist columns).
+
+    Each iteration moves k × dim doubles driver→executors (literals)
+    and back (partial means) — corpus never leaves the executors."""
+    first = df.orderBy(id_col).limit(k).select(F.col(vec_col).cast("array<double>"))
+    centroids = [list(r[0]) for r in first.collect()]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = assign_clusters(df, centroids, vec_col)
+        new = _mean_centroids(assigned, vec_col, dim, k)
+        centroids = [n if n is not None else c for n, c in zip(new, centroids)]
+    return centroids, assign_clusters(df, centroids, vec_col)
+
+
+def kmeans_summary(
+    df: DataFrame,
+    k: int = 5,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances) — the
+    catalog/bench surface for :func:`kmeans`."""
+    _, assigned = kmeans(df, k, iters, vec_col, id_col)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("sq_dist"), 2).alias("inertia"),
+    )

@@ -759,3 +759,19 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
     return dedup.jaccard_index_pairs(
         t.documents, "text", "doc_id", k=3, threshold=0.3, max_df=100
     )
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative; cross-engine float-sum order differs (rows-only)
+    tags=("llm", "embedding", "scale"),
+)
+def embedding_kmeans(spark, sf_dir):
+    """Lloyd k-means (k=5, 3 fixed iterations, deterministic lowest-id
+    init) over the embeddings table: per-cluster sizes + inertia.
+    Centroids travel as k×dim literals; the corpus never leaves the
+    executors — the iterative-algorithm pattern at 100 TB."""
+    from exosql_spark.operators import clustering
+
+    t = Tables(spark, sf_dir)
+    return clustering.kmeans_summary(t.embeddings, k=5, iters=3)

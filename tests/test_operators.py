@@ -603,3 +603,45 @@ class TestJaccardIndexPairs:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = dedup.jaccard_index_pairs(df, threshold=0.1, max_df=2).collect()
         assert out == []
+
+
+class TestKmeans:
+    def _blobs(self, spark):
+        # three tight, well-separated 4-d blobs of 4 points each
+        rows = []
+        vid = 0
+        for base in ([0.0, 0.0, 0.0, 0.0], [10.0, 10.0, 10.0, 10.0], [-10.0, 5.0, -5.0, 10.0]):
+            for jitter in (0.0, 0.1, -0.1, 0.2):
+                rows.append((vid, [v + jitter for v in base]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_separable_blobs_recovered(self, spark):
+        from exosql_spark.operators import clustering
+
+        df = self._blobs(spark)
+        cents, assigned = clustering.kmeans(df, k=3, iters=4)
+        got = assigned.select("vec_id", "cluster").collect()
+        by_cluster = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster, set()).add(r.vec_id)
+        # each blob of 4 consecutive ids lands in exactly one cluster
+        assert sorted(map(tuple, (sorted(s) for s in by_cluster.values()))) == [
+            (0, 1, 2, 3), (4, 5, 6, 7), (8, 9, 10, 11)]
+
+    def test_deterministic(self, spark):
+        from exosql_spark.operators import clustering
+
+        df = self._blobs(spark)
+        a = sorted(map(tuple, clustering.kmeans(df, k=3, iters=2)[1].select("vec_id", "cluster").collect()))
+        b = sorted(map(tuple, clustering.kmeans(df, k=3, iters=2)[1].select("vec_id", "cluster").collect()))
+        assert a == b
+
+    def test_summary_on_real_embeddings(self, spark, sf_dir):
+        from exosql_spark.operators import clustering
+        from exosql_spark.io import Tables
+
+        emb = Tables(spark, sf_dir).embeddings
+        out = clustering.kmeans_summary(emb, k=5, iters=2).collect()
+        assert sum(r.n_members for r in out) == emb.count()
+        assert all(r.inertia >= 0 for r in out)

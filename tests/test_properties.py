@@ -195,3 +195,36 @@ def test_jp_semantics_against_python(p, obj):
         if cur2 is None:
             break
     assert cur == cur2
+
+
+# --------------------------------------------------------------------
+# Dialect literal masking — the rewriter must never touch string
+# literals, and mask/unmask must round-trip any input exactly.
+# --------------------------------------------------------------------
+
+from exosql_spark import dialect
+
+
+@given(st.text(alphabet="abc'$. \\dSELECTxyz09_\"", min_size=0, max_size=60))
+def test_mask_unmask_roundtrip(sql):
+    masked, lits = dialect.mask_literals(sql)
+    assert dialect.unmask_literals(masked, lits) == sql
+
+
+@given(st.text(alphabet="abcdefgh xyz,.()", min_size=0, max_size=30))
+def test_masked_text_replaces_whole_literal(inner):
+    # the quoted span is lifted verbatim into lits and replaced by a
+    # control-char placeholder the regex passes can't match into
+    sql = f"SELECT '{inner}' AS c FROM t"
+    masked, lits = dialect.mask_literals(sql)
+    assert f"'{inner}'" in lits
+    assert "'" not in masked and "\x00" in masked
+
+
+@given(st.integers(min_value=0, max_value=7), st.integers(min_value=1, max_value=9))
+def test_rewrite_preserves_literal_dots(a, b):
+    # a db.table-looking string INSIDE a literal must survive rewriting
+    lit = f"visit db{a}.events{b} now"
+    sql = f"SELECT '{lit}' AS note FROM tbl"
+    out = dialect.rewrite(sql)
+    assert lit in out
