@@ -107,6 +107,7 @@ _VERIFY_FIRST = (
     "pack_sequences",
     "mixture_sample",
     "dedup_jaccard_exact_pairs",
+    "federation_cross_source_join",
     # -- unseen, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
     "dedup_minhash_pairs",

@@ -305,14 +305,11 @@ def minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
+                        # xxhash64 hashes the long-array slice directly
+                        # (complex-type support) — no per-band string
+                        # building; the shuffle key stays 8 bytes
                         F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
                         ).alias("key"),
                     )
                     for b in range(bands)

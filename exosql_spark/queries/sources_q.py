@@ -54,3 +54,41 @@ def source_generate_series_ts(spark, sf_dir):
             )
         ).alias("ts_hour")
     ).select("ts_hour", F.hour("ts_hour").cast("int").alias("hour_of_day"))
+
+
+@register(
+    "federation_cross_source_join",
+    oracle="""
+SELECT n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name
+""",
+    tags=("source", "federation"),
+)
+def federation_cross_source_join(spark, sf_dir):
+    """exosql's signature move — ONE SQL over two databases
+    (``lib/exosql.ex`` doc example joins a DB table to a CSV): here
+    the parquet ``customer`` joins a CSV-served ``nation`` through
+    ``Context.sql``'s ``db.table`` rewrite. The CSV side is derived
+    on the fly from sf_dir's nation table (25 rows — construction-
+    bounded, the documented driver-side edge for building a source,
+    not part of the query plan). Schema inference on the CSV restores
+    typed join keys; the join itself is broadcast (nation is tiny)."""
+    import os
+    import tempfile
+
+    from exosql_spark.context import Context
+
+    csv_root = os.path.join(
+        tempfile.gettempdir(),
+        f"exoquery_csvdb_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(csv_root, exist_ok=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    nation.toPandas().to_csv(os.path.join(csv_root, "nation.csv"), index=False)
+    ctx = Context(spark, {"pq": {"parquet": sf_dir}, "csvdb": {"csv": csv_root}})
+    return ctx.sql(
+        "SELECT n_name, count(*) AS n_customers "
+        "FROM pq.customer JOIN csvdb.nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    )
