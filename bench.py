@@ -38,10 +38,12 @@ def main() -> None:
     spark = get_spark(app_name="exosql_spark_bench")
     bench = {n: q for n, q in all_queries().items() if q.bench}
 
-    # Warm up the JVM/codegen/parquet footer caches on the smallest query.
+    # Warm up per query (one untimed run each): JVM/codegen/parquet
+    # footers, Python worker pools for the pandas-UDF stages, and any
+    # operator-internal persists — so the 3 timed runs measure the
+    # steady-state plan, not process spin-up.
     for q in bench.values():
         q.fn(spark, SF_DIR).count()
-        break
 
     per_query: dict[str, float] = {}
     spread: dict[str, float] = {}

@@ -132,3 +132,48 @@ class TestNoAccidentalCartesian:
             if "BroadcastNestedLoopJoin" in p and "similarity" not in name:
                 bad.append((name, "BroadcastNestedLoopJoin"))
         assert not bad, bad
+
+
+class TestRound2Plans:
+    def test_pack_sequences_single_shuffle(self, spark, sf_dir):
+        """Packing shuffles once (on the shard key) and moves only
+        (doc_id, shard, n_tokens) — never the text column."""
+        from exosql_spark.operators import packing
+
+        df = packing.pack_sequences(Tables(spark, sf_dir).documents)
+        s = plan(df)
+        assert s.count("Exchange") == 1
+        assert "FlatMapGroupsInPandas" in s  # per-shard greedy scan
+        # the shuffle keys on the shard id and its input is the narrow
+        # 3-column projection (text is read at the scan for the token
+        # count, then dropped before the exchange)
+        assert "hashpartitioning(shard" in s
+
+    def test_jaccard_index_pairs_no_cartesian(self, spark, sf_dir):
+        from exosql_spark.operators import dedup
+
+        df = dedup.jaccard_index_pairs(Tables(spark, sf_dir).documents)
+        s = plan(df)
+        assert "CartesianProduct" not in s
+        assert "SortMergeJoin" in s or "ShuffledHashJoin" in s or "BroadcastHashJoin" in s
+        # partial aggregation before the exchange on the pair counts
+        assert "partial_count" in s or "partial" in s.lower()
+
+    def test_federation_join_broadcasts_nation(self, spark, sf_dir):
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["federation_cross_source_join"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "BroadcastHashJoin" in s
+
+    def test_kmeans_assignment_no_shuffle(self, spark, sf_dir):
+        """Cluster assignment fuses into the scan: literal centroids,
+        zero exchanges before the (optional) aggregation."""
+        from exosql_spark.operators import clustering
+
+        emb = Tables(spark, sf_dir).embeddings
+        first = [list(r[0]) for r in
+                 emb.orderBy("vec_id").limit(3)
+                 .select(F.col("embedding").cast("array<double>")).collect()]
+        assigned = clustering.assign_clusters(emb, first)
+        assert "Exchange" not in plan(assigned)
