@@ -124,7 +124,10 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.array_join(F.slice(toks, i, k), " "),
         )
-        return F.array_distinct(F.when(n >= k, sh).otherwise(full))
+        # null/empty text → empty shingle set (not [NULL])
+        return F.when(n > 0, F.array_distinct(F.when(n >= k, sh).otherwise(full))).otherwise(
+            F.array().cast("array<string>")
+        )
 
     return F.transform(F.array(tokens(normalize_text(text_col))), _make)[0]
 

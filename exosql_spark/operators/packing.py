@@ -63,8 +63,8 @@ def shard_stats(
     return (
         df.select(
             shard_assign(id_col, n_shards).alias("shard"),
-            token_count_ws(text_col).alias("_t"),
-            F.length(text_col).alias("_b"),
+            F.coalesce(token_count_ws(text_col), F.lit(0)).alias("_t"),
+            F.coalesce(F.length(text_col), F.lit(0)).alias("_b"),
         )
         .groupBy("shard")
         .agg(
@@ -106,7 +106,8 @@ def pack_sequences(
     base = df.select(
         F.col(id_col).alias("doc_id"),
         shard_assign(id_col, n_shards).alias("shard"),
-        token_count_ws(text_col).cast("long").alias("n_tokens"),
+        # null text packs as 0 tokens (NaN would poison the greedy fold)
+        F.coalesce(token_count_ws(text_col), F.lit(0)).cast("long").alias("n_tokens"),
     )
 
     out_schema = T.StructType(

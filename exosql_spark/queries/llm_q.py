@@ -623,8 +623,8 @@ def _sql_h60(expr: str) -> str:
     oracle=rf"""
 SELECT {_sql_h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
        count(*) AS n_docs,
-       CAST(sum(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
-       CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+       CAST(sum(coalesce(len({_SQL_TOKS}), 0)) AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(strlen(text), 0)) AS BIGINT) AS n_bytes
 FROM documents
 GROUP BY 1
 """,
@@ -647,7 +647,7 @@ def shard_export_stats(spark, sf_dir):
 WITH RECURSIVE base AS (
   SELECT doc_id,
          {_sql_h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
-         len({_SQL_TOKS}) AS n_tokens
+         coalesce(len({_SQL_TOKS}), 0) AS n_tokens
   FROM documents
 ), seq AS (
   SELECT doc_id, shard, n_tokens,
