@@ -272,6 +272,7 @@ def minhash_candidates(
     bands: int = 16,
     k: int = 3,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs (id_a < id_b, band-collision count).
 
@@ -286,6 +287,15 @@ def minhash_candidates(
     column the caller already persisted alongside other per-doc
     features — see pipeline.curate_corpus). The caller owns its
     caching; when omitted it is computed and persisted here.
+
+    ``max_bucket``: the quadratic-bucket safety valve at corpus scale.
+    A (band, key) bucket of n docs emits n(n-1)/2 pairs; buckets far
+    larger than the expected near-dup group size are almost always
+    mass-duplicated boilerplate that exact dedup should have removed
+    — cap them (one extra aggregation on the band key; buckets above
+    the cap are dropped whole, trading recall on those groups for a
+    bounded join). None = no cap (the default: exact-dedup-first
+    pipelines don't need one).
     """
     rows_per_band = num_hashes // bands
     if signatures is not None:
@@ -320,6 +330,14 @@ def minhash_candidates(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
+    if max_bucket is not None:
+        small = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(small, ["band", "key"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -343,11 +361,13 @@ def minhash_dedup_pairs(
     bands: int = 16,
     k: int = 3,
     signatures: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate pairs verified with exact Jaccard ≥ threshold.
     Columns: id_a, id_b, jaccard_sim."""
     cands = minhash_candidates(
-        df, text_col, id_col, num_hashes, bands, k, signatures=signatures
+        df, text_col, id_col, num_hashes, bands, k,
+        signatures=signatures, max_bucket=max_bucket,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # verify only docs that appear in some candidate pair: semi-join
     # reduction keeps the (expensive) shingle recompute proportional to

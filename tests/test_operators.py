@@ -645,3 +645,18 @@ class TestKmeans:
         out = clustering.kmeans_summary(emb, k=5, iters=2).collect()
         assert sum(r.n_members for r in out) == emb.count()
         assert all(r.inertia >= 0 for r in out)
+
+
+class TestBucketCap:
+    def test_max_bucket_drops_mass_dup_groups(self, spark):
+        # 12 identical docs + one near-dup pair: with max_bucket=6 the
+        # identical-group buckets (size 12) drop; the pair survives
+        rows = [(i, "mass duplicated boilerplate text body here") for i in range(12)]
+        rows += [(100, "a genuinely unique document about spark plans"),
+                 (101, "a genuinely unique document about flink plans")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.minhash_dedup_pairs(df, threshold=0.3, max_bucket=6).collect()
+        ids = {i for r in capped for i in (r.id_a, r.id_b)}
+        assert ids and ids <= {100, 101}  # the dup flood is gone, pair kept
+        uncapped = dedup.minhash_dedup_pairs(df, threshold=0.3).collect()
+        assert len(uncapped) >= 66  # 12-choose-2 pairs without the cap
