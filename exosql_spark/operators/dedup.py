@@ -70,6 +70,26 @@ def _parallelize(df: DataFrame) -> DataFrame:
         return df.repartition(target)
     return df
 
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Drop LSH buckets with more than ``max_bucket`` members — the
+    quadratic-bucket safety valve shared by the MinHash / SimHash /
+    sign-LSH banding joins (a bucket of n emits n(n-1)/2 pairs; buckets
+    far above the expected near-dup group size are mass-duplicated
+    boilerplate exact dedup should have removed). One aggregation on
+    the band key; None = no cap."""
+    if max_bucket is None:
+        return banded
+    small = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select(*keys)
+    )
+    return banded.join(small, keys)
+
+
 # --------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------
@@ -330,14 +350,7 @@ def minhash_candidates(
             )
         ).alias("bk"),
     ).select("_id", "bk.band", "bk.key")
-    if max_bucket is not None:
-        small = (
-            banded.groupBy("band", "key")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band", "key")
-        )
-        banded = banded.join(small, ["band", "key"])
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -607,11 +620,13 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding: split the 64-bit hash into
     `bands` chunks; by pigeonhole, any pair within Hamming ≤ bands-1 on
     the whole hash collides on ≥1 exact chunk. Verify with true Hamming.
-    Columns: id_a, id_b, hamming."""
+    Columns: id_a, id_b, hamming. ``max_bucket``: see
+    :func:`_cap_buckets`."""
     width = _SIMHASH_BITS // bands
     # persist: self-join reads twice + barrier against projection
     # collapse inlining the 64-bit-sum expression into every band
@@ -637,6 +652,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("_id", "_sh", "bk.band", "bk.key")
+    banded = _cap_buckets(banded, ["band", "key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

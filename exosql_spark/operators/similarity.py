@@ -235,9 +235,11 @@ def embedding_near_dupes(
     n_tables: int = 6,
     dim: int = 64,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_sim ≥
-    threshold) via the same sign-LSH bucketing — self-join edition."""
+    threshold) via the same sign-LSH bucketing — self-join edition.
+    ``max_bucket``: quadratic-bucket cap (see dedup._cap_buckets)."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     banded = df.select(
         F.col(id_col).alias("_id"),
@@ -254,6 +256,9 @@ def embedding_near_dupes(
             )
         ).alias("tb"),
     ).select("_id", "_vec", "tb.table", "tb.bucket")
+    from exosql_spark.operators.dedup import _cap_buckets
+
+    banded = _cap_buckets(banded, ["table", "bucket"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
