@@ -280,3 +280,57 @@ def repetition_signals(
             fround(F.max(bi_n).cast("double") / F.sum(bi_n), 6), F.lit(0.0)
         ).alias("top_bigram_frac"),
     )
+
+
+# --------------------------------------------------------------------
+# Line-level dedup (C4-style boilerplate removal)
+# --------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate line removal: drop every line whose exact
+    normalized copy appears in ≥ ``min_df`` DISTINCT documents
+    (navigation chrome, cookie banners, license footers), then
+    reassemble documents preserving line order. Returns (id, text)
+    with the cleaned text; documents whose lines were all boilerplate
+    come back as empty strings (callers drop them with a length gate).
+
+    Scale shape: posexplode lines → shuffle 16-byte line digests for
+    the document-frequency count → anti-join → one (id) shuffle to
+    reassemble. Line *text* crosses the reassembly shuffle only —
+    never the DF-count shuffle. All Column ops, no Python.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
+    ).withColumn("_h", F.md5(normalize_text(F.col("_line"))))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_line")))
+                ),
+                lambda s: s["_line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # docs that lost every line still appear (empty text)
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .fillna({text_col: ""})
+    )

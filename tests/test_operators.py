@@ -660,3 +660,32 @@ class TestBucketCap:
         assert ids and ids <= {100, 101}  # the dup flood is gone, pair kept
         uncapped = dedup.minhash_dedup_pairs(df, threshold=0.3).collect()
         assert len(uncapped) >= 66  # 12-choose-2 pairs without the cap
+
+
+class TestLineDedup:
+    def test_boilerplate_lines_removed(self, spark):
+        docs = [
+            (1, "COOKIE BANNER\nunique first body\nCopyright Foo"),
+            (2, "COOKIE BANNER\nanother real paragraph\nCopyright Foo"),
+            (3, "COOKIE BANNER\nthird document text here\nCopyright Foo"),
+            (4, "a fully unique document\nwith its own two lines"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in text.line_dedup(df, min_df=2).collect()}
+        assert out[1] == "unique first body"
+        assert out[2] == "another real paragraph"
+        assert out[4] == "a fully unique document\nwith its own two lines"
+
+    def test_line_order_preserved(self, spark):
+        docs = [(1, "z last\na first\nm mid"), (2, "boiler"), (3, "boiler")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in text.line_dedup(df, min_df=2).collect()}
+        assert out[1] == "z last\na first\nm mid"
+        assert out[2] == "" and out[3] == ""  # all-boilerplate docs survive empty
+
+    def test_normalized_matching(self, spark):
+        # case/punctuation variants of the same line count as one
+        docs = [(1, "Buy Now!!\nreal a"), (2, "buy now\nreal b")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.text for r in text.line_dedup(df, min_df=2).collect()}
+        assert out[1] == "real a" and out[2] == "real b"
