@@ -108,6 +108,8 @@ _VERIFY_FIRST = (
     "mixture_sample",
     "dedup_jaccard_exact_pairs",
     "federation_cross_source_join",
+    "chunk_documents",
+    "dedup_keep_best",
     # -- unseen, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
     "dedup_minhash_pairs",

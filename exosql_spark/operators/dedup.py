@@ -669,3 +669,31 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def keep_best_representative(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score: F.Column | None = None,
+) -> DataFrame:
+    """Exact-dup groups keep the highest-quality copy (not the lowest
+    id): rank within each content-hash group by score DESC (ties →
+    lowest id). The curation refinement over :func:`exact_dedup` —
+    when copies differ only in mojibake/truncation the best-scored one
+    survives. One window shuffle on the 16-byte digest."""
+    from pyspark.sql import Window
+
+    from exosql_spark.operators.text import quality_score
+
+    if score is None:
+        df = quality_score(df, text_col)
+        score = F.col("quality")
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(
+        score.desc(), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

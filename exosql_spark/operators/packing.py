@@ -164,3 +164,51 @@ def mixture_sample(
         .filter(F.col("_rn") <= F.ceil(frac * F.col("_n")))
         .drop("_rn", "_n")
     )
+
+
+# --------------------------------------------------------------------
+# Context-window chunking
+# --------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    budget: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into context-window chunks of ≤ ``budget``
+    whitespace tokens with ``overlap`` tokens carried between
+    consecutive chunks — the standard long-document → training-window
+    transform. One row per chunk: (id, chunk_id, n_tokens, chunk).
+
+    Pure Column math: token array → slice starts via `sequence` with
+    step = budget-overlap → posexplode of slices. No shuffle at all —
+    chunking fuses into the scan (the output is a Generate over the
+    projection), so it scales exactly as the scan does."""
+    if overlap >= budget:
+        raise ValueError("overlap must be smaller than budget")
+    step = budget - overlap
+
+    from exosql_spark.operators.text import tokens
+
+    def _chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        # starts: 1, 1+step, ... while start <= max(n-overlap, 1) so the
+        # final (short) tail isn't emitted twice
+        starts = F.sequence(F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step))
+        return F.transform(starts, lambda s: F.slice(toks, s, budget))
+
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.array(tokens(F.col(text_col))), _chunks)[0]
+        ).alias("chunk_id", "_ctoks"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        F.size("_ctoks").alias("n_tokens"),
+        F.array_join("_ctoks", " ").alias("chunk"),
+    )

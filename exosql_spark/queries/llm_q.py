@@ -775,3 +775,76 @@ def embedding_kmeans(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     return clustering.kmeans_summary(t.embeddings, k=5, iters=3)
+
+
+@register(
+    "chunk_documents",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 8, 1) + 1, 24) AS starts
+  FROM d
+), u AS (
+  SELECT doc_id, toks, unnest(starts) AS st,
+         generate_subscripts(starts, 1) AS i
+  FROM s
+)
+SELECT doc_id, i - 1 AS chunk_id,
+       len(toks[st : st + 31]) AS n_tokens,
+       array_to_string(toks[st : st + 31], ' ') AS chunk
+FROM u
+""",
+    tags=("llm", "export", "scale"),
+)
+def chunk_documents(spark, sf_dir):
+    """Context-window chunking: 32-token windows, 8-token overlap —
+    the long-document -> training-window transform. Pure Column slice
+    math, zero shuffle (the chunk explode fuses into the scan)."""
+    from exosql_spark.operators import packing
+
+    t = Tables(spark, sf_dir)
+    return packing.chunk_documents(t.documents, budget=32, overlap=8)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=rf"""
+WITH f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS content_hash,
+         {_SQL_TOKS} AS toks,
+         length(text) AS n_chars
+  FROM documents
+), g AS (
+  SELECT doc_id, content_hash,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> list_contains({_SQL_STOPS}, lower(t)))) AS stop_hits,
+         len(list_distinct(toks)) AS n_distinct
+  FROM f
+), h AS (
+  SELECT doc_id, content_hash,
+         round((least(n_tok / 20.0, 1.0)
+                + least(round(stop_hits / greatest(n_tok, 1), 4) / 0.2, 1.0)
+                + round(n_distinct / greatest(n_tok, 1), 4)) / 3.0, 4) AS quality
+  FROM g
+), r AS (
+  SELECT doc_id, content_hash, quality,
+         row_number() OVER (PARTITION BY content_hash
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, content_hash, quality FROM r WHERE rn = 1
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_keep_best(spark, sf_dir):
+    """Exact-dup groups keep the highest-QUALITY copy (ties -> lowest
+    id) instead of the lowest id — the curation refinement where the
+    best-scored duplicate survives. One window shuffle on the digest."""
+    t = Tables(spark, sf_dir)
+    return dedup.keep_best_representative(t.documents, "text", "doc_id").select(
+        "doc_id", dedup.fingerprint("text").alias("content_hash"), "quality"
+    )

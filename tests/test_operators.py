@@ -689,3 +689,55 @@ class TestLineDedup:
         df = spark.createDataFrame(docs, "doc_id long, text string")
         out = {r.doc_id: r.text for r in text.line_dedup(df, min_df=2).collect()}
         assert out[1] == "real a" and out[2] == "real b"
+
+
+class TestChunking:
+    def test_chunks_cover_with_overlap(self, spark):
+        from exosql_spark.operators import packing
+
+        toks = " ".join(f"t{i}" for i in range(100))
+        df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+        out = sorted(packing.chunk_documents(df, budget=32, overlap=8).collect(),
+                     key=lambda r: r.chunk_id)
+        # starts at 1, 25, 49, 73 (1-based) → 4 chunks; last is 100-72=28 toks
+        assert [r.n_tokens for r in out] == [32, 32, 32, 28]
+        c0, c1 = out[0].chunk.split(), out[1].chunk.split()
+        assert c0[-8:] == c1[:8]  # 8-token overlap carried over
+        assert c0[0] == "t0" and out[-1].chunk.split()[-1] == "t99"
+
+    def test_short_doc_single_chunk(self, spark):
+        from exosql_spark.operators import packing
+
+        df = spark.createDataFrame([(1, "a b c"), (2, "")], "doc_id long, text string")
+        rows = {r.doc_id: r for r in packing.chunk_documents(df, budget=32, overlap=8).collect()}
+        assert rows[1].n_tokens == 3 and rows[1].chunk == "a b c"
+        assert rows[2].n_tokens == 0 and rows[2].chunk == ""
+
+    def test_no_shuffle(self, spark, sf_dir):
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import packing
+
+        df = packing.chunk_documents(Tables(spark, sf_dir).documents)
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestKeepBest:
+    def test_best_quality_copy_survives(self, spark):
+        # docs 1 and 2 normalize identically; doc 2 has richer casing?
+        # quality is computed on raw text: give doc 2 more stopwords via
+        # a DIFFERENT normalized group to keep the test crisp instead:
+        docs = [
+            (1, "alpha beta gamma"),              # group A, low stopwords
+            (2, "Alpha beta GAMMA!!"),            # group A (same normalized)
+            (3, "the quick brown fox and the dog"),  # group B alone
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        kept = {r.doc_id for r in dedup.keep_best_representative(df).collect()}
+        assert 3 in kept and len(kept) == 2
+        assert (1 in kept) or (2 in kept)
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        docs = [(7, "same text body"), (4, "same text body")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        kept = [r.doc_id for r in dedup.keep_best_representative(df).collect()]
+        assert kept == [4]
