@@ -112,6 +112,7 @@ _VERIFY_FIRST = (
     "dedup_keep_best",
     # -- unseen, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
+    "export_training_corpus",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

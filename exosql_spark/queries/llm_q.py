@@ -848,3 +848,29 @@ def dedup_keep_best(spark, sf_dir):
     return dedup.keep_best_representative(t.documents, "text", "doc_id").select(
         "doc_id", dedup.fingerprint("text").alias("content_hash"), "quality"
     )
+
+
+@register(
+    "export_training_corpus",
+    oracle=None,  # composes the MinHash curation stage; rows-only check
+    tags=("llm", "pipeline", "export"),
+)
+def export_training_corpus(spark, sf_dir):
+    """The full training-data story in one job graph: curate (quality
+    gate + exact & near dedup) → context-window chunking → greedy
+    sequence packing. Returns the packed manifest (shard, seq_id,
+    chunk counts) a writer would partition by shard. Each stage's
+    scale design is documented on its operator; composing them adds
+    no driver round-trips beyond curate's existing ones."""
+    from exosql_spark.operators import packing, pipeline
+
+    t = Tables(spark, sf_dir)
+    curated = pipeline.curate_corpus(t.documents)
+    chunks = packing.chunk_documents(curated, budget=32, overlap=8)
+    # pack CHUNKS (keyed by doc, chunk) — re-key so each chunk packs
+    # independently; chunk_key is collision-free (chunk_id < 2^20)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * (1 << 20) + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    return packing.pack_sequences(chunk_docs, budget=128, n_shards=8)
