@@ -37,71 +37,26 @@ _QUERY_MODULES = (
 )
 
 # Driver CORRECTNESS verifies entries in ``queries()`` iteration order and
-# truncates after ~50.  Round 1 verified the first 50 (core/joins/aggregates/
-# setops/windows/functions/events + the head of llm_q); those stay green under
-# the full local gate (tests/test_oracle.py).  This list floats the entries
-# that have NOT yet earned a driver-green row — exact-oracle ones first — to
-# the front so green rows accumulate across rounds.  Names absent from the
-# registry are ignored; registered names absent from this list follow in
-# registration order.
+# truncates after ~50.  Rounds 1+2 blessed 99 distinct entries (the r1 window
+# + the r2 window); those stay green under the full local gate
+# (tests/test_oracle.py).  This list fronts the entries that have NOT yet
+# earned a driver-green row — exact-oracle ones first, then the stale-red
+# approx_count_distinct (r1 red before its rows-only conversion; the driver
+# has never seen the fix), then rows-only entries, then entries new this
+# round, then a couple of high-value re-pins to guard against regressions.
+# Names absent from the registry are ignored; registered names absent from
+# this list follow in registration order.
 _VERIFY_FIRST = (
-    # -- unseen, exact oracle (round 1 window cut these off) --
-    "similarity_topk_cosine",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_token_topk",
-    "text_pii_redact",
-    "source_http_api",
-    "source_generate_series_ts",
-    "udaf_weighted_avg",
-    "udtf_split_words",
-    "join_asof",
-    "join_range",
-    "join_full_outer",
-    "subquery_exists",
-    "agg_statistics",
-    "agg_percentiles",
-    "agg_min_max_by",
-    "grouping_sets",
-    "pivot_status_priority",
-    "window_frame_values",
-    "window_range_frame",
-    "fn_strings2",
-    "fn_arrays",
-    "fn_maps",
-    "setops_all_variants",
-    "fn_fuzzy_strings",
-    "agg_bitwise",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_volume_share_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_rich_customers",
-    # -- promoted/new oracle entries (rounds 2+) --
-    "fn_humanize_si",
-    "fn_coercion_sql",
-    "text_decontaminate",
+    # -- never windowed, exact oracle (rotated in for round 3) --
     "embedding_centroids",
     "events_funnel",
+    "events_retention",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint_rolling",
+    "text_repetition",
+    "text_tfidf_topk",
+    "text_bm25_topk",
     "udf_scalar_rank_normalize",
     "shard_export_stats",
     "pack_sequences",
@@ -110,7 +65,10 @@ _VERIFY_FIRST = (
     "federation_cross_source_join",
     "chunk_documents",
     "dedup_keep_best",
-    # -- unseen, rows-only (weaker driver check, still worth a row) --
+    "join_asof_forward",
+    # -- stale red from r1 (converted rows-only; needs a green driver row) --
+    "approx_count_distinct",
+    # -- never windowed, rows-only (weaker driver check, still worth a row) --
     "curate_corpus_pipeline",
     "export_training_corpus",
     "dedup_minhash_pairs",
@@ -126,6 +84,19 @@ _VERIFY_FIRST = (
     "agg_approx_percentile",
     "fn_nondeterministic",
     "sample_fraction",
+    # -- new entries this round (round 3) --
+    "text_line_dedup",
+    "streaming_running_stats_parity",
+    "dedup_minhash_clusters_planted",
+    # -- re-pins: high-value rows kept in-window to catch regressions --
+    "q1_pricing_summary",
+    "join_inner_star",
+    "scan_project_filter",
+    "dedup_exact_groups",
+    "similarity_topk_cosine",
+    "text_decontaminate",
+    "fn_humanize_si",
+    "tpch_q21_waiting_suppliers",
 )
 
 

@@ -57,11 +57,21 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors per query.
+    """Exact top-k cosine neighbors per query — two-level top-k.
 
     ``queries`` columns: (query_id, embedding). Broadcast it — the
-    corpus side streams; rank per query with a window (one shuffle on
-    query_id, whose cardinality = |queries| · k after pre-filtering).
+    corpus side streams.  Level 1: partial top-k per
+    (spark_partition_id, query_id) — ``collect_list`` groups are
+    partition-local (each holds one scan partition's rows for one
+    query, bounded by ``maxPartitionBytes``), sliced to k, re-exploded.
+    Level 2: the global rank window then sees ≤ k × n_partitions rows
+    per query instead of |corpus| rows, so no reducer ever holds a
+    corpus-sized partition and the final exchange is k-bounded.
+
+    The partial keeps rows by the SAME order as the global rank
+    (``_sim`` desc, ``vec_id`` asc — hence sorting on struct(-sim, id)
+    ascending): any global top-k row is within the top-k of its own
+    partition under that order, so the pre-filter is lossless.
     Columns: query_id, vec_id, cosine_sim, rank.
     """
     q = F.broadcast(
@@ -76,9 +86,37 @@ def cosine_topk(
         "vec_id",
         cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim"),
     )
+    # Level 1: partition-local top-k (negated sim → ascending struct sort
+    # gives sim desc, vec_id asc — identical to the global rank order).
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_sim")).alias("ns"),
+                            F.col("vec_id").alias("v"),
+                            F.col("_sim").alias("s"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", F.explode("_top").alias("_t"))
+        .select(
+            "query_id",
+            F.col("_t.v").alias("vec_id"),
+            F.col("_t.s").alias("_sim"),
+        )
+    )
+    # Level 2: global rank over the k-bounded survivors.
     w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

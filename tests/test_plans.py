@@ -166,6 +166,30 @@ class TestRound2Plans:
         s = plan(df)
         assert "BroadcastHashJoin" in s
 
+    def test_cosine_topk_window_input_bounded(self, spark, sf_dir):
+        """The global rank window must NOT see corpus-sized partitions:
+        a partition-local top-k (ObjectHashAggregate keyed on
+        (_pid, query_id), sliced to k, re-exploded) sits between the
+        scored cross join and the query_id exchange, and Spark's
+        WindowGroupLimit caps rows per query at k on both sides of the
+        final exchange."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["similarity_topk_cosine"].fn(spark, sf_dir)
+        s = plan(df)
+        # partial top-k aggregate keyed on the partition id
+        assert "ObjectHashAggregate" in s and "_pid" in s
+        # slice(...k) applied to the sorted partial list (expression
+        # detail only shows in formatted mode)
+        assert "slice(array_sort(" in formatted(df)
+        # the partition-local top-k (Generate = re-explode) happens
+        # BEFORE the query_id window exchange
+        gen = s.find("Generate")
+        win_ex = s.find("hashpartitioning(query_id")
+        assert gen != -1 and win_ex != -1 and gen > win_ex  # plan text is top-down: later ops print first
+        # Spark's own k-limit on the window input (partial + final)
+        assert s.count("WindowGroupLimit") >= 2
+
     def test_kmeans_assignment_no_shuffle(self, spark, sf_dir):
         """Cluster assignment fuses into the scan: literal centroids,
         zero exchanges before the (optional) aggregation."""
