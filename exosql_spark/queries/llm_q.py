@@ -317,6 +317,59 @@ def text_fingerprint_rolling(spark, sf_dir):
     )
 
 
+@register(
+    "text_line_dedup",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         'Cookie notice: we use cookies' || chr(10) || text || chr(10) ||
+         '(c) 2026 Example Corp - all rights reserved' AS t
+  FROM documents
+), split AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ls FROM d
+), lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM split
+), norm AS (
+  SELECT doc_id, pos, line,
+         trim(regexp_replace(regexp_replace(lower(line), '[^\w\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS nl
+  FROM lines
+), boiler AS (
+  SELECT nl FROM norm GROUP BY nl HAVING count(DISTINCT doc_id) >= 2
+), kept AS (
+  SELECT doc_id, pos, line FROM norm WHERE nl NOT IN (SELECT nl FROM boiler)
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+""",
+    tags=("llm", "text", "dedup"),
+)
+def text_line_dedup(spark, sf_dir):
+    """C4 §2.2-style boilerplate line removal, made oracle-checkable:
+    the testdata's documents are single-line, so the entry synthesizes
+    multi-line docs by wrapping every document in a planted cookie
+    banner + license footer, then strips every line whose normalized
+    form appears in ≥ 2 distinct documents (the planted chrome — plus
+    any organically duplicated bodies). The oracle groups by the
+    normalized line itself where the operator groups by its md5 — the
+    same partition modulo digest collisions."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Cookie notice: we use cookies"),
+            F.col("text"),
+            F.lit("(c) 2026 Example Corp - all rights reserved"),
+        ).alias("text"),
+    )
+    return text.line_dedup(docs, "text", "doc_id", min_df=2)
+
+
 # --------------------------------------------------------------------
 # Multimodal plumbing (decode stubbed — no codecs in container)
 # --------------------------------------------------------------------
@@ -667,6 +720,7 @@ WITH RECURSIVE base AS (
 SELECT doc_id, shard, seq_id, n_tokens FROM p
 """,
     tags=("llm", "export", "scale"),
+    bench=True,
 )
 def pack_sequences(spark, sf_dir):
     """Greedy first-fit sequence packing into 512-token training rows,
@@ -749,6 +803,7 @@ JOIN n nb ON p.id_b = nb.doc_id
 WHERE round(inter / (na.nd + nb.nd - inter), 4) >= 0.3
 """,
     tags=("llm", "dedup"),
+    bench=True,
 )
 def dedup_jaccard_exact_pairs(spark, sf_dir):
     """EXACT 3-gram Jaccard pairs via inverted-index join (explode →
