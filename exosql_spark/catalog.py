@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "exosql_spark.queries.udx_q",
     "exosql_spark.queries.extensions_q",
     "exosql_spark.queries.tpch_q",
+    "exosql_spark.queries.streaming_q",
 )
 
 # Driver CORRECTNESS verifies entries in ``queries()`` iteration order and

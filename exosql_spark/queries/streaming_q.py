@@ -1,0 +1,110 @@
+"""Streaming catalog entries — driver-visible batch-parity checks.
+
+The reference has no streaming surface (SURVEY.md §2.9); the streaming
+extension lives in :mod:`exosql_spark.streaming`. These entries drain a
+Structured Streaming query with ``availableNow`` inside the catalog
+callable and return the sink table, so the SAME exact-oracle gate that
+covers batch operators covers the streaming path. Round-4 verdict:
+the streaming timestamp-unit bug was invisible to the driver precisely
+because no such entry existed — this is the fix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from exosql_spark.catalog import register
+from exosql_spark.queries import _util as _u
+
+
+@register(
+    "streaming_running_stats_parity",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS total_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def streaming_running_stats_parity(spark, sf_dir):
+    """Stateful running per-user stats (applyInPandasWithState) drained
+    with availableNow — the FINAL emitted state per user must equal the
+    batch GROUP BY exactly (count / decimal-stable sum / max).
+
+    ``value`` is 2-decimal testdata, so the float running total is
+    >1e-8 away from any 1e-4 rounding boundary — Python round(.,4) in
+    the operator and the oracle's floor(x*1e4+0.5)/1e4 agree exactly.
+    Update-mode memory sink appends one row per (user, micro-batch);
+    the last state row is the one with the max running count (the
+    counter is strictly monotone), selected with a per-user window.
+    """
+    from exosql_spark import streaming
+    from exosql_spark.streaming.stateful import running_user_stats
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        running_user_stats(stream), "cat_running_stats", mode="update"
+    )
+    q.stop()
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table("cat_running_stats")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "streaming_tumbling_parity",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+       event_type,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS total_value
+FROM events
+WHERE time_bucket(INTERVAL 1 HOUR, ts)
+      < (SELECT max(ts) FROM events) - INTERVAL 3 HOUR
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_parity(spark, sf_dir):
+    """Watermarked tumbling-window counts drained with availableNow,
+    restricted to windows the final watermark has closed (start <
+    max(ts) − 3 h: 1 h width + 2 h watermark) — on that finalized
+    subset append-mode streaming output equals the batch/time_bucket
+    aggregation row for row. Spark sums in float per micro-batch here
+    (single-batch drain ⇒ one partial per group), but the oracle's
+    decimal sum matches because value is 2-decimal testdata (same
+    argument as the running-stats entry)."""
+    from exosql_spark import streaming
+    from exosql_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        streaming.tumbling_counts(stream), "cat_tumbling", mode="append"
+    )
+    q.stop()
+    out = spark.table("cat_tumbling")
+    return (
+        out.filter(F.col("bucket_start") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+        .withColumn(
+            "total_value", _u.fround(F.col("total_value").cast("double"), 4)
+        )
+        .withColumn(
+            "bucket_start", F.col("bucket_start").cast("timestamp_ntz")
+        )
+        .orderBy("bucket_start", "event_type")
+    )

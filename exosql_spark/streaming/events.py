@@ -61,15 +61,20 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over an events parquet path.
 
-    The driver testdata stores ts as TIMESTAMP(NANOS) which Spark's
-    vectorized reader surfaces as bigint (nanosAsLong) — normalize to
-    timestamp_ntz exactly like the batch loader (io.load_table).
+    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (surfaced
+    as bigint under nanosAsLong) and as plain TIMESTAMP(MICROS) —
+    probe the surfaced dtype with a footer-only batch read of the SAME
+    path and branch, mirroring the batch loader's conditional
+    (io.load_table). Hardcoding either unit silently shifts every
+    event-time by 1000× when the data changes.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(parquet_path).schema
+    ts_type = batch_schema["ts"].dataType
     raw_schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("ts", ts_type),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -84,7 +89,9 @@ def read_events_stream(
     )
     # watermarks require TIMESTAMP (ltz) event time; under the UTC
     # session timezone this is value-identical to the batch ntz column
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
 
 
 def tumbling_counts(
