@@ -45,7 +45,7 @@ def main() -> None:
 
     # Warm up per query (one untimed run each): JVM/codegen/parquet
     # footers, Python worker pools for the pandas-UDF stages, and any
-    # operator-internal persists — so the 3 timed runs measure the
+    # operator-internal persists — so the timed runs measure the
     # steady-state plan, not process spin-up.
     for q in bench.values():
         q.fn(spark, SF_DIR).count()
@@ -60,10 +60,17 @@ def main() -> None:
         spread[name] = round(statistics.stdev(times), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # n_queries + query_set pin the headline's basis: "value" sums over
+    # exactly these queries, so a round-over-round diff of "value" is
+    # only meaningful when query_set matches — compare per-query
+    # medians over the set intersection otherwise (round-4 advice).
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
+        "estimator": f"min_of_{RUNS}",
+        "n_queries": len(per_query),
+        "query_set": sorted(per_query),
         "queries": per_query,
         "median": medians,
         "stddev": spread,

@@ -27,6 +27,16 @@ class CurateConfig:
     use_components: bool = False  # transitive clusters vs min-representative
     minhash_hashes: int = 64
     minhash_bands: int = 16
+    #: When False (default), the MinHash signature is computed alongside
+    #: the cheap per-row features so ONE persisted frame feeds every
+    #: downstream consumer — some signature work is spent on rows exact
+    #: dedup will drop, but no second cache is needed. When True, the
+    #: signature is computed only on exact-dedup survivors — pays off
+    #: when the exact-dup rate is high (signatures are the expensive
+    #: stage), at the cost of a second persisted frame for the banding
+    #: join. Results are identical either way (signatures are a pure
+    #: function of text); only the plan shape changes.
+    sig_after_dedup: bool = False
 
 
 def curate_corpus(
@@ -47,20 +57,19 @@ def curate_corpus(
     # one partition. No-op at real scale (inputs arrive pre-split).
     docs = dedup._parallelize(docs)
 
-    # 1. cheap per-row features (pure map — fused into the scan), plus
-    # the MinHash signature so the SAME persisted frame feeds every
-    # downstream consumer. Computing the signature pre-exact-dedup
-    # means some work on rows exact-dedup will drop, but it removes
-    # the second cached copy the signature used to need inside
-    # minhash_candidates (round-1 held two persists); at very high
-    # exact-dup rates flip to checkpointing post-dedup instead.
+    # 1. cheap per-row features (pure map — fused into the scan), plus —
+    # unless cfg.sig_after_dedup — the MinHash signature, so the SAME
+    # persisted frame feeds every downstream consumer (see the config
+    # field's doc for the ordering tradeoff).
     featured = text.quality_score(docs, text_col).withColumn(
         "lang_pred", text.lang_id(F.col(text_col))
     ).withColumn("n_tokens", F.col("q_n_tokens")).withColumn(
         "content_hash", text.fingerprint_md5(F.col(text_col))
-    ).withColumn(
-        "_sig", dedup.minhash_signature(text_col, cfg.minhash_hashes)
     )
+    if not cfg.sig_after_dedup:
+        featured = featured.withColumn(
+            "_sig", dedup.minhash_signature(text_col, cfg.minhash_hashes)
+        )
 
     # 2. quality gate (pushable predicates)
     filtered = featured.filter(
@@ -89,8 +98,17 @@ def curate_corpus(
     exact = filtered.join(keep, id_col, "left_semi")
 
     # 4. near-dup removal (LSH banding; optionally transitive clusters).
-    # Signatures ride along from the persisted feature frame — no
-    # recompute, no second cache inside the dedup operator.
+    # sig_after_dedup=False: signatures ride along from the persisted
+    # feature frame — no recompute, no second cache. True: compute them
+    # now, on survivors only, behind their own persist (the banding
+    # self-consumes the frame once per band slice).
+    if cfg.sig_after_dedup:
+        signatures = exact.select(
+            F.col(id_col).alias("_id"),
+            dedup.minhash_signature(text_col, cfg.minhash_hashes).alias("_sig"),
+        ).persist()
+    else:
+        signatures = exact.select(F.col(id_col).alias("_id"), "_sig")
     pairs = dedup.minhash_dedup_pairs(
         exact,
         text_col,
@@ -98,7 +116,7 @@ def curate_corpus(
         threshold=cfg.near_dup_threshold,
         num_hashes=cfg.minhash_hashes,
         bands=cfg.minhash_bands,
-        signatures=exact.select(F.col(id_col).alias("_id"), "_sig"),
+        signatures=signatures,
     )
     if cfg.use_components:
         from exosql_spark.operators.components import dedup_components

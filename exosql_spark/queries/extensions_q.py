@@ -233,7 +233,9 @@ def agg_percentiles(spark, sf_dir):
 
 @register(
     "agg_approx_percentile",
-    oracle=None,  # sketch-based; rows-only check
+    oracle=None,  # approx_percentile is a GK/KLL-style sketch whose
+    # error depends on merge order — not bit-reproducible in DuckDB;
+    # bounds vs exact percentile_cont are asserted locally
     tags=("agg", "extension", "stats", "scale"),
 )
 def agg_approx_percentile(spark, sf_dir):
@@ -512,7 +514,9 @@ def setops_all_variants(spark, sf_dir):
 
 @register(
     "fn_nondeterministic",
-    oracle=None,  # uuid()/rand() — rows-only by nature
+    oracle=None,  # uuid()/rand() outputs are nondeterministic by
+    # definition — the check that CAN exist (format/range/uniqueness
+    # invariants) runs in local tests; no cross-engine oracle is possible
     tags=("functions", "compat"),
 )
 def fn_nondeterministic(spark, sf_dir):
@@ -582,7 +586,9 @@ def agg_bitwise(spark, sf_dir):
 
 @register(
     "sample_fraction",
-    oracle=None,  # sampling RNG is engine-specific; rows-only check
+    oracle=None,  # Spark's Bernoulli sampler (XORShift per partition)
+    # is not reproducible in DuckDB — no exact oracle can exist; rate
+    # and subset invariants are asserted locally
     tags=("extension", "scale"),
 )
 def sample_fraction(spark, sf_dir):

@@ -42,7 +42,9 @@ def dedup_exact_groups(spark, sf_dir):
 
 @register(
     "dedup_minhash_pairs",
-    oracle=None,  # LSH banding is sampling-based; rows-only check
+    oracle=None,  # natural-corpus pair set is SF-dependent (probabilistic
+    # LSH recall on real near-dups); the identical code path is
+    # exact-oracled on planted dups in dedup_minhash_clusters_planted
     tags=("llm", "dedup"),
     bench=True,
 )
@@ -53,38 +55,122 @@ def dedup_minhash_pairs(spark, sf_dir):
     return dedup.minhash_dedup_pairs(t.documents, "text", "doc_id", threshold=0.5)
 
 
+def _planted_docs(spark, n_groups=10, n_tokens=60, members=((100000, ""), (101000, ""), (102000, ""))):
+    """Synthetic planted duplicate groups: per group g, one doc per
+    (id_offset, tail_suffix) member, text = 60 group-unique tokens
+    ``w{g}x{j}`` (+tail). Disjoint per-group vocabularies ⇒ zero
+    cross-group or group-to-corpus similarity, so exact-oracle entries
+    can state the expected pair/cluster set in closed form."""
+    toks = [F.concat(F.lit("w"), F.col("g"), F.lit(f"x{j}")) for j in range(n_tokens)]
+    g = spark.range(n_groups).select(
+        F.col("id").alias("g"), F.concat_ws(" ", *toks).alias("text")
+    )
+    out = None
+    for offset, tail in members:
+        part = g.select(
+            (F.col("g") + offset).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(tail)).alias("text"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @register(
     "dedup_simhash_pairs",
-    oracle=None,  # banding-based candidate generation; rows-only check
+    oracle="""
+SELECT id_a, id_b, hamming FROM (
+  SELECT 100000 + g AS id_a, 101000 + g AS id_b, CAST(0 AS INT) AS hamming FROM range(10) t(g)
+  UNION ALL SELECT 100000 + g, 102000 + g, 0 FROM range(10) t(g)
+  UNION ALL SELECT 101000 + g, 102000 + g, 0 FROM range(10) t(g)
+)
+ORDER BY id_a, id_b
+""",
     tags=("llm", "dedup"),
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (64-bit, 4-band pigeonhole, Hamming ≤ 3)."""
+    """SimHash near-dup pairs (64-bit, 4-band pigeonhole, Hamming ≤ 3)
+    over documents ∪ planted identical triples. Identical text ⇒
+    identical simhash ⇒ structural recall (hamming 0), so the planted
+    pair set is exactly known. Output keeps planted pairs only (id_a ≥
+    100000): natural pairs within Hamming ≤ 3 vary by SF; unrelated
+    text landing within Hamming 3 of a 64-bit simhash is ~C(64,3)/2^64
+    and deterministically absent here (asserted at all test SFs)."""
     t = Tables(spark, sf_dir)
-    return dedup.simhash_pairs(t.documents, "text", "doc_id", max_hamming=3)
+    corpus = t.documents.select("doc_id", "text").unionByName(_planted_docs(spark))
+    pairs = dedup.simhash_pairs(corpus, "text", "doc_id", max_hamming=3)
+    return (
+        pairs.filter(F.col("id_a") >= 100000)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
     "dedup_ngram_jaccard",
-    oracle=None,  # candidates via LSH; rows-only check
+    oracle="""
+SELECT id_a, id_b, jaccard_sim FROM (
+  SELECT 100000 + g AS id_a, 101000 + g AS id_b, CAST(1.0 AS DOUBLE) AS jaccard_sim FROM range(10) t(g)
+  UNION ALL SELECT 100000 + g, 102000 + g, CAST(1.0 AS DOUBLE) FROM range(10) t(g)
+  UNION ALL SELECT 101000 + g, 102000 + g, CAST(1.0 AS DOUBLE) FROM range(10) t(g)
+  UNION ALL SELECT 100000 + g, 103000 + g, round(58.0 / 61.0, 4) FROM range(10) t(g)
+  UNION ALL SELECT 101000 + g, 103000 + g, round(58.0 / 61.0, 4) FROM range(10) t(g)
+  UNION ALL SELECT 102000 + g, 103000 + g, round(58.0 / 61.0, 4) FROM range(10) t(g)
+)
+ORDER BY id_a, id_b
+""",
     tags=("llm", "dedup"),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """3-gram Jaccard similarity pairs ≥ 0.3 (exact verify over LSH
-    candidates)."""
+    """3-gram Jaccard pairs ≥ 0.3 (exact verify over LSH candidates)
+    over documents ∪ planted groups: two identical copies (J = 1.0) and
+    one near-copy with 3 appended tokens (58 shared 3-gram shingles of
+    61 total ⇒ J = 58/61 ≈ 0.9508 — the closed form the oracle states).
+    Identical copies share the exact minhash signature (structural
+    recall); the near-copy's candidate recall is deterministic under
+    the fixed hash seed (32 bands × 2 rows, miss prob (1−J²)³² ≈ 5e-36)
+    and asserted at every test SF. Planted pairs only (natural pairs
+    vary by SF)."""
     t = Tables(spark, sf_dir)
-    return dedup.ngram_jaccard_pairs(t.documents, "text", "doc_id", k=3, threshold=0.3)
+    planted = _planted_docs(
+        spark,
+        members=((100000, ""), (101000, ""), (102000, ""), (103000, " pza pzb pzc")),
+    )
+    corpus = t.documents.select("doc_id", "text").unionByName(planted)
+    pairs = dedup.ngram_jaccard_pairs(corpus, "text", "doc_id", k=3, threshold=0.3)
+    return pairs.filter(F.col("id_a") >= 100000).orderBy("id_a", "id_b")
 
 
 @register(
     "dedup_embedding_cosine",
-    oracle=None,  # sign-LSH candidates; rows-only check
+    oracle="""
+SELECT vec_id AS id_a,
+       vec_id + 100000 AS id_b,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])), 4) AS cosine_sim
+FROM embeddings
+WHERE vec_id < 20
+ORDER BY id_a
+""",
     tags=("llm", "dedup"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.9) via sign-LSH buckets."""
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9) via sign-LSH buckets,
+    verified on PLANTED duplicates: each vec_id < 20 gets a 2×-scaled
+    copy at vec_id+100000 (cosine is scale-invariant ⇒ exactly 1.0; a
+    scaled copy hits the identical sign-LSH bucket in every table, so
+    recall of the planted set is deterministic, not probabilistic).
+    Output is restricted to the planted (i, i+100000) pairs — the
+    natural corpus has no pairs ≥ 0.9 at test SFs, and whatever pairs
+    exist at other scales would make an exact oracle sf-dependent.
+    Natural-pair recall is covered by tests/test_operators.py."""
     t = Tables(spark, sf_dir)
-    return similarity.embedding_near_dupes(t.embeddings, threshold=0.9)
+    base = t.embeddings.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+    )
+    pairs = similarity.embedding_near_dupes(base.unionByName(planted), threshold=0.9)
+    return pairs.filter(F.col("id_b") == F.col("id_a") + 100000).orderBy("id_a")
 
 
 # --------------------------------------------------------------------
@@ -124,7 +210,10 @@ def similarity_topk_cosine(spark, sf_dir):
 
 @register(
     "similarity_topk_lsh",
-    oracle=None,  # approximate by design; rows-only check
+    oracle=None,  # ANN by design: bucket pruning legitimately drops true
+    # neighbors, so the result set is not the exact top-k any SQL oracle
+    # would compute; recall@k vs brute force is asserted locally on
+    # planted neighbors (tests/test_operators.py)
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_lsh(spark, sf_dir):
@@ -139,7 +228,9 @@ def similarity_topk_lsh(spark, sf_dir):
 
 @register(
     "similarity_topk_ivf",
-    oracle=None,  # approximate by design; rows-only check
+    oracle=None,  # ANN by design: IVF probes a subset of centroids, so
+    # exact top-k is not recovered in general; recall@k vs brute force
+    # is asserted locally on planted neighbors (tests/test_operators.py)
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_ivf(spark, sf_dir):
@@ -322,7 +413,7 @@ def text_fingerprint_rolling(spark, sf_dir):
     oracle=r"""
 WITH d AS (
   SELECT doc_id,
-         'Cookie notice: we use cookies' || chr(10) || text || chr(10) ||
+         'Cookie notice: we use cookies' || chr(10) || coalesce(text, '') || chr(10) ||
          '(c) 2026 Example Corp - all rights reserved' AS t
   FROM documents
 ), split AS (
@@ -363,7 +454,10 @@ def text_line_dedup(spark, sf_dir):
         F.concat_ws(
             "\n",
             F.lit("Cookie notice: we use cookies"),
-            F.col("text"),
+            # coalesce so a NULL text still yields a 3-line doc on BOTH
+            # engines (concat_ws skips NULLs, SQL || propagates them —
+            # the two only coincided by fixture luck; round-4 advice)
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("(c) 2026 Example Corp - all rights reserved"),
         ).alias("text"),
     )
@@ -377,24 +471,52 @@ def text_line_dedup(spark, sf_dir):
 
 @register(
     "multimodal_features",
-    oracle=None,  # decode step is a deterministic stub; rows-only check
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       8 AS feat_dim,
+       true AS sha1_ok
+FROM documents
+ORDER BY media_id
+""",
     tags=("llm", "multimodal"),
 )
 def multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (real schema/batching/partitioning; codec stubbed deterministically)."""
+    (real schema/batching/partitioning; codec stubbed deterministically).
+
+    Exact oracle: per-payload byte length and feature dimensionality
+    come back from the pandas UDF row-aligned (octet_length of the
+    utf-8 payload on the DuckDB side), and the Python-side hashlib
+    sha1 is cross-checked against JVM ``F.sha1`` on the same payload
+    (``sha1_ok``) — DuckDB lacks sha1, so the digest equivalence is
+    proven engine-side and the oracle asserts the boolean. The decoded
+    ``feature`` values themselves are stub-defined (sha1-derived; see
+    multimodal._fake_decode_features) and covered by local tests."""
     from exosql_spark.operators import multimodal
 
     t = Tables(spark, sf_dir)
     media = multimodal.synthetic_media(t.documents)
-    return multimodal.extract_features(media, dim=8).select(
-        "media_id", "kind", "n_bytes", "content_sha1"
+    feats = multimodal.extract_features(media, dim=8)
+    return (
+        feats.join(media.select("media_id", "payload"), "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "n_bytes",
+            F.size("feature").alias("feat_dim"),
+            (F.col("content_sha1") == F.sha1("payload")).alias("sha1_ok"),
+        )
+        .orderBy("media_id")
     )
 
 
 @register(
     "dedup_minhash_components",
-    oracle=None,  # LSH + iterative components; rows-only check
+    oracle=None,  # natural-corpus twin of dedup_minhash_clusters_planted
+    # (which exact-oracles the same LSH→components path on planted dups);
+    # the natural pair set itself is SF-dependent
     tags=("llm", "dedup"),
 )
 def dedup_minhash_components(spark, sf_dir):
@@ -411,8 +533,53 @@ def dedup_minhash_components(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_clusters_planted",
+    oracle="""
+SELECT member, cluster FROM (
+  SELECT 100000 + g AS member, 100000 + g AS cluster FROM range(10) t(g)
+  UNION ALL SELECT 101000 + g, 100000 + g FROM range(10) t(g)
+  UNION ALL SELECT 102000 + g, 100000 + g FROM range(10) t(g)
+  UNION ALL SELECT 103000 + g, 100000 + g FROM range(10) t(g)
+)
+ORDER BY member
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_clusters_planted(spark, sf_dir):
+    """MinHash+LSH pairs → connected components, exact-oracled on a
+    PLANTED duplicate set: 10 synthetic groups (disjoint per-group
+    token vocabularies ⇒ zero cross-group or group-to-corpus Jaccard),
+    each with two identical copies and one near-identical copy
+    (3 appended tokens, J ≈ 0.95), unioned onto the real documents
+    corpus. Identical texts share the exact minhash signature, so LSH
+    recall on the planted set is structural; the near-copy's recall is
+    deterministic under the fixed hash seed and asserted here. Cluster
+    labels (min member id) are fully determined by the planted
+    construction, so the oracle states the clusters without modelling
+    LSH internals. Output keeps only planted clusters (label ≥ 100000)
+    — natural near-dup clusters in the corpus vary by SF."""
+    from exosql_spark.operators.components import connected_components
+
+    t = Tables(spark, sf_dir)
+    planted = _planted_docs(
+        spark,
+        members=((100000, ""), (101000, ""), (102000, ""), (103000, " pza pzb pzc")),
+    )
+    corpus = t.documents.select("doc_id", "text").unionByName(planted)
+    pairs = dedup.minhash_dedup_pairs(corpus, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs)
+    return (
+        comp.filter(F.col("component") >= 100000)
+        .select(F.col("id").alias("member"), F.col("component").alias("cluster"))
+        .orderBy("member")
+    )
+
+
+@register(
     "curate_corpus_pipeline",
-    oracle=None,  # composed pipeline; rows-only check
+    oracle=None,  # composes the LSH near-dup stage, so the kept-doc set
+    # inherits its probabilistic recall; every deterministic stage is
+    # exact-oracled individually (lang-id, quality, exact-dedup, tokens)
     tags=("llm", "pipeline"),
     bench=True,
 )
@@ -491,7 +658,9 @@ def text_pii_redact(spark, sf_dir):
 
 @register(
     "sample_stratified",
-    oracle=None,  # sampling RNG is engine-specific; rows-only check
+    oracle=None,  # Spark's per-partition XORShift Bernoulli draw is not
+    # reproducible in DuckDB — no exact oracle can exist; subset-of-corpus
+    # and per-stratum rate invariants are asserted locally instead
     tags=("llm", "extension", "scale"),
 )
 def sample_stratified(spark, sf_dir):
@@ -818,7 +987,10 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
 
 @register(
     "embedding_kmeans",
-    oracle=None,  # iterative; cross-engine float-sum order differs (rows-only)
+    oracle=None,  # Lloyd iterations accumulate float sums whose order
+    # differs across engines, so centroids drift in the last ulp and
+    # assignments near Voronoi boundaries can legitimately flip; planted
+    # well-separated clusters are recovered exactly in local tests
     tags=("llm", "embedding", "scale"),
 )
 def embedding_kmeans(spark, sf_dir):
@@ -907,7 +1079,9 @@ def dedup_keep_best(spark, sf_dir):
 
 @register(
     "export_training_corpus",
-    oracle=None,  # composes the MinHash curation stage; rows-only check
+    oracle=None,  # composes the MinHash near-dup stage (see
+    # curate_corpus_pipeline note); deterministic shard/packing stages
+    # are exact-oracled via shard_export_stats / pack_sequences
     tags=("llm", "pipeline", "export"),
 )
 def export_training_corpus(spark, sf_dir):

@@ -396,6 +396,28 @@ class TestCuratePipeline:
         kept = sorted(r.doc_id for r in curated.collect())
         assert kept == [1, 4]
 
+    def test_sig_after_dedup_orderings_equal(self, spark, sf_dir):
+        """sig_after_dedup only changes WHEN signatures are computed
+        (pre- vs post-exact-dedup) — the curated corpus must be
+        identical, since signatures are a pure function of text."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        before = sorted(
+            r.doc_id
+            for r in curate_corpus(
+                docs, config=CurateConfig(min_tokens=5, sig_after_dedup=False)
+            ).select("doc_id").collect()
+        )
+        after = sorted(
+            r.doc_id
+            for r in curate_corpus(
+                docs, config=CurateConfig(min_tokens=5, sig_after_dedup=True)
+            ).select("doc_id").collect()
+        )
+        assert before == after and len(before) > 0
+
 
 class TestAsofJoin:
     def test_inclusive_vs_strict_bounds(self, spark):
