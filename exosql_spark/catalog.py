@@ -52,11 +52,14 @@ _VERIFY_FIRST = (
     #    first driver-green row --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
+    "streaming_sessions_parity",       # session windows ↔ gaps-and-islands
+    "streaming_dedup_parity",          # dropDuplicatesWithinWatermark ↔ DISTINCT
     "dedup_minhash_clusters_planted",  # LSH→components on planted dups
     "dedup_embedding_cosine",          # promoted: planted scaled copies
     "dedup_simhash_pairs",             # promoted: planted identical triples
     "dedup_ngram_jaccard",             # promoted: planted J=1.0 / 58/61 set
     "multimodal_features",             # promoted: byte-length + sha1 parity
+    "dedup_incremental_batch",         # new: cross-snapshot dedup vs ref corpus
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

@@ -284,6 +284,37 @@ def minhash_signature_expr(text_col: str, num_hashes: int = 64, k: int = 3) -> F
     )
 
 
+def signature_bands(sig: DataFrame, num_hashes: int = 64, bands: int = 16) -> DataFrame:
+    """(_id, band, key) band-key frame from an (_id, _sig) signature
+    frame — the storable LSH index shape, shared by the self-join
+    candidate path (:func:`minhash_candidates`) and the new-vs-reference
+    path (:mod:`exosql_spark.operators.incremental`).
+
+    xxhash64 hashes the long-array slice directly (complex-type
+    support) — no per-band string building; the shuffle/storage key
+    stays 8 bytes. At corpus scale this frame is what you persist as
+    the signature index: parquet partitioned by ``band`` and bucketed
+    by ``key``, so each incremental batch joins against it
+    shuffle-free on the ref side."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.key")
+
+
 def minhash_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -317,7 +348,6 @@ def minhash_candidates(
     bounded join). None = no cap (the default: exact-dedup-first
     pipelines don't need one).
     """
-    rows_per_band = num_hashes // bands
     if signatures is not None:
         sig = signatures.select("_id", "_sig")
     else:
@@ -331,26 +361,9 @@ def minhash_candidates(
             .select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        # xxhash64 hashes the long-array slice directly
-                        # (complex-type support) — no per-band string
-                        # building; the shuffle key stays 8 bytes
-                        F.xxhash64(
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", "bk.band", "bk.key")
-    banded = _cap_buckets(banded, ["band", "key"], max_bucket)
+    banded = _cap_buckets(
+        signature_bands(sig, num_hashes, bands), ["band", "key"], max_bucket
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (

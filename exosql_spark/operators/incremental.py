@@ -1,0 +1,143 @@
+"""Incremental (cross-snapshot) dedup: a new document batch against an
+existing reference corpus — the primitive a continuously-crawled
+training pipeline runs every ingest cycle (dedup the new snapshot
+against everything already kept, not just within itself).
+
+Beyond-reference extension (the reference engine has no dedup surface
+at all — SURVEY.md §2 extensions); the in-batch/self-join variants live
+in :mod:`exosql_spark.operators.dedup`.
+
+Plan shape (two pruning phases, cheapest first):
+
+1. **Exact phase** — md5-of-normalized-text anti-join against the ref
+   digest set. Shuffles 16-byte digests only; at scale the ref digests
+   are a bucketed parquet table, so the join is shuffle-free on the
+   ref side and the (small) batch side is broadcast or repartitioned
+   to match.
+2. **Near phase** — MinHash band keys of the surviving batch rows
+   equi-joined against the reference's band-key index
+   (:func:`exosql_spark.operators.dedup.signature_bands` — the
+   storable (_id, band, key) shape). Candidates are verified with
+   exact shingle Jaccard, so LSH only affects recall, never
+   precision. Ref texts are fetched for candidate ids only
+   (semi-join reduction) — the full ref corpus is never rescanned.
+
+At 100 TB the critical property: per-batch cost is
+O(|batch| + |candidate matches|), NOT O(|ref|). The ref side is a
+maintained signature index (digests + band keys, appended each cycle),
+never recomputed; nothing in this module scans ref text except the
+candidate-id semi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from exosql_spark.operators.dedup import (
+    _parallelize,
+    fingerprint,
+    jaccard,
+    minhash_signature,
+    shingles,
+    signature_bands,
+)
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    ref_digests: DataFrame | None = None,
+    ref_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Classify every row of ``new_docs`` against the reference corpus.
+
+    Returns ``new_docs``'s columns plus:
+
+    - ``status``: ``'exact_dup'`` (normalized text already in ref) |
+      ``'near_dup'`` (shingle Jaccard ≥ threshold with some ref doc) |
+      ``'kept'``
+    - ``matched_ref_id``: min ref id that matched (NULL for kept).
+
+    ``ref_digests`` / ``ref_bands``: precomputed index frames (the
+    digest set and the ``signature_bands`` output for ref). Pass them
+    from your maintained index at scale; when omitted they are derived
+    from ``ref`` here (fine for tests / one-shot use). Drop the
+    duplicates with ``.filter("status = 'kept'")``.
+    """
+    newf = _parallelize(
+        new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if ref_digests is None:
+        ref_digests = ref.select(
+            F.col(id_col).alias("_rid"), fingerprint(text_col).alias("_h")
+        )
+    # exact phase: min matching ref id per digest (deterministic pick)
+    exact = (
+        newf.select("_id", fingerprint("_t").alias("_h"))
+        .join(
+            ref_digests.groupBy("_h").agg(F.min("_rid").alias("_exact_rid")), "_h"
+        )
+        .select("_id", "_exact_rid")
+    )
+
+    # near phase runs only on rows the exact phase didn't claim
+    rest = newf.join(exact.select("_id"), "_id", "left_anti")
+    new_sig = rest.select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
+    if ref_bands is None:
+        ref_sig = ref.select(
+            F.col(id_col).alias("_id"),
+            minhash_signature(text_col, num_hashes, k).alias("_sig"),
+        )
+        ref_bands = signature_bands(ref_sig, num_hashes, bands)
+    ref_bands = ref_bands.select(
+        F.col("_id").alias("_rid"), "band", "key"
+    )
+    cands = (
+        signature_bands(new_sig, num_hashes, bands)
+        .join(ref_bands, ["band", "key"])
+        .select("_id", "_rid")
+        .distinct()
+    )
+    # verify with exact Jaccard — fetch shingles for candidate ids only
+    new_sh = rest.join(cands.select("_id").distinct(), "_id", "left_semi").select(
+        "_id", shingles("_t", k).alias("_sh_new")
+    )
+    ref_sh = (
+        ref.select(F.col(id_col).alias("_rid"), F.col(text_col).alias("_rt"))
+        .join(cands.select("_rid").distinct(), "_rid", "left_semi")
+        .select("_rid", shingles("_rt", k).alias("_sh_ref"))
+    )
+    near = (
+        cands.join(new_sh, "_id")
+        .join(ref_sh, "_rid")
+        .filter(jaccard(F.col("_sh_new"), F.col("_sh_ref")) >= threshold)
+        .groupBy("_id")
+        .agg(F.min("_rid").alias("_near_rid"))
+    )
+
+    out = (
+        new_docs.join(
+            exact.withColumnRenamed("_id", id_col), id_col, "left"
+        )
+        .join(near.withColumnRenamed("_id", id_col), id_col, "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_exact_rid").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("_near_rid").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept")),
+        )
+        .withColumn(
+            "matched_ref_id", F.coalesce(F.col("_exact_rid"), F.col("_near_rid"))
+        )
+        .drop("_exact_rid", "_near_rid")
+    )
+    return out

@@ -409,6 +409,45 @@ def text_fingerprint_rolling(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_batch",
+    oracle="""
+SELECT doc_id, status FROM (
+  SELECT 200000 + g AS doc_id, 'kept' AS status FROM range(10) t(g)
+  UNION ALL SELECT 210000 + doc_id, 'exact_dup' FROM documents WHERE doc_id < 10
+  UNION ALL SELECT 220000 + doc_id, 'near_dup' FROM documents WHERE doc_id BETWEEN 10 AND 19
+)
+ORDER BY doc_id
+""",
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Cross-snapshot dedup (operators.incremental): a 30-doc "new
+    crawl batch" classified against the full documents corpus — 10
+    fresh synthetic docs (disjoint vocabulary ⇒ no ref match ⇒ kept),
+    10 byte-identical copies of ref docs 0–9 (⇒ exact_dup, structural:
+    same normalized md5), and 10 near-copies of ref docs 10–19 with
+    one appended token (shingle Jaccard = (n−2)/(n−1) ≥ 0.9 for the
+    ≥ 11-word testdata docs ⇒ near_dup; LSH miss probability
+    (1−0.9⁴)¹⁶ ≈ 4e-8 and deterministic under the fixed hash seed).
+    The classification — not just the survivor set — is the oracle."""
+    from exosql_spark.operators.incremental import incremental_dedup
+
+    t = Tables(spark, sf_dir)
+    ref = t.documents
+    fresh = _planted_docs(spark, members=((200000, ""),))
+    exact_copies = ref.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 210000).alias("doc_id"), "text"
+    )
+    near_copies = ref.filter(F.col("doc_id").between(10, 19)).select(
+        (F.col("doc_id") + 220000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" pza")).alias("text"),
+    )
+    batch = fresh.unionByName(exact_copies).unionByName(near_copies)
+    out = incremental_dedup(batch, ref, threshold=0.5)
+    return out.select("doc_id", "status").orderBy("doc_id")
+
+
+@register(
     "text_line_dedup",
     oracle=r"""
 WITH d AS (

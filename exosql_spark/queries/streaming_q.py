@@ -63,6 +63,93 @@ def streaming_running_stats_parity(spark, sf_dir):
 
 
 @register(
+    "streaming_sessions_parity",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+HAVING session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "session"),
+)
+def streaming_sessions_parity(spark, sf_dir):
+    """Per-user session windows (30-min inactivity gap) drained with
+    availableNow vs the batch gaps-and-islands desugaring: a session =
+    maximal run of events with inter-arrival ≤ gap; Spark's
+    session_window end = last event + gap. Append mode emits exactly
+    the sessions the final watermark (max ts − 2 h) has closed — the
+    oracle's HAVING reproduces that cutoff. lag+cumulative-sum is the
+    standard SQL sessionization, so this one entry pins streaming
+    session semantics to plain ANSI SQL."""
+    from exosql_spark import streaming
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        streaming.session_aggregate(stream), "cat_sessions", mode="append"
+    )
+    q.stop()
+    return (
+        spark.table("cat_sessions")
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "streaming_dedup_parity",
+    oracle="""
+SELECT event_id, event_type, value
+FROM events
+ORDER BY event_id
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_parity(spark, sf_dir):
+    """Streaming exact-dedup: the events stream self-unioned (every
+    event arrives twice) then dropDuplicatesWithinWatermark on
+    event_id must recover exactly the distinct event set — the
+    streaming twin of U2 DISTINCT. Both copies carry the same event
+    time, so they always fall inside one watermark horizon and the
+    dedup guarantee is exact, not best-effort; the kept copy is
+    arbitrary but the copies are identical rows, so output is
+    deterministic."""
+    from exosql_spark import streaming
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    doubled = stream.unionByName(stream)
+    q = streaming.run_to_memory(
+        streaming.dedup_within_watermark(doubled), "cat_stream_dedup"
+    )
+    q.stop()
+    return (
+        spark.table("cat_stream_dedup")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "streaming_tumbling_parity",
     oracle="""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,

@@ -419,6 +419,50 @@ class TestCuratePipeline:
         assert before == after and len(before) > 0
 
 
+class TestIncrementalDedup:
+    def test_precomputed_index_path(self, spark, sf_dir):
+        """The production shape: ref digests + band keys come from a
+        maintained index, not recomputed from ref text — results must
+        match the derive-from-ref path exactly."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import dedup
+        from exosql_spark.operators.incremental import incremental_dedup
+
+        ref = load_table(spark, sf_dir, "documents")
+        batch = (
+            ref.filter(F.col("doc_id") < 5)
+            .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+            .unionByName(
+                ref.filter(F.col("doc_id").between(5, 9)).select(
+                    (F.col("doc_id") + 600000).alias("doc_id"),
+                    F.concat("text", F.lit(" zzq")).alias("text"),
+                )
+            )
+        )
+        # maintained index frames
+        digests = ref.select(
+            F.col("doc_id").alias("_rid"), dedup.fingerprint("text").alias("_h")
+        )
+        sig = ref.select(
+            F.col("doc_id").alias("_id"),
+            dedup.minhash_signature("text", 64).alias("_sig"),
+        )
+        bands_idx = dedup.signature_bands(sig, 64, 16)
+
+        via_index = incremental_dedup(
+            batch, ref, ref_digests=digests, ref_bands=bands_idx
+        )
+        derived = incremental_dedup(batch, ref)
+        got_i = {(r.doc_id, r.status, r.matched_ref_id) for r in via_index.collect()}
+        got_d = {(r.doc_id, r.status, r.matched_ref_id) for r in derived.collect()}
+        assert got_i == got_d
+        assert {(500000 + i, "exact_dup", i) for i in range(5)} <= got_i
+        assert all(s == "near_dup" and m == d - 600000
+                   for d, s, m in got_i if d >= 600000)
+
+
 class TestAsofJoin:
     def test_inclusive_vs_strict_bounds(self, spark):
         from exosql_spark.operators.asof import asof_join
