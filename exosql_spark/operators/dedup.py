@@ -461,25 +461,45 @@ def jaccard_index_pairs(
     k: int = 3,
     threshold: float = 0.3,
     max_df: int = 100,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """EXACT all-pairs k-gram Jaccard via an inverted-index join — the
-    deterministic complement to the probabilistic LSH paths (and hence
-    exactly oracle-checkable, which minhash/simhash cannot be).
+    """EXACT all-pairs k-gram Jaccard — the deterministic complement to
+    the probabilistic LSH paths (and hence exactly oracle-checkable,
+    which minhash/simhash cannot be).
 
-    Plan shape: explode shingles → drop stop-shingles (document
-    frequency > ``max_df`` — they would fan the self-join out
-    quadratically while carrying no similarity signal) → self-join on
-    the 60-bit shingle *hash* (an 8-byte shuffle key, never the
-    shingle string) → per-pair intersection counts → Jaccard from
-    per-doc set sizes. Similarity is over the non-stop shingle sets,
-    so sizes are computed after the frequency filter — self-consistent
+    Both paths: explode shingles → drop stop-shingles (document
+    frequency > ``max_df`` — they fan any index join out quadratically
+    while carrying no similarity signal) → candidate generation →
+    exact Jaccard. Similarity is over the non-stop shingle sets, so
+    sizes are computed after the frequency filter — self-consistent
     semantics on both engines.
 
-    Scale: no all-pairs stage. Cost is Σ_shingle df² over surviving
-    shingles, capped by ``max_df``; the shuffle moves (hash, id) longs
-    only. This is the standard exact near-dup join (cf. prefix/DF
-    filtering in set-similarity-join literature).
+    ``prefix_filter=True`` (default) is the AllPairs/PPJoin-style
+    lossless prune (Bayardo et al., WWW'07; Chaudhuri SSJoin): under a
+    global token order (ascending document frequency, ties by hash),
+    a pair with Jaccard ≥ t shares its globally-smallest common
+    shingle inside BOTH docs' prefixes of length n − ⌈t·n⌉ + 1 — if it
+    didn't, all ≥ ⌈t·n⌉ common shingles would sit in the suffix of
+    length ⌈t·n⌉ − 1. So only prefixes are indexed/joined: candidate
+    cost collapses from Σ df² over all surviving shingles to Σ df²
+    over the RAREST ~(1−t)·n per doc, precisely the tokens with small
+    df. The prefix threshold backs off by 1e-4 because the final
+    filter keeps pairs whose ROUNDED Jaccard ≥ t (a true J of
+    t − 0.00004 still rounds in — the prune must not lose it).
+    Verification recomputes exact Jaccard from the full (sorted)
+    per-doc hash arrays via array_intersect — doc-size-bounded rows,
+    never a corpus-sized state.
+
+    ``prefix_filter=False`` keeps the flat inverted-index join
+    (intersection counted from the index itself): simpler plan, cost
+    Σ df² over ALL surviving shingles — the right choice only when
+    ``threshold`` is so low the prefix is nearly the whole doc.
+
+    Scale: no all-pairs stage in either path; shuffles move (hash, id)
+    longs only.
     """
+    import math
+
     from exosql_spark.operators.text import _token_hash
 
     sh = df.select(
@@ -487,28 +507,83 @@ def jaccard_index_pairs(
         F.explode(shingles(text_col, k)).alias("_s"),
     ).select("_id", _token_hash(F.col("_s")).alias("_h"))
     # stop-shingle removal: df > max_df
-    keep = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df")).filter(
-        F.col("_df") <= max_df
+    # the regex-heavy shingle/hash pass feeds its own df-aggregation AND
+    # the downstream joins — persist it once or Catalyst re-executes the
+    # explode per consumer (df-agg, size-agg, both self-join sides)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    if not prefix_filter:
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("_h"), "_h")
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_inter"))
+        )
+        na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+        nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+        return (
+            inter.join(na, "id_a")
+            .join(nb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                    4,
+                ).alias("jaccard_sim"),
+            )
+            .filter(F.col("jaccard_sim") >= threshold)
+        )
+
+    # ---- prefix-filtered path ----
+    t_prefix = max(0.0, threshold - 1e-4)
+    docs = (
+        sh.join(dfreq.filter(F.col("_df") <= max_df), "_h")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_sorted"))
+        .select(
+            "_id",
+            F.transform("_sorted", lambda s: s["_h"]).alias("_hs"),
+            F.size("_sorted").alias("_n"),
+        )
+        # three consumers: prefix explode + both verification sides
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sh = sh.join(keep.select("_h"), "_h")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    prefix_len = (
+        F.col("_n") - F.ceil(F.col("_n") * F.lit(t_prefix)).cast("int") + F.lit(1)
     )
-    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    pref = docs.select(
+        "_id", F.explode(F.slice("_hs", F.lit(1), prefix_len)).alias("_h")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
+        a.join(
+            b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id"))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(
+        F.col("_id").alias("id_a"), F.col("_hs").alias("_hs_a"), F.col("_n").alias("_na")
+    )
+    db = docs.select(
+        F.col("_id").alias("id_b"), F.col("_hs").alias("_hs_b"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect("_hs_a", "_hs_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        cands.join(da, "id_a")
+        .join(db, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")), 4
-            ).alias("jaccard_sim"),
+            F.round(inter / (F.col("_na") + F.col("_nb") - inter), 4).alias(
+                "jaccard_sim"
+            ),
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )

@@ -670,6 +670,29 @@ class TestJaccardIndexPairs:
         out = dedup.jaccard_index_pairs(df, threshold=0.1, max_df=2).collect()
         assert out == []
 
+    def test_prefix_filter_is_lossless(self, spark, sf_dir):
+        """The AllPairs prefix prune must return EXACTLY the flat
+        inverted-index join's pairs — it is an optimization, not an
+        approximation — across thresholds including ones where the
+        rounding boundary matters."""
+        from exosql_spark.io import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        for t in (0.2, 0.3, 0.5):
+            flat = {
+                tuple(r)
+                for r in dedup.jaccard_index_pairs(
+                    docs, threshold=t, prefix_filter=False
+                ).collect()
+            }
+            pref = {
+                tuple(r)
+                for r in dedup.jaccard_index_pairs(
+                    docs, threshold=t, prefix_filter=True
+                ).collect()
+            }
+            assert flat == pref, f"threshold {t}: prefix lost/added pairs"
+
 
 class TestKmeans:
     def _blobs(self, spark):
