@@ -101,11 +101,14 @@ def incremental_dedup(
     ref_bands = ref_bands.select(
         F.col("_id").alias("_rid"), "band", "key"
     )
+    # persist: three consumers (both semi-join id sets + the verify
+    # join) — without the barrier the band join runs three times
     cands = (
         signature_bands(new_sig, num_hashes, bands)
         .join(ref_bands, ["band", "key"])
         .select("_id", "_rid")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # verify with exact Jaccard — fetch shingles for candidate ids only
     new_sh = rest.join(cands.select("_id").distinct(), "_id", "left_semi").select(

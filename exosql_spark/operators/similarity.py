@@ -296,7 +296,9 @@ def embedding_near_dupes(
     ).select("_id", "_vec", "tb.table", "tb.bucket")
     from exosql_spark.operators.dedup import _cap_buckets
 
-    banded = _cap_buckets(banded, ["table", "bucket"], max_bucket)
+    # persist: both self-join sides consume this frame — without the
+    # barrier the n_tables×n_planes sign-bit dot products run twice
+    banded = _cap_buckets(banded, ["table", "bucket"], max_bucket).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

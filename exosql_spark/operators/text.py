@@ -306,10 +306,12 @@ def line_dedup(
     reassemble. Line *text* crosses the reassembly shuffle only —
     never the DF-count shuffle. All Column ops, no Python.
     """
+    # persist: the DF-count aggregation and the anti-join both read this
+    # frame — without the barrier the split+normalize+md5 pass runs twice
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
-    ).withColumn("_h", F.md5(normalize_text(F.col("_line"))))
+    ).withColumn("_h", F.md5(normalize_text(F.col("_line")))).persist()
     boiler = (
         lines.groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
