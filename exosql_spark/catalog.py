@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "dedup_minhash_components",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_pq",
     "embedding_kmeans",
     "curate_corpus_pipeline",
     "export_training_corpus",

@@ -1,0 +1,177 @@
+"""Product quantization (PQ) approximate nearest neighbor — the
+compressed-domain similarity path for corpora too large to hold raw
+vectors (Jégou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011).
+
+Beyond-reference extension (no vector surface in serverboards/exosql);
+complements the other ANN paths in :mod:`exosql_spark.operators.
+similarity` (sign-LSH, IVF): LSH/IVF prune the CANDIDATE SET, PQ
+compresses the VECTORS — at 100 TB you combine them (IVF cells +
+PQ codes per cell is classic IVFADC).
+
+How it scales:
+
+- **Training** runs m independent k-means over sub-vectors of a
+  (driver-bounded) sample — codebooks are m × k × (dim/m) floats,
+  e.g. 8 × 16 × 8 = 1 Ki floats: they travel as expression literals,
+  never as a join side.
+- **Encoding** is a pure map (argmin over k literal centroids per
+  subspace): a 64-float vector becomes m small codes — 8 bytes with
+  m=8, k≤256 — a 32× compression; the encoded table is what you
+  store and scan.
+- **Querying** uses asymmetric distance computation (ADC): per query,
+  an m × k table of exact subspace distances is computed driver-side
+  (tiny: m·k floats per query), folded into the expression as
+  literals, and each corpus row's approximate distance is m array
+  lookups + adds — no decode, no per-row Python, no join. The final
+  top-k reuses the two-level partial-then-window pattern of
+  ``similarity.cosine_topk`` so no reducer sees a corpus-sized
+  partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from exosql_spark.operators.clustering import _sq_dist, kmeans
+
+
+def train_codebooks(
+    sample: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each by running
+    deterministic Lloyd k-means (lowest-id init) on each dim/m-wide
+    sub-vector slice of ``sample``.
+
+    ``sample`` should be a bounded training sample at real scale
+    (PQ codebooks converge on ~10⁵–10⁶ vectors; training never needs
+    the full corpus). Returns plain Python lists — the codebooks are
+    literal-sized by construction."""
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub_dim = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = sample.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias(vec_col),
+        )
+        centroids, _ = kmeans(sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+        books.append(centroids)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as an ``array<int>`` of per-subspace centroid
+    ids (argmin squared distance; ties → lower code, deterministic).
+    Pure Column map — fuses into the scan, no shuffle. The output
+    (id, pq_code) is the compressed table you persist at scale."""
+    vec = F.col(vec_col).cast("array<double>")
+    sub_dim = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vec, j * sub_dim + 1, sub_dim)
+        best = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(sub, c).alias("d"), F.lit(ci).alias("c"))
+                    for ci, c in enumerate(book)
+                ]
+            )
+        )[0]["c"]
+        codes.append(best)
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.array(*codes).cast("array<int>").alias("pq_code")
+    )
+
+
+def _adc_table(q_vec: list[float], codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Exact per-subspace squared distances from one query to every
+    codeword: m × k floats, computed driver-side (tiny)."""
+    sub_dim = len(codebooks[0][0])
+    table = []
+    for j, book in enumerate(codebooks):
+        sub = q_vec[j * sub_dim : (j + 1) * sub_dim]
+        table.append(
+            [sum((a - b) * (a - b) for a, b in zip(sub, c)) for c in book]
+        )
+    return table
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over the encoded table: per query, approximate squared
+    distance = Σ_j table_q[j][pq_code[j]] — m element_at lookups into
+    literal arrays per corpus row. ``queries`` is collected driver-side
+    (broadcast-sized by the same contract as cosine_topk's query set —
+    each query adds m·k literal floats to the plan).
+
+    Two-level top-k (partition-local slice → k-bounded global window),
+    same losslessness argument as similarity.cosine_topk — the partial
+    keeps rows under the exact global order (dist asc, vec_id asc).
+    Columns: query_id, vec_id, approx_sq_dist, rank."""
+    qs = [
+        (r[query_id_col], list(r[vec_col]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    per_query = []
+    for qid, q_vec in qs:
+        table = _adc_table(q_vec, codebooks)
+        dist = None
+        for j, row in enumerate(table):
+            lookup = F.element_at(
+                F.array(*[F.lit(float(v)) for v in row]),
+                F.element_at("pq_code", j + 1) + 1,
+            )
+            dist = lookup if dist is None else dist + lookup
+        per_query.append(
+            codes.select(
+                F.lit(qid).alias("query_id"),
+                "vec_id",
+                dist.alias("_d"),
+            )
+        )
+    scored = per_query[0]
+    for frame in per_query[1:]:
+        scored = scored.unionByName(frame)
+    # level 1: partition-local top-k under (dist asc, vec_id asc)
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "query_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_d").alias("d"), F.col("vec_id").alias("v"))
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", F.explode("_top").alias("_t"))
+        .select("query_id", F.col("_t.v").alias("vec_id"), F.col("_t.d").alias("_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_d", 4).alias("approx_sq_dist"), "rank")
+    )

@@ -1029,6 +1029,36 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
 
 
 @register(
+    "similarity_topk_pq",
+    oracle=None,  # PQ is lossy by design: ADC distances are quantized
+    # approximations, so the top-k set legitimately differs from exact
+    # search and no SQL oracle can reproduce the codebook training;
+    # planted-copy recall + encode determinism are asserted in
+    # tests/test_operators.py::TestProductQuantization
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): m=8 subspace
+    codebooks (k=16, deterministic Lloyd init) trained on the corpus,
+    vectors encoded to 8 small codes (32× compression), queries scored
+    via ADC literal-table lookups — no decode, no join, no per-row
+    Python; two-level top-k bounds every reducer. The compressed-domain
+    scale path alongside sign-LSH and IVF."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    # train on a bounded sample (the documented practice at scale —
+    # codebooks converge long before the corpus is exhausted)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    codes = pq.pq_encode(t.embeddings, books)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_topk(codes, queries, books, k=10)
+
+
+@register(
     "embedding_kmeans",
     oracle=None,  # Lloyd iterations accumulate float sums whose order
     # differs across engines, so centroids drift in the last ulp and

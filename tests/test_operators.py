@@ -115,6 +115,54 @@ class TestSimilarity:
         assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
 
 
+class TestProductQuantization:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((60, 16))
+        # plant near-copies of vectors 0 and 1 at ids 100/101
+        planted = {100: 0, 101: 1}
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        for pid, src in planted.items():
+            rows.append(
+                (pid, [float(x) for x in base[src] + 0.01 * rng.standard_normal(16)])
+            )
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_encode_shape_and_determinism(self, corpus):
+        from exosql_spark.operators import pq
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        assert len(books) == 4 and all(len(b) == 8 for b in books)
+        codes1 = {r.vec_id: list(r.pq_code) for r in pq.pq_encode(corpus, books).collect()}
+        codes2 = {r.vec_id: list(r.pq_code) for r in pq.pq_encode(corpus, books).collect()}
+        assert codes1 == codes2  # deterministic
+        assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes1.values())
+
+    def test_adc_recall_on_planted(self, corpus):
+        """An ε-copy of the query must rank in the ADC top-k: its code
+        equals the query's nearest codewords, so its approximate
+        distance is ~the query's own quantization error — far below
+        any random vector's true distance."""
+        from exosql_spark.operators import pq
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        codes = pq.pq_encode(corpus, books)
+        q = corpus.filter(F.col("vec_id").isin(0, 1)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = pq.pq_topk(codes, q, books, k=5)
+        top = {}
+        for r in got.collect():
+            top.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for qid, planted_id in ((0, 100), (1, 101)):
+            ids = [v for _, v in sorted(top[qid])]
+            assert qid in ids, f"query {qid} not its own ADC neighbor: {ids}"
+            assert planted_id in ids, f"planted copy {planted_id} missed: {ids}"
+
+
 class TestText:
     def test_token_counts(self, spark):
         df = spark.createDataFrame([("hello,  world! 42",)], "text string")
