@@ -60,6 +60,7 @@ _VERIFY_FIRST = (
     "dedup_ngram_jaccard",             # promoted: planted J=1.0 / 58/61 set
     "multimodal_features",             # promoted: byte-length + sha1 parity
     "dedup_incremental_batch",         # new: cross-snapshot dedup vs ref corpus
+    "text_decontaminate_bloom",        # new: join-free Bloom decontamination
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

@@ -752,6 +752,49 @@ def text_decontaminate(spark, sf_dir):
 
 
 @register(
+    "text_decontaminate_bloom",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                          '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 4
+                     THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+3], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS g
+  FROM norm
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id <= 20)
+SELECT doc_id, count(*) AS n_hits
+FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+""",
+    tags=("llm", "text", "decontam", "scale"),
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """Join-free decontamination: the benchmark's n-gram set compiles
+    to a Bloom bitset (3.6 bytes/gram at fpp 2⁻²⁰; here 2⁻³⁰) probed by
+    a vectorized Arrow-batched numpy UDF over the md5 gram hashes — the
+    corpus never joins; the only shuffle is the per-doc count. Shares
+    text_decontaminate's EXACT oracle: Bloom filters have no false
+    negatives, and at fpp ≈ 1e-9 the expected false-positive probe
+    count over this corpus's ~10⁵ distinct grams is ≈ 1e-4 —
+    deterministically zero for the fixed testdata + hash seed
+    (asserted at all test SFs), so bloom hits == join hits exactly."""
+    from exosql_spark.operators import decontam
+
+    t = Tables(spark, sf_dir)
+    bench = t.documents.filter(F.col("doc_id") <= 20)
+    return decontam.decontaminate_hits_bloom(
+        t.documents, bench, "text", "doc_id", n=4, bits_per_item=43, k=30
+    )
+
+
+@register(
     "embedding_centroids",
     oracle="""
 WITH ex AS (

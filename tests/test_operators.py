@@ -329,6 +329,50 @@ class TestDecontaminate:
         hits = decontam.decontaminate_hits(docs, docs.filter(F.col("doc_id") == 1), n=8)
         assert {r.doc_id for r in hits.collect()} == {1, 2}
 
+    def test_bloom_matches_exact_join(self, spark, sf_dir):
+        """The Bloom probe path must agree with the broadcast-join path
+        on real data: no false negatives ever (Bloom guarantee), and at
+        fpp≈1e-6 with this corpus's gram count, zero false positives in
+        practice — so (id, n_hits) match exactly."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import decontam
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") <= 20)
+        exact = {
+            (r.doc_id, r.n_hits)
+            for r in decontam.decontaminate_hits(docs, bench, n=4).collect()
+        }
+        bloom = {
+            (r.doc_id, r.n_hits)
+            for r in decontam.decontaminate_hits_bloom(docs, bench, n=4).collect()
+        }
+        assert bloom == exact
+
+    def test_bloom_superset_under_tiny_filter(self, spark):
+        """Force false positives with an undersized filter: bloom hits
+        must still be a superset of exact hits per doc (no false
+        negatives), never a subset."""
+        from exosql_spark.operators import decontam
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i}a w{i}b w{i}c w{i}d shared tail tokens here") for i in range(40)],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") == 0)
+        exact = {
+            r.doc_id: r.n_hits
+            for r in decontam.decontaminate_hits(docs, bench, n=4).collect()
+        }
+        bloom = {
+            r.doc_id: r.n_hits
+            for r in decontam.decontaminate_hits_bloom(
+                docs, bench, n=4, bits_per_item=2, k=1
+            ).collect()
+        }
+        for d, n in exact.items():
+            assert bloom.get(d, 0) >= n
+
 
 class TestLabelCentroids:
     def test_centroid_values(self, spark):
