@@ -54,6 +54,7 @@ _VERIFY_FIRST = (
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
     "streaming_sessions_parity",       # session windows ↔ gaps-and-islands
     "streaming_dedup_parity",          # dropDuplicatesWithinWatermark ↔ DISTINCT
+    "streaming_attribution_parity",    # stream-stream interval join ↔ SQL join
     "dedup_minhash_clusters_planted",  # LSH→components on planted dups
     "dedup_embedding_cosine",          # promoted: planted scaled copies
     "dedup_simhash_pairs",             # promoted: planted identical triples
@@ -67,6 +68,7 @@ _VERIFY_FIRST = (
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "embedding_kmeans",
     "curate_corpus_pipeline",
     "export_training_corpus",

@@ -175,3 +175,96 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("_d", 4).alias("approx_sq_dist"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): coarse IVF cells prune the
+    CANDIDATE SET, PQ/ADC scores the survivors in the compressed
+    domain — the structure behind billion-scale ANN deployments.
+
+    Coarse quantizer: the same training-free random-direction cells as
+    ``similarity.ivf_topk`` (deterministic, no second k-means). Corpus
+    rows carry (cell, pq_code); queries probe their ``n_probe`` best
+    cells; the ADC distance is a per-query literal-table lookup over
+    the join's survivors — only ~n_probe/n_cells of the corpus is
+    scored, and what's scored is 8-byte codes, not raw vectors. At
+    scale, store the encoded table partitioned by ``cell`` so probes
+    prune files before they prune rows.
+
+    Columns: query_id, vec_id, approx_sq_dist, rank.
+    """
+    from exosql_spark.operators.similarity import _dot, _hyperplanes
+
+    cents = _hyperplanes(dim, n_cells, seed)
+
+    def cell_scores(vecc: F.Column) -> F.Column:
+        v = F.transform(vecc, lambda x: x.cast("double"))
+        return F.array(
+            *[
+                F.struct(
+                    _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    encoded = pq_encode(corpus, codebooks, vec_col, id_col)
+    cells = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+    )
+    table_side = encoded.join(cells, "vec_id")
+
+    qs = [
+        (r[query_id_col], list(r[vec_col]))
+        for r in queries.select(query_id_col, vec_col).collect()
+    ]
+    probes = []
+    adc_dist = None
+    for qid, q_vec in qs:
+        # driver-side probe selection mirrors cell_scores exactly
+        scores = sorted(
+            ((sum(a * b for a, b in zip(q_vec, c)), i) for i, c in enumerate(cents)),
+            reverse=True,
+        )
+        probes.extend((qid, cell) for _, cell in scores[:n_probe])
+        table = _adc_table(q_vec, codebooks)
+        dist = None
+        for j, row in enumerate(table):
+            lookup = F.element_at(
+                F.array(*[F.lit(float(v)) for v in row]),
+                F.element_at("pq_code", j + 1) + 1,
+            )
+            dist = lookup if dist is None else dist + lookup
+        branch = F.when(F.col("query_id") == F.lit(qid), dist)
+        adc_dist = branch if adc_dist is None else adc_dist.when(
+            F.col("query_id") == F.lit(qid), dist
+        )
+
+    spark = corpus.sparkSession
+    probe_df = F.broadcast(
+        spark.createDataFrame(probes, f"{'query_id'} long, cell int")
+    )
+    scored = (
+        table_side.join(probe_df, "cell")
+        .select("query_id", "vec_id", adc_dist.alias("_d"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_d", 4).alias("approx_sq_dist"), "rank")
+    )

