@@ -62,6 +62,8 @@ _VERIFY_FIRST = (
     "multimodal_features",             # promoted: byte-length + sha1 parity
     "dedup_incremental_batch",         # new: cross-snapshot dedup vs ref corpus
     "text_decontaminate_bloom",        # new: join-free Bloom decontamination
+    "agg_listagg",                     # new: LISTAGG WITHIN GROUP
+    "unpivot_melt",                    # new: UNPIVOT/melt
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

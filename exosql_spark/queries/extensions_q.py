@@ -598,3 +598,70 @@ def sample_fraction(spark, sf_dir):
     return t.lineitem.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    tags=("agg", "extension"),
+)
+def agg_listagg(spark, sf_dir):
+    """SQL:2016 LISTAGG ... WITHIN GROUP (Spark 4 `listagg` ↔ DuckDB
+    `string_agg(... ORDER BY)`): deterministic ordered string
+    aggregation — the explicit within-group ORDER is what makes the
+    result hash-stable across engines (a bare collect order is not)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.nation.join(t.region, t.nation.n_regionkey == t.region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            )
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+WHERE l_orderkey < 1000
+ORDER BY l_orderkey, l_linenumber, measure
+""",
+    tags=("extension",),
+)
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT/melt (pivot's inverse — `DataFrame.unpivot`, ANSI
+    UNPIVOT semantics): wide measure columns become (measure, value)
+    rows. The oracle states it as the portable UNION ALL desugaring.
+    Narrow transform — fuses into the scan, rows fan out 4× with no
+    shuffle."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    )
