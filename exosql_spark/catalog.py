@@ -64,6 +64,7 @@ _VERIFY_FIRST = (
     "text_decontaminate_bloom",        # new: join-free Bloom decontamination
     "agg_listagg",                     # new: LISTAGG WITHIN GROUP
     "unpivot_melt",                    # new: UNPIVOT/melt
+    "text_lm_score",                   # new: bigram-LM perplexity proxy
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

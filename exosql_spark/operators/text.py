@@ -336,3 +336,83 @@ def line_dedup(
         .join(rebuilt, id_col, "left")
         .fillna({text_col: ""})
     )
+
+
+# --------------------------------------------------------------------
+# N-gram language-model scoring (CCNet-style perplexity proxy)
+# --------------------------------------------------------------------
+
+
+def lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Corpus-trained bigram LM score per document — the cheap
+    perplexity-proxy quality signal (CCNet buckets corpora by KenLM
+    perplexity; a corpus-self-trained add-k bigram model gives the
+    same ranking signal with no external model):
+
+        score(d) = mean over bigrams of log2 P(w_i | w_{i-1}),
+        P(cur | prev) = (c(prev,cur) + k) / (c(prev) + k·V)
+
+    Unusually-worded / garbled / wrong-language docs score low;
+    boilerplate scores high. Returns (id, n_bigrams, lm_score) for
+    documents with ≥ 1 bigram (≥ 2 tokens).
+
+    Scale shape: two count aggregations (bigram, unigram — shuffles
+    carry token strings once; at 100 TB hash them first), V and the
+    training totals stay scalar, scoring is one join of doc bigrams
+    against the count tables — counts are Zipf-concentrated so the
+    join's build side is effectively the head of the vocabulary; AQE
+    broadcast applies when it fits. Mean is decimal-stable (order-
+    independent) so the result is engine-portable.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    # filter BEFORE the explode: sequence(1, n-1) at n < 2 would run
+    # DESCENDING (Spark auto-picks step -1), not empty
+    big = (
+        df.filter(n >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i).alias("prev"),
+                        F.element_at(toks, i + 1).alias("cur"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select(id_col, "bg.prev", "bg.cur")
+    )
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("_c1"))
+    v = big.select(F.count_distinct("cur").alias("_v"))
+    logp = F.log2(
+        (F.col("_c2") + F.lit(add_k))
+        / (F.col("_c1") + F.lit(add_k) * F.col("_v"))
+    )
+    return (
+        big.join(c2, ["prev", "cur"])
+        .join(c1, "prev")
+        .crossJoin(F.broadcast(v))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(logp.cast("decimal(25,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (F.floor(F.col("_m") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)).alias(
+                "lm_score"
+            ),
+        )
+    )

@@ -1021,6 +1021,41 @@ def mixture_sample(spark, sf_dir):
 
 
 @register(
+    "text_lm_score",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, {{ntoks}} AS t FROM documents
+),
+b2 AS (
+  SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+c2 AS (SELECT prev, cur, count(*) AS c2 FROM b2 GROUP BY 1, 2),
+c1 AS (SELECT prev, count(*) AS c1 FROM b2 GROUP BY 1),
+v AS (SELECT count(DISTINCT cur) AS v FROM b2)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       floor((CAST(sum(CAST(log2((c2 + 0.5) / (c1 + 0.5 * v)) AS DECIMAL(25,6))) AS DOUBLE)
+              / count(*)) * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS lm_score
+FROM b2 JOIN c2 USING (prev, cur) JOIN c1 USING (prev) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+""".replace("{ntoks}", _SQL_NTOKS),
+    tags=("llm", "text", "quality"),
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score (CCNet-style perplexity
+    proxy, add-k smoothing k=0.5): per-doc mean log2 P(w_i | w_{i−1})
+    under counts from the corpus itself. Garbled / wrong-language docs
+    rank low; the decimal-stable mean makes the score exactly
+    oracle-checkable — rare for an LM signal. See
+    operators/text.py::lm_score for the 100 TB shape."""
+    t = Tables(spark, sf_dir)
+    return text.lm_score(t.documents, "text", "doc_id").orderBy("doc_id")
+
+
+@register(
     "dedup_jaccard_exact_pairs",
     oracle=rf"""
 WITH d AS (

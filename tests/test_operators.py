@@ -322,6 +322,32 @@ class TestMultimodal:
             multimodal.extract_features(media, strict=True).collect()
 
 
+class TestLmScore:
+    def test_repetitive_scores_above_unique(self, spark):
+        """A doc whose bigrams dominate the corpus must out-score docs
+        made of one-off bigrams — the ranking signal LM filtering
+        relies on — and every score must be a valid negative log2."""
+        from exosql_spark.operators import text as t_ops
+
+        rows = [(i, "the cat sat on the mat again and again") for i in range(5)]
+        rows.append((100, "zq wv xj kp qn vb mz ld fw yg"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.lm_score for r in t_ops.lm_score(df).collect()}
+        assert set(got) == {0, 1, 2, 3, 4, 100}
+        assert all(s < 0 for s in got.values())
+        assert got[0] > got[100]  # frequent bigrams → higher mean log-prob
+        assert got[0] == got[4]  # identical docs, identical score
+
+    def test_short_docs_excluded(self, spark):
+        from exosql_spark.operators import text as t_ops
+
+        df = spark.createDataFrame(
+            [(1, "one"), (2, ""), (3, "two tokens here")], "doc_id long, text string"
+        )
+        got = {r.doc_id for r in t_ops.lm_score(df).collect()}
+        assert got == {3}
+
+
 class TestDecontaminate:
     def test_flags_overlapping_docs(self, spark):
         from exosql_spark.operators import decontam
