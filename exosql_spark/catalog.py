@@ -65,6 +65,7 @@ _VERIFY_FIRST = (
     "agg_listagg",                     # new: LISTAGG WITHIN GROUP
     "unpivot_melt",                    # new: UNPIVOT/melt
     "text_lm_score",                   # new: bigram-LM perplexity proxy
+    "text_span_dedup",                 # new: ExactSubstr-style span removal
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

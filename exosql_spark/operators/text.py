@@ -416,3 +416,84 @@ def lm_score(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Repeated-span removal (ExactSubstr-style, Lee et al. 2022)
+# --------------------------------------------------------------------
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every token covered by a corpus-repeated span — the
+    fixed-window relaxation of ExactSubstr dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    where the paper builds a suffix array to find variable-length
+    repeats ≥ 50 tokens, this marks every ``span``-token window whose
+    normalized L-gram occurs ≥ ``min_count`` times corpus-wide
+    (cross-doc or within-doc) and drops ALL covered tokens. Catches
+    templated boilerplate, licence blocks, and copy-pasted passages
+    that line- and document-level dedup both miss.
+
+    Returns (id, text, n_tokens_removed) with the reassembled
+    normalized text (tokens joined by single spaces — same convention
+    as line_dedup's rebuild).
+
+    Scale shape: one narrow L-gram explode → count shuffle on the
+    8-byte gram hash → semi-join back marks hit START positions → one
+    groupBy(id) collects the (doc-length-bounded) hit array → kept
+    tokens are decided per doc with pure Column math (exists() over
+    the hit array — O(tokens × hits) inside the row, no further
+    shuffle). Documents never cross the wire; only (hash, id, pos)
+    longs do.
+    """
+    toks = tokens(normalize_text(F.col(text_col)))
+    n = F.size(toks)
+    base = df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n")).persist()
+    grams = base.filter(F.col("_n") >= span).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    _token_hash(
+                        F.array_join(F.slice("_toks", i, span), " ")
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, "g.pos", "g.h")
+    repeated = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    hits = (
+        grams.join(repeated, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_hits"))
+    )
+    joined = base.join(hits, id_col, "left").withColumn(
+        "_hits", F.coalesce("_hits", F.array().cast("array<int>"))
+    )
+    covered = lambda i: F.exists(
+        F.col("_hits"), lambda p: (p <= i) & (i < p + span)
+    )
+    kept = F.filter(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda i: ~covered(i),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(kept, lambda i: F.element_at("_toks", i)), " "
+        ).alias(text_col),
+        (F.col("_n") - F.size(kept)).alias("n_tokens_removed"),
+    )

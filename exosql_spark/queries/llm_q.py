@@ -14,6 +14,17 @@ from exosql_spark.io import Tables
 from exosql_spark.operators import dedup, ranking, similarity, text
 from exosql_spark.queries import _util as _u
 
+# Normalized-token list + portable 60-bit hash macros (DuckDB side of
+# the text operators' normalize/tokenize/hash pipeline).
+_SQL_NTOKS = (
+    r"list_filter(string_split_regex(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '')"
+)
+# Portable 60-bit md5 hash of an expression (packing.portable_hash60).
+def _sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 
 # --------------------------------------------------------------------
 # Dedup
@@ -445,6 +456,62 @@ def dedup_incremental_batch(spark, sf_dir):
     batch = fresh.unionByName(exact_copies).unionByName(near_copies)
     out = incremental_dedup(batch, ref, threshold=0.5)
     return out.select("doc_id", "status").orderBy("doc_id")
+
+
+@register(
+    "text_span_dedup",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' Content provided under the creative commons attribution license terms apply' AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, {ntoks} AS t FROM d
+), grams AS (
+  SELECT doc_id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) % {mod} AS h
+  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+  WHERE len(t) >= 8
+), rep AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), hits AS (
+  SELECT doc_id, list_sort(list(pos)) AS hs
+  FROM grams JOIN rep USING (h) GROUP BY doc_id
+), joined AS (
+  SELECT toks.doc_id, t, coalesce(hs, []) AS hs
+  FROM toks LEFT JOIN hits USING (doc_id)
+), kept AS (
+  SELECT doc_id, t,
+         list_filter(range(1, len(t) + 1),
+                     i -> len(list_filter(hs, p -> p <= i AND i < p + 8)) = 0) AS ks
+  FROM joined
+)
+SELECT doc_id,
+       coalesce(array_to_string(list_transform(ks, i -> t[i]), ' '), '') AS text,
+       len(t) - len(ks) AS n_tokens_removed
+FROM kept
+ORDER BY doc_id
+""".replace("{ntoks}", _SQL_NTOKS).replace("{mod}", str(text._ROLL_MOD)),
+    tags=("llm", "text", "dedup"),
+)
+def text_span_dedup(spark, sf_dir):
+    """ExactSubstr-style repeated-span removal (Lee et al. 2022, fixed
+    8-token windows): every token covered by an L-gram occurring >= 2
+    times corpus-wide is cut. The entry plants a shared license-footer
+    span in every document (so the repeated span provably exists); the
+    oracle is a full SQL twin of the ALGORITHM, not a closed form, so
+    natural corpus repeats are stripped identically on both engines.
+    Catches copy-pasted passages that line- and doc-level dedup miss."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("Content provided under the creative commons attribution license terms apply"),
+        ).alias("text"),
+    )
+    return text.span_dedup(docs, "text", "doc_id", span=8, min_count=2).orderBy("doc_id")
 
 
 @register(
@@ -913,15 +980,6 @@ def text_bm25_topk(spark, sf_dir):
 
 # Normalized-token list (lower, strip punct, ws-split) — the DuckDB
 # twin of text.tokens(text.normalize_text(c)).
-_SQL_NTOKS = (
-    r"list_filter(string_split_regex(trim(regexp_replace(regexp_replace("
-    r"lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), '\s+'), x -> x <> '')"
-)
-# Portable 60-bit md5 hash of an expression (packing.portable_hash60).
-def _sql_h60(expr: str) -> str:
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
-
-
 @register(
     "shard_export_stats",
     oracle=rf"""

@@ -322,6 +322,41 @@ class TestMultimodal:
             multimodal.extract_features(media, strict=True).collect()
 
 
+class TestSpanDedup:
+    def test_shared_span_removed_everywhere(self, spark):
+        """A boilerplate span shared by ≥2 docs is cut from ALL of them
+        (ExactSubstr remove-all convention); unique content and
+        repeat-free docs pass through untouched."""
+        from exosql_spark.operators import text as t_ops
+
+        boiler = "this content is provided under the creative commons license terms"
+        df = spark.createDataFrame(
+            [
+                (1, f"unique alpha text one two three four five six seven {boiler}"),
+                (2, f"different beta body with its own words here entirely {boiler}"),
+                (3, "totally standalone document nothing repeated anywhere at all today friend"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in t_ops.span_dedup(df, span=8).collect()}
+        assert got[1].n_tokens_removed == 10 and "creative" not in got[1].text
+        assert got[2].n_tokens_removed == 10 and got[2].text.startswith("different beta")
+        assert got[3].n_tokens_removed == 0
+        assert got[3].text == df.collect()[2].text  # already-normal text unchanged
+
+    def test_within_doc_repeat_removed(self, spark):
+        from exosql_spark.operators import text as t_ops
+
+        chant = "badger badger badger badger mushroom mushroom snake ohh"
+        df = spark.createDataFrame(
+            [(1, f"{chant} {chant}"), (2, "plain body of eight distinct tokens")],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in t_ops.span_dedup(df, span=8).collect()}
+        assert got[1].n_tokens_removed == 16  # both occurrences cut
+        assert got[2].n_tokens_removed == 0
+
+
 class TestLmScore:
     def test_repetitive_scores_above_unique(self, spark):
         """A doc whose bigrams dominate the corpus must out-score docs
