@@ -37,6 +37,15 @@ class CurateConfig:
     #: join. Results are identical either way (signatures are a pure
     #: function of text); only the plan shape changes.
     sig_after_dedup: bool = False
+    #: Run ExactSubstr-style repeated-span removal (text.span_dedup)
+    #: BEFORE feature extraction, so quality/token stats and dedup
+    #: signatures see the cleaned text. Adds one gram-count shuffle.
+    span_dedup: bool = False
+    span_len: int = 8
+    #: When set, drop documents whose corpus-trained bigram-LM score
+    #: (text.lm_score — the perplexity-proxy quality signal) falls
+    #: below this bound. Adds two count aggregations + one join.
+    min_lm_score: float | None = None
 
 
 def curate_corpus(
@@ -56,6 +65,22 @@ def curate_corpus(
     # a single-file local input would otherwise run the whole chain on
     # one partition. No-op at real scale (inputs arrive pre-split).
     docs = dedup._parallelize(docs)
+
+    # 0. optional ExactSubstr-style span removal FIRST, so every later
+    # stage (quality stats, hashes, signatures) sees the cleaned text.
+    if cfg.span_dedup:
+        cleaned = text.span_dedup(docs, text_col, id_col, span=cfg.span_len)
+        docs = (
+            docs.drop(text_col)
+            .join(cleaned.select(id_col, text_col), id_col)
+        )
+
+    # 0b. optional LM-score floor (corpus-trained perplexity proxy).
+    if cfg.min_lm_score is not None:
+        keep_lm = text.lm_score(docs, text_col, id_col).filter(
+            F.col("lm_score") >= cfg.min_lm_score
+        )
+        docs = docs.join(keep_lm.select(id_col), id_col, "left_semi")
 
     # 1. cheap per-row features (pure map — fused into the scan), plus —
     # unless cfg.sig_after_dedup — the MinHash signature, so the SAME

@@ -372,7 +372,10 @@ def lm_score(
     toks = tokens(normalize_text(F.col(text_col)))
     n = F.size(toks)
     # filter BEFORE the explode: sequence(1, n-1) at n < 2 would run
-    # DESCENDING (Spark auto-picks step -1), not empty
+    # DESCENDING (Spark auto-picks step -1), not empty.
+    # persist: FOUR consumers (bigram counts, unigram counts, vocab
+    # size, scoring join) — without the barrier the regex tokenize +
+    # explode re-executes per consumer.
     big = (
         df.filter(n >= 2)
         .select(
@@ -388,6 +391,7 @@ def lm_score(
             ).alias("bg"),
         )
         .select(id_col, "bg.prev", "bg.cur")
+        .persist()
     )
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("_c1"))
@@ -468,7 +472,7 @@ def span_dedup(
                 ),
             )
         ).alias("g"),
-    ).select(id_col, "g.pos", "g.h")
+    ).select(id_col, "g.pos", "g.h").persist()  # 2 consumers: count + semi-join
     repeated = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -430,6 +430,7 @@ SELECT doc_id, status FROM (
 ORDER BY doc_id
 """,
     tags=("llm", "dedup", "incremental"),
+    bench=True,
 )
 def dedup_incremental_batch(spark, sf_dir):
     """Cross-snapshot dedup (operators.incremental): a 30-doc "new
@@ -493,6 +494,7 @@ FROM kept
 ORDER BY doc_id
 """.replace("{ntoks}", _SQL_NTOKS).replace("{mod}", str(text._ROLL_MOD)),
     tags=("llm", "text", "dedup"),
+    bench=True,
 )
 def text_span_dedup(spark, sf_dir):
     """ExactSubstr-style repeated-span removal (Lee et al. 2022, fixed
@@ -1101,6 +1103,7 @@ GROUP BY doc_id
 ORDER BY doc_id
 """.replace("{ntoks}", _SQL_NTOKS),
     tags=("llm", "text", "quality"),
+    bench=True,
 )
 def text_lm_score(spark, sf_dir):
     """Corpus-trained bigram-LM quality score (CCNet-style perplexity

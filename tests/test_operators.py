@@ -570,6 +570,23 @@ class TestCuratePipeline:
         kept = sorted(r.doc_id for r in curated.collect())
         assert kept == [1, 4]
 
+    def test_span_and_lm_stages(self, spark, sf_dir):
+        """span_dedup + min_lm_score stages compose: the pipeline still
+        returns a curated frame, docs emptied by span removal fall to
+        the token gate, and the LM floor strictly shrinks the output."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        base = curate_corpus(docs, config=CurateConfig(min_tokens=5))
+        staged = curate_corpus(
+            docs,
+            config=CurateConfig(min_tokens=5, span_dedup=True, min_lm_score=-13.0),
+        )
+        nb, ns = base.count(), staged.count()
+        assert 0 < ns <= nb
+        assert set(staged.columns) == set(base.columns)
+
     def test_sig_after_dedup_orderings_equal(self, spark, sf_dir):
         """sig_after_dedup only changes WHEN signatures are computed
         (pre- vs post-exact-dedup) — the curated corpus must be
