@@ -113,6 +113,7 @@ class TestNoAccidentalCartesian:
         "tpch_q11_important_stock",  # 1-row global-total broadcast scalar
         "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
         "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
+        "text_lm_score",  # 1-row vocab-size broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
