@@ -150,6 +150,56 @@ def streaming_dedup_parity(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_parity",
+    oracle="""
+WITH w AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS window_start,
+         value
+  FROM events
+)
+SELECT window_start,
+       count(*) AS n_events,
+       floor(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS total_value
+FROM w
+WHERE window_start < (SELECT max(ts) FROM events) - INTERVAL 3 HOUR
+GROUP BY window_start
+ORDER BY window_start
+""",
+    tags=("streaming", "window"),
+)
+def streaming_sliding_parity(spark, sf_dir):
+    """Watermarked sliding windows (1 h width / 30 min slide) drained
+    with availableNow vs the batch desugaring: every event belongs to
+    exactly two windows — time_bucket(30m, ts) and the bucket before
+    it — which the oracle states with an unnest. Parity restricted to
+    windows the final watermark closed (start < max(ts) − 3 h =
+    width + watermark), on counts and the decimal-grid-stable sum
+    (see sliding_value_avg's doc for why not avg)."""
+    from exosql_spark import streaming
+    from exosql_spark.io import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        streaming.sliding_value_avg(stream), "cat_sliding", mode="append"
+    )
+    q.stop()
+    return (
+        spark.table("cat_sliding")
+        .filter(F.col("window_start") < F.lit(max_ts) - F.expr("INTERVAL 3 HOURS"))
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            _u.fround(F.col("total_value").cast("double"), 4).alias("total_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@register(
     "streaming_attribution_parity",
     oracle="""
 SELECT v.user_id,

@@ -120,15 +120,26 @@ def sliding_value_avg(
     slide: str = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Watermarked sliding-window average value."""
+    """Watermarked sliding-window stats. ``total_value`` (a sum of
+    2-decimal testdata values — always on the 0.01 grid, so rounding
+    is engine-stable) carries the cross-engine parity check;
+    ``avg_value`` is the human-facing stat (an average can land
+    exactly on a rounding half-boundary, where float-sum order makes
+    engines legitimately disagree — see queries/_util.py)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", width, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "total_value",
+            "avg_value",
+        )
     )
 
 
