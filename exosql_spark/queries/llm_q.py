@@ -456,7 +456,7 @@ def dedup_incremental_batch(spark, sf_dir):
     )
     batch = fresh.unionByName(exact_copies).unionByName(near_copies)
     out = incremental_dedup(batch, ref, threshold=0.5)
-    return out.select("doc_id", "status").orderBy("doc_id")
+    return out.select("doc_id", "status")
 
 
 @register(
@@ -513,7 +513,7 @@ def text_span_dedup(spark, sf_dir):
             F.lit("Content provided under the creative commons attribution license terms apply"),
         ).alias("text"),
     )
-    return text.span_dedup(docs, "text", "doc_id", span=8, min_count=2).orderBy("doc_id")
+    return text.span_dedup(docs, "text", "doc_id", span=8, min_count=2)
 
 
 @register(
@@ -1113,7 +1113,9 @@ def text_lm_score(spark, sf_dir):
     oracle-checkable — rare for an LM signal. See
     operators/text.py::lm_score for the 100 TB shape."""
     t = Tables(spark, sf_dir)
-    return text.lm_score(t.documents, "text", "doc_id").orderBy("doc_id")
+    # no orderBy: the gate compares order-insensitively and a global
+    # sort would put a pointless range exchange in the benched plan
+    return text.lm_score(t.documents, "text", "doc_id")
 
 
 @register(
