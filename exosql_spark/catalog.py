@@ -67,6 +67,7 @@ _VERIFY_FIRST = (
     "unpivot_melt",                    # new: UNPIVOT/melt
     "text_lm_score",                   # new: bigram-LM perplexity proxy
     "text_span_dedup",                 # new: ExactSubstr-style span removal
+    "text_token_topk_approx",          # new: sketch heavy-hitters scale path
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

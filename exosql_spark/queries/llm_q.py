@@ -731,6 +731,47 @@ def text_token_topk(spark, sf_dir):
 
 
 @register(
+    "text_token_topk_approx",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+)
+SELECT token, n
+FROM counts
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tags=("llm", "text", "scale"),
+)
+def text_token_topk_approx(spark, sf_dir):
+    """Sketch-based heavy hitters — the 100 TB path text_token_topk's
+    docstring promises: ONE pass building a mergeable approx_top_k
+    sketch (no full token-count shuffle reaches the driver-visible
+    stage; partial sketches merge map-side). The entry shares the
+    exact top-k oracle legitimately: with maxItemsTracked (1M) ≥ the
+    corpus vocabulary the sketch degenerates to exact counts, and
+    re-ranking the sketch's top-100 by (count desc, token) reproduces
+    the exact tie-broken top-20 unless >100 tokens tie at the cut
+    (asserted at all test SFs). At real scale the same plan is
+    approximate-but-bounded instead of exact — that tradeoff is the
+    point."""
+    t = Tables(spark, sf_dir)
+    sk = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .select(F.expr("approx_top_k(token, 100, 1000000)").alias("tk"))
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("token"), F.col("e.count").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
     "text_pii_redact",
     oracle=f"""
 SELECT doc_id,

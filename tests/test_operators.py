@@ -653,6 +653,42 @@ class TestIncrementalDedup:
         assert all(s == "near_dup" and m == d - 600000
                    for d, s, m in got_i if d >= 600000)
 
+    def test_index_parquet_round_trip(self, spark, sf_dir, tmp_path):
+        """The maintained-index workflow end to end: digests + band
+        keys persisted to parquet (the appendable index a production
+        pipeline keeps between ingest cycles), read back cold, and
+        fed to incremental_dedup — classification identical to the
+        derive-from-ref path."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import dedup
+        from exosql_spark.operators.incremental import incremental_dedup
+
+        ref = load_table(spark, sf_dir, "documents")
+        ref.select(
+            F.col("doc_id").alias("_rid"), dedup.fingerprint("text").alias("_h")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/digests")
+        sig = ref.select(
+            F.col("doc_id").alias("_id"),
+            dedup.minhash_signature("text", 64).alias("_sig"),
+        )
+        dedup.signature_bands(sig, 64, 16).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(f"{tmp_path}/bands")
+
+        batch = ref.filter(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+        out = incremental_dedup(
+            batch,
+            ref,
+            ref_digests=spark.read.parquet(f"{tmp_path}/digests"),
+            ref_bands=spark.read.parquet(f"{tmp_path}/bands"),
+        )
+        got = {(r.doc_id, r.status, r.matched_ref_id) for r in out.collect()}
+        assert got == {(700000 + i, "exact_dup", i) for i in range(5)}
+
 
 class TestAsofJoin:
     def test_inclusive_vs_strict_bounds(self, spark):
