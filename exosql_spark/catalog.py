@@ -68,6 +68,8 @@ _VERIFY_FIRST = (
     "text_lm_score",                   # new: bigram-LM perplexity proxy
     "text_span_dedup",                 # new: ExactSubstr-style span removal
     "text_token_topk_approx",          # new: sketch heavy-hitters scale path
+    "skew_salted_agg",                 # new: salting invisible in results
+    "skew_salted_join",                # new: salted join == plain join
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

@@ -665,3 +665,73 @@ def unpivot_melt(spark, sf_dir):
         )
         .orderBy("l_orderkey", "l_linenumber", "measure")
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+SELECT l_suppkey,
+       count(*) AS n_items,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY l_suppkey
+""",
+    tags=("extension", "scale", "skew"),
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py): every key
+    splits into 16 (key, salt) subkeys whose partials merge in a second
+    stage — the heavy-hitter groupBy pattern when one key's reducer
+    state would OOM. Counts and decimal sums are decomposable, so the
+    result equals the plain GROUP BY exactly — which is precisely what
+    the oracle checks (salting must never change answers)."""
+    from exosql_spark.operators.skew import salted_agg
+
+    t = Tables(spark, sf_dir)
+    out = salted_agg(
+        t.lineitem,
+        ["l_suppkey"],
+        [
+            F.count(F.lit(1)).alias("_c"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)")).alias("_s"),
+        ],
+        [F.sum("_c").alias("n_items"), F.sum("_s").alias("_sd")],
+    )
+    return out.select(
+        "l_suppkey",
+        "n_items",
+        _u.fround(F.col("_sd").cast("double"), 4).alias("total_qty"),
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("extension", "scale", "skew"),
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted skew-resistant equi-join (operators/skew.py): the big
+    side's key gets a random salt, the small side replicates across
+    all 8 salt values, the join runs on (key, salt) — spreading a hot
+    key over 8 tasks when AQE's skew splitting can't apply (e.g.
+    broadcast-ineligible build sides). The oracle is the PLAIN join:
+    salting must be invisible in the result."""
+    from exosql_spark.operators.skew import salted_join
+
+    t = Tables(spark, sf_dir)
+    small = t.customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(t.orders, small, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _u.dsum("o_totalprice").alias("total_price"),
+    )
