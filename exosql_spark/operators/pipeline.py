@@ -158,3 +158,34 @@ def curate_corpus(
         "content_hash",
     ]
     return curated.select(*keep_cols)
+
+
+def curate_with_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: CurateConfig | None = None,
+):
+    """:func:`curate_corpus` with free pipeline telemetry: input/output
+    row counts and mean output quality ride the SAME action via
+    ``DataFrame.observe`` (Spark accumulates observation metrics during
+    the job — no second pass, no extra scan, works identically on a
+    1000-executor cluster). Returns ``(curated, obs_in, obs_out)``;
+    read ``obs.get`` AFTER an action has run.
+
+    This is the production shape for yield monitoring: a nightly
+    curation job reports docs-in / docs-kept / avg-quality per run
+    from metrics it was already computing.
+    """
+    from pyspark.sql import Observation
+
+    obs_in = Observation("curate_input")
+    obs_out = Observation("curate_output")
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+    curated = curate_corpus(docs, text_col, id_col, config)
+    curated = curated.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+    return curated, obs_in, obs_out

@@ -587,6 +587,25 @@ class TestCuratePipeline:
         assert 0 < ns <= nb
         assert set(staged.columns) == set(base.columns)
 
+    def test_observe_metrics_ride_the_action(self, spark, sf_dir):
+        """curate_with_metrics: input/output row counts and mean
+        quality accumulate DURING the count() action — no extra pass —
+        and agree with directly-computed values."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import (
+            CurateConfig,
+            curate_with_metrics,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        curated, obs_in, obs_out = curate_with_metrics(
+            docs, config=CurateConfig(min_tokens=5)
+        )
+        n = curated.count()
+        assert obs_in.get["rows"] == docs.count()
+        assert obs_out.get["rows"] == n
+        assert 0.0 < obs_out.get["avg_quality"] <= 1.0
+
     def test_sig_after_dedup_orderings_equal(self, spark, sf_dir):
         """sig_after_dedup only changes WHEN signatures are computed
         (pre- vs post-exact-dedup) — the curated corpus must be
