@@ -357,6 +357,63 @@ class TestSpanDedup:
         assert got[2].n_tokens_removed == 0
 
 
+class TestNormalizeParity:
+    """The normalize→tokenize→hash pipeline is the foundation every
+    oracle-checked text operator stands on — Spark (Java regex) and
+    DuckDB (RE2) must agree byte-for-byte on adversarial inputs."""
+
+    NASTY = [
+        "Hello,   World!!",
+        "TABS\tand\nnewlines\r\nmixed",
+        "unicode café naïve żółć 中文 🙂 end",
+        "quotes 'single' \"double\" `back`",
+        "under_score stays; hyphen-splits?",
+        "  leading and trailing   ",
+        "ALLCAPS MiXeD lower",
+        "digits 123 mix3d 0x1f",
+        "",
+        "....",
+        "a",
+    ]
+
+    def test_md5_and_tokens_match_duckdb(self, spark):
+        import duckdb
+
+        from exosql_spark.operators.text import normalize_text, tokens
+
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(self.NASTY)], "i long, text string"
+        )
+        got = {
+            r.i: (r.h, list(r.t))
+            for r in df.select(
+                "i",
+                F.md5(normalize_text(F.col("text"))).alias("h"),
+                tokens(normalize_text(F.col("text"))).alias("t"),
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (i BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO d VALUES (?, ?)", [(i, s) for i, s in enumerate(self.NASTY)]
+        )
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                r"""
+SELECT i,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))),
+       list_filter(string_split_regex(trim(regexp_replace(regexp_replace(
+           lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g')), '\s+'),
+           x -> x <> '')
+FROM d"""
+            ).fetchall()
+        }
+        for i, s in enumerate(self.NASTY):
+            assert got[i] == want[i], f"input {s!r}: spark={got[i]} duck={want[i]}"
+
+
 class TestLmScore:
     def test_repetitive_scores_above_unique(self, spark):
         """A doc whose bigrams dominate the corpus must out-score docs
@@ -915,6 +972,35 @@ class TestJaccardIndexPairs:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         out = dedup.jaccard_index_pairs(df, threshold=0.1, max_df=2).collect()
         assert out == []
+
+    def test_prefix_filter_lossless_on_random_overlapping_corpus(self, spark):
+        """Adversarial-ish corpus: 30 docs drawn from a 12-word shared
+        vocabulary (heavy natural overlap, many borderline Jaccard
+        pairs) — prefix-filtered and flat index joins must agree at
+        every threshold. Fixed seed ⇒ deterministic."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(12)]
+        rows = [
+            (i, " ".join(rng.choice(vocab, size=rng.integers(5, 15))))
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for t in (0.2, 0.4, 0.6):
+            flat = {
+                tuple(r)
+                for r in dedup.jaccard_index_pairs(
+                    df, threshold=t, max_df=25, prefix_filter=False
+                ).collect()
+            }
+            pref = {
+                tuple(r)
+                for r in dedup.jaccard_index_pairs(
+                    df, threshold=t, max_df=25, prefix_filter=True
+                ).collect()
+            }
+            assert flat == pref, f"t={t}: {flat ^ pref}"
 
     def test_prefix_filter_is_lossless(self, spark, sf_dir):
         """The AllPairs prefix prune must return EXACTLY the flat
