@@ -70,6 +70,7 @@ _VERIFY_FIRST = (
     "text_token_topk_approx",          # new: sketch heavy-hitters scale path
     "skew_salted_agg",                 # new: salting invisible in results
     "skew_salted_join",                # new: salted join == plain join
+    "corpus_quality_report",           # new: GROUPING SETS corpus dashboard
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

@@ -1383,3 +1383,38 @@ def export_training_corpus(spark, sf_dir):
         F.col("chunk").alias("text"),
     )
     return packing.pack_sequences(chunk_docs, budget=128, n_shards=8)
+
+
+@register(
+    "corpus_quality_report",
+    oracle="""
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       floor((CAST(sum(CAST(n_chars AS DECIMAL(25,6))) AS DOUBLE) / count(*))
+             * CAST(10000.0 AS DOUBLE) + 0.5) / CAST(10000.0 AS DOUBLE) AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), ())
+""",
+    tags=("llm", "report"),
+)
+def corpus_quality_report(spark, sf_dir):
+    """Multi-dimensional corpus report in ONE pass: per-language,
+    per-source, and overall doc counts / char totals / decimal-stable
+    averages via GROUPING SETS — the nightly training-data dashboard
+    query (Spark expands the sets into a single shuffle with partial
+    aggregation; no per-dimension rescans)."""
+    t = Tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("documents_cqr")
+    return spark.sql(
+        f"""
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               {_u.davg_sql('n_chars')} AS avg_chars
+        FROM documents_cqr
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )

@@ -114,6 +114,23 @@ class TestSimilarity:
         ).collect()
         assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
 
+    def test_ivf_with_trained_centroids(self, vectors):
+        """Real-IVF shape: k-means coarse centroids instead of random
+        directions — the planted neighbor must still be recalled, and
+        the code path accepts any centroid count."""
+        from exosql_spark.operators.clustering import kmeans
+
+        cents, _ = kmeans(vectors, k=4, iters=2, vec_col="embedding",
+                          id_col="vec_id")
+        q = vectors.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = similarity.ivf_topk(
+            vectors, q, k=5, dim=8, n_probe=2, centroids=cents
+        ).collect()
+        ids = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        assert 0 in ids and 1 in ids
+
 
 class TestProductQuantization:
     @pytest.fixture(scope="class")
