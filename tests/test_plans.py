@@ -202,3 +202,73 @@ class TestRound2Plans:
                  .select(F.col("embedding").cast("array<double>")).collect()]
         assigned = clustering.assign_clusters(emb, first)
         assert "Exchange" not in plan(assigned)
+
+
+class TestRound5Plans:
+    """Plan shapes of the round-5 operators, asserted mechanically."""
+
+    def test_pq_encode_is_pure_map(self, spark, sf_dir):
+        """PQ encoding must fuse into the scan: no exchange of any
+        kind — the compressed table is producible by a map-only job."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import pq
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq.train_codebooks(
+            emb.filter(F.col("vec_id") < 100), m=4, k=8, iters=1, dim=64
+        )
+        p = plan(pq.pq_encode(emb, books))
+        assert "Exchange" not in p, p
+
+    def test_bloom_decontaminate_single_shuffle(self, spark, sf_dir):
+        """The join-free path: exactly one hash exchange (the per-doc
+        hit count) — no join operator anywhere in the plan."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import decontam
+
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") <= 20)
+        p = plan(decontam.decontaminate_hits_bloom(docs, bench, n=4))
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert "Join" not in p, p
+
+    def test_span_dedup_documents_never_shuffle(self, spark, sf_dir):
+        """span_dedup's exchanges carry gram hashes and positions only
+        — the text column must not appear in any exchange's schema
+        (it rides the persisted base frame, partition-local)."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import text as t_ops
+
+        docs = load_table(spark, sf_dir, "documents")
+        p = formatted(t_ops.span_dedup(docs))
+        exchange_blocks = [
+            b
+            for b in p.split("\n\n")
+            if b.strip() and "Exchange" in b.splitlines()[0]
+        ]
+        assert exchange_blocks, "no exchanges found — formatted() changed shape?"
+        for block in exchange_blocks:
+            assert "_toks" not in block and "text#" not in block, block
+
+    def test_incremental_dedup_no_cartesian(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.incremental import incremental_dedup
+
+        ref = load_table(spark, sf_dir, "documents")
+        batch = ref.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 900000).alias("doc_id"), "text"
+        )
+        p = plan(incremental_dedup(batch, ref))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_lm_score_counts_broadcast(self, spark, sf_dir):
+        """The Zipf-concentrated count tables join back via broadcast
+        (AQE-sized) — the doc-bigram stream must not sort-merge against
+        them at this scale."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import text as t_ops
+
+        docs = load_table(spark, sf_dir, "documents")
+        p = plan(t_ops.lm_score(docs))
+        assert "BroadcastHashJoin" in p
