@@ -270,3 +270,42 @@ def events_retention(spark, sf_dir):
     return (
         act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users")).orderBy("wk")
     )
+
+
+@register(
+    "events_resample_gapfill",
+    oracle="""
+WITH pb AS (
+  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+         count(*) AS n_events, arg_max(value, ts) AS last_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id,
+         time_bucket(INTERVAL 1 HOUR, min(ts)) AS b0,
+         time_bucket(INTERVAL 1 HOUR, max(ts)) AS b1
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.user_id, g.bucket,
+       coalesce(pb.n_events, 0) AS n_events,
+       pb.last_value IS NULL AS is_gap,
+       last_value(pb.last_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM grid g LEFT JOIN pb USING (user_id, bucket)
+""",
+    tags=("events", "timeseries", "extension"),
+)
+def events_resample_gapfill(spark, sf_dir):
+    """Hypertable-style gap-filled resampling (TimescaleDB
+    time_bucket_gapfill / fill(previous) semantics, absent in vanilla
+    Spark): every user's stream lands on a regular hourly grid with
+    empty buckets forward-filled from the last reading. Grid fan-out
+    is bounded by time-range/step per key; the fill is one window pass
+    per series — see operators/timeseries.py."""
+    from exosql_spark.operators import timeseries
+
+    t = Tables(spark, sf_dir)
+    return timeseries.resample_ffill(t.events, unit="hour")

@@ -374,6 +374,34 @@ class TestSpanDedup:
         assert got[2].n_tokens_removed == 0
 
 
+class TestTimeseriesResample:
+    def test_gapfill_semantics(self, spark):
+        """Hand-built series: bucket grid spans first→last event,
+        empty buckets forward-fill the last reading, leading buckets
+        before any observation stay NULL, counts are exact."""
+        from datetime import datetime
+
+        from exosql_spark.operators import timeseries
+
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), 5.0),
+            (1, datetime(2024, 1, 1, 0, 50), 7.0),   # same bucket, later ts
+            (1, datetime(2024, 1, 1, 3, 5), 9.0),    # 2-hour gap before
+            (2, datetime(2024, 1, 1, 1, 0), 1.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, value double")
+        got = {
+            (r.user_id, r.bucket.hour): (r.n_events, r.is_gap, r.filled_value)
+            for r in timeseries.resample_ffill(df).collect()
+        }
+        assert got[(1, 0)] == (2, False, 7.0)   # last reading in bucket
+        assert got[(1, 1)] == (0, True, 7.0)    # gap, forward-filled
+        assert got[(1, 2)] == (0, True, 7.0)
+        assert got[(1, 3)] == (1, False, 9.0)
+        assert got[(2, 1)] == (1, False, 1.0)
+        assert len(got) == 5  # grids bounded per key, no cross-key bleed
+
+
 class TestNormalizeParity:
     """The normalize→tokenize→hash pipeline is the foundation every
     oracle-checked text operator stands on — Spark (Java regex) and
