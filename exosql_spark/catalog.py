@@ -56,6 +56,7 @@ _VERIFY_FIRST = (
     "streaming_dedup_parity",          # dropDuplicatesWithinWatermark ↔ DISTINCT
     "streaming_attribution_parity",    # stream-stream interval join ↔ SQL join
     "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
+    "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
     "dedup_minhash_clusters_planted",  # LSH→components on planted dups
     "dedup_embedding_cosine",          # promoted: planted scaled copies
     "dedup_simhash_pairs",             # promoted: planted identical triples

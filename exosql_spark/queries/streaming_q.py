@@ -252,6 +252,44 @@ def streaming_attribution_parity(spark, sf_dir):
 
 
 @register(
+    "streaming_anomaly_parity",
+    oracle="""
+WITH tot AS (
+  SELECT user_id, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS t
+  FROM events GROUP BY user_id
+)
+SELECT user_id, k * 500.0 AS threshold_crossed
+FROM tot, unnest(generate_series(1, CAST(floor(t / 500.0) AS BIGINT))) AS u(k)
+ORDER BY user_id, threshold_crossed
+""",
+    tags=("streaming", "stateful"),
+)
+def streaming_anomaly_parity(spark, sf_dir):
+    """Stateful threshold alerting (applyInPandasWithState,
+    streaming/stateful.anomaly_flags): one alert per user per crossed
+    multiple of 500. Values are strictly positive, so the crossed SET
+    is exactly {k·500 ≤ final total} regardless of intra-batch arrival
+    order — the oracle derives it from per-user totals in closed form.
+    (The running total AT each crossing is order-dependent and is
+    deliberately not compared; testdata totals sit ≥ 0.8 away from any
+    multiple, so float accumulation can't flip membership.) The second
+    stateful operator under the driver gate."""
+    from exosql_spark import streaming
+    from exosql_spark.streaming.stateful import anomaly_flags
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        anomaly_flags(stream, step=500.0), "cat_anomaly", mode="append"
+    )
+    q.stop()
+    return (
+        spark.table("cat_anomaly")
+        .select("user_id", "threshold_crossed")
+        .orderBy("user_id", "threshold_crossed")
+    )
+
+
+@register(
     "streaming_tumbling_parity",
     oracle="""
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
