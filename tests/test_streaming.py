@@ -247,6 +247,75 @@ class TestStreamStreamJoin:
         assert "watermark" in plan.lower()
 
 
+class TestLateDataDrop:
+    """The actual late-data guarantee, exercised across REAL micro-batch
+    boundaries. Spark subtlety pinned here (SPARK-40925 semantics,
+    verified empirically on this build): the LATE-EVENT filter for
+    batch N uses the watermark as of batch N−1 — one batch behind the
+    eviction watermark. A late row arriving in the very next batch
+    after its window closed can still merge into state; the drop is
+    guaranteed only from the batch after that. Downstream consequence:
+    at-least-one-extra-batch of slack when reasoning about
+    completeness, exactly why the parity entries use availableNow
+    full drains instead of assuming per-batch cutoffs."""
+
+    def test_late_rows_beyond_previous_watermark_dropped(self, spark, tmp_path):
+        import glob
+        import os
+        from datetime import datetime
+
+        src = str(tmp_path / "late_src")
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+        def mk(rows, mtime):
+            before = set(glob.glob(f"{src}/part-*"))
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            # the file source orders batches by modification time —
+            # same-second appends are ambiguous, so pin them apart
+            for f in set(glob.glob(f"{src}/part-*")) - before:
+                os.utime(f, (mtime, mtime))
+
+        # batch 0: hours 0..11 → watermark after batch = 09:30
+        mk(
+            [
+                (i, datetime(2024, 3, 1, h, 30), 1, "view", 1.0, "{}")
+                for i, h in enumerate(range(0, 12))
+            ],
+            1_000_000,
+        )
+        # batch 1: fresh row only — promotes 09:30 into the late filter
+        mk([(50, datetime(2024, 3, 1, 12, 30), 1, "view", 1.0, "{}")], 2_000_000)
+        # batch 2: a row 5 h behind the late filter → MUST be dropped
+        mk(
+            [
+                (100, datetime(2024, 3, 1, 4, 45), 1, "view", 100.0, "{}"),
+                (101, datetime(2024, 3, 1, 13, 30), 1, "view", 1.0, "{}"),
+            ],
+            3_000_000,
+        )
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rows = drain(
+            streaming.tumbling_counts(stream), "t_late", mode="update"
+        ).collect()
+        # update-mode memory sink keeps every emission; a bucket is
+        # clean iff NO emission for it ever saw the late row
+        by_hour: dict[int, list] = {}
+        for r in rows:
+            by_hour.setdefault(r.bucket_start.hour, []).append(
+                (r.n_events, r.total_value)
+            )
+        assert (2, 101.0) not in by_hour[4], by_hour
+        assert by_hour[4] == [(1, 1.0)], by_hour
+        assert all(by_hour[h] == [(1, 1.0)] for h in range(0, 12)), by_hour
+
+
 class TestCheckpointRestart:
     """Exactly-once across restart: a checkpointed parquet-sink query
     killed mid-stream and restarted from the same checkpoint must
