@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "skew_salted_join",                # new: salted join == plain join
     "corpus_quality_report",           # new: GROUPING SETS corpus dashboard
     "events_resample_gapfill",         # new: hypertable-style gap filling
+    "embedding_kmeans_planted",        # new: Lloyd convergence, exact oracle
     # -- rows-only tier (12 entries; weakest check, keep them running) --
     "dedup_minhash_pairs",
     "dedup_minhash_components",

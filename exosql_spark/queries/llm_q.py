@@ -1285,6 +1285,59 @@ def embedding_kmeans(spark, sf_dir):
 
 
 @register(
+    "embedding_kmeans_planted",
+    oracle="""
+WITH pts AS (
+  SELECT id, j,
+         (CASE WHEN j = id % 5 THEN 10.0 ELSE 0.0 END)
+         + ((((id * 31 + j * 7) % 11) - 5) * 0.01) AS v
+  FROM range(100) t(id), range(8) d(j)
+), means AS (
+  SELECT id % 5 AS cluster, j, avg(v) AS m
+  FROM pts GROUP BY 1, 2
+), sq AS (
+  SELECT p.id % 5 AS cluster, (p.v - means.m) * (p.v - means.m) AS d2
+  FROM pts p JOIN means ON means.cluster = p.id % 5 AND means.j = p.j
+)
+SELECT cluster,
+       CAST(count(*) / 8 AS BIGINT) AS n_members,
+       floor(sum(d2) * CAST(100.0 AS DOUBLE) + 0.5) / CAST(100.0 AS DOUBLE) AS inertia
+FROM sq
+GROUP BY cluster
+ORDER BY cluster
+""",
+    tags=("llm", "embedding", "clustering"),
+)
+def embedding_kmeans_planted(spark, sf_dir):
+    """Lloyd k-means exact-oracled on PLANTED well-separated clusters:
+    100 synthetic 8-dim vectors at 5 orthogonal corners (magnitude 10)
+    with closed-form deterministic jitter (±0.05). The lowest-id init
+    seeds (ids 0–4) each sit in a distinct planted cluster, so 3 Lloyd
+    iterations provably converge to the planted partition — which lets
+    the oracle compute cluster sizes and inertia DIRECTLY from the
+    construction (per-cluster means + squared deviations), no
+    iteration modelling. Separation (inter-center distance 14.1 vs
+    jitter 0.05) makes assignments immune to cross-engine float-ulp
+    drift. The natural-corpus twin stays rows-only
+    (embedding_kmeans — see its note)."""
+    from exosql_spark.operators import clustering
+
+    ids = spark.range(100)
+    vec = F.array(
+        *[
+            (
+                F.when(F.lit(j) == (F.col("id") % 5), F.lit(10.0)).otherwise(F.lit(0.0))
+                + (((F.col("id") * 31 + j * 7) % 11) - 5) * F.lit(0.01)
+            ).cast("float")
+            for j in range(8)
+        ]
+    )
+    planted = ids.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    out = clustering.kmeans_summary(planted, k=5, iters=3)
+    return out.orderBy("cluster")
+
+
+@register(
     "chunk_documents",
     oracle=rf"""
 WITH d AS (
