@@ -1,23 +1,35 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the catalog's bench-tagged queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line — the LAST
+line of stdout — with the headline metric:
 
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "median": {...}, "stddev": {...}, "sf": ...}
+   "estimator": "min_of_5", "n_queries": K, "query_set_sha1": "...",
+   "sf": ...}
+
+Per-query median/stddev maps (useful for round-over-round diffing but
+too bulky for the driver's tail capture — BENCH_r05.json recorded
+``parsed: null`` when the single line outgrew it) are written to
+``BENCH_DETAIL.json`` next to this script instead; git history keeps the
+per-round record.  ``query_set_sha1`` pins the headline's basis: "value"
+sums over exactly the listed queries, so a round-over-round diff of
+"value" is only meaningful when the hash matches — compare per-query
+numbers over the set intersection otherwise.
 
 value = sum of per-query wall seconds (post-warmup, MIN of 5 runs).
 Min-of-N rather than median: this box is a VM whose host shows
 intermittent CPU-steal storms (cumulative steal ≈ 38% of user time in
 /proc/stat; individual runs of an identical 2 s plan were measured at
-2 s / 12 s / 42 s purely by arrival time). The minimum is the standard
+2 s / 12 s / 42 s purely by arrival time).  The minimum is the standard
 noise-robust estimator for "what does the plan cost" (same reason
-timeit reports min); "median" and "stddev" are still emitted so
-round-over-round diffs can be read against run noise.
+timeit reports min); median and stddev still land in BENCH_DETAIL.json
+so diffs can be read against run noise.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import statistics
@@ -28,6 +40,7 @@ from exosql_spark.catalog import all_queries
 from exosql_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
 RUNS = 5
 
 
@@ -40,7 +53,12 @@ def _run_once(fn, spark, sf_dir) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="exosql_spark_bench")
+    # Stage-progress bars write \r-spam to stderr/stdout that crowded the
+    # driver's tail capture in r4/r5 — keep the bench process silent.
+    spark = get_spark(
+        app_name="exosql_spark_bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     bench = {n: q for n, q in all_queries().items() if q.bench}
 
     # Warm up per query (one untimed run each): JVM/codegen/parquet
@@ -60,24 +78,39 @@ def main() -> None:
         spread[name] = round(statistics.stdev(times), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # n_queries + query_set pin the headline's basis: "value" sums over
-    # exactly these queries, so a round-over-round diff of "value" is
-    # only meaningful when query_set matches — compare per-query
-    # medians over the set intersection otherwise (round-4 advice).
+    query_set = sorted(per_query)
+    set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
+    detail = {
+        "estimator": f"min_of_{RUNS}",
+        "n_queries": len(per_query),
+        "query_set": query_set,
+        "query_set_sha1": set_sha1,
+        "min": per_query,
+        "median": medians,
+        "stddev": spread,
+        "median_total": round(sum(medians.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
-        "query_set": sorted(per_query),
+        "query_set_sha1": set_sha1,
         "queries": per_query,
-        "median": medians,
-        "stddev": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
     spark.stop()
+    # Headline is the FINAL stdout line, printed after spark.stop() so no
+    # executor/JVM shutdown chatter can land beneath it.
+    sys.stdout.flush()
+    print(json.dumps(out, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

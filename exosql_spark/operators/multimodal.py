@@ -168,7 +168,11 @@ def synthetic_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
+        # coalesce: a NULL text must still yield a (zero-byte) payload —
+        # NULL payloads would give NULL n_bytes here and NULL
+        # octet_length on the oracle side only by coincidence (the same
+        # fixture-luck class fixed in text_line_dedup; round-5 advice)
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(None).cast("int").alias("width"),

@@ -76,11 +76,20 @@ def curate_corpus(
         )
 
     # 0b. optional LM-score floor (corpus-trained perplexity proxy).
+    # LEFT join, not semi: lm_score only emits rows with ≥ 1 bigram
+    # (≥ 2 tokens), so a semi-join would silently drop every sub-2-token
+    # document regardless of the floor. Docs with no LM evidence pass
+    # through (NULL score) — the min_tokens gate below governs them.
     if cfg.min_lm_score is not None:
-        keep_lm = text.lm_score(docs, text_col, id_col).filter(
-            F.col("lm_score") >= cfg.min_lm_score
+        scores = text.lm_score(docs, text_col, id_col).select(id_col, "lm_score")
+        docs = (
+            docs.join(scores, id_col, "left")
+            .filter(
+                F.col("lm_score").isNull()
+                | (F.col("lm_score") >= cfg.min_lm_score)
+            )
+            .drop("lm_score")
         )
-        docs = docs.join(keep_lm.select(id_col), id_col, "left_semi")
 
     # 1. cheap per-row features (pure map — fused into the scan), plus —
     # unless cfg.sig_after_dedup — the MinHash signature, so the SAME
@@ -181,7 +190,18 @@ def curate_with_metrics(
 
     obs_in = Observation("curate_input")
     obs_out = Observation("curate_output")
-    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("rows"))
+    # Persist + materialize the observed frame BEFORE the pipeline
+    # consumes it: with span_dedup or min_lm_score configured the docs
+    # subtree has several physical consumers in one action, and a bare
+    # CollectMetrics would fire once per occurrence (obs_in rows 2–3×
+    # the input). One count() populates the cache and fires the
+    # observation exactly once; every pipeline branch then reads the
+    # cached frame (Observation is one-shot, so even a cache-eviction
+    # recompute can't corrupt the captured value). At scale this is the
+    # "stage your input" step; the caller may docs.unpersist() after
+    # the curated frame is materialized.
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("rows")).persist()
+    docs.count()
     curated = curate_corpus(docs, text_col, id_col, config)
     curated = curated.observe(
         obs_out,

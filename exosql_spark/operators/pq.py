@@ -109,6 +109,19 @@ def _adc_table(q_vec: list[float], codebooks: list[list[list[float]]]) -> list[l
     return table
 
 
+def _empty_topk(codes: DataFrame, queries: DataFrame, query_id_col: str) -> DataFrame:
+    """Schema-faithful empty (query_id, vec_id, approx_sq_dist, rank)
+    frame for an empty caller-supplied query set (queries is external
+    input — an empty frame must not crash the per-query expansion)."""
+    qid_type = dict(queries.dtypes)[query_id_col]
+    return codes.select(
+        F.lit(None).cast(qid_type).alias("query_id"),
+        "vec_id",
+        F.lit(None).cast("double").alias("approx_sq_dist"),
+        F.lit(None).cast("int").alias("rank"),
+    ).limit(0)
+
+
 def pq_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -131,6 +144,8 @@ def pq_topk(
         (r[query_id_col], list(r[vec_col]))
         for r in queries.select(query_id_col, vec_col).collect()
     ]
+    if not qs:
+        return _empty_topk(codes, queries, query_id_col)
     per_query = []
     for qid, q_vec in qs:
         table = _adc_table(q_vec, codebooks)
@@ -232,6 +247,8 @@ def ivfpq_topk(
         (r[query_id_col], list(r[vec_col]))
         for r in queries.select(query_id_col, vec_col).collect()
     ]
+    if not qs:
+        return _empty_topk(encoded, queries, query_id_col)
     probes = []
     adc_dist = None
     for qid, q_vec in qs:

@@ -582,7 +582,7 @@ def text_line_dedup(spark, sf_dir):
     oracle="""
 SELECT doc_id AS media_id,
        'image' AS kind,
-       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
        8 AS feat_dim,
        true AS sha1_ok
 FROM documents
@@ -829,7 +829,7 @@ def sample_stratified(spark, sf_dir):
     oracle=r"""
 WITH norm AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^\w\s]', '', 'g'),
                                           '\s+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
@@ -857,8 +857,11 @@ def text_decontaminate(spark, sf_dir):
     from exosql_spark.operators import decontam
 
     t = Tables(spark, sf_dir)
-    bench = t.documents.filter(F.col("doc_id") <= 20)
-    return decontam.decontaminate_hits(t.documents, bench, "text", "doc_id", n=4)
+    # coalesce: NULL-text rows must tokenize to the same (empty) gram
+    # set on both engines, not agree by NULL-propagation luck
+    docs = t.documents.withColumn("text", F.coalesce("text", F.lit("")))
+    bench = docs.filter(F.col("doc_id") <= 20)
+    return decontam.decontaminate_hits(docs, bench, "text", "doc_id", n=4)
 
 
 @register(
@@ -866,7 +869,7 @@ def text_decontaminate(spark, sf_dir):
     oracle=r"""
 WITH norm AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^\w\s]', '', 'g'),
                                           '\s+', ' ', 'g')), ' ') AS toks
   FROM documents
 ),
@@ -898,9 +901,11 @@ def text_decontaminate_bloom(spark, sf_dir):
     from exosql_spark.operators import decontam
 
     t = Tables(spark, sf_dir)
-    bench = t.documents.filter(F.col("doc_id") <= 20)
+    # coalesce: same NULL-text convention as text_decontaminate
+    docs = t.documents.withColumn("text", F.coalesce("text", F.lit("")))
+    bench = docs.filter(F.col("doc_id") <= 20)
     return decontam.decontaminate_hits_bloom(
-        t.documents, bench, "text", "doc_id", n=4, bits_per_item=43, k=30
+        docs, bench, "text", "doc_id", n=4, bits_per_item=43, k=30
     )
 
 

@@ -179,6 +179,24 @@ class TestProductQuantization:
             assert qid in ids, f"query {qid} not its own ADC neighbor: {ids}"
             assert planted_id in ids, f"planted copy {planted_id} missed: {ids}"
 
+    def test_empty_query_frames(self, corpus, spark):
+        """queries is caller-supplied: an empty frame must yield an
+        empty, schema-faithful result, not an IndexError (pq_topk) or
+        AttributeError (ivfpq_topk) — round-5 advice."""
+        from exosql_spark.operators import pq
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        codes = pq.pq_encode(corpus, books)
+        empty_q = corpus.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for got in (
+            pq.pq_topk(codes, empty_q, books, k=5),
+            pq.ivfpq_topk(corpus, empty_q, books, k=5, n_cells=8, n_probe=3, dim=16),
+        ):
+            assert got.columns == ["query_id", "vec_id", "approx_sq_dist", "rank"]
+            assert got.count() == 0
+
     def test_ivfpq_recall_and_pruning(self, corpus):
         """IVFADC: an ε-copy lands in the query's own best cell, which
         is always probed — so recall of planted copies survives the
@@ -690,9 +708,10 @@ class TestCuratePipeline:
         assert set(staged.columns) == set(base.columns)
 
     def test_observe_metrics_ride_the_action(self, spark, sf_dir):
-        """curate_with_metrics: input/output row counts and mean
-        quality accumulate DURING the count() action — no extra pass —
-        and agree with directly-computed values."""
+        """curate_with_metrics: input rows are captured once at the
+        staging materialization; output rows + mean quality accumulate
+        during the caller's action — and agree with directly-computed
+        values."""
         from exosql_spark.io import load_table
         from exosql_spark.operators.pipeline import (
             CurateConfig,
@@ -707,6 +726,52 @@ class TestCuratePipeline:
         assert obs_in.get["rows"] == docs.count()
         assert obs_out.get["rows"] == n
         assert 0.0 < obs_out.get["avg_quality"] <= 1.0
+
+    def test_observe_metrics_multi_consumer_config(self, spark, sf_dir):
+        """With span_dedup + min_lm_score configured the docs subtree
+        has several physical consumers in one action; obs_in must STILL
+        count each input row exactly once (it over-counted 2–3× before
+        the observed frame was persisted; round-5 advice)."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import (
+            CurateConfig,
+            curate_with_metrics,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        curated, obs_in, obs_out = curate_with_metrics(
+            docs,
+            config=CurateConfig(min_tokens=5, span_dedup=True, min_lm_score=-30.0),
+        )
+        n = curated.count()
+        assert obs_in.get["rows"] == docs.count()
+        assert obs_out.get["rows"] == n
+
+    def test_lm_floor_keeps_scoreless_docs(self, spark):
+        """Sub-2-token docs carry no bigram evidence, so the LM floor
+        must pass them through (NULL score) rather than silently drop
+        them — the min_tokens gate is the only stage that governs them
+        (round-5 advice: the old semi-join dropped them regardless of
+        how low the floor was)."""
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = spark.createDataFrame(
+            [
+                (1, "solo"),  # 1 token: no bigrams → no lm_score row
+                (2, "the quick brown fox jumps over the lazy dog again today"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = sorted(
+            r.doc_id
+            for r in curate_corpus(
+                docs,
+                config=CurateConfig(
+                    min_tokens=1, min_quality=0.0, min_lm_score=-1000.0
+                ),
+            ).collect()
+        )
+        assert kept == [1, 2]
 
     def test_sig_after_dedup_orderings_equal(self, spark, sf_dir):
         """sig_after_dedup only changes WHEN signatures are computed
