@@ -221,10 +221,12 @@ def similarity_topk_cosine(spark, sf_dir):
 
 @register(
     "similarity_topk_lsh",
-    oracle=None,  # ANN by design: bucket pruning legitimately drops true
-    # neighbors, so the result set is not the exact top-k any SQL oracle
-    # would compute; recall@k vs brute force is asserted locally on
-    # planted neighbors (tests/test_operators.py)
+    oracle=None,  # natural-corpus twin of similarity_topk_lsh_planted
+    # (which exact-oracles the same bucket-join path on planted exact
+    # copies): ANN by design — bucket pruning legitimately drops true
+    # neighbors, so the natural result set is not the exact top-k any
+    # SQL oracle would compute; recall@k vs brute force is additionally
+    # asserted locally (tests/test_operators.py)
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_lsh(spark, sf_dir):
@@ -239,9 +241,12 @@ def similarity_topk_lsh(spark, sf_dir):
 
 @register(
     "similarity_topk_ivf",
-    oracle=None,  # ANN by design: IVF probes a subset of centroids, so
-    # exact top-k is not recovered in general; recall@k vs brute force
-    # is asserted locally on planted neighbors (tests/test_operators.py)
+    oracle=None,  # natural-corpus twin of similarity_topk_ivf_planted
+    # (which exact-oracles the same cell-probe path on planted exact
+    # copies): ANN by design — IVF probes a subset of centroids, so the
+    # natural exact top-k is not recovered in general; recall@k vs
+    # brute force is additionally asserted locally
+    # (tests/test_operators.py)
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_ivf(spark, sf_dir):
@@ -251,6 +256,86 @@ def similarity_topk_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(t.embeddings, queries, k=10)
+
+
+def _embeddings_with_query_copies(t, n_queries=5, n_copies=10):
+    """embeddings ∪ bitwise-exact copies of the first ``n_queries``
+    query vectors at vec_id = q + j·100000 (j = 1..n_copies; natural
+    vec_ids top out ≪ 100000 at every SF). Exact copies make ANN
+    recall STRUCTURAL: a copy hashes to the query's sign-LSH bucket in
+    every table / lands in the query's IVF cell / encodes to the
+    query's PQ codes — so the planted neighbor set survives pruning
+    deterministically, not probabilistically. And because every copy
+    is the same float array, each engine computes the identical
+    similarity value for the whole group, so ties resolve by vec_id —
+    closed-form ranks."""
+    base = t.embeddings.select("vec_id", "embedding")
+    copies = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_copies + 1)])).alias("_j"),
+            "vec_id",
+            "embedding",
+        )
+        .select((F.col("vec_id") + F.col("_j") * 100000).alias("vec_id"), "embedding")
+    )
+    return base.unionByName(copies)
+
+
+_PLANTED_TOPK_ORACLE = """
+SELECT q AS query_id,
+       CASE WHEN r = 1 THEN q ELSE q + (r - 1) * 100000 END AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine_sim,
+       CAST(r AS INT) AS rank
+FROM range(5) t(q), range(1, 11) s(r)
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "similarity_topk_lsh_planted",
+    oracle=_PLANTED_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_topk_lsh_planted(spark, sf_dir):
+    """Sign-LSH ANN exact-oracled on PLANTED exact copies: corpus =
+    embeddings ∪ 10 bitwise copies of each query vector (see
+    _embeddings_with_query_copies). The full top-10 is closed-form —
+    rank 1 is the query itself, ranks 2–10 its copies in vec_id order:
+    the 11 identical vectors share one similarity value (≈1.0, rounds
+    to 1.0) strictly above any natural vector's (no natural pair
+    reaches 0.999 at test SFs — asserted), and identical floats give
+    identical _sim, so the tie breaks on vec_id in both engines.
+    Recall is structural (identical vector ⇒ identical bucket in every
+    table), so LSH returns exactly the brute-force answer here. The
+    natural-corpus twin stays rows-only (similarity_topk_lsh)."""
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(corpus, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_topk_ivf_planted",
+    oracle=_PLANTED_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_topk_ivf_planted(spark, sf_dir):
+    """IVF ANN exact-oracled on the same planted-copy construction as
+    similarity_topk_lsh_planted (same closed-form top-10): an exact
+    copy lands in the query's own argmax cell, and a query's best cell
+    is always among its n_probe probes — so the planted neighbor set
+    survives cell pruning structurally and the result equals brute
+    force. The natural-corpus twin stays rows-only
+    (similarity_topk_ivf)."""
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(corpus, queries, k=10).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------
@@ -685,9 +770,12 @@ def dedup_minhash_clusters_planted(spark, sf_dir):
 
 @register(
     "curate_corpus_pipeline",
-    oracle=None,  # composes the LSH near-dup stage, so the kept-doc set
-    # inherits its probabilistic recall; every deterministic stage is
-    # exact-oracled individually (lang-id, quality, exact-dedup, tokens)
+    oracle=None,  # natural-corpus twin of curate_corpus_planted (which
+    # exact-oracles the SAME composed pipeline on a closed-form planted
+    # corpus); here the LSH near-dup stage's kept-doc set inherits its
+    # probabilistic recall on natural near-dups and varies by SF; every
+    # deterministic stage is also exact-oracled individually (lang-id,
+    # quality, exact-dedup, tokens)
     tags=("llm", "pipeline"),
     bench=True,
 )
@@ -698,6 +786,85 @@ def curate_corpus_pipeline(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     return curate_corpus(t.documents, config=CurateConfig(min_tokens=5))
+
+
+def _planted_curation_corpus(spark, n_groups=10, n_tokens=60):
+    """Synthetic corpus whose curated survivor set is closed-form: per
+    group g (disjoint per-group vocabularies ``w{g}x{j}`` ⇒ zero
+    cross-group similarity) one doc per pipeline fate —
+
+    - 100000+g  keeper: 60 distinct tokens → survives every stage
+    - 101000+g  exact duplicate of the keeper → exact-dedup loser
+    - 102000+g  near duplicate (3 appended tokens, 3-gram J = 58/61
+                ≈ 0.95) → passes exact dedup, near-dup-stage loser
+    - 103000+g  short doc (3 tokens < min_tokens) → token-gate loser
+    - 104000+g  one token repeated 12× (quality = round((12/20 + 0 +
+                round(1/12, 4))/3, 4) = 0.2278 < 0.3) → quality loser
+    """
+    toks = [F.concat(F.lit("w"), F.col("g"), F.lit(f"x{j}")) for j in range(n_tokens)]
+    base = spark.range(n_groups).select(
+        F.col("id").alias("g"), F.concat_ws(" ", *toks).alias("text")
+    )
+    rep_tok = F.concat(F.lit("w"), F.col("g"), F.lit("rep"))
+    parts = [
+        base.select((F.col("g") + 100000).alias("doc_id"), "text"),
+        base.select((F.col("g") + 101000).alias("doc_id"), "text"),
+        base.select(
+            (F.col("g") + 102000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" pza pzb pzc")).alias("text"),
+        ),
+        base.select(
+            (F.col("g") + 103000).alias("doc_id"),
+            F.concat_ws(" ", *toks[:3]).alias("text"),
+        ),
+        base.select(
+            (F.col("g") + 104000).alias("doc_id"),
+            F.concat_ws(" ", *([rep_tok] * 12)).alias("text"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "curate_corpus_planted",
+    oracle="""
+WITH toks AS (
+  SELECT g, string_agg('w' || g || 'x' || j, ' ' ORDER BY j) AS text
+  FROM range(10) t(g), range(60) d(j)
+  GROUP BY g
+)
+SELECT 100000 + g AS doc_id,
+       text,
+       'und' AS lang_pred,
+       round(2.0 / 3.0, 4) AS quality,
+       CAST(60 AS INT) AS n_tokens,
+       md5(text) AS content_hash
+FROM toks
+ORDER BY doc_id
+""",
+    tags=("llm", "pipeline"),
+)
+def curate_corpus_planted(spark, sf_dir):
+    """The COMPOSED curation pipeline (quality gate → exact dedup →
+    MinHash near-dup removal) exact-oracled end-to-end on a planted
+    corpus whose survivor set is closed-form — see
+    :func:`_planted_curation_corpus` for the per-stage fates. Only the
+    10 keepers survive, so the oracle reconstructs them directly from
+    the planted construction: lang_pred 'und' (no lexicon hits),
+    quality = round((min(60/20,1) + min(0/0.2,1) + 60/60)/3, 4) =
+    0.6667, n_tokens 60, content_hash = md5(text) (the planted text is
+    already in normalized form, so normalization is the identity).
+    Near-dup recall of the J≈0.95 pair is deterministic under the
+    fixed hash seed (16 bands × 4 rows: miss prob (1−J⁴)¹⁶ ≈ 2e-12)
+    and asserted at every test SF; the natural-corpus twin stays
+    rows-only (curate_corpus_pipeline — see its note)."""
+    from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+    docs = _planted_curation_corpus(spark)
+    return curate_corpus(docs, config=CurateConfig(min_tokens=5)).orderBy("doc_id")
 
 
 @register(
@@ -1217,11 +1384,13 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
 
 @register(
     "similarity_topk_pq",
-    oracle=None,  # PQ is lossy by design: ADC distances are quantized
-    # approximations, so the top-k set legitimately differs from exact
-    # search and no SQL oracle can reproduce the codebook training;
-    # planted-copy recall + encode determinism are asserted in
-    # tests/test_operators.py::TestProductQuantization
+    oracle=None,  # natural-corpus twin of similarity_topk_pq_planted
+    # (which exact-oracles planted-copy membership through the same
+    # ADC path): PQ is lossy by design — ADC distances are quantized
+    # approximations, so the natural top-k legitimately differs from
+    # exact search and no SQL oracle can reproduce the codebook
+    # training; planted-copy recall + encode determinism are also
+    # asserted in tests/test_operators.py::TestProductQuantization
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_pq(spark, sf_dir):
@@ -1247,10 +1416,12 @@ def similarity_topk_pq(spark, sf_dir):
 
 @register(
     "similarity_topk_ivfpq",
-    oracle=None,  # doubly approximate (IVF cell pruning × PQ quantized
-    # distances) — no SQL oracle can reproduce either; planted-copy
-    # recall through the combined structure is asserted in
-    # tests/test_operators.py::TestProductQuantization
+    oracle=None,  # natural-corpus twin of similarity_topk_ivfpq_planted
+    # (which exact-oracles planted-copy membership through the same
+    # IVFADC path): doubly approximate (IVF cell pruning × PQ quantized
+    # distances) — no SQL oracle can reproduce either on natural data;
+    # planted-copy recall through the combined structure is also
+    # asserted in tests/test_operators.py::TestProductQuantization
     tags=("llm", "similarity", "scale"),
 )
 def similarity_topk_ivfpq(spark, sf_dir):
@@ -1270,12 +1441,89 @@ def similarity_topk_ivfpq(spark, sf_dir):
     return pq.ivfpq_topk(t.embeddings, queries, books, k=10, n_cells=16, n_probe=4)
 
 
+_PLANTED_ADC_ORACLE = """
+SELECT q AS query_id, q + j * 100000 AS vec_id
+FROM range(5) t(q), range(1, 4) s(j)
+ORDER BY query_id, vec_id
+"""
+
+
+@register(
+    "similarity_topk_pq_planted",
+    oracle=_PLANTED_ADC_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_topk_pq_planted(spark, sf_dir):
+    """PQ/ADC ANN exact-oracled on planted-copy MEMBERSHIP: corpus =
+    embeddings ∪ 3 bitwise copies of each query vector; codebooks
+    train on the natural sample only (vec_id < 500 — unchanged by the
+    planting, so training stays deterministic). An exact copy encodes
+    to the query's own per-subspace argmin codes, whose ADC distance
+    Σ_j min_c table[j][c] is the GLOBAL minimum any row can achieve —
+    so all 3 copies sit in the ADC top-10 structurally (only ≥ 7
+    natural rows colliding on the full 16⁸ code vector could displace
+    them; deterministically zero here, asserted at all test SFs). The
+    oracle checks the planted-hit set (query_id, vec_id): the ADC
+    distance VALUE depends on trained codebooks no SQL oracle can
+    reproduce, and ranks depend on natural quantization ties — both
+    stay covered by TestProductQuantization. Natural-corpus twin:
+    similarity_topk_pq (rows-only)."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t, n_copies=3)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    codes = pq.pq_encode(corpus, books)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq.pq_topk(codes, queries, books, k=10)
+    return (
+        res.filter(F.col("vec_id") >= 100000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+@register(
+    "similarity_topk_ivfpq_planted",
+    oracle=_PLANTED_ADC_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_topk_ivfpq_planted(spark, sf_dir):
+    """IVFADC exact-oracled on the same planted-copy membership as
+    similarity_topk_pq_planted, THROUGH the coarse quantizer as well:
+    an exact copy lands in the query's own argmax cell (always among
+    its n_probe probes), then achieves the minimal ADC distance inside
+    the probed set — so the planted hits survive both pruning layers
+    structurally. Natural-corpus twin: similarity_topk_ivfpq
+    (rows-only)."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t, n_copies=3)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq.ivfpq_topk(corpus, queries, books, k=10, n_cells=16, n_probe=4)
+    return (
+        res.filter(F.col("vec_id") >= 100000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id", "vec_id")
+    )
+
+
 @register(
     "embedding_kmeans",
-    oracle=None,  # Lloyd iterations accumulate float sums whose order
-    # differs across engines, so centroids drift in the last ulp and
-    # assignments near Voronoi boundaries can legitimately flip; planted
-    # well-separated clusters are recovered exactly in local tests
+    oracle=None,  # natural-corpus twin of embedding_kmeans_planted
+    # (which exact-oracles the same Lloyd path on planted
+    # well-separated clusters): natural Lloyd iterations accumulate
+    # float sums whose order differs across engines, so centroids
+    # drift in the last ulp and assignments near Voronoi boundaries
+    # can legitimately flip
     tags=("llm", "embedding", "scale"),
 )
 def embedding_kmeans(spark, sf_dir):
@@ -1417,9 +1665,11 @@ def dedup_keep_best(spark, sf_dir):
 
 @register(
     "export_training_corpus",
-    oracle=None,  # composes the MinHash near-dup stage (see
-    # curate_corpus_pipeline note); deterministic shard/packing stages
-    # are exact-oracled via shard_export_stats / pack_sequences
+    oracle=None,  # natural-corpus twin of export_training_corpus_planted
+    # (which exact-oracles the same curate→chunk→pack composition on
+    # planted data): here the MinHash near-dup stage's kept set varies
+    # by SF; deterministic shard/packing stages are also exact-oracled
+    # via shard_export_stats / pack_sequences
     tags=("llm", "pipeline", "export"),
 )
 def export_training_corpus(spark, sf_dir):
@@ -1436,6 +1686,60 @@ def export_training_corpus(spark, sf_dir):
     chunks = packing.chunk_documents(curated, budget=32, overlap=8)
     # pack CHUNKS (keyed by doc, chunk) — re-key so each chunk packs
     # independently; chunk_key is collision-free (chunk_id < 2^20)
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * (1 << 20) + F.col("chunk_id")).alias("doc_id"),
+        F.col("chunk").alias("text"),
+    )
+    return packing.pack_sequences(chunk_docs, budget=128, n_shards=8)
+
+
+@register(
+    "export_training_corpus_planted",
+    oracle=rf"""
+WITH RECURSIVE chunks AS (
+  -- closed-form chunk manifest of the 10 planted survivors: 60 tokens
+  -- chunked at budget=32/overlap=8 (step 24) → slices at 1/25/49 of
+  -- 32, 32, and 12 tokens; re-keyed doc_id*2^20 + chunk_id
+  SELECT (100000 + g) * 1048576 + cid AS doc_id,
+         CAST(CASE WHEN cid = 2 THEN 12 ELSE 32 END AS BIGINT) AS n_tokens
+  FROM range(10) t(g), range(3) c(cid)
+), base AS (
+  SELECT doc_id, {_sql_h60("CAST(doc_id AS VARCHAR)")} % 8 AS shard, n_tokens
+  FROM chunks
+), seq AS (
+  SELECT doc_id, shard, n_tokens,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM base
+), p AS (
+  SELECT doc_id, shard, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.shard, s.n_tokens, s.rn,
+         CASE WHEN p.used + s.n_tokens > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+         CASE WHEN p.used + s.n_tokens > 128 THEN s.n_tokens
+              ELSE p.used + s.n_tokens END
+  FROM seq s JOIN p ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT doc_id, shard, seq_id, n_tokens FROM p
+""",
+    tags=("llm", "pipeline", "export"),
+)
+def export_training_corpus_planted(spark, sf_dir):
+    """The FULL export composition (curate → context-window chunking →
+    greedy packing) exact-oracled end-to-end on the planted corpus:
+    curation's survivor set is closed-form (see curate_corpus_planted),
+    each 60-token survivor chunks deterministically into 32/32/12-token
+    windows, and the oracle replays shard assignment (portable md5
+    hash) plus the greedy first-fit fold as the same recursive CTE the
+    pack_sequences oracle uses — so the whole three-stage job graph is
+    pinned, not just its stages. Natural-corpus twin:
+    export_training_corpus (rows-only)."""
+    from exosql_spark.operators import packing, pipeline
+
+    docs = _planted_curation_corpus(spark)
+    curated = pipeline.curate_corpus(docs)
+    chunks = packing.chunk_documents(curated, budget=32, overlap=8)
     chunk_docs = chunks.select(
         (F.col("doc_id") * (1 << 20) + F.col("chunk_id")).alias("doc_id"),
         F.col("chunk").alias("text"),
