@@ -27,16 +27,21 @@ class CurateConfig:
     use_components: bool = False  # transitive clusters vs min-representative
     minhash_hashes: int = 64
     minhash_bands: int = 16
-    #: When False (default), the MinHash signature is computed alongside
-    #: the cheap per-row features so ONE persisted frame feeds every
+    #: When False, the MinHash signature is computed alongside the
+    #: cheap per-row features so ONE persisted frame feeds every
     #: downstream consumer — some signature work is spent on rows exact
     #: dedup will drop, but no second cache is needed. When True, the
     #: signature is computed only on exact-dedup survivors — pays off
     #: when the exact-dup rate is high (signatures are the expensive
     #: stage), at the cost of a second persisted frame for the banding
-    #: join. Results are identical either way (signatures are a pure
+    #: join. None (default) self-tunes: one digest-only pre-pass
+    #: measures the corpus's exact-dup rate and picks True above
+    #: AUTO_SIG_DUP_RATE (the digest agg shuffles 16-byte hashes — far
+    #: cheaper than the signature stage it sizes; callers that already
+    #: know their dup rate set the flag explicitly and skip the pass).
+    #: Results are identical on every path (signatures are a pure
     #: function of text); only the plan shape changes.
-    sig_after_dedup: bool = False
+    sig_after_dedup: bool | None = None
     #: Run ExactSubstr-style repeated-span removal (text.span_dedup)
     #: BEFORE feature extraction, so quality/token stats and dedup
     #: signatures see the cleaned text. Adds one gram-count shuffle.
@@ -46,6 +51,29 @@ class CurateConfig:
     #: (text.lm_score — the perplexity-proxy quality signal) falls
     #: below this bound. Adds two count aggregations + one join.
     min_lm_score: float | None = None
+
+
+#: Auto-placement threshold: above this exact-duplicate rate the
+#: signature work saved by deduping first outweighs the cost of a
+#: second persisted frame. 0.2 is deliberately conservative — at low
+#: dup rates the one-persist plan's simplicity wins even though a few
+#: signatures are wasted.
+AUTO_SIG_DUP_RATE = 0.2
+
+
+def _auto_sig_after_dedup(
+    docs: DataFrame, text_col: str, threshold: float = AUTO_SIG_DUP_RATE
+) -> bool:
+    """Decision rule for CurateConfig.sig_after_dedup=None: measure the
+    exact-duplicate rate with a digest-only pass (scan + md5 + count
+    distinct — the shuffle carries 16-byte digests, so this is the
+    cheapest possible full pass; the signature stage it sizes is 10×+
+    heavier) and compute signatures after exact dedup iff the rate
+    exceeds ``threshold``."""
+    row = docs.select(text.fingerprint_md5(F.col(text_col)).alias("_h")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("_h").alias("d")
+    ).first()
+    return row.n > 0 and (row.n - row.d) / row.n > threshold
 
 
 def curate_corpus(
@@ -91,16 +119,24 @@ def curate_corpus(
             .drop("lm_score")
         )
 
+    # Resolve the signature-placement choice (see CurateConfig): the
+    # auto rule must run BEFORE the feature frame is built — once the
+    # featured frame is persisted without a signature column, the
+    # one-persist ordering is no longer reachable.
+    sig_after = cfg.sig_after_dedup
+    if sig_after is None:
+        sig_after = _auto_sig_after_dedup(docs, text_col)
+
     # 1. cheap per-row features (pure map — fused into the scan), plus —
-    # unless cfg.sig_after_dedup — the MinHash signature, so the SAME
-    # persisted frame feeds every downstream consumer (see the config
-    # field's doc for the ordering tradeoff).
+    # unless sig_after — the MinHash signature, so the SAME persisted
+    # frame feeds every downstream consumer (see the config field's doc
+    # for the ordering tradeoff).
     featured = text.quality_score(docs, text_col).withColumn(
         "lang_pred", text.lang_id(F.col(text_col))
     ).withColumn("n_tokens", F.col("q_n_tokens")).withColumn(
         "content_hash", text.fingerprint_md5(F.col(text_col))
     )
-    if not cfg.sig_after_dedup:
+    if not sig_after:
         featured = featured.withColumn(
             "_sig", dedup.minhash_signature(text_col, cfg.minhash_hashes)
         )
@@ -132,11 +168,11 @@ def curate_corpus(
     exact = filtered.join(keep, id_col, "left_semi")
 
     # 4. near-dup removal (LSH banding; optionally transitive clusters).
-    # sig_after_dedup=False: signatures ride along from the persisted
+    # sig_after=False: signatures ride along from the persisted
     # feature frame — no recompute, no second cache. True: compute them
     # now, on survivors only, behind their own persist (the banding
     # self-consumes the frame once per band slice).
-    if cfg.sig_after_dedup:
+    if sig_after:
         signatures = exact.select(
             F.col(id_col).alias("_id"),
             dedup.minhash_signature(text_col, cfg.minhash_hashes).alias("_sig"),

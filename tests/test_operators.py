@@ -795,6 +795,38 @@ class TestCuratePipeline:
         )
         assert before == after and len(before) > 0
 
+    def test_auto_sig_placement_rule(self, spark):
+        """sig_after_dedup=None self-tunes from the measured exact-dup
+        rate: a heavily-duplicated corpus picks the dedup-first
+        ordering, a unique corpus keeps the one-persist ordering."""
+        from exosql_spark.operators.pipeline import _auto_sig_after_dedup
+
+        uniq = spark.range(20).selectExpr(
+            "id AS doc_id", "concat('unique doc number ', id) AS text"
+        )
+        assert _auto_sig_after_dedup(uniq, "text") is False
+        dup = spark.range(20).selectExpr(
+            "id AS doc_id", "concat('copy ', CAST(id % 4 AS STRING)) AS text"
+        )
+        assert _auto_sig_after_dedup(dup, "text") is True
+
+    def test_auto_sig_matches_forced_paths(self, spark, sf_dir):
+        """The auto default must stay result-identical to BOTH forced
+        orderings (the rule only picks a plan shape)."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.pipeline import CurateConfig, curate_corpus
+
+        docs = load_table(spark, sf_dir, "documents")
+        kept = {}
+        for mode in (None, False, True):
+            kept[mode] = sorted(
+                r.doc_id
+                for r in curate_corpus(
+                    docs, config=CurateConfig(min_tokens=5, sig_after_dedup=mode)
+                ).select("doc_id").collect()
+            )
+        assert kept[None] == kept[False] == kept[True] and len(kept[None]) > 0
+
 
 class TestIncrementalDedup:
     def test_precomputed_index_path(self, spark, sf_dir):
