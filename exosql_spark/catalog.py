@@ -38,18 +38,31 @@ _QUERY_MODULES = (
 )
 
 # Driver CORRECTNESS verifies entries in ``queries()`` iteration order and
-# truncates after ~50.  Rounds 1–4 cumulatively blessed all 117 exact-oracle
-# entries (every one driver-green) and ran all rows-only entries; the full
-# local gate (tests/test_oracle.py) keeps them green between windows.  This
-# list fronts, in priority order: entries new or promoted this round (round
-# 5) that need their first driver-green row, the remaining rows-only tier
-# (run-without-error checks — each entry's ``oracle=None`` comment documents
-# why no exact oracle can exist), then high-value re-pins.  Names absent
-# from the registry are ignored; registered names absent from this list
-# follow in registration order.
+# truncates after ~50 (CORRECTNESS_r05 cut at exactly 50).  Rounds 1–5
+# cumulatively blessed all 141 exact-oracle entries (every one
+# driver-green, zero failures) and ran every rows-only entry clean; the
+# full local gate (tests/test_oracle.py) keeps rotated-out entries green
+# between windows.  The round-6 window fronts, in priority order:
+#   1. entries new this round (6 planted exact oracles);
+#   2. the streaming-parity block, pinned every round (guards the round-4
+#      timestamp-unit bug class);
+#   3. the rows-only entries with NO planted exact-oracle anchor (6 — the
+#      other 8 rows-only entries each name an in-window planted twin that
+#      drives the same code path, so they can sit a round out);
+#   4. a stale-green rotation: 31 exact-oracle entries whose last driver
+#      row was round 1/2 (TPC-H tail, window frames, setops, fn family).
+# Names absent from the registry are ignored; registered names absent
+# from this list follow in registration order (after the window cutoff).
 _VERIFY_FIRST = (
-    # -- new/promoted this round (round 5): exact oracles needing their
+    # -- 1. new this round (round 6): planted exact oracles needing their
     #    first driver-green row --
+    "curate_corpus_planted",           # end-to-end pipeline, closed-form survivors
+    "similarity_topk_lsh_planted",     # sign-LSH ANN: structural recall, full top-k
+    "similarity_topk_ivf_planted",     # IVF ANN: cell-probe path, full top-k
+    "similarity_topk_pq_planted",      # PQ/ADC: planted-hit membership
+    "similarity_topk_ivfpq_planted",   # IVFADC: membership through both pruners
+    "export_training_corpus_planted",  # curate→chunk→pack, recursive-CTE oracle
+    # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
     "streaming_sessions_parity",       # session windows ↔ gaps-and-islands
@@ -57,24 +70,49 @@ _VERIFY_FIRST = (
     "streaming_attribution_parity",    # stream-stream interval join ↔ SQL join
     "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
-    "dedup_minhash_clusters_planted",  # LSH→components on planted dups
-    "dedup_embedding_cosine",          # promoted: planted scaled copies
-    "dedup_simhash_pairs",             # promoted: planted identical triples
-    "dedup_ngram_jaccard",             # promoted: planted J=1.0 / 58/61 set
-    "multimodal_features",             # promoted: byte-length + sha1 parity
-    "dedup_incremental_batch",         # new: cross-snapshot dedup vs ref corpus
-    "text_decontaminate_bloom",        # new: join-free Bloom decontamination
-    "agg_listagg",                     # new: LISTAGG WITHIN GROUP
-    "unpivot_melt",                    # new: UNPIVOT/melt
-    "text_lm_score",                   # new: bigram-LM perplexity proxy
-    "text_span_dedup",                 # new: ExactSubstr-style span removal
-    "text_token_topk_approx",          # new: sketch heavy-hitters scale path
-    "skew_salted_agg",                 # new: salting invisible in results
-    "skew_salted_join",                # new: salted join == plain join
-    "corpus_quality_report",           # new: GROUPING SETS corpus dashboard
-    "events_resample_gapfill",         # new: hypertable-style gap filling
-    "embedding_kmeans_planted",        # new: Lloyd convergence, exact oracle
-    # -- rows-only tier (12 entries; weakest check, keep them running) --
+    # -- 3. rows-only entries with no planted anchor (sampling / sketch /
+    #    RNG by nature; each oracle=None comment documents why) --
+    "export_training_corpus",
+    "sample_stratified",
+    "sample_fraction",
+    "agg_approx_percentile",
+    "fn_nondeterministic",
+    "approx_count_distinct",
+    # -- 4. stale-green rotation: last driver row r1/r2 --
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_volume_share_suppliers",
+    "tpch_q22_dormant_rich_customers",
+    "window_running_agg",
+    "window_ranking",
+    "window_lag_lead",
+    "window_ntile_percent",
+    "window_frame_values",
+    "window_range_frame",
+    "union_all",
+    "union_distinct",
+    "select_distinct",
+    "intersect_extension",
+    "except_extension",
+    "setops_all_variants",
+    "fn_strings",
+    "fn_regex",
+    "fn_datetime",
+    "fn_arrays",
+    # -- window cutoff lands here (6+7+6+31 = 50); everything below
+    #    follows in registration order for larger windows --
+    "fn_maps",
     "dedup_minhash_pairs",
     "dedup_minhash_components",
     "similarity_topk_lsh",
@@ -83,47 +121,6 @@ _VERIFY_FIRST = (
     "similarity_topk_ivfpq",
     "embedding_kmeans",
     "curate_corpus_pipeline",
-    "export_training_corpus",
-    "sample_stratified",
-    "sample_fraction",
-    "agg_approx_percentile",
-    "fn_nondeterministic",
-    "approx_count_distinct",
-    # -- re-pins: high-value rows kept in-window to catch regressions,
-    #    rotating older greens back through the window --
-    "q1_pricing_summary",
-    "join_inner_star",
-    "scan_project_filter",
-    "dedup_exact_groups",
-    "similarity_topk_cosine",
-    "text_line_dedup",
-    "text_decontaminate",
-    "fn_humanize_si",
-    "tpch_q21_waiting_suppliers",
-    "pack_sequences",
-    "dedup_jaccard_exact_pairs",
-    "join_asof_forward",
-    "dedup_keep_best",
-    "embedding_centroids",
-    "events_time_bucket",
-    "events_sessionize",
-    "join_left_outer",
-    "join_theta",
-    "window_running_agg",
-    "distinct_on",
-    "udtf_split_words",
-    "fn_coercion_sql",
-    "events_json_props",
-    "text_tfidf_topk",
-    "text_quality_score",
-    "chunk_documents",
-    "mixture_sample",
-    "shard_export_stats",
-    "federation_cross_source_join",
-    "udf_scalar_rank_normalize",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_type_profit",
-    "tpch_q18_large_volume_customers",
 )
 
 

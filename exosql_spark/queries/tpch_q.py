@@ -418,6 +418,7 @@ WHERE p.p_brand = 'Brand#23'
   AND CAST(l.l_quantity AS DECIMAL(25,6)) * 5 * pq.cnt_qty < pq.sum_qty
 """,
     tags=("tpch", "join", "agg", "correlated"),
+    bench=True,  # shuffle-heavy shape: tracked since round 6
 )
 def tpch_q17_small_quantity_revenue(spark, sf_dir):
     """Q17 shape: lineitems below 20% of their part's average quantity.
@@ -799,6 +800,7 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """,
     tags=("tpch", "outer-join", "double-agg"),
+    bench=True,  # shuffle-heavy shape: tracked since round 6
 )
 def tpch_q13_customer_distribution(spark, sf_dir):
     """Q13 shape: order-count histogram over customers including
@@ -935,6 +937,7 @@ WHERE r.r_name = 'ASIA'
 ORDER BY s.s_name
 """,
     tags=("tpch", "semi", "correlated"),
+    bench=True,  # shuffle-heavy shape: tracked since round 6
 )
 def tpch_q20_volume_share_suppliers(spark, sf_dir):
     """Q20 shape: suppliers dominating a part's shipped volume (no
