@@ -43,13 +43,13 @@ _QUERY_MODULES = (
 # driver-green, zero failures) and ran every rows-only entry clean; the
 # full local gate (tests/test_oracle.py) keeps rotated-out entries green
 # between windows.  The round-6 window fronts, in priority order:
-#   1. entries new this round (6 planted exact oracles);
+#   1. entries new this round (7 planted exact oracles);
 #   2. the streaming-parity block, pinned every round (guards the round-4
 #      timestamp-unit bug class);
 #   3. the rows-only entries with NO planted exact-oracle anchor (6 — the
 #      other 8 rows-only entries each name an in-window planted twin that
 #      drives the same code path, so they can sit a round out);
-#   4. a stale-green rotation: 31 exact-oracle entries whose last driver
+#   4. a stale-green rotation: 30 exact-oracle entries whose last driver
 #      row was round 1/2 (TPC-H tail, window frames, setops, fn family).
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
@@ -62,6 +62,7 @@ _VERIFY_FIRST = (
     "similarity_topk_pq_planted",      # PQ/ADC: planted-hit membership
     "similarity_topk_ivfpq_planted",   # IVFADC: membership through both pruners
     "export_training_corpus_planted",  # curate→chunk→pack, recursive-CTE oracle
+    "dedup_semantic_planted",          # SemDeDup: cluster→cosine pairs closed-form
     # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
@@ -109,9 +110,9 @@ _VERIFY_FIRST = (
     "fn_strings",
     "fn_regex",
     "fn_datetime",
-    "fn_arrays",
-    # -- window cutoff lands here (6+7+6+31 = 50); everything below
+    # -- window cutoff lands here (7+7+6+30 = 50); everything below
     #    follows in registration order for larger windows --
+    "fn_arrays",
     "fn_maps",
     "dedup_minhash_pairs",
     "dedup_minhash_components",

@@ -1,0 +1,121 @@
+"""SemDeDup — semantic deduplication over an embedding column
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540).
+
+Where MinHash/SimHash find near-identical TEXT, SemDeDup finds
+semantically redundant documents whose embeddings nearly coincide —
+the standard web-scale companion pass. The structure:
+
+1. **Normalize** embeddings to the unit sphere (the paper's setup).
+   After normalization, L2 k-means is cosine clustering, and a scaled
+   copy of a vector becomes bitwise the same direction — so duplicate
+   detection is invariant to embedding magnitude.
+2. **Cluster** with deterministic Lloyd k-means
+   (:mod:`exosql_spark.operators.clustering`): centroids travel as
+   k × dim literals, assignment is a pure map fused into the scan.
+3. **Pair search within clusters only**: a self equi-join on the
+   cluster id. This is the whole point at scale — candidate work is
+   Σ_c |c|² instead of n²; with k sized so clusters hold ~n/k ≈ 10⁴
+   vectors, a 10⁹-vector corpus does 10⁹·10⁴ comparisons spread over
+   the cluster key space instead of 10¹⁸. ``max_cluster`` caps
+   degenerate clusters the same way dedup's LSH bucket cap does
+   (quadratic-bucket guard); raise k instead when the cap trips often.
+4. **Exact cosine verify** inside the pairs (JVM zip_with/aggregate),
+   keep pairs ≥ threshold, drop all but the lowest id per duplicate
+   group (the anti-join convention the curation pipeline uses).
+
+Beyond-reference extension (serverboards/exosql has no vector
+surface); complements dedup.py (text near-dup) and similarity.py
+(ANN search) — same bucketed-not-all-pairs discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from exosql_spark.operators.similarity import _norm, cosine
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Scale each vector to unit L2 norm (as double); zero/empty
+    vectors pass through unscaled rather than dividing by zero."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    n = _norm(v)
+    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+    return df.withColumn(vec_col, unit)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Semantic near-duplicate pairs (id_a < id_b, cosine_sim ≥
+    threshold, both in the same k-means cluster).
+
+    ``centroids``: pass pre-trained centroids (e.g. from a bounded
+    sample — the production shape: train once, assign everywhere) to
+    skip the Lloyd iterations; assignment is identical either way.
+    Columns: id_a, id_b, cluster, cosine_sim."""
+    from exosql_spark.operators.clustering import assign_clusters, kmeans
+    from exosql_spark.operators.dedup import _cap_buckets, _parallelize
+
+    df = _parallelize(df.select(F.col(id_col), F.col(vec_col)))
+    if normalize:
+        df = normalize_embeddings(df, vec_col)
+    if centroids is None:
+        _, assigned = kmeans(df, k, iters, vec_col, id_col)
+    else:
+        assigned = assign_clusters(df, centroids, vec_col)
+    sides = assigned.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"), "cluster"
+    )
+    # persist: both self-join sides consume this frame — without the
+    # barrier the k-distance assignment math runs twice per row
+    sides = _cap_buckets(sides, ["cluster"], max_cluster).persist()
+    a, b = sides.alias("a"), sides.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    max_cluster: int | None = None,
+    normalize: bool = True,
+) -> DataFrame:
+    """Drop semantic near-duplicates, keeping the lowest id of each
+    duplicate group (every id that appears as id_b of some ≥-threshold
+    pair is removed — the same min-representative convention as the
+    curation pipeline's near-dup stage)."""
+    pairs = semantic_dedup_pairs(
+        df, k, iters, threshold, vec_col, id_col, centroids, max_cluster, normalize
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1591,6 +1591,72 @@ def embedding_kmeans_planted(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic_planted",
+    oracle="""
+SELECT a.id AS id_a, b.id AS id_b, CAST(a.id % 5 AS INT) AS cluster
+FROM range(100) a(id), range(100) b(id)
+WHERE a.id < b.id AND a.id % 5 = b.id % 5
+ORDER BY id_a, id_b
+""",
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_semantic_planted(spark, sf_dir):
+    """SemDeDup (k-means clusters → within-cluster cosine pairs,
+    operators/semdedup.py) exact-oracled on the SAME planted
+    construction as embedding_kmeans_planted: 100 vectors at 5
+    orthogonal corners with closed-form jitter. The lowest-id init
+    seeds one centroid per corner, so Lloyd provably recovers the
+    planted partition (cluster label = id % 5); every same-corner pair
+    has cosine ≈ 0.9998+ (jitter 0.05 against magnitude 10) and every
+    cross-corner pair is never compared (different clusters) — so the
+    pair set is exactly all same-residue pairs: C(20,2) × 5 = 950
+    rows, which the oracle states without modelling Lloyd or cosine.
+    cosine_sim is dropped from the output (each pair's value is
+    jitter-dependent and could straddle a rounding boundary between
+    engines); the pair SET has margin 0.09+ against the 0.9 threshold.
+    Natural-corpus twin: dedup_semantic (rows-only)."""
+    from exosql_spark.operators import semdedup
+
+    ids = spark.range(100)
+    vec = F.array(
+        *[
+            (
+                F.when(F.lit(j) == (F.col("id") % 5), F.lit(10.0)).otherwise(F.lit(0.0))
+                + (((F.col("id") * 31 + j * 7) % 11) - 5) * F.lit(0.01)
+            ).cast("float")
+            for j in range(8)
+        ]
+    )
+    planted = ids.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    pairs = semdedup.semantic_dedup_pairs(planted, k=5, iters=3, threshold=0.9)
+    return pairs.select(
+        "id_a", "id_b", F.col("cluster").cast("int").alias("cluster")
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_semantic",
+    oracle=None,  # natural-corpus twin of dedup_semantic_planted (which
+    # exact-oracles the same cluster→pair→anti-join path on planted
+    # clusters): natural Lloyd centroids drift in the last ulp across
+    # engines (see embedding_kmeans note), so cluster boundaries — and
+    # with them the candidate pair set — are not SQL-reproducible
+    tags=("llm", "dedup", "embedding", "scale"),
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup survivor set over the natural embeddings table:
+    normalize → k-means (k=8) → within-cluster cosine ≥ 0.95 →
+    keep-lowest-id anti-join. Candidate work is Σ|cluster|², never
+    n² — the web-scale semantic-dedup pass (Abbas et al. 2023)."""
+    from exosql_spark.operators import semdedup
+
+    t = Tables(spark, sf_dir)
+    return semdedup.semantic_dedup(
+        t.embeddings.select("vec_id", "embedding"), k=8, iters=2, threshold=0.95
+    ).select("vec_id").orderBy("vec_id")
+
+
+@register(
     "chunk_documents",
     oracle=rf"""
 WITH d AS (

@@ -219,6 +219,82 @@ class TestProductQuantization:
             assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
 
 
+class TestSemanticDedup:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        """The embedding_kmeans_planted construction: 100 vectors at 5
+        orthogonal corners with deterministic jitter."""
+        vec = F.array(
+            *[
+                (
+                    F.when(F.lit(j) == (F.col("id") % 5), F.lit(10.0)).otherwise(
+                        F.lit(0.0)
+                    )
+                    + (((F.col("id") * 31 + j * 7) % 11) - 5) * F.lit(0.01)
+                ).cast("float")
+                for j in range(8)
+            ]
+        )
+        return spark.range(100).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+    def test_planted_pairs_and_survivors(self, planted):
+        """Lloyd recovers the planted partition, so the pair set is all
+        same-residue pairs (950) and the survivor set is the 5 cluster
+        minima."""
+        from exosql_spark.operators import semdedup
+
+        pairs = semdedup.semantic_dedup_pairs(planted, k=5, iters=3, threshold=0.9)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        want = {
+            (a, b)
+            for a in range(100)
+            for b in range(100)
+            if a < b and a % 5 == b % 5
+        }
+        assert got == want
+        kept = sorted(
+            r.vec_id
+            for r in semdedup.semantic_dedup(
+                planted, k=5, iters=3, threshold=0.9
+            ).collect()
+        )
+        assert kept == [0, 1, 2, 3, 4]
+
+    def test_scaled_copies_found_on_natural_corpus(self, spark, sf_dir):
+        """Normalization makes detection magnitude-invariant: a
+        2x-scaled copy becomes the identical unit vector, lands in the
+        same cluster deterministically, and scores cosine 1.0."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import semdedup
+
+        base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        copies = base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+        )
+        pairs = semdedup.semantic_dedup_pairs(
+            base.unionByName(copies), k=8, iters=2, threshold=0.95
+        )
+        planted_pairs = {
+            (r.id_a, r.id_b): r.cosine_sim
+        for r in pairs.filter(F.col("id_b") >= 100000).collect()
+        }
+        for i in range(5):
+            assert planted_pairs.get((i, i + 100000)) == 1.0, planted_pairs
+
+    def test_pretrained_centroids_match_inline_training(self, planted):
+        """The production shape (train once on a sample, assign
+        everywhere) must produce the identical pair set."""
+        from exosql_spark.operators import semdedup
+        from exosql_spark.operators.clustering import kmeans
+        from exosql_spark.operators.semdedup import normalize_embeddings
+
+        cents, _ = kmeans(normalize_embeddings(planted), k=5, iters=3)
+        inline = semdedup.semantic_dedup_pairs(planted, k=5, iters=3, threshold=0.9)
+        pre = semdedup.semantic_dedup_pairs(planted, threshold=0.9, centroids=cents)
+        assert {tuple(r) for r in inline.collect()} == {tuple(r) for r in pre.collect()}
+
+
 class TestText:
     def test_token_counts(self, spark):
         df = spark.createDataFrame([("hello,  world! 42",)], "text string")
