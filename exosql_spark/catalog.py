@@ -45,11 +45,11 @@ _QUERY_MODULES = (
 # between windows.  The round-6 window fronts, in priority order:
 #   1. entries new this round (7 planted exact oracles);
 #   2. the streaming-parity block, pinned every round (guards the round-4
-#      timestamp-unit bug class);
+#      timestamp-unit bug class), plus the new streaming-curation entry;
 #   3. the rows-only entries with NO planted exact-oracle anchor (6 — the
 #      other 8 rows-only entries each name an in-window planted twin that
 #      drives the same code path, so they can sit a round out);
-#   4. a stale-green rotation: 30 exact-oracle entries whose last driver
+#   4. a stale-green rotation: 29 exact-oracle entries whose last driver
 #      row was round 1/2 (TPC-H tail, window frames, setops, fn family).
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
@@ -71,6 +71,7 @@ _VERIFY_FIRST = (
     "streaming_attribution_parity",    # stream-stream interval join ↔ SQL join
     "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
+    "streaming_curation_parity",       # NEW r6: curation map under streaming
     # -- 3. rows-only entries with no planted anchor (sampling / sketch /
     #    RNG by nature; each oracle=None comment documents why) --
     "export_training_corpus",
@@ -109,9 +110,9 @@ _VERIFY_FIRST = (
     "setops_all_variants",
     "fn_strings",
     "fn_regex",
-    "fn_datetime",
-    # -- window cutoff lands here (7+7+6+30 = 50); everything below
+    # -- window cutoff lands here (7+8+6+29 = 50); everything below
     #    follows in registration order for larger windows --
+    "fn_datetime",
     "fn_arrays",
     "fn_maps",
     "dedup_minhash_pairs",

@@ -335,3 +335,73 @@ def streaming_tumbling_parity(spark, sf_dir):
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+# Shared SQL fragments from the batch entries (same constants on both
+# engines — text_quality_score / text_lang_id are the batch twins).
+from exosql_spark.queries.llm_q import _SQL_STOPS, _SQL_TOKS, _lang_scored_sql
+
+
+@register(
+    "streaming_curation_parity",
+    oracle=rf"""
+WITH f AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> list_contains({_SQL_STOPS}, lower(t)))) AS stop_hits,
+         len(list_distinct(toks)) AS n_distinct
+  FROM f
+), h AS (
+  SELECT doc_id, text, n_tok,
+         list_transform(toks, t -> lower(t)) AS toks,
+         round((least(n_tok / 20.0, 1.0)
+               + least(round(stop_hits / greatest(n_tok, 1), 4) / 0.2, 1.0)
+               + round(n_distinct / greatest(n_tok, 1), 4)) / 3.0, 4) AS quality
+  FROM g
+), s AS (
+  SELECT doc_id, text, n_tok, quality,
+         list_sort({_lang_scored_sql()})[-1] AS best
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+       quality,
+       n_tok AS n_tokens,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS content_hash
+FROM s
+WHERE n_tok >= 10 AND quality >= 0.3
+ORDER BY doc_id
+""",
+    tags=("streaming", "llm", "pipeline"),
+)
+def streaming_curation_parity(spark, sf_dir):
+    """The LLM curation map (lang-id + quality features + gates +
+    content fingerprint) executed as a Structured Streaming query over
+    the documents file source and drained with availableNow — output
+    must equal the batch quality/lang/fingerprint SQL row for row.
+
+    This is the ingestion half of the production split documented in
+    streaming/corpus.py (stream the per-row curation at the landing
+    zone; run near-dup batch-side on landed data): the operators are
+    pure Column expressions, so streaming execution is the SAME
+    expression tree under a different physical driver — which is
+    exactly what this entry pins. Map-only: no state, no watermark,
+    unlimited scale."""
+    from exosql_spark import streaming
+    from exosql_spark.streaming.corpus import curate_stream, read_documents_stream
+
+    stream = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    cur = curate_stream(stream)
+    out = cur.select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        F.col("q_n_tokens").alias("n_tokens"),
+        "content_hash",
+    )
+    q = streaming.run_to_memory(out, "cat_stream_curation")
+    q.stop()
+    return spark.table("cat_stream_curation").orderBy("doc_id")
