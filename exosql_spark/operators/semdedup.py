@@ -31,6 +31,8 @@ surface); complements dedup.py (text near-dup) and similarity.py
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -48,6 +50,31 @@ def normalize_embeddings(
     return df.withColumn(vec_col, unit)
 
 
+def _cosine_pandas_udf():
+    """Arrow-batched pairwise cosine (unrounded double): one numpy
+    einsum over the whole batch instead of an interpreted per-element
+    HOF fold. Same *measured-exception* rationale as
+    dedup.minhash_signature — Spark's higher-order array functions
+    never enter whole-stage codegen, so at ~10⁵+ candidate pairs the
+    vectorized path wins by an order of magnitude (see SCALE.md)."""
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return _cos
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     k: int = 16,
@@ -58,6 +85,8 @@ def semantic_dedup_pairs(
     centroids: list[list[float]] | None = None,
     max_cluster: int | None = None,
     normalize: bool = True,
+    scorer: str = "hof",
+    assigner: str = "hof",
 ) -> DataFrame:
     """Semantic near-duplicate pairs (id_a < id_b, cosine_sim ≥
     threshold, both in the same k-means cluster).
@@ -65,8 +94,21 @@ def semantic_dedup_pairs(
     ``centroids``: pass pre-trained centroids (e.g. from a bounded
     sample — the production shape: train once, assign everywhere) to
     skip the Lloyd iterations; assignment is identical either way.
+    ``scorer``: 'hof' (default) keeps pair scoring in pure Column
+    expressions (no Python workers); 'pandas' scores candidate pairs
+    with the Arrow-batched numpy cosine — the measured scale path
+    (sum order differs, so values may move in the last ulp; with any
+    sane threshold margin the pair SET is identical — tested).
+    ``assigner``: 'hof' builds the literal-centroid expression tree,
+    'pandas' the Arrow-batched argmin (clustering.
+    assign_clusters_pandas) — mandatory at large k, where the literal
+    tree's Catalyst analysis cost explodes; requires ``centroids``.
     Columns: id_a, id_b, cluster, cosine_sim."""
-    from exosql_spark.operators.clustering import assign_clusters, kmeans
+    from exosql_spark.operators.clustering import (
+        assign_clusters,
+        assign_clusters_pandas,
+        kmeans,
+    )
     from exosql_spark.operators.dedup import _cap_buckets, _parallelize
 
     df = _parallelize(df.select(F.col(id_col), F.col(vec_col)))
@@ -74,6 +116,8 @@ def semantic_dedup_pairs(
         df = normalize_embeddings(df, vec_col)
     if centroids is None:
         _, assigned = kmeans(df, k, iters, vec_col, id_col)
+    elif assigner == "pandas":
+        assigned = assign_clusters_pandas(df, centroids, vec_col)
     else:
         assigned = assign_clusters(df, centroids, vec_col)
     sides = assigned.select(
@@ -83,6 +127,10 @@ def semantic_dedup_pairs(
     # barrier the k-distance assignment math runs twice per row
     sides = _cap_buckets(sides, ["cluster"], max_cluster).persist()
     a, b = sides.alias("a"), sides.alias("b")
+    if scorer == "pandas":
+        sim = _cosine_pandas_udf()(F.col("a._vec"), F.col("b._vec"))
+    else:
+        sim = cosine(F.col("a._vec"), F.col("b._vec"))
     return (
         a.join(
             b,
@@ -93,7 +141,7 @@ def semantic_dedup_pairs(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a.cluster").alias("cluster"),
-            F.round(cosine(F.col("a._vec"), F.col("b._vec")), 4).alias("cosine_sim"),
+            F.round(sim, 4).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -109,13 +157,16 @@ def semantic_dedup(
     centroids: list[list[float]] | None = None,
     max_cluster: int | None = None,
     normalize: bool = True,
+    scorer: str = "hof",
+    assigner: str = "hof",
 ) -> DataFrame:
     """Drop semantic near-duplicates, keeping the lowest id of each
     duplicate group (every id that appears as id_b of some ≥-threshold
     pair is removed — the same min-representative convention as the
     curation pipeline's near-dup stage)."""
     pairs = semantic_dedup_pairs(
-        df, k, iters, threshold, vec_col, id_col, centroids, max_cluster, normalize
+        df, k, iters, threshold, vec_col, id_col, centroids, max_cluster,
+        normalize, scorer, assigner,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -1642,18 +1642,37 @@ def dedup_semantic_planted(spark, sf_dir):
     # engines (see embedding_kmeans note), so cluster boundaries — and
     # with them the candidate pair set — are not SQL-reproducible
     tags=("llm", "dedup", "embedding", "scale"),
+    bench=True,  # first-class new operator: perf tracked since round 6
 )
 def dedup_semantic(spark, sf_dir):
-    """SemDeDup survivor set over the natural embeddings table:
-    normalize → k-means (k=8) → within-cluster cosine ≥ 0.95 →
-    keep-lowest-id anti-join. Candidate work is Σ|cluster|², never
-    n² — the web-scale semantic-dedup pass (Abbas et al. 2023)."""
+    """SemDeDup survivor set over the natural embeddings table, in the
+    production shape: train centroids on a bounded sample (k-means
+    converges long before the corpus is exhausted — the PQ-codebook
+    convention), then normalize → one literal-centroid assignment pass
+    → within-cluster cosine ≥ 0.95 → keep-lowest-id anti-join. The
+    corpus sees a single map pass plus the cluster equi-join; candidate
+    work is Σ|cluster|², never n² (Abbas et al. 2023). Training runs
+    driver-side on the collected sample (train_kmeans_sample — the
+    distributed trainer spends ~5 s just ANALYZING the k×dim
+    literal-centroid trees it rebuilds per iteration); assignment and
+    scoring use the Arrow-batched numpy paths (assigner/scorer
+    'pandas', pair-set-equal to the HOF paths — tested), which is
+    also the only shape that survives large k."""
     from exosql_spark.operators import semdedup
+    from exosql_spark.operators.clustering import train_kmeans_sample
 
     t = Tables(spark, sf_dir)
-    return semdedup.semantic_dedup(
-        t.embeddings.select("vec_id", "embedding"), k=8, iters=2, threshold=0.95
-    ).select("vec_id").orderBy("vec_id")
+    emb = t.embeddings.select("vec_id", "embedding")
+    sample = semdedup.normalize_embeddings(emb.filter(F.col("vec_id") < 500))
+    cents = train_kmeans_sample(sample, k=16, iters=2)
+    return (
+        semdedup.semantic_dedup(
+            emb, threshold=0.95, centroids=cents,
+            scorer="pandas", assigner="pandas",
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
 
 
 @register(

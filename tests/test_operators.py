@@ -282,17 +282,53 @@ class TestSemanticDedup:
         for i in range(5):
             assert planted_pairs.get((i, i + 100000)) == 1.0, planted_pairs
 
+    def test_scorers_agree_on_pair_set(self, planted, spark, sf_dir):
+        """The Arrow-batched numpy scorer is a pure speed path: with a
+        threshold margin the pair SET must equal the HOF scorer's, on
+        planted clusters and on the natural corpus with planted
+        copies."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import semdedup
+
+        hof = semdedup.semantic_dedup_pairs(planted, k=5, iters=3, threshold=0.9)
+        pdu = semdedup.semantic_dedup_pairs(
+            planted, k=5, iters=3, threshold=0.9, scorer="pandas"
+        )
+        key = lambda df: {(r.id_a, r.id_b) for r in df.collect()}
+        assert key(hof) == key(pdu) and len(key(hof)) == 950
+        base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        copies = base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
+        )
+        corpus = base.unionByName(copies)
+        nh = semdedup.semantic_dedup_pairs(corpus, k=8, iters=2, threshold=0.95)
+        np_ = semdedup.semantic_dedup_pairs(
+            corpus, k=8, iters=2, threshold=0.95, scorer="pandas"
+        )
+        assert key(nh) == key(np_) and len(key(nh)) >= 5
+
     def test_pretrained_centroids_match_inline_training(self, planted):
         """The production shape (train once on a sample, assign
-        everywhere) must produce the identical pair set."""
+        everywhere) must produce the identical pair set — for both the
+        distributed trainer and the driver-side numpy trainer."""
         from exosql_spark.operators import semdedup
-        from exosql_spark.operators.clustering import kmeans
+        from exosql_spark.operators.clustering import kmeans, train_kmeans_sample
         from exosql_spark.operators.semdedup import normalize_embeddings
 
-        cents, _ = kmeans(normalize_embeddings(planted), k=5, iters=3)
         inline = semdedup.semantic_dedup_pairs(planted, k=5, iters=3, threshold=0.9)
+        want = {tuple(r) for r in inline.collect()}
+        cents, _ = kmeans(normalize_embeddings(planted), k=5, iters=3)
         pre = semdedup.semantic_dedup_pairs(planted, threshold=0.9, centroids=cents)
-        assert {tuple(r) for r in inline.collect()} == {tuple(r) for r in pre.collect()}
+        assert {tuple(r) for r in pre.collect()} == want
+        local = train_kmeans_sample(normalize_embeddings(planted), k=5, iters=3)
+        loc = semdedup.semantic_dedup_pairs(planted, threshold=0.9, centroids=local)
+        assert {tuple(r) for r in loc.collect()} == want
+        arrow = semdedup.semantic_dedup_pairs(
+            planted, threshold=0.9, centroids=local,
+            scorer="pandas", assigner="pandas",
+        )
+        assert {tuple(r) for r in arrow.collect()} == want
 
 
 class TestText:
