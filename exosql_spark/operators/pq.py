@@ -21,9 +21,9 @@ How it scales:
   store and scan.
 - **Querying** uses asymmetric distance computation (ADC): per query,
   an m × k table of exact subspace distances is computed driver-side
-  (tiny: m·k floats per query), folded into the expression as
-  literals, and each corpus row's approximate distance is m array
-  lookups + adds — no decode, no per-row Python, no join. The final
+  (tiny: m·k floats per query), shipped as one row of a broadcast
+  frame, and each corpus row's approximate distance is m array
+  lookups + adds — no decode, no per-row Python. The final
   top-k reuses the two-level partial-then-window pattern of
   ``similarity.cosine_topk`` so no reducer sees a corpus-sized
   partition.
@@ -31,10 +31,12 @@ How it scales:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from exosql_spark.operators.clustering import _sq_dist, kmeans
+from exosql_spark.operators.clustering import _sq_dist
 
 
 def train_codebooks(
@@ -47,23 +49,37 @@ def train_codebooks(
     id_col: str = "vec_id",
 ) -> list[list[list[float]]]:
     """Train m per-subspace codebooks of k centroids each by running
-    deterministic Lloyd k-means (lowest-id init) on each dim/m-wide
-    sub-vector slice of ``sample``.
+    deterministic Lloyd k-means (lowest-id init, argmin ties → lower
+    code, empty clusters keep their previous centroid) on each
+    dim/m-wide sub-vector slice of ``sample``.
 
     ``sample`` should be a bounded training sample at real scale
     (PQ codebooks converge on ~10⁵–10⁶ vectors; training never needs
-    the full corpus). Returns plain Python lists — the codebooks are
-    literal-sized by construction."""
+    the full corpus) — so it is COLLECTED once and all m × iters
+    Lloyd passes run driver-side in numpy. The previous distributed
+    formulation spent ~18 s per training run just re-analyzing the
+    k × sub_dim literal-centroid expression trees it rebuilt for every
+    (subspace, iteration) pair — the same Catalyst-analysis trap
+    clustering.train_kmeans_sample documents. Returns plain Python
+    lists — the codebooks are literal-sized by construction."""
+    import numpy as np
+
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub_dim = dim // m
+    rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):
-        sub = sample.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim).alias(vec_col),
-        )
-        centroids, _ = kmeans(sub, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-        books.append(centroids)
+        sub = x[:, j * sub_dim : (j + 1) * sub_dim]
+        c = sub[:k].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for ci in range(k):
+                members = sub[a == ci]
+                if len(members):
+                    c[ci] = members.mean(0)
+        books.append(c.tolist())
     return books
 
 
@@ -72,11 +88,43 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    encoder: str = "expr",
 ) -> DataFrame:
     """Encode each vector as an ``array<int>`` of per-subspace centroid
-    ids (argmin squared distance; ties → lower code, deterministic).
-    Pure Column map — fuses into the scan, no shuffle. The output
-    (id, pq_code) is the compressed table you persist at scale."""
+    ids (argmin squared distance; ties → lower code, deterministic on
+    either path). Pure map — fuses into the scan, no shuffle. The
+    output (id, pq_code) is the compressed table you persist at scale.
+
+    ``encoder='expr'`` (default) is the no-Python Column formulation;
+    'pandas' ships the m×k×sub_dim codebook tensor to Arrow workers
+    and encodes with one vectorized numpy argmin per subspace — the
+    scale path: the expression tree carries m·k·sub_dim literals
+    through Catalyst analysis on every plan build (~seconds at
+    8×16×8; prohibitive for k=256 production codebooks)."""
+    if encoder == "pandas":
+        import numpy as np
+
+        books = np.array(codebooks, dtype=np.float64)  # m × k × sub_dim
+        m, _, sd = books.shape
+
+        @F.pandas_udf("array<int>")
+        def _enc(v: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(v):
+                return pd.Series([], dtype=object)
+            x = np.stack(v.to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                sub = x[:, j * sd : (j + 1) * sd]
+                d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = d.argmin(1)
+            return pd.Series(list(codes))
+
+        return df.select(
+            F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("pq_code")
+        )
+
     vec = F.col(vec_col).cast("array<double>")
     sub_dim = len(codebooks[0][0])
     codes = []
@@ -132,9 +180,10 @@ def pq_topk(
 ) -> DataFrame:
     """ADC top-k over the encoded table: per query, approximate squared
     distance = Σ_j table_q[j][pq_code[j]] — m element_at lookups into
-    literal arrays per corpus row. ``queries`` is collected driver-side
-    (broadcast-sized by the same contract as cosine_topk's query set —
-    each query adds m·k literal floats to the plan).
+    the query's broadcast ADC table per corpus row. ``queries`` is
+    collected driver-side (broadcast-sized by the same contract as
+    cosine_topk's query set — each query contributes one m×k-float
+    row to the broadcast side).
 
     Two-level top-k (partition-local slice → k-bounded global window),
     same losslessness argument as similarity.cosine_topk — the partial
@@ -146,26 +195,27 @@ def pq_topk(
     ]
     if not qs:
         return _empty_topk(codes, queries, query_id_col)
-    per_query = []
-    for qid, q_vec in qs:
-        table = _adc_table(q_vec, codebooks)
-        dist = None
-        for j, row in enumerate(table):
-            lookup = F.element_at(
-                F.array(*[F.lit(float(v)) for v in row]),
-                F.element_at("pq_code", j + 1) + 1,
-            )
-            dist = lookup if dist is None else dist + lookup
-        per_query.append(
-            codes.select(
-                F.lit(qid).alias("query_id"),
-                "vec_id",
-                dist.alias("_d"),
-            )
+    # The per-query ADC tables travel as broadcast DATA (one row per
+    # query: query_id + the m×k table), not as literals: folding each
+    # table into its own expression branch and unioning the branches
+    # made Catalyst re-analyze a large literal tree per query
+    # (~2 s/query measured) — as data, the plan has ONE small
+    # expression over the adc column and a 1-row-per-query broadcast.
+    spark = codes.sparkSession
+    qid_type = dict(queries.dtypes)[query_id_col]
+    adc = F.broadcast(
+        spark.createDataFrame(
+            [(qid, _adc_table(q_vec, codebooks)) for qid, q_vec in qs],
+            f"query_id {qid_type}, adc array<array<double>>",
         )
-    scored = per_query[0]
-    for frame in per_query[1:]:
-        scored = scored.unionByName(frame)
+    )
+    dist = None
+    for j in range(len(codebooks)):
+        lookup = F.element_at(
+            F.element_at("adc", j + 1), F.element_at("pq_code", j + 1) + 1
+        )
+        dist = lookup if dist is None else dist + lookup
+    scored = codes.crossJoin(adc).select("query_id", "vec_id", dist.alias("_d"))
     # level 1: partition-local top-k under (dist asc, vec_id asc)
     partial = (
         scored.withColumn("_pid", F.spark_partition_id())
@@ -204,6 +254,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    encoder: str = "expr",
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): coarse IVF cells prune the
     CANDIDATE SET, PQ/ADC scores the survivors in the compressed
@@ -236,11 +287,21 @@ def ivfpq_topk(
             ]
         )
 
-    encoded = pq_encode(corpus, codebooks, vec_col, id_col)
-    cells = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
-    )
+    encoded = pq_encode(corpus, codebooks, vec_col, id_col, encoder)
+    if encoder == "pandas":
+        # Arrow cell assignment rides along with the Arrow encoder —
+        # same array_max tie rule (see similarity._cell_ids_pandas_udf)
+        from exosql_spark.operators.similarity import _cell_ids_pandas_udf
+
+        cells = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _cell_ids_pandas_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
+    else:
+        cells = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+        )
     table_side = encoded.join(cells, "vec_id")
 
     qs = [
@@ -249,35 +310,37 @@ def ivfpq_topk(
     ]
     if not qs:
         return _empty_topk(encoded, queries, query_id_col)
+    # Probe rows carry (query_id, cell, adc table) — the ADC tables
+    # ride the broadcast as data (n_probe rows × m·k floats per
+    # query), so the distance expression is ONE small lookup chain
+    # over the adc column instead of a per-query CASE-WHEN over
+    # literal arrays (see pq_topk for the measured analysis cost).
     probes = []
-    adc_dist = None
     for qid, q_vec in qs:
         # driver-side probe selection mirrors cell_scores exactly
         scores = sorted(
             ((sum(a * b for a, b in zip(q_vec, c)), i) for i, c in enumerate(cents)),
             reverse=True,
         )
-        probes.extend((qid, cell) for _, cell in scores[:n_probe])
         table = _adc_table(q_vec, codebooks)
-        dist = None
-        for j, row in enumerate(table):
-            lookup = F.element_at(
-                F.array(*[F.lit(float(v)) for v in row]),
-                F.element_at("pq_code", j + 1) + 1,
-            )
-            dist = lookup if dist is None else dist + lookup
-        branch = F.when(F.col("query_id") == F.lit(qid), dist)
-        adc_dist = branch if adc_dist is None else adc_dist.when(
-            F.col("query_id") == F.lit(qid), dist
-        )
+        probes.extend((qid, cell, table) for _, cell in scores[:n_probe])
 
     spark = corpus.sparkSession
+    qid_type = dict(queries.dtypes)[query_id_col]
     probe_df = F.broadcast(
-        spark.createDataFrame(probes, f"{'query_id'} long, cell int")
+        spark.createDataFrame(
+            probes, f"query_id {qid_type}, cell int, adc array<array<double>>"
+        )
     )
+    dist = None
+    for j in range(len(codebooks)):
+        lookup = F.element_at(
+            F.element_at("adc", j + 1), F.element_at("pq_code", j + 1) + 1
+        )
+        dist = lookup if dist is None else dist + lookup
     scored = (
         table_side.join(probe_df, "cell")
-        .select("query_id", "vec_id", adc_dist.alias("_d"))
+        .select("query_id", "vec_id", dist.alias("_d"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id"))
     return (

@@ -21,6 +21,7 @@ All dot products are native higher-order functions
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -150,6 +151,74 @@ def signature_bits(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
     return key
 
 
+def _bucket_ids_pandas_udf(tables: list[list[list[float]]]):
+    """Arrow-batched sign-LSH bucket ids, all tables in one pass:
+    returns array<long> of per-table buckets (bit i of table t's value
+    = sign of dot(v, plane_i of table t), same strict-``> 0`` rule as
+    :func:`signature_bits`). The scale rationale mirrors
+    clustering.assign_clusters_pandas: the expression formulation
+    carries n_tables × n_planes × dim literals through Catalyst
+    analysis on every plan build — seconds of driver time at
+    4×8×64, before any data moves."""
+    planes = np.array(tables, dtype=np.float64)  # T × planes × dim
+    n_tables, n_planes, _ = planes.shape
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        per_table = [
+            ((x @ planes[t].T) > 0).astype(np.int64) @ weights
+            for t in range(n_tables)
+        ]
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return _buckets
+
+
+def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
+    """Arrow-batched IVF cell assignment (argmax dot). Tie rules match
+    the expression path exactly: single assignment mirrors
+    ``array_max`` over (score, cell) structs (ties → HIGHER cell);
+    probing mirrors ``reverse(array_sort(...))`` (descending score,
+    ties → higher cell first) — implemented by argsorting the
+    column-reversed score matrix with a stable sort."""
+    c = np.array(cents, dtype=np.float64)  # k × dim
+    k = len(c)
+
+    if n_probe is None:
+
+        @F.pandas_udf("int")
+        def _cell(v: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(v):
+                return pd.Series([], dtype="int32")
+            d = np.stack(v.to_numpy()).astype(np.float64) @ c.T
+            return pd.Series(
+                (k - 1 - np.argmax(d[:, ::-1], axis=1)).astype("int32")
+            )
+
+        return _cell
+
+    @F.pandas_udf("array<int>")
+    def _probes(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(v):
+            return pd.Series([], dtype=object)
+        d = np.stack(v.to_numpy()).astype(np.float64) @ c.T
+        order_rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")
+        cells = (k - 1 - order_rev[:, :n_probe]).astype(np.int32)
+        return pd.Series(list(cells))
+
+    return _probes
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,14 +230,26 @@ def lsh_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    hasher: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: `n_tables` independent sign-LSH tables of
     `n_planes` bits each; candidates = any-table bucket collision; exact
     cosine re-rank. Recall rises with n_tables, bucket size shrinks with
-    n_planes. Columns: query_id, vec_id, cosine_sim, rank."""
+    n_planes. ``hasher='pandas'`` computes the bucket ids in one
+    Arrow-batched matmul instead of the literal-plane expression tree
+    (same strict-sign rule; see _bucket_ids_pandas_udf for the
+    Catalyst-analysis rationale). Columns: query_id, vec_id,
+    cosine_sim, rank."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
+        if hasher == "pandas":
+            bk = _bucket_ids_pandas_udf(tables)
+            return df.select(
+                F.col(idc).alias(out_id),
+                F.col(vecc).alias(out_vec),
+                F.posexplode(bk(F.col(vecc))).alias("table", "bucket"),
+            )
         return df.select(
             F.col(idc).alias(out_id),
             F.col(vecc).alias(out_vec),
@@ -220,6 +301,7 @@ def ivf_topk(
     dim: int = 64,
     seed: int = 7,
     centroids: list[list[float]] | None = None,
+    assigner: str = "expr",
 ) -> DataFrame:
     """IVF coarse quantization: each corpus vector is assigned to its
     best cell (argmax dot), each query probes its `n_probe` best
@@ -232,7 +314,11 @@ def ivf_topk(
     structure. Pass TRAINED centroids (e.g. ``clustering.kmeans`` on a
     bounded sample — the real-IVF shape) for data-adapted cells:
     balanced occupancy and higher recall at the same n_probe; the cell
-    assignment/probing code path is identical either way."""
+    assignment/probing code path is identical either way.
+    ``assigner='pandas'`` runs assignment/probing as Arrow-batched
+    matmuls with the expression path's exact tie rules (see
+    _cell_ids_pandas_udf) — the scale path for large n_cells, where
+    the literal-centroid tree's Catalyst analysis dominates."""
     cents = centroids if centroids is not None else _hyperplanes(dim, n_cells, seed)
     n_cells = len(cents)
 
@@ -248,20 +334,34 @@ def ivf_topk(
             ]
         )
 
-    c_assigned = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
-    )
-    q_probes = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.slice(
-                F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe
-            )
-        ).alias("probe"),
-    ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
+    if assigner == "pandas":
+        c_assigned = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("c_vec"),
+            _cell_ids_pandas_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
+        q_probes = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                _cell_ids_pandas_udf(cents, n_probe)(F.col(vec_col))
+            ).alias("cell"),
+        )
+    else:
+        c_assigned = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+        )
+        q_probes = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe
+                )
+            ).alias("probe"),
+        ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
     scored = c_assigned.join(F.broadcast(q_probes), "cell").select(
         "query_id", "vec_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim")
     )
@@ -283,26 +383,36 @@ def embedding_near_dupes(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int | None = None,
+    hasher: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine_sim ≥
     threshold) via the same sign-LSH bucketing — self-join edition.
-    ``max_bucket``: quadratic-bucket cap (see dedup._cap_buckets)."""
+    ``max_bucket``: quadratic-bucket cap (see dedup._cap_buckets);
+    ``hasher='pandas'``: Arrow-batched bucket ids (lsh_topk's note)."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        signature_bits(F.col(vec_col), tables[t]).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("_id", "_vec", "tb.table", "tb.bucket")
+    if hasher == "pandas":
+        bk = _bucket_ids_pandas_udf(tables)
+        banded = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.posexplode(bk(F.col(vec_col))).alias("table", "bucket"),
+        )
+    else:
+        banded = df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            signature_bits(F.col(vec_col), tables[t]).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("_id", "_vec", "tb.table", "tb.bucket")
     from exosql_spark.operators.dedup import _cap_buckets
 
     # persist: both self-join sides consume this frame — without the

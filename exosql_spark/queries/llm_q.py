@@ -180,7 +180,9 @@ def dedup_embedding_cosine(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: (x * 2).cast("float")).alias("embedding"),
     )
-    pairs = similarity.embedding_near_dupes(base.unionByName(planted), threshold=0.9)
+    pairs = similarity.embedding_near_dupes(
+        base.unionByName(planted), threshold=0.9, hasher="pandas"
+    )
     return pairs.filter(F.col("id_b") == F.col("id_a") + 100000).orderBy("id_a")
 
 
@@ -228,6 +230,7 @@ def similarity_topk_cosine(spark, sf_dir):
     # SQL oracle would compute; recall@k vs brute force is additionally
     # asserted locally (tests/test_operators.py)
     tags=("llm", "similarity", "scale"),
+    bench=True,  # bucket-join ANN scale path: tracked since round 6
 )
 def similarity_topk_lsh(spark, sf_dir):
     """Sign-LSH bucketed ANN (4 tables × 8 planes) with exact re-rank —
@@ -236,7 +239,7 @@ def similarity_topk_lsh(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(t.embeddings, queries, k=10)
+    return similarity.lsh_topk(t.embeddings, queries, k=10, hasher="pandas")
 
 
 @register(
@@ -255,7 +258,7 @@ def similarity_topk_ivf(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(t.embeddings, queries, k=10)
+    return similarity.ivf_topk(t.embeddings, queries, k=10, assigner="pandas")
 
 
 def _embeddings_with_query_copies(t, n_queries=5, n_copies=10):
@@ -314,7 +317,9 @@ def similarity_topk_lsh_planted(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(corpus, queries, k=10).orderBy("query_id", "rank")
+    return similarity.lsh_topk(
+        corpus, queries, k=10, hasher="pandas"
+    ).orderBy("query_id", "rank")
 
 
 @register(
@@ -335,7 +340,9 @@ def similarity_topk_ivf_planted(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(corpus, queries, k=10).orderBy("query_id", "rank")
+    return similarity.ivf_topk(
+        corpus, queries, k=10, assigner="pandas"
+    ).orderBy("query_id", "rank")
 
 
 # --------------------------------------------------------------------
@@ -1392,6 +1399,7 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
     # training; planted-copy recall + encode determinism are also
     # asserted in tests/test_operators.py::TestProductQuantization
     tags=("llm", "similarity", "scale"),
+    bench=True,  # compressed-domain ANN flagship: tracked since round 6
 )
 def similarity_topk_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): m=8 subspace
@@ -1407,7 +1415,7 @@ def similarity_topk_pq(spark, sf_dir):
     # codebooks converge long before the corpus is exhausted)
     sample = t.embeddings.filter(F.col("vec_id") < 500)
     books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    codes = pq.pq_encode(t.embeddings, books)
+    codes = pq.pq_encode(t.embeddings, books, encoder="pandas")
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1438,7 +1446,10 @@ def similarity_topk_ivfpq(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq.ivfpq_topk(t.embeddings, queries, books, k=10, n_cells=16, n_probe=4)
+    return pq.ivfpq_topk(
+        t.embeddings, queries, books, k=10, n_cells=16, n_probe=4,
+        encoder="pandas",
+    )
 
 
 _PLANTED_ADC_ORACLE = """
@@ -1474,7 +1485,7 @@ def similarity_topk_pq_planted(spark, sf_dir):
     corpus = _embeddings_with_query_copies(t, n_copies=3)
     sample = t.embeddings.filter(F.col("vec_id") < 500)
     books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    codes = pq.pq_encode(corpus, books)
+    codes = pq.pq_encode(corpus, books, encoder="pandas")
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1508,7 +1519,9 @@ def similarity_topk_ivfpq_planted(spark, sf_dir):
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    res = pq.ivfpq_topk(corpus, queries, books, k=10, n_cells=16, n_probe=4)
+    res = pq.ivfpq_topk(
+        corpus, queries, books, k=10, n_cells=16, n_probe=4, encoder="pandas"
+    )
     return (
         res.filter(F.col("vec_id") >= 100000)
         .select("query_id", "vec_id")

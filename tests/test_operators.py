@@ -81,6 +81,89 @@ class TestSimHash:
         assert a == b
 
 
+class TestArrowHashParity:
+    """The Arrow-batched LSH hasher and IVF assigner/prober are pure
+    speed paths: bucket ids, cell ids, and probe lists must be
+    IDENTICAL to the expression formulations (same sign rule, same
+    tie rules) on the natural corpus."""
+
+    def test_lsh_buckets_identical(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.similarity import (
+            _bucket_ids_pandas_udf,
+            _hyperplanes,
+            signature_bits,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        tables = [_hyperplanes(64, 8, 42 + t) for t in range(4)]
+        expr = {
+            (r.vec_id, t): r[f"b{t}"]
+            for r in emb.select(
+                "vec_id",
+                *[
+                    signature_bits(F.col("embedding"), tables[t]).alias(f"b{t}")
+                    for t in range(4)
+                ],
+            ).collect()
+            for t in range(4)
+        }
+        arrow = {
+            (r.vec_id, t): r.bks[t]
+            for r in emb.select(
+                "vec_id", _bucket_ids_pandas_udf(tables)(F.col("embedding")).alias("bks")
+            ).collect()
+            for t in range(4)
+        }
+        assert expr == arrow
+
+    def test_ivf_cells_and_probes_identical(self, spark, sf_dir):
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.similarity import (
+            _cell_ids_pandas_udf,
+            _dot,
+            _hyperplanes,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 16, 7)
+
+        def cell_scores(vecc):
+            v = F.transform(vecc, lambda x: x.cast("double"))
+            return F.array(
+                *[
+                    F.struct(
+                        _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                        F.lit(i).alias("cell"),
+                    )
+                    for i, c in enumerate(cents)
+                ]
+            )
+
+        expr = {
+            r.vec_id: (r.cell, list(r.probes))
+            for r in emb.select(
+                "vec_id",
+                F.array_max(cell_scores(F.col("embedding")))["cell"].alias("cell"),
+                F.transform(
+                    F.slice(
+                        F.reverse(F.array_sort(cell_scores(F.col("embedding")))), 1, 4
+                    ),
+                    lambda s: s["cell"],
+                ).alias("probes"),
+            ).collect()
+        }
+        arrow = {
+            r.vec_id: (r.cell, list(r.probes))
+            for r in emb.select(
+                "vec_id",
+                _cell_ids_pandas_udf(cents)(F.col("embedding")).alias("cell"),
+                _cell_ids_pandas_udf(cents, 4)(F.col("embedding")).alias("probes"),
+            ).collect()
+        }
+        assert expr == arrow
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def vectors(self, spark):
@@ -157,6 +240,13 @@ class TestProductQuantization:
         codes2 = {r.vec_id: list(r.pq_code) for r in pq.pq_encode(corpus, books).collect()}
         assert codes1 == codes2  # deterministic
         assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in codes1.values())
+        # Arrow encoder: same argmin + first-occurrence tie rule, so
+        # codes must be identical to the expression path
+        codes3 = {
+            r.vec_id: list(r.pq_code)
+            for r in pq.pq_encode(corpus, books, encoder="pandas").collect()
+        }
+        assert codes3 == codes1
 
     def test_adc_recall_on_planted(self, corpus):
         """An ε-copy of the query must rank in the ADC top-k: its code
