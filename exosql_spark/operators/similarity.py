@@ -14,8 +14,13 @@ Two tiers, as a 100 TB pipeline needs:
   assign each vector to its nearest of `n_cells` sampled centroids
   (one broadcast pass), probe the closest cells per query.
 
-All dot products are native higher-order functions
-(``zip_with`` + ``aggregate``) — JVM-side, no Python per row.
+Dot products default to native higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, no Python per row; the
+bucket/cell computations additionally offer Arrow-batched numpy
+twins (``hasher=``/``assigner='pandas'``), tested bit-identical,
+because literal plane/centroid expression trees cost Catalyst
+analysis proportional to k × dim on every plan build (SCALE.md,
+"The Catalyst-analysis trap").
 """
 
 from __future__ import annotations
