@@ -166,6 +166,8 @@ def train_kmeans_sample(
     import numpy as np
 
     rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("train_kmeans_sample: empty training sample")
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     c = x[:k].copy()
     for _ in range(iters):

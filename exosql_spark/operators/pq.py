@@ -67,6 +67,8 @@ def train_codebooks(
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub_dim = dim // m
     rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    if not rows:
+        raise ValueError("train_codebooks: empty training sample")
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
     books: list[list[list[float]]] = []
     for j in range(m):

@@ -269,6 +269,20 @@ class TestProductQuantization:
             assert qid in ids, f"query {qid} not its own ADC neighbor: {ids}"
             assert planted_id in ids, f"planted copy {planted_id} missed: {ids}"
 
+    def test_empty_training_sample_raises_cleanly(self, corpus):
+        """An empty training sample is a caller error — both local
+        trainers must say so instead of dying inside numpy."""
+        from exosql_spark.operators import pq
+        from exosql_spark.operators.clustering import train_kmeans_sample
+
+        empty = corpus.filter(F.col("vec_id") < 0)
+        for fn in (
+            lambda: pq.train_codebooks(empty, m=4, k=8, iters=1, dim=16),
+            lambda: train_kmeans_sample(empty, k=4, iters=1),
+        ):
+            with pytest.raises(ValueError, match="empty training sample"):
+                fn()
+
     def test_empty_query_frames(self, corpus, spark):
         """queries is caller-supplied: an empty frame must yield an
         empty, schema-faithful result, not an IndexError (pq_topk) or
