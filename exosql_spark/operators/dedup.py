@@ -30,8 +30,9 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from exosql_spark.cache import managed_persist_disk
 from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from exosql_spark.operators.text import normalize_text, tokens
 
@@ -359,7 +360,7 @@ def minhash_candidates(
         sig = (
             _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
             .select("_id", minhash_signature("_t", num_hashes, k).alias("_sig"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .transform(managed_persist_disk)
         )
     banded = _cap_buckets(
         signature_bands(sig, num_hashes, bands), ["band", "key"], max_bucket
@@ -394,7 +395,7 @@ def minhash_dedup_pairs(
     cands = minhash_candidates(
         df, text_col, id_col, num_hashes, bands, k,
         signatures=signatures, max_bucket=max_bucket,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(managed_persist_disk)
     # verify only docs that appear in some candidate pair: semi-join
     # reduction keeps the (expensive) shingle recompute proportional to
     # candidates, not corpus
@@ -510,7 +511,7 @@ def jaccard_index_pairs(
     # the regex-heavy shingle/hash pass feeds its own df-aggregation AND
     # the downstream joins — persist it once or Catalyst re-executes the
     # explode per consumer (df-agg, size-agg, both self-join sides)
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = sh.transform(managed_persist_disk)
     dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
     if not prefix_filter:
         sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("_h"), "_h")
@@ -552,7 +553,7 @@ def jaccard_index_pairs(
             F.size("_sorted").alias("_n"),
         )
         # three consumers: prefix explode + both verification sides
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(managed_persist_disk)
     )
     prefix_len = (
         F.col("_n") - F.ceil(F.col("_n") * F.lit(t_prefix)).cast("int") + F.lit(1)
@@ -721,7 +722,7 @@ def simhash_pairs(
     sh = (
         _parallelize(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")))
         .select("_id", simhash("_t").alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(managed_persist_disk)
     )
     banded = sh.select(
         "_id",

@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
+
+from exosql_spark.cache import managed_persist_disk
 
 from exosql_spark.operators.dedup import (
     _parallelize,
@@ -74,7 +75,7 @@ def incremental_dedup(
     """
     newf = _parallelize(
         new_docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(managed_persist_disk)
 
     if ref_digests is None:
         ref_digests = ref.select(
@@ -108,7 +109,7 @@ def incremental_dedup(
         .join(ref_bands, ["band", "key"])
         .select("_id", "_rid")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(managed_persist_disk)
     )
     # verify with exact Jaccard — fetch shingles for candidate ids only
     new_sh = rest.join(cands.select("_id").distinct(), "_id", "left_semi").select(

@@ -16,6 +16,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist
+
 from exosql_spark.operators import dedup, text
 
 
@@ -40,7 +42,10 @@ class CurateConfig:
     #: cheaper than the signature stage it sizes; callers that already
     #: know their dup rate set the flag explicitly and skip the pass).
     #: Results are identical on every path (signatures are a pure
-    #: function of text); only the plan shape changes.
+    #: function of text); only the plan shape changes. NOTE: the None
+    #: probe is an EAGER action at plan-build time — see curate_corpus's
+    #: docstring; inputs below one scan split per core skip it (the
+    #: one-persist plan is fine regardless of dup rate at that size).
     sig_after_dedup: bool | None = None
     #: Run ExactSubstr-style repeated-span removal (text.span_dedup)
     #: BEFORE feature extraction, so quality/token stats and dedup
@@ -59,6 +64,22 @@ class CurateConfig:
 #: dup rates the one-persist plan's simplicity wins even though a few
 #: signatures are wasted.
 AUTO_SIG_DUP_RATE = 0.2
+
+
+def _probe_worthwhile(docs: DataFrame) -> bool:
+    """Gate for the auto-placement probe: it is an eager full scan at
+    plan-build time, only worth paying when the signature stage it
+    sizes is itself big. Smallness comes from the optimizer's size
+    estimate (no job), with the same one-split-per-core rule as
+    dedup._parallelize; an unavailable estimate errs toward probing."""
+    spark = docs.sparkSession
+    try:
+        size = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return True
+    return size >= spark.sparkContext.defaultParallelism * dedup._conf_bytes(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+    )
 
 
 def _auto_sig_after_dedup(
@@ -85,7 +106,14 @@ def curate_corpus(
     """documents → lang-id → quality features/filter → exact dedup →
     MinHash near-dup removal → token counts. Returns the curated
     corpus with provenance columns (lang_pred, quality, n_tokens,
-    content_hash)."""
+    content_hash).
+
+    NOT fully lazy under the default config: ``sig_after_dedup=None``
+    resolves signature placement with a digest-only pre-pass — an
+    eager action (one scan) at plan-BUILD time. Inputs smaller than
+    one scan split per core skip the probe (placement barely matters
+    there); callers that need a pure plan builder, or already know
+    their dup rate, set ``sig_after_dedup`` explicitly."""
     cfg = config or CurateConfig()
 
     # Spread small inputs across cores first: every downstream stage
@@ -122,10 +150,12 @@ def curate_corpus(
     # Resolve the signature-placement choice (see CurateConfig): the
     # auto rule must run BEFORE the feature frame is built — once the
     # featured frame is persisted without a signature column, the
-    # one-persist ordering is no longer reachable.
+    # one-persist ordering is no longer reachable. Small inputs skip
+    # the (eager) probe entirely: below one scan split per core the
+    # one-persist plan wins on simplicity at any dup rate.
     sig_after = cfg.sig_after_dedup
     if sig_after is None:
-        sig_after = _auto_sig_after_dedup(docs, text_col)
+        sig_after = _probe_worthwhile(docs) and _auto_sig_after_dedup(docs, text_col)
 
     # 1. cheap per-row features (pure map — fused into the scan), plus —
     # unless sig_after — the MinHash signature, so the SAME persisted
@@ -145,14 +175,15 @@ def curate_corpus(
     filtered = featured.filter(
         (F.col("n_tokens") >= cfg.min_tokens)
         & (F.col("quality") >= cfg.min_quality)
-    ).persist()
+    ).transform(managed_persist)
     # persist: every downstream branch (exact-dedup keep set, minhash
     # banding, the two anti/semi joins back) re-reads this frame;
     # without the barrier the regex-heavy feature chain re-executes
     # once per branch (~4× measured), and Catalyst's projection
     # collapse would re-inline the signature into every band slice.
     # At 100 TB this is the "checkpoint curated features to parquet"
-    # step.
+    # step. Tracked in exosql_spark.cache — long-lived sessions call
+    # cache.release_caches(spark) at query boundaries.
 
     # 3. exact dedup on the already-computed content hash (shuffles
     # 16-byte digests only — dedup.exact_dedup would re-derive
@@ -176,7 +207,7 @@ def curate_corpus(
         signatures = exact.select(
             F.col(id_col).alias("_id"),
             dedup.minhash_signature(text_col, cfg.minhash_hashes).alias("_sig"),
-        ).persist()
+        ).transform(managed_persist)
     else:
         signatures = exact.select(F.col(id_col).alias("_id"), "_sig")
     pairs = dedup.minhash_dedup_pairs(
@@ -234,9 +265,10 @@ def curate_with_metrics(
     # observation exactly once; every pipeline branch then reads the
     # cached frame (Observation is one-shot, so even a cache-eviction
     # recompute can't corrupt the captured value). At scale this is the
-    # "stage your input" step; the caller may docs.unpersist() after
-    # the curated frame is materialized.
-    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("rows")).persist()
+    # "stage your input" step; the handle is registered with
+    # exosql_spark.cache — hosts release it (with every other operator
+    # barrier) via cache.release_caches(spark) after materializing.
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("rows")).transform(managed_persist)
     docs.count()
     curated = curate_corpus(docs, text_col, id_col, config)
     curated = curated.observe(

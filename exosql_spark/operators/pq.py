@@ -113,15 +113,21 @@ def pq_encode(
         def _enc(v: pd.Series) -> pd.Series:
             import numpy as np
 
-            if not len(v):
-                return pd.Series([], dtype=object)
-            x = np.stack(v.to_numpy()).astype(np.float64)
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for j in range(m):
-                sub = x[:, j * sd : (j + 1) * sd]
-                d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
-                codes[:, j] = d.argmin(1)
-            return pd.Series(list(codes))
+            # NULL vectors → NULL code (the expression path's slice/
+            # argmin also yields NULL); non-null rows must be dim-length.
+            out = pd.Series([None] * len(v), dtype=object)
+            mask = v.notna().to_numpy()
+            if mask.any():
+                x = np.stack(v[mask].to_numpy()).astype(np.float64)
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for j in range(m):
+                    sub = x[:, j * sd : (j + 1) * sd]
+                    d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+                    codes[:, j] = d.argmin(1)
+                vals = np.empty(int(mask.sum()), dtype=object)
+                vals[:] = list(codes)
+                out.iloc[np.flatnonzero(mask)] = vals
+            return out
 
         return df.select(
             F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("pq_code")

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist_disk
+
 from exosql_spark.queries._util import fround
 
 
@@ -141,9 +143,7 @@ def bm25_topk(
     # corpus twice (verified via executedPlan — 2 parquet scans).
     # per_doc is |docs| small rows, orders of magnitude below the
     # corpus, so MEMORY_AND_DISK is the right trade at any scale.
-    from pyspark.storagelevel import StorageLevel
-
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = per_doc.transform(managed_persist_disk)
     # Corpus scalars + per-term doc frequencies in one 1-row aggregate
     # over the already-reduced per_doc frame; broadcast back in.
     stats = per_doc.agg(

@@ -36,6 +36,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist
+
 from exosql_spark.operators.similarity import _norm, cosine
 
 
@@ -62,15 +64,19 @@ def _cosine_pandas_udf():
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(a):
-            return pd.Series([], dtype="float64")
-        A = np.stack(a.to_numpy()).astype(np.float64)
-        B = np.stack(b.to_numpy()).astype(np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, 0.0)
-        return pd.Series(out)
+        # NULL on either side → NULL cosine (matches the expression
+        # path); non-null vectors must be fixed-length.
+        out = pd.Series([None] * len(a), dtype="Float64")
+        mask = (a.notna() & b.notna()).to_numpy()
+        if mask.any():
+            A = np.stack(a[mask].to_numpy()).astype(np.float64)
+            B = np.stack(b[mask].to_numpy()).astype(np.float64)
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.where(den > 0, num / den, 0.0)
+            out.iloc[np.flatnonzero(mask)] = vals
+        return out
 
     return _cos
 
@@ -125,7 +131,7 @@ def semantic_dedup_pairs(
     )
     # persist: both self-join sides consume this frame — without the
     # barrier the k-distance assignment math runs twice per row
-    sides = _cap_buckets(sides, ["cluster"], max_cluster).persist()
+    sides = _cap_buckets(sides, ["cluster"], max_cluster).transform(managed_persist)
     a, b = sides.alias("a"), sides.alias("b")
     if scorer == "pandas":
         sim = _cosine_pandas_udf()(F.col("a._vec"), F.col("b._vec"))

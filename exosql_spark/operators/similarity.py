@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist
+
 
 def _dot(a: F.Column, b: F.Column) -> F.Column:
     return F.aggregate(
@@ -173,14 +175,21 @@ def _bucket_ids_pandas_udf(tables: list[list[list[float]]]):
     def _buckets(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(v):
-            return pd.Series([], dtype=object)
-        x = np.stack(v.to_numpy()).astype(np.float64)
-        per_table = [
-            ((x @ planes[t].T) > 0).astype(np.int64) @ weights
-            for t in range(n_tables)
-        ]
-        return pd.Series(list(np.stack(per_table, axis=1)))
+        # NULL vectors → NULL bucket array (the expression path's
+        # sign-bit dots also propagate NULL); non-null rows must be
+        # fixed-length or np.stack raises — ragged input is a bug.
+        out = pd.Series([None] * len(v), dtype=object)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            x = np.stack(v[mask].to_numpy()).astype(np.float64)
+            per_table = [
+                ((x @ planes[t].T) > 0).astype(np.int64) @ weights
+                for t in range(n_tables)
+            ]
+            vals = np.empty(int(mask.sum()), dtype=object)
+            vals[:] = list(np.stack(per_table, axis=1))
+            out.iloc[np.flatnonzero(mask)] = vals
+        return out
 
     return _buckets
 
@@ -201,12 +210,14 @@ def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
         def _cell(v: pd.Series) -> pd.Series:
             import numpy as np
 
-            if not len(v):
-                return pd.Series([], dtype="int32")
-            d = np.stack(v.to_numpy()).astype(np.float64) @ c.T
-            return pd.Series(
-                (k - 1 - np.argmax(d[:, ::-1], axis=1)).astype("int32")
-            )
+            out = pd.Series([None] * len(v), dtype="Int32")
+            mask = v.notna().to_numpy()
+            if mask.any():
+                d = np.stack(v[mask].to_numpy()).astype(np.float64) @ c.T
+                out.iloc[np.flatnonzero(mask)] = (
+                    k - 1 - np.argmax(d[:, ::-1], axis=1)
+                ).astype("int32")
+            return out
 
         return _cell
 
@@ -214,12 +225,16 @@ def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
     def _probes(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        if not len(v):
-            return pd.Series([], dtype=object)
-        d = np.stack(v.to_numpy()).astype(np.float64) @ c.T
-        order_rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")
-        cells = (k - 1 - order_rev[:, :n_probe]).astype(np.int32)
-        return pd.Series(list(cells))
+        out = pd.Series([None] * len(v), dtype=object)
+        mask = v.notna().to_numpy()
+        if mask.any():
+            d = np.stack(v[mask].to_numpy()).astype(np.float64) @ c.T
+            order_rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")
+            cells = (k - 1 - order_rev[:, :n_probe]).astype(np.int32)
+            vals = np.empty(int(mask.sum()), dtype=object)
+            vals[:] = list(cells)
+            out.iloc[np.flatnonzero(mask)] = vals
+        return out
 
     return _probes
 
@@ -422,7 +437,7 @@ def embedding_near_dupes(
 
     # persist: both self-join sides consume this frame — without the
     # barrier the n_tables×n_planes sign-bit dot products run twice
-    banded = _cap_buckets(banded, ["table", "bucket"], max_bucket).persist()
+    banded = _cap_buckets(banded, ["table", "bucket"], max_bucket).transform(managed_persist)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist
+
 # --------------------------------------------------------------------
 # Tokenization
 # --------------------------------------------------------------------
@@ -311,7 +313,7 @@ def line_dedup(
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_line"),
-    ).withColumn("_h", F.md5(normalize_text(F.col("_line")))).persist()
+    ).withColumn("_h", F.md5(normalize_text(F.col("_line")))).transform(managed_persist)
     boiler = (
         lines.groupBy("_h")
         .agg(F.count_distinct(F.col(id_col)).alias("_df"))
@@ -391,7 +393,7 @@ def lm_score(
             ).alias("bg"),
         )
         .select(id_col, "bg.prev", "bg.cur")
-        .persist()
+        .transform(managed_persist)
     )
     c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("_c1"))
@@ -458,7 +460,7 @@ def span_dedup(
     """
     toks = tokens(normalize_text(F.col(text_col)))
     n = F.size(toks)
-    base = df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n")).persist()
+    base = df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n")).transform(managed_persist)
     grams = base.filter(F.col("_n") >= span).select(
         id_col,
         F.explode(
@@ -472,7 +474,7 @@ def span_dedup(
                 ),
             )
         ).alias("g"),
-    ).select(id_col, "g.pos", "g.h").persist()  # 2 consumers: count + semi-join
+    ).select(id_col, "g.pos", "g.h").transform(managed_persist)  # 2 consumers: count + semi-join
     repeated = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_c"))
