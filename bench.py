@@ -62,28 +62,25 @@ def main() -> None:
     )
     bench = {n: q for n, q in all_queries().items() if q.bench}
 
-    # Warm up per query (one untimed run each): JVM/codegen/parquet
-    # footers, Python worker pools for the pandas-UDF stages, and any
-    # operator-internal persists — so the timed runs measure the
-    # steady-state plan, not process spin-up.
-    for q in bench.values():
-        q.fn(spark, SF_DIR).count()
-
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, q in bench.items():
+        # Release the PREVIOUS query's operator-internal persists
+        # (registered with exosql_spark.cache), then warm THIS query:
+        # one untimed run covers JVM/codegen/parquet footers, Python
+        # worker pools for the pandas-UDF stages, and repopulates the
+        # query's own barriers. Spark's cache manager dedupes persists
+        # by analyzed plan, so the 5 timed runs then reuse the warm
+        # caches — steady-state timing — while storage memory stays
+        # flat across the sweep (at most one query's caches live).
+        release_caches(spark)
+        q.fn(spark, SF_DIR).count()
         times = [_run_once(q.fn, spark, SF_DIR) for _ in range(RUNS)]
         per_query[name] = round(min(times), 3)
         medians[name] = round(statistics.median(times), 3)
         spread[name] = round(statistics.stdev(times), 3)
-        # Operator-internal persists are registered with exosql_spark.cache;
-        # releasing at the query boundary keeps storage memory flat across
-        # the sweep. Spark's cache manager dedupes persists by analyzed
-        # plan, so the 5 timed runs of one query share their barriers;
-        # at worst the first run after a release repopulates them, which
-        # min-of-5 discounts.
-        release_caches(spark)
+    release_caches(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)

@@ -309,6 +309,52 @@ def lsh_topk(
 # --------------------------------------------------------------------
 
 
+def _cell_scores_expr(cents: list[list[float]]):
+    def cell_scores(vecc: F.Column) -> F.Column:
+        v = F.transform(vecc, lambda x: x.cast("double"))
+        return F.array(
+            *[
+                F.struct(
+                    _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+
+    return cell_scores
+
+
+def ivf_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigner: str = "expr",
+) -> DataFrame:
+    """The IVF STORED layout: (id, vector, cell) with cell = argmax dot
+    against ``centroids`` (ties → higher cell, both paths — see
+    _cell_ids_pandas_udf). Write it partitioned by cell —
+    ``sinks.write_table(enc, path, partition_by=["cell"])`` — and
+    probe-time cell filters prune FILES before they prune rows
+    (asserted mechanically in tests/test_sinks.py); pass the stored
+    frame back to :func:`ivf_topk` via ``encoded=`` with the SAME
+    centroids. This is the encode-once / probe-many production shape:
+    assignment cost is paid at ingest, not per query."""
+    if assigner == "pandas":
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col),
+            _cell_ids_pandas_udf(centroids)(F.col(vec_col)).alias("cell"),
+        )
+    cell_scores = _cell_scores_expr(centroids)
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -322,6 +368,7 @@ def ivf_topk(
     seed: int = 7,
     centroids: list[list[float]] | None = None,
     assigner: str = "expr",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: each corpus vector is assigned to its
     best cell (argmax dot), each query probes its `n_probe` best
@@ -338,28 +385,24 @@ def ivf_topk(
     ``assigner='pandas'`` runs assignment/probing as Arrow-batched
     matmuls with the expression path's exact tie rules (see
     _cell_ids_pandas_udf) — the scale path for large n_cells, where
-    the literal-centroid tree's Catalyst analysis dominates."""
+    the literal-centroid tree's Catalyst analysis dominates.
+    ``encoded``: a pre-encoded (vec_id, vector, cell) frame from
+    :func:`ivf_encode` — typically read back from a cell-partitioned
+    parquet layout, where the probe's cell filter prunes partitions;
+    must have been encoded with the SAME centroids passed here."""
     cents = centroids if centroids is not None else _hyperplanes(dim, n_cells, seed)
     n_cells = len(cents)
+    cell_scores = _cell_scores_expr(cents)
 
-    def cell_scores(vecc: F.Column) -> F.Column:
-        v = F.transform(vecc, lambda x: x.cast("double"))
-        return F.array(
-            *[
-                F.struct(
-                    _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(cents)
-            ]
+    if encoded is not None:
+        c_assigned = encoded.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "cell"
         )
-
+    else:
+        c_assigned = ivf_encode(corpus, cents, id_col, vec_col, assigner).select(
+            "vec_id", F.col(vec_col).alias("c_vec"), "cell"
+        )
     if assigner == "pandas":
-        c_assigned = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("c_vec"),
-            _cell_ids_pandas_udf(cents)(F.col(vec_col)).alias("cell"),
-        )
         q_probes = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -368,11 +411,6 @@ def ivf_topk(
             ).alias("cell"),
         )
     else:
-        c_assigned = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
-        )
         q_probes = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),

@@ -714,9 +714,11 @@ def multimodal_features(spark, sf_dir):
 
 @register(
     "dedup_minhash_components",
-    oracle=None,  # natural-corpus twin of dedup_minhash_clusters_planted
-    # (which exact-oracles the same LSH→components path on planted dups);
-    # the natural pair set itself is SF-dependent
+    oracle=None,  # natural-corpus twin of TWO planted exact oracles:
+    # dedup_minhash_clusters_planted (LSH→components on planted dup
+    # cliques) and dedup_components_planted (min-label propagation on
+    # closed-form CHAINS — the transitive-closure case cliques can't
+    # exercise); the natural pair set itself is SF-dependent
     tags=("llm", "dedup"),
 )
 def dedup_minhash_components(spark, sf_dir):
@@ -773,6 +775,111 @@ def dedup_minhash_clusters_planted(spark, sf_dir):
         .select(F.col("id").alias("member"), F.col("component").alias("cluster"))
         .orderBy("member")
     )
+
+
+@register(
+    "dedup_components_planted",
+    oracle="""
+SELECT doc_id AS id, (doc_id // 5) * 5 AS component
+FROM documents
+WHERE NOT (doc_id % 5 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))
+ORDER BY id
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_components_planted(spark, sf_dir):
+    """Connected components (operators/components.py min-label
+    propagation) exact-oracled on closed-form CHAINS — the transitive
+    case the clique-planted oracle (dedup_minhash_clusters_planted)
+    cannot exercise: in a clique every member is one hop from the min
+    label, so convergence is trivial; here the min label must travel
+    the full chain diameter.
+
+    Edge rule over the REAL documents id space (contiguous 0..N-1):
+    link doc_id → doc_id+1 except across multiples of 5, giving pure
+    paths A—B—C—D—E where only CONSECUTIVE ids are adjacent (A~B and
+    B~C with no A~C edge). The transitive closure is closed-form —
+    component(id) = 5·⌊id/5⌋ — and reaching it takes diameter-many
+    (4) propagation rounds, so the oracle pins the iteration/fixpoint
+    machinery, not just single-hop relabeling. Scales with SF (5000
+    nodes at sf0.1). The guard drops the one isolated node a non-÷5
+    corpus size would leave (no edges ⇒ not in the output by
+    contract)."""
+    from exosql_spark.operators.components import connected_components
+
+    d = Tables(spark, sf_dir).documents.select("doc_id")
+    edges = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 5 != 4)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return connected_components(edges).orderBy("id")
+
+
+def _corner_vec(spark_vals: dict[int, float]):
+    """8-dim float vector with the given {dim: value} entries."""
+    return [float(spark_vals.get(j, 0.0)) for j in range(8)]
+
+
+@register(
+    "dedup_semantic_values_planted",
+    oracle="""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(cluster AS INT) AS cluster, CAST(cosine_sim AS DOUBLE) AS cosine_sim
+FROM (VALUES
+  (0, 1, 0, 0.96), (0, 3, 0, 1.0), (0, 4, 0, 0.936),
+  (1, 3, 0, 0.96), (2, 4, 0, 0.96), (3, 4, 0, 0.936),
+  (10, 11, 1, 1.0)
+) t(id_a, id_b, cluster, cosine_sim)
+ORDER BY id_a, id_b
+""",
+    tags=("llm", "dedup", "embedding"),
+)
+def dedup_semantic_values_planted(spark, sf_dir):
+    """SemDeDup VALUE-path oracle: where dedup_semantic_planted pins
+    the pair SET (cluster structure + threshold gate) and deliberately
+    drops cosine_sim, this entry pins the SCORES — every emitted
+    cosine is a closed-form rational via Pythagorean construction.
+
+    Pre-trained centroids = the 5 unit corners e0..e4 (the
+    production train-once shape). Planted vectors live in the
+    (corner-axis, free-axis) plane — dims (0,5) for cluster 0, dims
+    (1,6)/(1,5) for cluster 1 — so cell assignment is unambiguous
+    (positive dot with exactly one corner) and pairwise cosines are
+    ratios of integers: ids 0–4 = (4,3),(3,4),(1,0),(8,6),(24,7)
+    scaled 3-4-5 / 7-24-25 triples, giving cos ∈ {24/25=.96,
+    117/125=.936, 50/50=1.0, 4/5=.8, 3/5=.6, …} — the ≥ 0.9 gate
+    keeps exactly 6 pairs with values {0.96, 0.936, 1.0}. Cluster 1
+    holds a colinear pair (cos 1.0) plus id 21 = e1 + 10·e5, whose
+    cosine 100/101 ≈ 0.9901 with id 20 = e0 + 10·e5 is ABOVE the
+    threshold but never compared (different clusters) — the planted
+    witness that the cluster gate, not the score, prunes candidates.
+    All surviving values sit ≥ 0.03 from the 0.9 gate and from any
+    4-decimal rounding boundary, so unit-normalization float noise
+    (last-ulp) cannot move the output."""
+    from exosql_spark.operators import semdedup
+
+    v = _corner_vec
+    rows = [
+        (0, v({0: 4, 5: 3})),
+        (1, v({0: 3, 5: 4})),
+        (2, v({0: 1})),
+        (3, v({0: 8, 5: 6})),
+        (4, v({0: 24, 5: 7})),
+        (10, v({1: 1, 6: 0})),
+        (11, v({1: 2, 6: 0})),
+        (20, v({0: 1, 5: 10})),
+        (21, v({1: 1, 5: 10})),
+    ]
+    planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corners = [[1.0 if j == i else 0.0 for j in range(8)] for i in range(5)]
+    pairs = semdedup.semantic_dedup_pairs(
+        planted, threshold=0.9, centroids=corners
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("cluster").cast("int").alias("cluster"), "cosine_sim"
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1627,7 +1734,10 @@ def dedup_semantic_planted(spark, sf_dir):
     cosine_sim is dropped from the output (each pair's value is
     jitter-dependent and could straddle a rounding boundary between
     engines); the pair SET has margin 0.09+ against the 0.9 threshold.
-    Natural-corpus twin: dedup_semantic (rows-only)."""
+    The VALUE path (cosine computation + rounding + gate) is pinned by
+    the companion dedup_semantic_values_planted, whose planted scores
+    are closed-form rationals. Natural-corpus twin: dedup_semantic
+    (rows-only)."""
     from exosql_spark.operators import semdedup
 
     ids = spark.range(100)
@@ -1649,11 +1759,12 @@ def dedup_semantic_planted(spark, sf_dir):
 
 @register(
     "dedup_semantic",
-    oracle=None,  # natural-corpus twin of dedup_semantic_planted (which
-    # exact-oracles the same cluster→pair→anti-join path on planted
-    # clusters): natural Lloyd centroids drift in the last ulp across
-    # engines (see embedding_kmeans note), so cluster boundaries — and
-    # with them the candidate pair set — are not SQL-reproducible
+    oracle=None,  # natural-corpus twin of dedup_semantic_planted (pair
+    # SET through the same cluster→pair→anti-join path) and
+    # dedup_semantic_values_planted (closed-form cosine VALUES):
+    # natural Lloyd centroids drift in the last ulp across engines
+    # (see embedding_kmeans note), so cluster boundaries — and with
+    # them the candidate pair set — are not SQL-reproducible
     tags=("llm", "dedup", "embedding", "scale"),
     bench=True,  # first-class new operator: perf tracked since round 6
 )

@@ -176,6 +176,7 @@ GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """,
     tags=("tpch", "semi", "agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q4_order_priority(spark, sf_dir):
     """Q4 shape: EXISTS-correlated semi-join (equi key + non-equi
@@ -211,6 +212,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_quantity < CAST(24 AS DOUBLE)
 """,
     tags=("tpch", "scan", "agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q6_forecast_revenue(spark, sf_dir):
     """Q6 shape: pure scan→filter→agg, the pushdown showcase — all
@@ -252,6 +254,7 @@ GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
 """,
     tags=("tpch", "join", "agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q7_volume_shipping(spark, sf_dir):
     """Q7 shape: nation-pair trade volume by year. The nation self-use
@@ -318,6 +321,7 @@ GROUP BY o_year
 ORDER BY o_year
 """,
     tags=("tpch", "join", "agg", "ratio"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q8_market_share(spark, sf_dir):
     """Q8 shape: one supplier-nation's share of regional volume —
@@ -375,6 +379,7 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
   AND l.l_shipdate <  TIMESTAMP '1997-04-01'
 """,
     tags=("tpch", "join", "ratio"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q14_promo_revenue(spark, sf_dir):
     """Q14 shape: promo share of one month's revenue. part broadcasts;
@@ -427,11 +432,22 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     (qty*5*count < sum) so both engines agree bit-for-bit at the
     boundary — never compare against a divided double."""
     t = Tables(spark, sf_dir)
-    pq = t.lineitem.groupBy("l_partkey").agg(
+    p = t.part.filter(F.col("p_brand") == "Brand#23")
+    # Aggregate only lineitems of the brand-filtered parts: the final
+    # join discards every other part anyway, and the semi-join cuts
+    # the per-part partial-agg input ~|brands|× before its shuffle —
+    # the filter-through-aggregate pushdown the decorrelated subquery
+    # is entitled to. Join strategy left to AQE (part scales with
+    # data; see the module broadcast policy).
+    li = t.lineitem.join(
+        p.select(F.col("p_partkey").alias("_fk")),
+        F.col("l_partkey") == F.col("_fk"),
+        "left_semi",
+    )
+    pq = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
         F.count(F.lit(1)).alias("cnt_qty"),
     ).withColumnRenamed("l_partkey", "pq_partkey")
-    p = t.part.filter(F.col("p_brand") == "Brand#23")
     return (
         t.lineitem.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(pq, F.col("l_partkey") == F.col("pq_partkey"))
@@ -511,6 +527,7 @@ WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1  AND 15
        AND l.l_quantity >= 20 AND l.l_quantity <= 30)
 """,
     tags=("tpch", "join", "disjunctive"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q19_disjunctive_revenue(spark, sf_dir):
     """Q19 shape: OR-of-conjuncts across both join sides. Catalyst
@@ -554,6 +571,7 @@ GROUP BY c.c_nationkey
 ORDER BY c.c_nationkey
 """,
     tags=("tpch", "anti", "agg", "scalar-subquery"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q22_dormant_rich_customers(spark, sf_dir):
     """Q22 shape: above-average-balance customers with no urgent
@@ -608,6 +626,7 @@ ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
 LIMIT 20
 """,
     tags=("tpch", "correlated", "join"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q2_min_cost_supplier(spark, sf_dir):
     """Q2 shape: for each part, the cheapest supplier (testdata has no
@@ -710,6 +729,7 @@ WHERE s * tot.n > CAST(2 AS DECIMAL(2,0)) * tot.total
 ORDER BY part_value DESC, l_partkey
 """,
     tags=("tpch", "scalar-subquery", "agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q11_important_stock(spark, sf_dir):
     """Q11 shape: parts whose spend share (within two nations'
@@ -761,6 +781,7 @@ GROUP BY ship_class
 ORDER BY ship_class
 """,
     tags=("tpch", "join", "conditional-agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q12_shipmode_priority(spark, sf_dir):
     """Q12 shape: late shipments classified by line status (testdata
@@ -839,6 +860,7 @@ WHERE rev.total = (SELECT max(total) FROM rev)
 ORDER BY s.s_suppkey
 """,
     tags=("tpch", "scalar-subquery", "agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q15_top_supplier(spark, sf_dir):
     """Q15 shape: supplier(s) with the quarter's max revenue. The
@@ -885,6 +907,7 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
 """,
     tags=("tpch", "anti", "distinct-agg"),
+    bench=True,  # full TPC-H perf coverage since round 7
 )
 def tpch_q16_supplier_part_counts(spark, sf_dir):
     """Q16 shape: distinct-supplier counts per part attribute triple,

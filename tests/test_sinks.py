@@ -28,6 +28,39 @@ class TestParquetSink:
         assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
         assert back.count() > 0
 
+    def test_ivf_layout_prunes_probed_cells(self, spark, sf_dir, tmp_path):
+        """The ANN stored layout (SCALE.md): ivf_encode → write
+        partitioned by cell → a probe's cell filter prunes PARTITIONS
+        at the scan (PartitionFilters, not a post-scan filter), and
+        ivf_topk over the stored layout returns exactly what the
+        in-memory path returns."""
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            ivf_encode,
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 8, 7)
+        p = str(tmp_path / "ivf_encoded")
+        sinks.write_table(ivf_encode(emb, cents), p, partition_by=["cell"])
+        stored = spark.read.parquet(p)
+
+        probe = stored.filter(F.col("cell").isin(2, 5))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the cell predicate must reach the partition layer of the scan
+        assert "PartitionFilters: [cell" in plan
+        assert probe.count() > 0
+
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        from_mem = ivf_topk(emb, queries, k=5, centroids=cents).collect()
+        from_disk = ivf_topk(
+            emb, queries, k=5, centroids=cents, encoded=stored
+        ).collect()
+        assert sorted(map(tuple, from_mem)) == sorted(map(tuple, from_disk))
+
     def test_csv_export(self, spark, sf_dir, tmp_path):
         p = str(tmp_path / "region_csv")
         region = load_table(spark, sf_dir, "region")
