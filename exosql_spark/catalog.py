@@ -42,22 +42,23 @@ _QUERY_MODULES = (
 # 1–6 cumulatively blessed all 149 exact-oracle entries (every one
 # driver-green, zero failures) and ran every rows-only entry clean; the
 # full local gate (tests/test_oracle.py) keeps rotated-out entries green
-# between windows.  Rows-only bookkeeping (15 entries total): 10 carry a
+# between windows.  Rows-only bookkeeping (16 entries total): 11 carry a
 # planted exact-oracle anchor driving the same code path
 # (curate_corpus_pipeline, dedup_minhash_pairs, dedup_minhash_components,
-# similarity_topk_{lsh,ivf,pq,ivfpq}, embedding_kmeans, dedup_semantic,
-# export_training_corpus); 5 are unanchorable by nature (engine RNG /
-# sketch internals: sample_stratified, sample_fraction,
+# similarity_topk_{lsh,lsh_multiprobe,ivf,pq,ivfpq}, embedding_kmeans,
+# dedup_semantic, export_training_corpus); 5 are unanchorable by nature
+# (engine RNG / sketch internals: sample_stratified, sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-7 window fronts, in priority order:
-#   1. entries new this round (2 planted exact oracles: component CHAINS
-#      and the SemDeDup cosine VALUE path);
+#   1. entries new this round (3 planted exact oracles: component CHAINS,
+#      the SemDeDup cosine VALUE path, and multi-probe LSH);
 #   2. the streaming-parity block, pinned every round (guards the round-4
 #      timestamp-unit bug class);
-#   3. the two rows-only entries with no driver row yet beside their new
-#      anchors (dedup_minhash_components — newly anchored by
-#      dedup_components_planted — and dedup_semantic, which postdates the
-#      r6 cutoff); the unanchorable-5 all ran clean in r6 and sit out;
+#   3. the three rows-only entries with no driver row yet beside their
+#      new anchors (dedup_minhash_components — newly anchored by
+#      dedup_components_planted — dedup_semantic, which postdates the r6
+#      cutoff, and the new similarity_topk_lsh_multiprobe); the
+#      unanchorable-5 all ran clean in r6 and sit out;
 #   4. the remaining stale cohort: every exact-oracle entry whose last
 #      driver row is r1/r2 (25 r1 entries first, then r2 ordered TPC-H /
 #      joins / aggs before the fn tail, then r3's join_left_outer) — a
@@ -69,6 +70,7 @@ _VERIFY_FIRST = (
     # -- 1. new this round (round 7) --
     "dedup_components_planted",        # min-label propagation on closed-form chains
     "dedup_semantic_values_planted",   # SemDeDup cosine values, Pythagorean-exact
+    "similarity_topk_lsh_multiprobe_planted",  # probe expansion, closed-form top-10
     # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
@@ -81,6 +83,7 @@ _VERIFY_FIRST = (
     # -- 3. rows-only entries riding their fresh anchors --
     "dedup_minhash_components",
     "dedup_semantic",
+    "similarity_topk_lsh_multiprobe",
     # -- 4. stale-green rotation: round-1 cohort --
     "join_cross",
     "join_theta",
@@ -118,10 +121,10 @@ _VERIFY_FIRST = (
     "join_full_outer",
     "subquery_exists",
     "agg_statistics",
+    # -- ~50-window cutoff lands here (3+9+3+25+10 = 50); the rest of
+    #    the r2 cohort + r3's join_left_outer queue behind it for r8 --
     "agg_percentiles",
     "grouping_sets",
-    # -- ~50-window cutoff lands here (2+9+2+25+12 = 50); the rest of
-    #    the r2 cohort + r3's join_left_outer queue behind it for r8 --
     "agg_min_max_by",
     "pivot_status_priority",
     "agg_bitwise",

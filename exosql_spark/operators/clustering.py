@@ -139,13 +139,19 @@ def assign_clusters_pandas(
     def _assign(v: pd.Series) -> pd.DataFrame:
         import numpy as np
 
+        mask = v.notna().to_numpy()
+        if mask.all() and len(v):  # hot path: no nullable machinery
+            x = np.stack(v.to_numpy()).astype(np.float64)
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            return pd.DataFrame(
+                {"cluster": d.argmin(1).astype("int32"), "sq_dist": d.min(1)}
+            )
         out = pd.DataFrame(
             {
                 "cluster": pd.array([None] * len(v), dtype="Int32"),
                 "sq_dist": pd.array([None] * len(v), dtype="Float64"),
             }
         )
-        mask = v.notna().to_numpy()
         if mask.any():
             x = np.stack(v[mask].to_numpy()).astype(np.float64)
             d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)

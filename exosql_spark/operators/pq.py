@@ -91,6 +91,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     encoder: str = "expr",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode each vector as an ``array<int>`` of per-subspace centroid
     ids (argmin squared distance; ties → lower code, deterministic on
@@ -115,22 +116,29 @@ def pq_encode(
 
             # NULL vectors → NULL code (the expression path's slice/
             # argmin also yields NULL); non-null rows must be dim-length.
-            out = pd.Series([None] * len(v), dtype=object)
-            mask = v.notna().to_numpy()
-            if mask.any():
-                x = np.stack(v[mask].to_numpy()).astype(np.float64)
+            def encode(x):
                 codes = np.empty((len(x), m), dtype=np.int32)
                 for j in range(m):
                     sub = x[:, j * sd : (j + 1) * sd]
                     d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
                     codes[:, j] = d.argmin(1)
+                return codes
+
+            mask = v.notna().to_numpy()
+            if mask.all() and len(v):  # hot path: no masking machinery
+                return pd.Series(list(encode(np.stack(v.to_numpy()).astype(np.float64))))
+            out = pd.Series([None] * len(v), dtype=object)
+            if mask.any():
+                codes = encode(np.stack(v[mask].to_numpy()).astype(np.float64))
                 vals = np.empty(int(mask.sum()), dtype=object)
                 vals[:] = list(codes)
                 out.iloc[np.flatnonzero(mask)] = vals
             return out
 
         return df.select(
-            F.col(id_col).alias("vec_id"), _enc(F.col(vec_col)).alias("pq_code")
+            F.col(id_col).alias("vec_id"),
+            *keep_cols,
+            _enc(F.col(vec_col)).alias("pq_code"),
         )
 
     vec = F.col(vec_col).cast("array<double>")
@@ -148,7 +156,9 @@ def pq_encode(
         )[0]["c"]
         codes.append(best)
     return df.select(
-        F.col(id_col).alias("vec_id"), F.array(*codes).cast("array<int>").alias("pq_code")
+        F.col(id_col).alias("vec_id"),
+        *keep_cols,
+        F.array(*codes).cast("array<int>").alias("pq_code"),
     )
 
 
@@ -250,6 +260,34 @@ def pq_topk(
     )
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    encoder: str = "expr",
+) -> DataFrame:
+    """The IVFADC STORED layout: (vec_id, cell, pq_code) — coarse cell
+    from ``centroids`` (argmax dot, same tie rule as
+    similarity.ivf_encode) + the m-byte PQ code. This is the whole
+    table a billion-scale deployment persists: raw vectors are gone,
+    8-ish bytes per row remain. Write it partitioned by cell —
+    ``sinks.write_table(enc, path, partition_by=["cell"])`` — so
+    probe-time cell filters prune FILES (asserted in
+    tests/test_sinks.py for the IVF layout; same scan machinery), and
+    pass it back to :func:`ivfpq_topk` via ``encoded=`` with the SAME
+    codebooks and centroids."""
+    from exosql_spark.operators.similarity import ivf_encode
+
+    # Single pass: the cell assignment rides into pq_encode via
+    # keep_cols, so encoding is one fused map over the scan — a
+    # two-scan shape would re-join (vec_id, cell) to (vec_id, pq_code)
+    # on vec_id, a full corpus shuffle for nothing.
+    enc = ivf_encode(corpus, centroids, id_col, vec_col, assigner=encoder)
+    return pq_encode(enc, codebooks, vec_col, "vec_id", encoder, keep_cols=("cell",))
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,61 +301,48 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     encoder: str = "expr",
+    centroids: list[list[float]] | None = None,
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al. 2011 §IV): coarse IVF cells prune the
     CANDIDATE SET, PQ/ADC scores the survivors in the compressed
     domain — the structure behind billion-scale ANN deployments.
 
-    Coarse quantizer: the same training-free random-direction cells as
-    ``similarity.ivf_topk`` (deterministic, no second k-means). Corpus
-    rows carry (cell, pq_code); queries probe their ``n_probe`` best
-    cells; the ADC distance is a per-query literal-table lookup over
-    the join's survivors — only ~n_probe/n_cells of the corpus is
-    scored, and what's scored is 8-byte codes, not raw vectors. At
-    scale, store the encoded table partitioned by ``cell`` so probes
-    prune files before they prune rows.
+    Coarse quantizer: training-free random-direction cells by default
+    (deterministic, no second k-means), or pass trained ``centroids``
+    (e.g. ``clustering.train_kmeans_sample`` on a bounded sample — the
+    real-IVF shape with balanced occupancy). Corpus rows carry
+    (cell, pq_code); queries probe their ``n_probe`` best cells; the
+    ADC distance is a per-query broadcast-table lookup over the join's
+    survivors — only ~n_probe/n_cells of the corpus is scored, and
+    what's scored is 8-byte codes, not raw vectors.
+
+    ``encoded``: a pre-encoded (vec_id, cell, pq_code) frame from
+    :func:`ivfpq_encode` — typically read back from a cell-partitioned
+    parquet layout so probes prune files; must match the codebooks and
+    centroids passed here. With ``encoded``, ``corpus`` is ignored and
+    the raw vectors are never touched.
 
     Columns: query_id, vec_id, approx_sq_dist, rank.
     """
-    from exosql_spark.operators.similarity import _dot, _hyperplanes
+    from exosql_spark.operators.similarity import _hyperplanes
 
-    cents = _hyperplanes(dim, n_cells, seed)
+    cents = centroids if centroids is not None else _hyperplanes(dim, n_cells, seed)
+    n_cells = len(cents)
 
-    def cell_scores(vecc: F.Column) -> F.Column:
-        v = F.transform(vecc, lambda x: x.cast("double"))
-        return F.array(
-            *[
-                F.struct(
-                    _dot(v, F.array(*[F.lit(float(x)) for x in c])).alias("score"),
-                    F.lit(i).alias("cell"),
-                )
-                for i, c in enumerate(cents)
-            ]
-        )
-
-    encoded = pq_encode(corpus, codebooks, vec_col, id_col, encoder)
-    if encoder == "pandas":
-        # Arrow cell assignment rides along with the Arrow encoder —
-        # same array_max tie rule (see similarity._cell_ids_pandas_udf)
-        from exosql_spark.operators.similarity import _cell_ids_pandas_udf
-
-        cells = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            _cell_ids_pandas_udf(cents)(F.col(vec_col)).alias("cell"),
-        )
+    if encoded is not None:
+        table_side = encoded.select("vec_id", "cell", "pq_code")
     else:
-        cells = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+        table_side = ivfpq_encode(
+            corpus, codebooks, cents, vec_col, id_col, encoder
         )
-    table_side = encoded.join(cells, "vec_id")
 
     qs = [
         (r[query_id_col], list(r[vec_col]))
         for r in queries.select(query_id_col, vec_col).collect()
     ]
     if not qs:
-        return _empty_topk(encoded, queries, query_id_col)
+        return _empty_topk(table_side, queries, query_id_col)
     # Probe rows carry (query_id, cell, adc table) — the ADC tables
     # ride the broadcast as data (n_probe rows × m·k floats per
     # query), so the distance expression is ONE small lookup chain
@@ -333,7 +358,7 @@ def ivfpq_topk(
         table = _adc_table(q_vec, codebooks)
         probes.extend((qid, cell, table) for _, cell in scores[:n_probe])
 
-    spark = corpus.sparkSession
+    spark = queries.sparkSession
     qid_type = dict(queries.dtypes)[query_id_col]
     probe_df = F.broadcast(
         spark.createDataFrame(

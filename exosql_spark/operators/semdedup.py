@@ -65,16 +65,28 @@ def _cosine_pandas_udf():
         import numpy as np
 
         # NULL on either side → NULL cosine (matches the expression
-        # path); non-null vectors must be fixed-length.
-        out = pd.Series([None] * len(a), dtype="Float64")
-        mask = (a.notna() & b.notna()).to_numpy()
-        if mask.any():
-            A = np.stack(a[mask].to_numpy()).astype(np.float64)
-            B = np.stack(b[mask].to_numpy()).astype(np.float64)
+        # path); non-null vectors must be fixed-length. The all-valid
+        # batch (the hot path) skips the nullable-dtype machinery.
+        def cos(A, B):
             num = np.einsum("ij,ij->i", A, B)
             den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
-                vals = np.where(den > 0, num / den, 0.0)
+                return np.where(den > 0, num / den, 0.0)
+
+        mask = (a.notna() & b.notna()).to_numpy()
+        if mask.all() and len(a):
+            return pd.Series(
+                cos(
+                    np.stack(a.to_numpy()).astype(np.float64),
+                    np.stack(b.to_numpy()).astype(np.float64),
+                )
+            )
+        out = pd.Series([None] * len(a), dtype="Float64")
+        if mask.any():
+            vals = cos(
+                np.stack(a[mask].to_numpy()).astype(np.float64),
+                np.stack(b[mask].to_numpy()).astype(np.float64),
+            )
             out.iloc[np.flatnonzero(mask)] = vals
         return out
 

@@ -7,9 +7,11 @@ Two tiers, as a 100 TB pipeline needs:
   per-partition top-k then global top-k via TakeOrderedAndProject.
   Right for ≤ a few thousand queries against any corpus size.
 - :func:`lsh_topk` — random-hyperplane (sign) LSH: corpus and queries
-  hash to sign-pattern buckets; candidates = bucket collisions (with
-  multi-probe on the query side); exact cosine re-rank inside buckets.
-  Turns all-pairs into a bucket-key equi-join — the scale path.
+  hash to sign-pattern buckets; candidates = bucket collisions; exact
+  cosine re-rank inside buckets. Turns all-pairs into a bucket-key
+  equi-join — the scale path. ``n_flip`` adds MULTI-PROBE (Lv et al.
+  2007): margin-ranked 1-bit perturbations probed on the query side
+  only, trading per-query probes for index tables (footprint).
 - :func:`ivf_topk` — IVF-style coarse quantization without training:
   assign each vector to its nearest of `n_cells` sampled centroids
   (one broadcast pass), probe the closest cells per query.
@@ -178,8 +180,15 @@ def _bucket_ids_pandas_udf(tables: list[list[list[float]]]):
         # NULL vectors → NULL bucket array (the expression path's
         # sign-bit dots also propagate NULL); non-null rows must be
         # fixed-length or np.stack raises — ragged input is a bug.
-        out = pd.Series([None] * len(v), dtype=object)
         mask = v.notna().to_numpy()
+        if mask.all() and len(v):  # hot path: no masking machinery
+            x = np.stack(v.to_numpy()).astype(np.float64)
+            per_table = [
+                ((x @ planes[t].T) > 0).astype(np.int64) @ weights
+                for t in range(n_tables)
+            ]
+            return pd.Series(list(np.stack(per_table, axis=1)))
+        out = pd.Series([None] * len(v), dtype=object)
         if mask.any():
             x = np.stack(v[mask].to_numpy()).astype(np.float64)
             per_table = [
@@ -192,6 +201,79 @@ def _bucket_ids_pandas_udf(tables: list[list[list[float]]]):
         return out
 
     return _buckets
+
+
+def probe_buckets_expr(
+    vec_col: F.Column, planes: list[list[float]], n_flip: int
+) -> F.Column:
+    """Multi-probe bucket list for ONE table (array<long>): the base
+    sign-pattern bucket followed by ``n_flip`` single-bit perturbations,
+    flipping the bits whose hyperplane margin |dot| is smallest first
+    (Lv et al. 2007's insight, restricted to 1-bit perturbations: the
+    near-miss buckets most likely to hold neighbors are the ones across
+    the CLOSEST hyperplanes). Ties in |margin| break toward the lower
+    plane index — matching the stable argsort in the Arrow twin."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    dots = [_dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in planes]
+    base = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        bit = F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        base = base.bitwiseOR(bit)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+                for i, d in enumerate(dots)
+            ]
+        )
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+    flips = F.transform(
+        F.slice(ranked, 1, n_flip),
+        lambda s: base.bitwiseXOR(F.element_at(weights, s["i"] + 1)),
+    )
+    return F.concat(F.array(base), flips)
+
+
+def _probe_bits_pandas_udf(tables: list[list[list[float]]], n_flip: int):
+    """Arrow twin of :func:`probe_buckets_expr`, all tables in one
+    pass: array<array<long>> — per table, [base bucket, n_flip
+    margin-ranked single-bit flips]. Same strict ``> 0`` sign rule and
+    the same tie rule (stable argsort on |margin| keeps plane order).
+    NULL vectors → NULL."""
+    planes = np.array(tables, dtype=np.float64)  # T × planes × dim
+    n_tables, n_planes, _ = planes.shape
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("array<array<long>>")
+    def _probes(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def probe_lists(x):
+            per_table = []
+            for t in range(n_tables):
+                d = x @ planes[t].T  # n × planes
+                base = ((d > 0).astype(np.int64) @ weights)  # n
+                order = np.argsort(np.abs(d), axis=1, kind="stable")[:, :n_flip]
+                flips = base[:, None] ^ weights[order]  # n × n_flip
+                per_table.append(np.concatenate([base[:, None], flips], axis=1))
+            return np.stack(per_table, axis=1)  # n × T × (1+n_flip)
+
+        mask = v.notna().to_numpy()
+        if mask.all() and len(v):
+            stacked = probe_lists(np.stack(v.to_numpy()).astype(np.float64))
+            return pd.Series([row for row in stacked])
+        out = pd.Series([None] * len(v), dtype=object)
+        if mask.any():
+            stacked = probe_lists(np.stack(v[mask].to_numpy()).astype(np.float64))
+            vals = np.empty(int(mask.sum()), dtype=object)
+            vals[:] = [row for row in stacked]
+            out.iloc[np.flatnonzero(mask)] = vals
+        return out
+
+    return _probes
 
 
 def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
@@ -210,8 +292,13 @@ def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
         def _cell(v: pd.Series) -> pd.Series:
             import numpy as np
 
-            out = pd.Series([None] * len(v), dtype="Int32")
             mask = v.notna().to_numpy()
+            if mask.all() and len(v):
+                d = np.stack(v.to_numpy()).astype(np.float64) @ c.T
+                return pd.Series(
+                    (k - 1 - np.argmax(d[:, ::-1], axis=1)).astype("int32")
+                )
+            out = pd.Series([None] * len(v), dtype="Int32")
             if mask.any():
                 d = np.stack(v[mask].to_numpy()).astype(np.float64) @ c.T
                 out.iloc[np.flatnonzero(mask)] = (
@@ -225,12 +312,17 @@ def _cell_ids_pandas_udf(cents: list[list[float]], n_probe: int | None = None):
     def _probes(v: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = pd.Series([None] * len(v), dtype=object)
-        mask = v.notna().to_numpy()
-        if mask.any():
-            d = np.stack(v[mask].to_numpy()).astype(np.float64) @ c.T
+        def probe_cells(x):
+            d = x @ c.T
             order_rev = np.argsort(-d[:, ::-1], axis=1, kind="stable")
-            cells = (k - 1 - order_rev[:, :n_probe]).astype(np.int32)
+            return (k - 1 - order_rev[:, :n_probe]).astype(np.int32)
+
+        mask = v.notna().to_numpy()
+        if mask.all() and len(v):
+            return pd.Series(list(probe_cells(np.stack(v.to_numpy()).astype(np.float64))))
+        out = pd.Series([None] * len(v), dtype=object)
+        if mask.any():
+            cells = probe_cells(np.stack(v[mask].to_numpy()).astype(np.float64))
             vals = np.empty(int(mask.sum()), dtype=object)
             vals[:] = list(cells)
             out.iloc[np.flatnonzero(mask)] = vals
@@ -251,6 +343,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     hasher: str = "expr",
+    n_flip: int = 0,
 ) -> DataFrame:
     """Approximate top-k: `n_tables` independent sign-LSH tables of
     `n_planes` bits each; candidates = any-table bucket collision; exact
@@ -258,8 +351,17 @@ def lsh_topk(
     n_planes. ``hasher='pandas'`` computes the bucket ids in one
     Arrow-batched matmul instead of the literal-plane expression tree
     (same strict-sign rule; see _bucket_ids_pandas_udf for the
-    Catalyst-analysis rationale). Columns: query_id, vec_id,
-    cosine_sim, rank."""
+    Catalyst-analysis rationale).
+
+    ``n_flip > 0`` turns on MULTI-PROBE (Lv et al. 2007, 1-bit
+    perturbations): each query additionally probes, per table, the
+    ``n_flip`` buckets across its closest hyperplanes — the buckets
+    most likely to hold near-misses. Only the QUERY side fans out
+    (n_flip+1 probe rows per table — broadcast-sized); the stored
+    corpus keeps exactly one bucket per table, so the index neither
+    grows nor rewrites. This is the recall/space lever at scale: more
+    probes ≈ the recall of more tables at 1/(n_flip+1) of the index
+    footprint. Columns: query_id, vec_id, cosine_sim, rank."""
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
@@ -286,8 +388,40 @@ def lsh_topk(
             ).alias("tb"),
         ).select(out_id, out_vec, "tb.table", "tb.bucket")
 
+    def probed(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
+        if hasher == "pandas":
+            pb = _probe_bits_pandas_udf(tables, n_flip)
+            per_table = df.select(
+                F.col(idc).alias(out_id),
+                F.col(vecc).alias(out_vec),
+                F.posexplode(pb(F.col(vecc))).alias("table", "_buckets"),
+            )
+        else:
+            per_table = df.select(
+                F.col(idc).alias(out_id),
+                F.col(vecc).alias(out_vec),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("table"),
+                                probe_buckets_expr(
+                                    F.col(vecc), tables[t], n_flip
+                                ).alias("buckets"),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                ).alias("tb"),
+            ).select(out_id, out_vec, "tb.table", F.col("tb.buckets").alias("_buckets"))
+        return per_table.select(
+            out_id, out_vec, "table", F.explode("_buckets").alias("bucket")
+        )
+
     c = bucketed(corpus, id_col, vec_col, "vec_id", "c_vec")
-    q = bucketed(queries, query_id_col, vec_col, "query_id", "q_vec")
+    q = (probed if n_flip > 0 else bucketed)(
+        queries, query_id_col, vec_col, "query_id", "q_vec"
+    )
     cands = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .select("query_id", "vec_id", "c_vec", "q_vec")

@@ -243,6 +243,36 @@ def similarity_topk_lsh(spark, sf_dir):
 
 
 @register(
+    "similarity_topk_lsh_multiprobe",
+    oracle=None,  # natural-corpus twin of
+    # similarity_topk_lsh_multiprobe_planted (which exact-oracles the
+    # same probe-expansion path on planted exact copies): ANN by design
+    # — see similarity_topk_lsh's note; probe-list twin parity and
+    # recall monotonicity are additionally asserted locally
+    # (tests/test_operators.py::test_multiprobe_*)
+    tags=("llm", "similarity", "scale"),
+    bench=True,  # the recall/space lever: tracked since round 7
+)
+def similarity_topk_lsh_multiprobe(spark, sf_dir):
+    """MULTI-PROBE sign-LSH (Lv et al. 2007, 1-bit perturbations):
+    2 tables × 8 planes, each query probing its base bucket plus the 3
+    buckets across its closest hyperplanes per table. Half of
+    similarity_topk_lsh's table budget — the stored index is half the
+    size and the corpus hashes half as much — with the recall made up
+    by query-side probes (which fan out only the broadcast-sized query
+    side). The scale story: at 10⁹ vectors the index footprint scales
+    with n_tables while probe count is per-query work; multi-probe
+    moves cost from storage to the (tiny) query side."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        t.embeddings, queries, k=10, n_tables=2, n_flip=3, hasher="pandas"
+    )
+
+
+@register(
     "similarity_topk_ivf",
     oracle=None,  # natural-corpus twin of similarity_topk_ivf_planted
     # (which exact-oracles the same cell-probe path on planted exact
@@ -319,6 +349,32 @@ def similarity_topk_lsh_planted(spark, sf_dir):
     )
     return similarity.lsh_topk(
         corpus, queries, k=10, hasher="pandas"
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_topk_lsh_multiprobe_planted",
+    oracle=_PLANTED_TOPK_ORACLE,
+    tags=("llm", "similarity"),
+)
+def similarity_topk_lsh_multiprobe_planted(spark, sf_dir):
+    """Multi-probe LSH exact-oracled on the same planted-copy
+    construction as similarity_topk_lsh_planted (same closed-form
+    top-10): identical copies share the query's BASE bucket in every
+    table, so planted recall is structural with or without probing,
+    and every probe-added candidate is a natural vector with
+    cosine < 1.0 — strictly below the 11-member planted group — so the
+    probe expansion can only add candidates, never displace the
+    closed-form ranks. This pins the probe-expansion code path
+    (explode over base+flip buckets, candidate dedup) end to end.
+    Natural-corpus twin: similarity_topk_lsh_multiprobe (rows-only)."""
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(
+        corpus, queries, k=10, n_tables=2, n_flip=3, hasher="pandas"
     ).orderBy("query_id", "rank")
 
 

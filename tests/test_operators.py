@@ -197,6 +197,81 @@ class TestSimilarity:
         ).collect()
         assert any((r.id_a, r.id_b) == (0, 1) for r in pairs)
 
+    def test_multiprobe_twin_parity(self, spark, sf_dir):
+        """probe_buckets_expr and the Arrow twin must emit IDENTICAL
+        probe lists (base bucket first, then margin-ranked flips) on
+        the natural corpus, including tie rules."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            _probe_bits_pandas_udf,
+            probe_buckets_expr,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        tables = [_hyperplanes(64, 8, 42 + t) for t in range(3)]
+        expr = {
+            (r.vec_id, t): list(r[f"p{t}"])
+            for r in emb.select(
+                "vec_id",
+                *[
+                    probe_buckets_expr(F.col("embedding"), tables[t], 2).alias(f"p{t}")
+                    for t in range(3)
+                ],
+            ).collect()
+            for t in range(3)
+        }
+        arrow = {
+            (r.vec_id, t): list(r.pb[t])
+            for r in emb.select(
+                "vec_id",
+                _probe_bits_pandas_udf(tables, 2)(F.col("embedding")).alias("pb"),
+            ).collect()
+            for t in range(3)
+        }
+        assert expr == arrow
+
+    def test_multiprobe_structure_and_recall(self, spark, sf_dir):
+        """Each probe list = base bucket + n_flip buckets at Hamming
+        distance exactly 1; multi-probe recall@k vs brute force is ≥
+        the unprobed recall at the same table budget."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            _probe_bits_pandas_udf,
+            cosine_topk,
+            lsh_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        tables = [_hyperplanes(64, 8, 42)]
+        for r in emb.limit(50).select(
+            _probe_bits_pandas_udf(tables, 3)(F.col("embedding")).alias("pb")
+        ).collect():
+            probes = list(r.pb[0])
+            assert len(probes) == 4
+            base = probes[0]
+            for flip in probes[1:]:
+                assert bin(base ^ flip).count("1") == 1
+
+        queries = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        truth = {
+            (r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=10).collect()
+        }
+
+        def recall(flips):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in lsh_topk(
+                    emb, queries, k=10, n_tables=2, n_flip=flips, hasher="pandas"
+                ).collect()
+            }
+            return len(got & truth) / len(truth)
+
+        assert recall(4) >= recall(0)
+
     def test_ivf_with_trained_centroids(self, vectors):
         """Real-IVF shape: k-means coarse centroids instead of random
         directions — the planted neighbor must still be recalled, and
@@ -300,6 +375,42 @@ class TestProductQuantization:
         ):
             assert got.columns == ["query_id", "vec_id", "approx_sq_dist", "rank"]
             assert got.count() == 0
+
+    def test_ivfpq_encoded_layout_and_trained_centroids(self, corpus, tmp_path, spark):
+        """The IVFADC stored layout: ivfpq_encode (ONE fused map — no
+        join in the plan) with TRAINED coarse centroids, written
+        partitioned by cell, read back and queried via encoded= — must
+        equal the in-memory path row for row, and the planted copies
+        must still be recalled."""
+        from exosql_spark import sinks
+        from exosql_spark.operators import pq
+        from exosql_spark.operators.clustering import train_kmeans_sample
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        cents = train_kmeans_sample(corpus, k=6, iters=2)
+        enc = pq.ivfpq_encode(corpus, books, cents)
+        assert "Join" not in enc._jdf.queryExecution().executedPlan().toString()
+
+        p = str(tmp_path / "ivfpq_encoded")
+        sinks.write_table(enc, p, partition_by=["cell"])
+        stored = spark.read.parquet(p)
+        q = corpus.filter(F.col("vec_id").isin(0, 1)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        mem = pq.ivfpq_topk(
+            corpus, q, books, k=5, n_probe=3, dim=16, centroids=cents
+        ).collect()
+        disk = pq.ivfpq_topk(
+            corpus, q, books, k=5, n_probe=3, dim=16, centroids=cents,
+            encoded=stored,
+        ).collect()
+        assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+        top = {}
+        for r in mem:
+            top.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+        for qid, planted_id in ((0, 100), (1, 101)):
+            ids = [v for _, v in sorted(top[qid])]
+            assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
 
     def test_ivfpq_recall_and_pruning(self, corpus):
         """IVFADC: an ε-copy lands in the query's own best cell, which
@@ -819,6 +930,39 @@ class TestConnectedComponents:
         assert comp[1] == comp[2] == comp[3] == 1
         assert comp[10] == comp[11] == 10
         assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+    def test_star_algorithm_matches_label_propagation(self, spark):
+        """connected_components_star (large-star/small-star — the
+        diameter-independent 100 TB path) must return EXACTLY the same
+        (id, component) map as min-label propagation on chains (the
+        worst case for propagation), cliques, rings, and a seeded
+        random graph."""
+        import numpy as np
+
+        from exosql_spark.operators.components import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = np.random.default_rng(11)
+        random_edges = [
+            (int(rng.integers(0, 60)), int(rng.integers(0, 60))) for _ in range(80)
+        ]
+        cases = {
+            "long chain": [(i, i + 1) for i in range(40)],
+            "cliques": [(a, b) for base in (0, 100) for a in range(base, base + 6)
+                        for b in range(a + 1, base + 6)],
+            "ring": [(i, (i + 1) % 12) for i in range(12)],
+            "random": [(a, b) for a, b in random_edges if a != b],
+        }
+        for name, pairs in cases.items():
+            edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+            prop = {r.id: r.component for r in connected_components(edges).collect()}
+            star = {
+                r.id: r.component
+                for r in connected_components_star(edges).collect()
+            }
+            assert star == prop, f"{name}: star != propagation"
 
     def test_dedup_components_keeps_representatives(self, spark):
         from exosql_spark.operators.components import dedup_components
