@@ -50,8 +50,9 @@ _QUERY_MODULES = (
 # (engine RNG / sketch internals: sample_stratified, sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-7 window fronts, in priority order:
-#   1. entries new this round (3 planted exact oracles: component CHAINS,
-#      the SemDeDup cosine VALUE path, and multi-probe LSH);
+#   1. entries new this round (4 exact oracles: component CHAINS, the
+#      SemDeDup cosine VALUE path, multi-probe LSH, and the fuzzy
+#      edit-distance join);
 #   2. the streaming-parity block, pinned every round (guards the round-4
 #      timestamp-unit bug class);
 #   3. the three rows-only entries with no driver row yet beside their
@@ -71,6 +72,7 @@ _VERIFY_FIRST = (
     "dedup_components_planted",        # min-label propagation on closed-form chains
     "dedup_semantic_values_planted",   # SemDeDup cosine values, Pythagorean-exact
     "similarity_topk_lsh_multiprobe_planted",  # probe expansion, closed-form top-10
+    "join_fuzzy_names",                # edit-distance join, exact vs naive oracle
     # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
@@ -120,9 +122,9 @@ _VERIFY_FIRST = (
     "join_range",
     "join_full_outer",
     "subquery_exists",
-    "agg_statistics",
-    # -- ~50-window cutoff lands here (3+9+3+25+10 = 50); the rest of
+    # -- ~50-window cutoff lands here (4+9+3+25+9 = 50); the rest of
     #    the r2 cohort + r3's join_left_outer queue behind it for r8 --
+    "agg_statistics",
     "agg_percentiles",
     "grouping_sets",
     "agg_min_max_by",

@@ -221,3 +221,33 @@ def join_lateral(spark, sf_dir):
         ) t
         """
     )
+
+
+@register(
+    "join_fuzzy_names",
+    oracle="""
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+ORDER BY id_a, id_b
+""",
+    tags=("join", "fuzzy", "extension", "scale"),
+    bench=True,  # entity-resolution join: tracked since round 7
+)
+def join_fuzzy_names(spark, sf_dir):
+    """Fuzzy (edit-distance ≤ 1) self-join on supplier names via
+    symmetric deletion neighborhoods (operators/fuzzy.py) — the
+    entity-resolution primitive. The result is EXACT (candidates from
+    the variant equi-join are a superset by the SymSpell property;
+    a levenshtein filter verifies), so the oracle is the naive DuckDB
+    cross product with the same predicate — pair-for-pair equality,
+    while the Spark plan contains no cartesian product (asserted by
+    the catalog-wide sweep in tests/test_plans.py)."""
+    from exosql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    t = Tables(spark, sf_dir)
+    sup = t.supplier.select("s_suppkey", "s_name")
+    return fuzzy_self_pairs(sup, "s_name", "s_suppkey", max_dist=1).orderBy(
+        "id_a", "id_b"
+    )

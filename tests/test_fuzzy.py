@@ -1,0 +1,102 @@
+"""Fuzzy (edit-distance) join via symmetric deletion neighborhoods —
+exactness against brute-force levenshtein, neighborhood structure,
+and the no-cartesian candidate plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from exosql_spark.operators.fuzzy import (
+    deletion_neighborhood,
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    rows = [
+        (1, "martha"),
+        (2, "marhta"),   # transposition = 2 substitutions away
+        (3, "marta"),    # 1 deletion from martha
+        (4, "martha"),   # exact duplicate
+        (5, "bertha"),
+        (6, "m"),
+        (7, ""),
+        (8, "martho"),   # 1 substitution
+    ]
+    return rows
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, name string")
+
+
+def _brute(rows, k):
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    return {
+        (i, j)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= k
+    }
+
+
+class TestFuzzyJoin:
+    @pytest.mark.parametrize("k", [0, 1, 2])
+    def test_self_pairs_exact_vs_bruteforce(self, spark, names, k):
+        df = _spark_df(spark, names)
+        got = {
+            (r.id_a, r.id_b)
+            for r in fuzzy_self_pairs(df, "name", "id", max_dist=k).collect()
+        }
+        assert got == _brute(names, k), f"k={k}"
+
+    def test_neighborhood_contains_self_and_handles_empty(self, spark):
+        df = spark.createDataFrame([("ab",), ("",)], "s string")
+        rows = df.select(
+            deletion_neighborhood(F.col("s"), 1).alias("n")
+        ).collect()
+        assert sorted(rows[0].n) == ["a", "ab", "b"]
+        assert rows[1].n == [""]
+
+    def test_two_table_join_and_distances(self, spark):
+        left = spark.createDataFrame([(1, "color")], "l_id long, a string")
+        right = spark.createDataFrame(
+            [(10, "colour"), (11, "colors"), (12, "colr"), (13, "dolor")],
+            "r_id long, b string",
+        )
+        got = {
+            (r.l_id, r.r_id): r.edit_dist
+            for r in fuzzy_join(
+                left, right, "a", "b", max_dist=1, left_id="l_id", right_id="r_id"
+            ).collect()
+        }
+        assert got == {(1, 10): 1, (1, 11): 1, (1, 12): 1, (1, 13): 1}
+
+    def test_no_cartesian_in_plan(self, spark, names):
+        df = _spark_df(spark, names)
+        plan = (
+            fuzzy_self_pairs(df, "name", "id", max_dist=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_max_dist_bounds(self, spark, names):
+        df = _spark_df(spark, names)
+        with pytest.raises(ValueError, match="max_dist"):
+            fuzzy_self_pairs(df, "name", "id", max_dist=3).collect()
