@@ -50,9 +50,9 @@ _QUERY_MODULES = (
 # (engine RNG / sketch internals: sample_stratified, sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-7 window fronts, in priority order:
-#   1. entries new this round (4 exact oracles: component CHAINS, the
-#      SemDeDup cosine VALUE path, multi-probe LSH, and the fuzzy
-#      edit-distance join);
+#   1. entries new this round (5 exact oracles: component CHAINS, the
+#      SemDeDup cosine VALUE path, multi-probe LSH, the fuzzy
+#      edit-distance join, and the adaptive quality-percentile gate);
 #   2. the streaming-parity block, pinned every round (guards the round-4
 #      timestamp-unit bug class);
 #   3. the three rows-only entries with no driver row yet beside their
@@ -73,6 +73,7 @@ _VERIFY_FIRST = (
     "dedup_semantic_values_planted",   # SemDeDup cosine values, Pythagorean-exact
     "similarity_topk_lsh_multiprobe_planted",  # probe expansion, closed-form top-10
     "join_fuzzy_names",                # edit-distance join, exact vs naive oracle
+    "filter_quality_percentile",       # adaptive percentile quality gate
     # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
@@ -121,9 +122,9 @@ _VERIFY_FIRST = (
     "join_asof",
     "join_range",
     "join_full_outer",
-    "subquery_exists",
-    # -- ~50-window cutoff lands here (4+9+3+25+9 = 50); the rest of
+    # -- ~50-window cutoff lands here (5+9+3+25+8 = 50); the rest of
     #    the r2 cohort + r3's join_left_outer queue behind it for r8 --
+    "subquery_exists",
     "agg_statistics",
     "agg_percentiles",
     "grouping_sets",

@@ -438,9 +438,10 @@ _SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
 _SQL_STOPS = "[" + ", ".join(f"'{w}'" for w in text._STOPWORDS_EN) + "]"
 
 
-@register(
-    "text_quality_score",
-    oracle=rf"""
+# The quality-feature pipeline as a reusable oracle CTE chain — the
+# SAME SQL backs text_quality_score and the percentile-gate entry so
+# the engines can't drift.
+_SQL_QUALITY_CTES = rf"""
 WITH f AS (
   SELECT doc_id,
          {_SQL_TOKS} AS toks,
@@ -460,11 +461,21 @@ WITH f AS (
          round(stop_hits / greatest(n_tok, 1), 4) AS q_stopword_ratio,
          round(n_distinct / greatest(n_tok, 1), 4) AS q_distinct_ratio
   FROM g
-)
+), quality_scored AS (
+  SELECT doc_id, q_n_tokens, q_punct_ratio, q_stopword_ratio, q_distinct_ratio,
+         round((least(q_n_tokens / 20.0, 1.0) + least(q_stopword_ratio / 0.2, 1.0)
+                + q_distinct_ratio) / 3.0, 4) AS quality
+  FROM h
+)"""
+
+
+@register(
+    "text_quality_score",
+    oracle=_SQL_QUALITY_CTES
+    + """
 SELECT doc_id, q_n_tokens, q_punct_ratio, q_stopword_ratio, q_distinct_ratio,
-       round((least(q_n_tokens / 20.0, 1.0) + least(q_stopword_ratio / 0.2, 1.0)
-              + q_distinct_ratio) / 3.0, 4) AS quality
-FROM h
+       quality
+FROM quality_scored
 """,
     tags=("llm", "text"),
 )
@@ -474,6 +485,45 @@ def text_quality_score(spark, sf_dir):
     return text.quality_score(t.documents, "text").select(
         "doc_id", "q_n_tokens", "q_punct_ratio", "q_stopword_ratio",
         "q_distinct_ratio", "quality",
+    )
+
+
+@register(
+    "filter_quality_percentile",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, thr AS (SELECT quantile_cont(quality, 0.2) AS t FROM quality_scored)
+SELECT q.doc_id, q.quality
+FROM quality_scored q, thr
+WHERE q.quality >= thr.t
+ORDER BY q.doc_id
+""",
+    tags=("llm", "text", "quality", "scale"),
+)
+def filter_quality_percentile(spark, sf_dir):
+    """ADAPTIVE quality gate: keep documents at/above the corpus's own
+    20th quality percentile — the relative-threshold curation rule
+    (absolute thresholds like quality ≥ 0.3 go stale as the corpus
+    mix shifts; a percentile gate tracks it). One pass computes the
+    features; the exact interpolated percentile (Spark `percentile` ==
+    DuckDB quantile_cont — proven by agg_percentiles) rides back in as
+    a 1-row broadcast scalar (the scalar-attachment house pattern);
+    the filter then drops the bottom quintile. Boundary robustness:
+    with a fractional interpolation index the threshold lies STRICTLY
+    between two adjacent data values (≥ 1e-4 from either on the
+    4-decimal quality grid), and with an integer index it IS a data
+    value bit-exactly in both engines — either way the ≥ comparison
+    cannot flip on float noise. At 100 TB swap in approx_percentile
+    (the sketch twin agg_approx_percentile documents it) — the gate
+    shape is identical."""
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select("doc_id", "quality")
+    thr = scored.agg(F.percentile("quality", F.lit(0.2)).alias("_t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_t"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
     )
 
 
