@@ -635,14 +635,25 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     joined back on exact-decimal equality — decimal, not double, so
     the boundary row set is identical on both engines."""
     t = Tables(spark, sf_dir)
-    cost = t.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+    p = t.part.filter(
+        F.col("p_size").isin(5, 15, 25) & F.col("p_type").isin("STANDARD", "ECONOMY")
+    )
+    # Aggregate costs only for the size/type-filtered parts: cost and
+    # per-part min are keyed by partkey, so restricting to the parts
+    # the final join keeps cannot change their values — the same
+    # filter-through-aggregate pushdown as tpch_q17, cutting the
+    # (partkey, suppkey) partial-agg input by the part filter's
+    # selectivity before its shuffle.
+    li = t.lineitem.join(
+        p.select(F.col("p_partkey").alias("_fk")),
+        F.col("l_partkey") == F.col("_fk"),
+        "left_semi",
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_extendedprice").cast(_DEC)).alias("c")
     )
     minc = cost.groupBy("l_partkey").agg(F.min("c").alias("minc")).withColumnRenamed(
         "l_partkey", "min_partkey"
-    )
-    p = t.part.filter(
-        F.col("p_size").isin(5, 15, 25) & F.col("p_type").isin("STANDARD", "ECONOMY")
     )
     n = t.nation.join(
         F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),

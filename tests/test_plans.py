@@ -114,6 +114,7 @@ class TestNoAccidentalCartesian:
         "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
         "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
         "text_lm_score",  # 1-row vocab-size broadcast scalar
+        "filter_quality_percentile",  # 1-row percentile broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
