@@ -12,17 +12,21 @@ The contract here:
 
 - operators call :func:`managed_persist` instead of ``.persist()`` —
   same laziness, same storage level semantics, but the handle lands in
-  a session-keyed registry;
+  a registry stored ON the SparkSession object itself (an attribute),
+  so its lifetime is exactly the session's: when the session is
+  garbage-collected the handles go with it, and two sessions can never
+  see (or release) each other's barriers — no module-global growth, no
+  id()-reuse aliasing;
 - hosts that run many queries in one session (``bench.py``, the oracle
   test sweep, a service loop) call :func:`release_caches` at their
   query boundary, AFTER materializing the result they care about —
-  storage memory stays flat across the run;
+  storage memory stays flat across the run. A host that never calls it
+  keeps at most one small Python/py4j handle per operator invocation
+  on the driver (the executor-side blocks were always LRU-bounded);
+  the registry itself is what release_caches drains;
 - releasing is always SAFE, never required for correctness: an
   unpersisted frame that some still-live plan re-reads is simply
   recomputed (results identical, barrier benefit lost for that rerun).
-
-The registry is keyed per SparkSession so parallel test sessions don't
-release each other's barriers.
 """
 
 from __future__ import annotations
@@ -30,18 +34,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
-_LIVE: dict[int, list[DataFrame]] = {}
+_ATTR = "_exosql_cached_frames"
 
 
-def _key(spark: SparkSession) -> int:
-    return id(spark)
+def _registry(spark: SparkSession) -> list[DataFrame]:
+    reg = getattr(spark, _ATTR, None)
+    if reg is None:
+        reg = []
+        setattr(spark, _ATTR, reg)
+    return reg
 
 
 def managed_persist(df: DataFrame, level: StorageLevel | None = None) -> DataFrame:
     """``df.persist(level)`` + register the handle for
     :func:`release_caches`. Returns the same DataFrame."""
     df = df.persist(level) if level is not None else df.persist()
-    _LIVE.setdefault(_key(df.sparkSession), []).append(df)
+    _registry(df.sparkSession).append(df)
     return df
 
 
@@ -55,7 +63,9 @@ def release_caches(spark: SparkSession) -> int:
     session (non-blocking). Returns the number released. Call at query
     boundaries, after materializing the results you need."""
     released = 0
-    for df in _LIVE.pop(_key(spark), []):
+    reg = _registry(spark)
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist(blocking=False)
             released += 1
@@ -66,4 +76,4 @@ def release_caches(spark: SparkSession) -> int:
 
 def live_count(spark: SparkSession) -> int:
     """Number of registered-but-unreleased frames for this session."""
-    return len(_LIVE.get(_key(spark), []))
+    return len(getattr(spark, _ATTR, ()))

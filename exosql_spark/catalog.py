@@ -122,9 +122,10 @@ _VERIFY_FIRST = (
     "join_asof",
     "join_range",
     "join_full_outer",
-    # -- ~50-window cutoff lands here (5+9+3+25+8 = 50); the rest of
-    #    the r2 cohort + r3's join_left_outer queue behind it for r8 --
     "subquery_exists",
+    # -- ~50-window cutoff lands here (5 new + 8 streaming + 3 anchored
+    #    rows-only + 25 r1 + 9 r2 = 50); the rest of the r2 cohort +
+    #    r3's join_left_outer queue behind it for r8 --
     "agg_statistics",
     "agg_percentiles",
     "grouping_sets",

@@ -54,7 +54,10 @@ def assign_clusters(
 ) -> DataFrame:
     """Append `cluster` (argmin of squared distance, ties → lower id)
     and `sq_dist`. Centroids are literals: no join, no shuffle — the
-    assignment fuses into the scan."""
+    assignment fuses into the scan. NULL vectors get NULL cluster and
+    sq_dist (matching the Arrow twin) — without the guard the NULL
+    distances sorted into cluster 0, silently piling every NULL row
+    into one cluster (round-7 review find)."""
     vec = F.col(vec_col).cast("array<double>")
     scored = F.array_sort(
         F.array(
@@ -66,9 +69,10 @@ def assign_clusters(
             ]
         )
     )[0]
-    return df.withColumn("cluster", scored["cluster"]).withColumn(
-        "sq_dist", scored["d"]
-    )
+    not_null = F.col(vec_col).isNotNull()
+    return df.withColumn(
+        "cluster", F.when(not_null, scored["cluster"])
+    ).withColumn("sq_dist", F.when(not_null, scored["d"]))
 
 
 def _mean_centroids(assigned: DataFrame, vec_col: str, dim: int, k: int) -> list[list[float]]:

@@ -143,6 +143,7 @@ def connected_components_star(
     e = _symmetrize(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         out = _star_round(_symmetrize(_star_round(_symmetrize(e), True)), False)
         out = out.localCheckpoint()
@@ -151,7 +152,20 @@ def connected_components_star(
         )
         e = out
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Without the fixpoint, e is NOT a depth-1 star forest and the
+        # final join would emit conflicting duplicate (id, component)
+        # rows — fail loudly instead of returning corrupt clusters
+        # (the same silent-truncation class the old label-propagation
+        # cap had; see connected_components' docstring).
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within "
+            f"{max_iterations} rounds — raise max_iterations "
+            f"(each round is O(log) pointer-halving, so this bound is "
+            f"generous for any real graph)"
+        )
     # fixpoint edges are depth-1 stars (u, center): every non-center
     # node points at its component min; centers map to themselves.
     return nodes.join(

@@ -155,10 +155,14 @@ def pq_encode(
             )
         )[0]["c"]
         codes.append(best)
+    # NULL vector → NULL code (matches the Arrow encoder), not the
+    # all-zeros codeword the NULL distances would otherwise sort to.
     return df.select(
         F.col(id_col).alias("vec_id"),
         *keep_cols,
-        F.array(*codes).cast("array<int>").alias("pq_code"),
+        F.when(
+            F.col(vec_col).isNotNull(), F.array(*codes).cast("array<int>")
+        ).alias("pq_code"),
     )
 
 

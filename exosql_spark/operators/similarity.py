@@ -148,7 +148,13 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def signature_bits(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-pattern bucket id (long) for a vector against fixed planes."""
+    """Sign-pattern bucket id (long) for a vector against fixed planes.
+
+    NULL vectors hash to NULL (and so fall out of bucket equi-joins)
+    rather than to bucket 0: without the guard every NULL embedding
+    would collide into ONE bucket — at corpus scale that is a
+    quadratic-bucket time bomb, and it silently diverged from the
+    Arrow twin, which already emitted NULL (round-7 review find)."""
     v = F.transform(vec_col, lambda x: x.cast("double"))
     key = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -157,7 +163,7 @@ def signature_bits(vec_col: F.Column, planes: list[list[float]]) -> F.Column:
             F.lit(0).cast("long")
         )
         key = key.bitwiseOR(bit)
-    return key
+    return F.when(vec_col.isNotNull(), key)
 
 
 def _bucket_ids_pandas_udf(tables: list[list[list[float]]]):
@@ -234,7 +240,9 @@ def probe_buckets_expr(
         F.slice(ranked, 1, n_flip),
         lambda s: base.bitwiseXOR(F.element_at(weights, s["i"] + 1)),
     )
-    return F.concat(F.array(base), flips)
+    # NULL vector → NULL probe list (matches the Arrow twin; see
+    # signature_bits for the bucket-0 rationale)
+    return F.when(vec_col.isNotNull(), F.concat(F.array(base), flips))
 
 
 def _probe_bits_pandas_udf(tables: list[list[list[float]]], n_flip: int):
@@ -482,10 +490,15 @@ def ivf_encode(
             _cell_ids_pandas_udf(centroids)(F.col(vec_col)).alias("cell"),
         )
     cell_scores = _cell_scores_expr(centroids)
+    # NULL vector → NULL cell (drops out of the probe equi-join),
+    # matching the Arrow twin — see signature_bits' rationale.
     return corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col),
-        F.array_max(cell_scores(F.col(vec_col)))["cell"].alias("cell"),
+        F.when(
+            F.col(vec_col).isNotNull(),
+            F.array_max(cell_scores(F.col(vec_col)))["cell"],
+        ).alias("cell"),
     )
 
 
@@ -529,8 +542,12 @@ def ivf_topk(
     cell_scores = _cell_scores_expr(cents)
 
     if encoded is not None:
+        # ivf_encode always emits the id column AS "vec_id" (whatever
+        # id_col the encode call used), so select it by that name —
+        # selecting F.col(id_col) here broke the documented round-trip
+        # for any non-default id_col (round-7 review find).
         c_assigned = encoded.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "cell"
+            "vec_id", F.col(vec_col).alias("c_vec"), "cell"
         )
     else:
         c_assigned = ivf_encode(corpus, cents, id_col, vec_col, assigner).select(
@@ -545,12 +562,19 @@ def ivf_topk(
             ).alias("cell"),
         )
     else:
+        # NULL query vector → NULL probe array → explode drops the row
+        # (matches the Arrow prober's NULL output)
         q_probes = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
             F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(cell_scores(F.col(vec_col)))), 1, n_probe
+                F.when(
+                    F.col(vec_col).isNotNull(),
+                    F.slice(
+                        F.reverse(F.array_sort(cell_scores(F.col(vec_col)))),
+                        1,
+                        n_probe,
+                    ),
                 )
             ).alias("probe"),
         ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))

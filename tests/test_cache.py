@@ -136,3 +136,62 @@ class TestArrowNullHandling:
             ).collect()
         ]
         assert vals[0] == pytest.approx(1.0) and vals[1] is None and vals[2] is None
+
+    def test_expression_paths_null_parity(self, spark, mixed):
+        """The EXPRESSION paths must emit NULL for NULL vectors too —
+        before round 7's review fix they silently hashed NULLs to
+        bucket 0 / cluster 0 / codeword 0 (every NULL row colliding
+        into one LSH bucket is a quadratic-bucket hazard at scale),
+        diverging from the Arrow twins."""
+        from exosql_spark.operators.clustering import assign_clusters
+        from exosql_spark.operators.pq import pq_encode
+        from exosql_spark.operators.similarity import (
+            ivf_encode,
+            probe_buckets_expr,
+            signature_bits,
+        )
+
+        planes = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+        row = {
+            r.vec_id: (r.b, r.p, r.cl, r.sq)
+            for r in assign_clusters(mixed, self.CENTS)
+            .select(
+                "vec_id",
+                signature_bits(F.col("embedding"), planes).alias("b"),
+                probe_buckets_expr(F.col("embedding"), planes, 1).alias("p"),
+                F.col("cluster").alias("cl"),
+                F.col("sq_dist").alias("sq"),
+            )
+            .collect()
+        }
+        assert row[2] == (None, None, None, None)
+        assert None not in row[1] and None not in row[3]
+
+        books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+        codes = {
+            r.vec_id: r.pq_code
+            for r in pq_encode(mixed, books, encoder="expr").collect()
+        }
+        assert codes[2] is None and codes[1] is not None
+
+        cells = {r.vec_id: r.cell for r in ivf_encode(mixed, self.CENTS).collect()}
+        assert cells[2] is None and cells[1] is not None
+
+    def test_ivf_encoded_roundtrip_nondefault_id_col(self, spark, mixed):
+        """ivf_encode always emits 'vec_id'; ivf_topk(encoded=...) must
+        accept the stored frame even when the original id_col differed
+        (round-7 review regression)."""
+        from exosql_spark.operators.similarity import ivf_encode, ivf_topk
+
+        renamed = mixed.filter("embedding is not null").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        enc = ivf_encode(renamed, self.CENTS, id_col="doc_id")
+        queries = renamed.limit(1).select(
+            F.col("doc_id").alias("query_id"), "embedding"
+        )
+        got = ivf_topk(
+            renamed, queries, k=2, id_col="doc_id",
+            centroids=self.CENTS, encoded=enc,
+        ).collect()
+        assert got and got[0].vec_id is not None
