@@ -54,7 +54,7 @@ _QUERY_MODULES = (
 #      SemDeDup cosine VALUE path, multi-probe LSH, the fuzzy
 #      edit-distance join, and the adaptive quality-percentile gate);
 #   2. the streaming-parity block, pinned every round (guards the round-4
-#      timestamp-unit bug class);
+#      timestamp-unit bug class), plus the new complete-mode top-k entry;
 #   3. the three rows-only entries with no driver row yet beside their
 #      new anchors (dedup_minhash_components — newly anchored by
 #      dedup_components_planted — dedup_semantic, which postdates the r6
@@ -83,6 +83,7 @@ _VERIFY_FIRST = (
     "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
     "streaming_curation_parity",       # curation map under streaming
+    "streaming_topk_parity",           # NEW r7: complete-mode heavy hitters
     # -- 3. rows-only entries riding their fresh anchors --
     "dedup_minhash_components",
     "dedup_semantic",
@@ -122,10 +123,10 @@ _VERIFY_FIRST = (
     "join_asof",
     "join_range",
     "join_full_outer",
-    "subquery_exists",
-    # -- ~50-window cutoff lands here (5 new + 8 streaming + 3 anchored
-    #    rows-only + 25 r1 + 9 r2 = 50); the rest of the r2 cohort +
+    # -- ~50-window cutoff lands here (5 new + 9 streaming + 3 anchored
+    #    rows-only + 25 r1 + 8 r2 = 50); the rest of the r2 cohort +
     #    r3's join_left_outer queue behind it for r8 --
+    "subquery_exists",
     "agg_statistics",
     "agg_percentiles",
     "grouping_sets",

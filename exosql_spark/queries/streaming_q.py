@@ -405,3 +405,36 @@ def streaming_curation_parity(spark, sf_dir):
     q = streaming.run_to_memory(out, "cat_stream_curation")
     q.stop()
     return spark.table("cat_stream_curation").orderBy("doc_id")
+
+
+@register(
+    "streaming_topk_parity",
+    oracle="""
+SELECT event_type, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT 3
+""",
+    tags=("streaming", "agg", "topk"),
+)
+def streaming_topk_parity(spark, sf_dir):
+    """Streaming heavy hitters: global top-3 event types by count in
+    COMPLETE output mode (sort+limit are legal only there; the memory
+    sink holds exactly the latest full ranking) must equal the batch
+    GROUP BY → ORDER BY → LIMIT. Rounding parity: values are 2-decimal
+    testdata, so the double sums differ from the 2-decimal grid by
+    ulps in both engines and round(., 4) lands identically (the
+    streaming_tumbling_parity argument). The tie rule (count desc,
+    event_type asc) pins the cut deterministically."""
+    from exosql_spark import streaming
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        streaming.topk_event_types(stream, k=3), "cat_topk", mode="complete"
+    )
+    q.stop()
+    return spark.table("cat_topk").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )

@@ -6,6 +6,7 @@ from exosql_spark.streaming.events import (
     EVENTS_SCHEMA,
     read_events_stream,
     tumbling_counts,
+    topk_event_types,
     sliding_value_avg,
     session_aggregate,
     dedup_within_watermark,
@@ -19,6 +20,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "tumbling_counts",
+    "topk_event_types",
     "sliding_value_avg",
     "session_aggregate",
     "dedup_within_watermark",

@@ -168,6 +168,27 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     )
 
 
+def topk_event_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Global top-k event types by count — streaming HEAVY HITTERS in
+    COMPLETE output mode: sort + limit are only legal under complete
+    mode (the full updated ranking is re-emitted every micro-batch, so
+    the sink always holds the current exact top-k — the memory sink
+    keeps just the latest emission). This is the exact small-k shape;
+    the sketch-based alternative for huge key spaces is the batch
+    text_token_topk_approx pattern. Aggregation state is |event_type|
+    rows — bounded, no watermark needed (no event-time grouping).
+    Columns: event_type, n_events, total_value."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("event_type"))
+        .limit(k)
+    )
+
+
 def run_to_memory(
     stream: DataFrame, name: str, mode: str = "append", timeout_s: int = 120
 ):
