@@ -42,17 +42,19 @@ _QUERY_MODULES = (
 # 1–6 cumulatively blessed all 149 exact-oracle entries (every one
 # driver-green, zero failures) and ran every rows-only entry clean; the
 # full local gate (tests/test_oracle.py) keeps rotated-out entries green
-# between windows.  Rows-only bookkeeping (16 entries total): 11 carry a
-# planted exact-oracle anchor driving the same code path
+# between windows.  Rows-only bookkeeping (16 entries total): 12 carry
+# an exact-oracle anchor driving the same code path or intent
 # (curate_corpus_pipeline, dedup_minhash_pairs, dedup_minhash_components,
 # similarity_topk_{lsh,lsh_multiprobe,ivf,pq,ivfpq}, embedding_kmeans,
-# dedup_semantic, export_training_corpus); 5 are unanchorable by nature
-# (engine RNG / sketch internals: sample_stratified, sample_fraction,
+# dedup_semantic, export_training_corpus, sample_stratified — anchored
+# by the deterministic sample_stratified_topn); 4 are unanchorable by
+# nature (engine RNG / sketch internals: sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-7 window fronts, in priority order:
-#   1. entries new this round (5 exact oracles: component CHAINS, the
+#   1. entries new this round (6 exact oracles: component CHAINS, the
 #      SemDeDup cosine VALUE path, multi-probe LSH, the fuzzy
-#      edit-distance join, and the adaptive quality-percentile gate);
+#      edit-distance join, the adaptive quality-percentile gate, and
+#      the exact-N stratified take);
 #   2. the streaming-parity block, pinned every round (guards the round-4
 #      timestamp-unit bug class), plus the new complete-mode top-k entry;
 #   3. the three rows-only entries with no driver row yet beside their
@@ -74,6 +76,7 @@ _VERIFY_FIRST = (
     "similarity_topk_lsh_multiprobe_planted",  # probe expansion, closed-form top-10
     "join_fuzzy_names",                # edit-distance join, exact vs naive oracle
     "filter_quality_percentile",       # adaptive percentile quality gate
+    "sample_stratified_topn",          # exact-N stratified take, hash order
     # -- 2. streaming parity block (pinned every round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
@@ -122,10 +125,10 @@ _VERIFY_FIRST = (
     "tpch_q18_large_volume_customers",
     "join_asof",
     "join_range",
-    "join_full_outer",
-    # -- ~50-window cutoff lands here (5 new + 9 streaming + 3 anchored
-    #    rows-only + 25 r1 + 8 r2 = 50); the rest of the r2 cohort +
+    # -- ~50-window cutoff lands here (6 new + 9 streaming + 3 anchored
+    #    rows-only + 25 r1 + 7 r2 = 50); the rest of the r2 cohort +
     #    r3's join_left_outer queue behind it for r8 --
+    "join_full_outer",
     "subquery_exists",
     "agg_statistics",
     "agg_percentiles",

@@ -166,6 +166,33 @@ def mixture_sample(
     )
 
 
+def stratified_take(
+    df: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACT-N per-stratum sample: the first
+    ``n_per_stratum`` rows of each stratum under the portable-hash
+    shuffle order (ties → id). The fixed-COUNT companion to
+    :func:`mixture_sample`'s fixed-FRACTION rule — the "take 10k docs
+    per language" eval-set/budget shape — with the same properties:
+    byte-identical across runs and engines (no RNG), one shuffle
+    (window over stratum), and stable under corpus growth in the sense
+    that a document's selection changes only when higher-ranked
+    documents enter its stratum. Strata smaller than N keep all rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        portable_hash60(id_col), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
 # --------------------------------------------------------------------
 # Context-window chunking
 # --------------------------------------------------------------------

@@ -1196,7 +1196,9 @@ def text_pii_redact(spark, sf_dir):
     "sample_stratified",
     oracle=None,  # Spark's per-partition XORShift Bernoulli draw is not
     # reproducible in DuckDB — no exact oracle can exist; subset-of-corpus
-    # and per-stratum rate invariants are asserted locally instead
+    # and per-stratum rate invariants are asserted locally, and the
+    # deterministic twin sample_stratified_topn exact-oracles the same
+    # per-stratum rebalancing intent (hash order, no RNG)
     tags=("llm", "extension", "scale"),
 )
 def sample_stratified(spark, sf_dir):
@@ -1510,6 +1512,38 @@ def mixture_sample(spark, sf_dir):
     t = Tables(spark, sf_dir)
     return packing.mixture_sample(t.documents, _MIX_FRACTIONS, "lang", "doc_id").select(
         "doc_id", "lang"
+    )
+
+
+@register(
+    "sample_stratified_topn",
+    oracle=rf"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 40
+ORDER BY doc_id
+""",
+    tags=("llm", "export", "scale"),
+)
+def sample_stratified_topn(spark, sf_dir):
+    """Exact-N stratified sample (40 docs per language) under the
+    portable-hash shuffle order — the fixed-budget companion to
+    mixture_sample's fixed-fraction rule, and the EXACT-oracle twin of
+    the RNG-based sample_stratified (whose Bernoulli draw no SQL
+    engine can replay): same per-stratum rebalancing intent, fully
+    deterministic, byte-identical across engines."""
+    from exosql_spark.operators import packing
+
+    t = Tables(spark, sf_dir)
+    return (
+        packing.stratified_take(t.documents, 40, "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     )
 
 
