@@ -66,11 +66,11 @@ def release_caches(spark: SparkSession) -> int:
     reg = _registry(spark)
     while reg:
         df = reg.pop()
-        try:
-            df.unpersist(blocking=False)
-            released += 1
-        except Exception:
-            pass  # session already stopped — nothing to release
+        sc = getattr(spark, "sparkContext", None)
+        if sc is None or getattr(sc, "_jsc", None) is None:
+            continue  # session already stopped — nothing to release
+        df.unpersist(blocking=False)
+        released += 1
     return released
 
 

@@ -84,11 +84,20 @@ def fuzzy_join(
     """All (left_id, right_id) pairs with
     ``levenshtein(left_on, right_on) ≤ max_dist`` — exact result,
     no cartesian product. Columns: left_id, right_id, the two joined
-    strings, and ``edit_dist``.
+    strings, and ``edit_dist``. When the same name is passed for both
+    sides (joining two tables each on ``name``), the colliding output
+    columns get ``_l``/``_r`` suffixes so every column stays
+    addressable by name.
 
     The matched strings ride through the variant frames so the verify
     step needs no join back to the inputs — one variant equi-join,
     one distinct, one vectorized levenshtein filter."""
+    out_lid, out_rid = left_id, right_id
+    if left_id == right_id:
+        out_lid, out_rid = f"{left_id}_l", f"{right_id}_r"
+    out_lon, out_ron = left_on, right_on
+    if left_on == right_on:
+        out_lon, out_ron = f"{left_on}_l", f"{right_on}_r"
     lv = left.select(
         F.col(left_id).alias("_lid"), F.col(left_on).alias("_ls")
     ).select(
@@ -104,10 +113,10 @@ def fuzzy_join(
         cands.withColumn("edit_dist", F.levenshtein("_ls", "_rs"))
         .filter(F.col("edit_dist") <= max_dist)
         .select(
-            F.col("_lid").alias(left_id),
-            F.col("_rid").alias(right_id),
-            F.col("_ls").alias(left_on),
-            F.col("_rs").alias(right_on),
+            F.col("_lid").alias(out_lid),
+            F.col("_rid").alias(out_rid),
+            F.col("_ls").alias(out_lon),
+            F.col("_rs").alias(out_ron),
             "edit_dist",
         )
     )

@@ -292,6 +292,51 @@ def ivfpq_encode(
     return pq_encode(enc, codebooks, vec_col, "vec_id", encoder, keep_cols=("cell",))
 
 
+def validate_encoded_ivfpq(
+    encoded: DataFrame, codebooks: list[list[list[float]]], n_cells: int
+) -> None:
+    """Tripwire for stale ``encoded=`` ↔ codebook pairings (see
+    similarity.validate_encoded_ivf for the rationale): schema
+    presence plus a one-row sample asserting size(pq_code) == m (the
+    subspace count of the codebooks passed in), every code is inside
+    [0, k_codes), and the cell id is inside [0, n_cells). A layout
+    written against retrained codebooks with a different m or k fails
+    loudly here instead of returning silently-wrong ADC distances."""
+    need = {"vec_id", "cell", "pq_code"}
+    missing = need - set(encoded.columns)
+    if missing:
+        raise ValueError(
+            f"encoded IVFPQ frame is missing column(s) {sorted(missing)}; "
+            "expected the ivfpq_encode layout (vec_id, cell, pq_code)"
+        )
+    row = (
+        encoded.select("cell", "pq_code")
+        .filter(F.col("pq_code").isNotNull())
+        .first()
+    )
+    if row is None:
+        return
+    m, k_codes = len(codebooks), len(codebooks[0])
+    code = list(row["pq_code"])
+    if len(code) != m:
+        raise ValueError(
+            f"encoded pq_code has {len(code)} subspace codes but the "
+            f"codebooks passed have m={m}: the stored layout was "
+            "encoded with different codebooks than this probe received"
+        )
+    bad = [c for c in code if not (0 <= c < k_codes)]
+    if bad:
+        raise ValueError(
+            f"encoded pq_code contains code(s) {bad} outside "
+            f"[0, {k_codes}): codebook/layout mismatch"
+        )
+    if row["cell"] is not None and not (0 <= row["cell"] < n_cells):
+        raise ValueError(
+            f"encoded IVFPQ frame has cell id {row['cell']} outside "
+            f"[0, {n_cells}): centroid/layout mismatch"
+        )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -335,6 +380,7 @@ def ivfpq_topk(
     n_cells = len(cents)
 
     if encoded is not None:
+        validate_encoded_ivfpq(encoded, codebooks, n_cells)
         table_side = encoded.select("vec_id", "cell", "pq_code")
     else:
         table_side = ivfpq_encode(

@@ -502,6 +502,35 @@ def ivf_encode(
     )
 
 
+def validate_encoded_ivf(
+    encoded: DataFrame, n_cells: int, vec_col: str = "embedding"
+) -> None:
+    """Guard the ``encoded=`` round-trip: a stored (vec_id, vector,
+    cell) layout read back against DIFFERENT centroids than it was
+    encoded with silently returns wrong neighbors — the coarse cells
+    no longer mean what the prober thinks they mean. Full re-checking
+    would defeat the point of the stored layout, so this is the cheap
+    tripwire: schema presence (free) plus a one-row sample asserting
+    the cell id is inside [0, n_cells). Catches the common stale-pair
+    failures (wrong table, re-trained quantizer with fewer cells);
+    byte-identical centroid drift needs the fingerprint discipline
+    documented in sinks.write_table's docstring."""
+    need = {"vec_id", vec_col, "cell"}
+    missing = need - set(encoded.columns)
+    if missing:
+        raise ValueError(
+            f"encoded IVF frame is missing column(s) {sorted(missing)}; "
+            f"expected the ivf_encode layout (vec_id, {vec_col}, cell)"
+        )
+    row = encoded.select("cell").filter(F.col("cell").isNotNull()).first()
+    if row is not None and not (0 <= row["cell"] < n_cells):
+        raise ValueError(
+            f"encoded IVF frame has cell id {row['cell']} outside "
+            f"[0, {n_cells}): the stored layout was encoded with "
+            "different centroids than were passed to this probe"
+        )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -546,6 +575,7 @@ def ivf_topk(
         # id_col the encode call used), so select it by that name —
         # selecting F.col(id_col) here broke the documented round-trip
         # for any non-default id_col (round-7 review find).
+        validate_encoded_ivf(encoded, n_cells, vec_col)
         c_assigned = encoded.select(
             "vec_id", F.col(vec_col).alias("c_vec"), "cell"
         )

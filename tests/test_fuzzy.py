@@ -100,3 +100,18 @@ class TestFuzzyJoin:
         df = _spark_df(spark, names)
         with pytest.raises(ValueError, match="max_dist"):
             fuzzy_self_pairs(df, "name", "id", max_dist=3).collect()
+
+    def test_colliding_column_names_get_suffixes(self, spark):
+        # Both sides joined on 'name' with id column 'id': without
+        # disambiguation the output would carry duplicate column names
+        # and break select-by-name downstream (round-7 ADVICE).
+        left = spark.createDataFrame([(1, "color")], "id long, name string")
+        right = spark.createDataFrame([(10, "colour")], "id long, name string")
+        out = fuzzy_join(
+            left, right, "name", "name", max_dist=1, left_id="id", right_id="id"
+        )
+        assert out.columns == ["id_l", "id_r", "name_l", "name_r", "edit_dist"]
+        row = out.collect()[0]
+        assert (row.id_l, row.id_r, row.name_l, row.name_r, row.edit_dist) == (
+            1, 10, "color", "colour", 1,
+        )

@@ -412,6 +412,52 @@ class TestProductQuantization:
             ids = [v for _, v in sorted(top[qid])]
             assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
 
+    def test_encoded_layout_mismatch_raises(self, corpus, spark):
+        """encoded= pairings are validated against the codebooks /
+        centroids actually passed (round-7 ADVICE): a stored layout
+        with the wrong pq_code width, an out-of-range code, or a cell
+        id beyond n_cells must raise — not return wrong distances."""
+        import pytest
+
+        from exosql_spark.operators import pq
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            ivf_topk,
+            validate_encoded_ivf,
+        )
+
+        books = pq.train_codebooks(corpus, m=4, k=8, iters=2, dim=16)
+        cents = _hyperplanes(16, 8, 7)
+        enc = pq.ivfpq_encode(corpus, books, cents)
+        q = corpus.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+
+        # wrong m: codebooks for 2 subspaces vs pq_code of width 4
+        books_m2 = pq.train_codebooks(corpus, m=2, k=8, iters=2, dim=16)
+        with pytest.raises(ValueError, match="subspace codes"):
+            pq.ivfpq_topk(
+                corpus, q, books_m2, dim=16, centroids=cents, encoded=enc
+            )
+        # missing column
+        with pytest.raises(ValueError, match="missing column"):
+            pq.ivfpq_topk(
+                corpus, q, books, dim=16, centroids=cents,
+                encoded=enc.drop("pq_code"),
+            )
+        # cell id beyond the quantizer passed at probe time
+        with pytest.raises(ValueError, match="cell id"):
+            pq.ivfpq_topk(
+                corpus, q, books, dim=16, centroids=cents[:2],
+                encoded=enc.withColumn("cell", F.lit(7)),
+            )
+        # IVF side: same guards on the raw-vector layout
+        bad = corpus.select(
+            "vec_id", "embedding", F.lit(99).alias("cell")
+        )
+        with pytest.raises(ValueError, match="cell id"):
+            ivf_topk(corpus, q, centroids=cents, encoded=bad)
+        with pytest.raises(ValueError, match="missing column"):
+            validate_encoded_ivf(corpus.select("vec_id"), 8)
+
     def test_ivfpq_recall_and_pruning(self, corpus):
         """IVFADC: an ε-copy lands in the query's own best cell, which
         is always probed — so recall of planted copies survives the
