@@ -41,8 +41,13 @@ from exosql_spark.catalog import all_queries
 from exosql_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-RUNS = 5
+# Overridable so auxiliary sweeps (the tools/gen_scaled.py 10× scale
+# point, sf0.001 smoke runs) don't clobber the round's sf0.1 record.
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_DETAIL_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+)
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
 
 def _run_once(fn, spark, sf_dir) -> float:

@@ -51,10 +51,12 @@ _QUERY_MODULES = (
 # nature (engine RNG / sketch internals: sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-8 window counts to exactly 50, in priority order:
-#   1. entries new this round (3 exact oracles: the large-star/
+#   1. entries new this round (4 exact oracles: the large-star/
 #      small-star CC variant on the chain oracle, the k=2 fuzzy
 #      neighborhood over the part-name vocabulary, and the stored
-#      cell-partitioned IVF read path on the planted top-k oracle);
+#      cell-partitioned read paths for BOTH ANN layouts — raw-vector
+#      IVF on the planted top-k oracle and compressed-domain IVFADC
+#      on the planted membership oracle);
 #   2. dedup_semantic (rows-only): its natural threshold moved to the
 #      corpus's own similarity scale this round, so the driver row now
 #      records a survivor set STRICTLY below the corpus count (432/500
@@ -65,13 +67,13 @@ _QUERY_MODULES = (
 #   4. the 22 remaining stale entries (last driver row r2/r3) — this
 #      CLOSES the freshness program: after r8 every exact-oracle entry
 #      has a driver row from r4 or later;
-#   5. 15 refresh picks from the r4 cohort (core dialect surface first,
-#      then LLM/udx anchors). The 7 r4 entries left behind
+#   5. 14 refresh picks from the r4 cohort (core dialect surface first,
+#      then LLM anchors). The 8 r4 entries left behind
 #      (embedding_centroids, events_funnel, events_retention,
 #      text_bm25_topk, text_fingerprint_rolling, text_repetition,
-#      text_tfidf_topk) front the r9 rotation; steady state is a
-#      ≤3-round cadence.
-# 3 + 1 + 9 + 22 + 15 = 50.
+#      text_tfidf_topk, udf_scalar_rank_normalize) front the r9
+#      rotation; steady state is a ≤3-round cadence.
+# 4 + 1 + 9 + 22 + 14 = 50.
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
 _VERIFY_FIRST = (
@@ -79,6 +81,7 @@ _VERIFY_FIRST = (
     "dedup_components_star_planted",   # star CC on the closed-form chains
     "join_fuzzy_vocab_k2",             # 2-deletion recursion, exact oracle
     "similarity_topk_ivf_stored_planted",  # stored cell-partitioned read path
+    "similarity_topk_ivfpq_stored_planted",  # stored IVFADC (codes) read path
     # -- 2. the de-degenerated natural SemDeDup entry --
     "dedup_semantic",
     # -- 3. streaming parity block (pinned every round) --
@@ -130,7 +133,6 @@ _VERIFY_FIRST = (
     "shard_export_stats",
     "text_lang_id",
     "text_quality_score",
-    "udf_scalar_rank_normalize",
 )
 
 

@@ -1858,6 +1858,58 @@ def similarity_topk_ivfpq_planted(spark, sf_dir):
 
 
 @register(
+    "similarity_topk_ivfpq_stored_planted",
+    oracle=_PLANTED_ADC_ORACLE,
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
+    """The IVFADC STORED layout driver-gated — the compressed-domain
+    sibling of similarity_topk_ivf_stored_planted: ivfpq_encode (one
+    fused map emitting vec_id/cell/pq_code) → cell-partitioned parquet
+    → ivfpq_topk(encoded=...) with the SAME codebooks and coarse
+    quantizer, which the encoded-layout validator now checks
+    structurally (pq.validate_encoded_ivfpq). Probes touch only their
+    n_probe cells' FILES and score 8-byte codes, never raw vectors —
+    at 10⁹ vectors this read path is the whole point of IVFADC. Same
+    planted-copy membership oracle as similarity_topk_ivfpq_planted,
+    so the driver's hash proves stored == in-memory survivor sets."""
+    import os
+    import tempfile
+
+    from exosql_spark import sinks
+    from exosql_spark.operators import pq
+    from exosql_spark.operators.similarity import _hyperplanes
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t, n_copies=3)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"exosql_ivfpq_stored_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    sinks.write_table(
+        pq.ivfpq_encode(corpus, books, cents, encoder="pandas"),
+        path,
+        partition_by=["cell"],
+    )
+    stored = spark.read.parquet(path)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq.ivfpq_topk(
+        corpus, queries, books, k=10, n_probe=4, centroids=cents,
+        encoded=stored,
+    )
+    return (
+        res.filter(F.col("vec_id") >= 100000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+@register(
     "embedding_kmeans",
     oracle=None,  # natural-corpus twin of embedding_kmeans_planted
     # (which exact-oracles the same Lloyd path on planted

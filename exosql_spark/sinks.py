@@ -29,7 +29,17 @@ def write_table(
     compression: str = "snappy",
     max_records_per_file: int | None = None,
 ) -> None:
-    """Write a parquet dataset with scale-appropriate layout."""
+    """Write a parquet dataset with scale-appropriate layout.
+
+    For derived layouts whose meaning depends on out-of-band model
+    state (ANN indexes: ivf_encode's cell assignments, ivfpq_encode's
+    pq codes), persist a fingerprint of that state — e.g. a one-row
+    ``_meta`` parquet beside the layout holding a hash of the
+    centroids/codebooks — and compare it at read time. The probe-side
+    validators (similarity.validate_encoded_ivf,
+    pq.validate_encoded_ivfpq) catch structural mismatches (wrong m,
+    out-of-range cell/code) cheaply, but byte-level drift between two
+    same-shaped quantizers is only detectable by fingerprint."""
     if sorted_within:
         df = df.sortWithinPartitions(*sorted_within)
     w = df.write.mode(mode).option("compression", compression)

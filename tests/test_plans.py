@@ -273,3 +273,47 @@ class TestRound5Plans:
         docs = load_table(spark, sf_dir, "documents")
         p = plan(t_ops.lm_score(docs))
         assert "BroadcastHashJoin" in p
+
+
+class TestExplainCollapseDetector:
+    """tools/gen_explain.py's AQE empty-relation collapse detector:
+    must fire on a genuinely pruned join, must NOT fire on ordinary
+    exchange reuse (tpch_q11's twice-consumed aggregate was a false
+    positive on the object-identity basis — round-8 fix)."""
+
+    def _note(self, df):
+        import os
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+        )
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "gen_explain",
+            os.path.join(
+                os.path.dirname(os.path.dirname(__file__)), "tools", "gen_explain.py"
+            ),
+        )
+        ge = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ge)
+        qe = df._jdf.queryExecution()
+        pre = qe.sparkPlan()
+        df.collect()
+        return ge.collapse_note(pre, qe.executedPlan())
+
+    def test_fires_on_empty_relation_pruned_join(self, spark):
+        big = spark.range(10000).withColumnRenamed("id", "k")
+        empty = spark.range(100).filter(F.col("id") < -1).withColumnRenamed("id", "k")
+        # inner join against a runtime-empty side: AQE rewrites the
+        # join (and the big scan feeding it) to an empty relation
+        note = self._note(big.join(empty, "k"))
+        assert "plan collapsed" in note and "joins" in note, note
+
+    def test_silent_on_exchange_reuse(self, spark, sf_dir):
+        from exosql_spark.catalog import all_queries
+
+        q = all_queries()["tpch_q11_important_stock"]
+        note = self._note(q.fn(spark, sf_dir))
+        assert note == "none", note

@@ -66,15 +66,21 @@ _VOWELS = "aeiou"
 
 
 def _rot_vowels(col, i: int):
-    """Vowel rotation by i positions, both cases — a pure translate."""
+    """Per-replica text transform, a pure translate: vowel rotation by
+    ``i`` (period 5) plus, for i ≥ 5, a consonant shift (b→c→d→f→g→b)
+    — the two combined give 10 DISTINCT transforms, so no two replicas
+    share text (a bare vowel rotation made replicas i and i+5
+    byte-identical: cross-replica exact duplicates that would have
+    changed the corpus's dup density, caught by the distinct-text
+    sanity check)."""
     from pyspark.sql import functions as F
 
     if i == 0:
         return col
-    rot = _VOWELS[i % 5 :] + _VOWELS[: i % 5]
-    return F.translate(
-        col, _VOWELS + _VOWELS.upper(), rot + rot.upper()
-    )
+    src, dst = _VOWELS, _VOWELS[i % 5 :] + _VOWELS[: i % 5]
+    if i >= 5:
+        src, dst = src + "bcdfg", dst + "cdfgb"
+    return F.translate(col, src + src.upper(), dst + dst.upper())
 
 
 def _replicas(df, n: int, build):
