@@ -51,29 +51,32 @@ _QUERY_MODULES = (
 # nature (engine RNG / sketch internals: sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
 # The round-8 window counts to exactly 50, in priority order:
-#   1. entries new this round (4 exact oracles: the large-star/
+#   1. entries new this round (5 exact oracles: the large-star/
 #      small-star CC variant on the chain oracle, the k=2 fuzzy
 #      neighborhood over the part-name vocabulary, and the stored
 #      cell-partitioned read paths for BOTH ANN layouts — raw-vector
 #      IVF on the planted top-k oracle and compressed-domain IVFADC
-#      on the planted membership oracle);
+#      on the planted membership oracle — plus the stream-static
+#      dimension-enrichment parity entry, pinned into the streaming
+#      block below as its 10th member);
 #   2. dedup_semantic (rows-only): its natural threshold moved to the
 #      corpus's own similarity scale this round, so the driver row now
 #      records a survivor set STRICTLY below the corpus count (432/500
 #      at sf0.01) — the non-degeneracy evidence the r7 verdict asked
 #      for;
 #   3. the streaming-parity block, pinned every round (guards the
-#      round-4 timestamp-unit bug class);
+#      round-4 timestamp-unit bug class), now 10 entries with the new
+#      stream-static enrichment parity;
 #   4. the 22 remaining stale entries (last driver row r2/r3) — this
 #      CLOSES the freshness program: after r8 every exact-oracle entry
 #      has a driver row from r4 or later;
-#   5. 14 refresh picks from the r4 cohort (core dialect surface first,
-#      then LLM anchors). The 8 r4 entries left behind
+#   5. 13 refresh picks from the r4 cohort (core dialect surface first,
+#      then LLM anchors). The 9 r4 entries left behind
 #      (embedding_centroids, events_funnel, events_retention,
-#      text_bm25_topk, text_fingerprint_rolling, text_repetition,
-#      text_tfidf_topk, udf_scalar_rank_normalize) front the r9
-#      rotation; steady state is a ≤3-round cadence.
-# 4 + 1 + 9 + 22 + 14 = 50.
+#      text_bm25_topk, text_fingerprint_rolling, text_lang_id,
+#      text_repetition, text_tfidf_topk, udf_scalar_rank_normalize)
+#      front the r9 rotation; steady state is a ≤3-round cadence.
+# 4 + 1 + 10 + 22 + 13 = 50.
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
 _VERIFY_FIRST = (
@@ -94,6 +97,7 @@ _VERIFY_FIRST = (
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
     "streaming_curation_parity",       # curation map under streaming
     "streaming_topk_parity",           # complete-mode heavy hitters
+    "streaming_enrich_parity",         # NEW r8: stream-static dim join
     # -- 4. the last stale cohort (r2-era + r3's join_left_outer):
     #    closes the freshness program --
     "join_full_outer",
@@ -131,7 +135,6 @@ _VERIFY_FIRST = (
     "dedup_keep_best",
     "mixture_sample",
     "shard_export_stats",
-    "text_lang_id",
     "text_quality_score",
 )
 

@@ -438,3 +438,48 @@ def streaming_topk_parity(spark, sf_dir):
     return spark.table("cat_topk").orderBy(
         F.col("n_events").desc(), "event_type"
     )
+
+
+@register(
+    "streaming_enrich_parity",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       count(*) AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment
+ORDER BY segment
+""",
+    tags=("streaming", "join", "agg"),
+)
+def streaming_enrich_parity(spark, sf_dir):
+    """Stream-static dimension enrichment — the streaming twin of the
+    star-schema dim join and the one production stream shape the
+    parity block did not yet pin: events stream ⟕ customer (static,
+    broadcast/rescanned per micro-batch, no state or watermark), then
+    a per-segment rollup in COMPLETE mode, must equal the batch
+    join+GROUP BY. Every test-SF user_id resolves in customer (ids
+    0..149 ⊂ 0..1499 — measured), so the left join equals the oracle's
+    inner join and no NULL segment group can appear. Rounding parity:
+    round(., 4) on double sums of 2-decimal values lands identically
+    in both engines (the streaming_tumbling_parity argument). At
+    100 TB the static side stays broadcast-sized or both sides get
+    pre-bucketed — enrich_with_dimension's documented contract."""
+    from exosql_spark import streaming
+    from exosql_spark.io import load_table
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = streaming.enrich_with_dimension(stream, cust)
+    agg = enriched.groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    q = streaming.run_to_memory(agg, "cat_enrich", mode="complete")
+    q.stop()
+    return spark.table("cat_enrich").orderBy("segment")

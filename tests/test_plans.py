@@ -317,3 +317,76 @@ class TestExplainCollapseDetector:
         q = all_queries()["tpch_q11_important_stock"]
         note = self._note(q.fn(spark, sf_dir))
         assert note == "none", note
+
+
+class TestDynamicPartitionPruning:
+    def test_dpp_on_partitioned_fact_join(self, spark, sf_dir, tmp_path):
+        """The cluster-scale star-join pattern: a fact table stored
+        partitioned on the join/filter key is pruned at runtime by the
+        dimension side's filter (DPP inserts a dynamicpruning
+        predicate into the scan's PartitionFilters) — files for
+        non-qualifying partitions are never opened. This is the
+        read-path complement of the static pruning tests in
+        test_sinks.py: static pruning needs the literal in the query;
+        DPP prunes when the filter arrives only through a join."""
+        from exosql_spark import sinks
+        from exosql_spark.io import load_table
+
+        fact = str(tmp_path / "orders_by_status")
+        sinks.write_table(
+            load_table(spark, sf_dir, "orders"), fact,
+            partition_by=["o_orderstatus"],
+        )
+        stored = spark.read.parquet(fact)
+        dim = spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            "status string, label string",
+        ).filter(F.col("label") == "open")
+        joined = stored.join(
+            F.broadcast(dim), stored.o_orderstatus == dim.status
+        ).groupBy("label").count()
+        s = formatted(joined).lower()
+        assert "dynamicpruningexpression" in s, s[:2000]
+        rows = joined.collect()
+        assert len(rows) == 1 and rows[0]["label"] == "open"
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_filter_injected_on_selective_shuffle_join(self, spark, sf_dir):
+        """Runtime row-level Bloom pruning — the shuffle-join
+        complement of DPP: when a shuffle join's build side is
+        selective, the optimizer injects a BloomFilter aggregate on it
+        and a might_contain post-scan filter on the probe side, so
+        probe rows that cannot match die before the exchange. At the
+        default thresholds this engages only for 10 GB+ probe scans
+        (exactly the 100 TB case); the test lowers the thresholds to
+        prove the mechanism fires on our plans, and restores session
+        confs either way (shared fixture)."""
+        t = Tables(spark, sf_dir)
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        }
+        saved = {}
+        for k, v in confs.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            sel = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                "o_orderkey"
+            )
+            joined = t.lineitem.join(sel, F.col("l_orderkey") == F.col("o_orderkey"))
+            s = formatted(joined).lower()
+            assert "might_contain" in s or "bloomfilter" in s, s[:3000]
+            assert joined.count() > 0
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
