@@ -48,6 +48,17 @@ DETAIL_PATH = os.environ.get(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
 )
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+# Comma-separated entry names to drop from the sweep. NEVER silent:
+# exclusions land in the output JSON ("excluded") and the detail file —
+# used for the auxiliary 100× scale point, where the known-quadratic
+# fixed-k dedup_semantic would run for ~15 min by its own documented
+# growth law (SCALE.md round-8); the driver's sf0.1 record never
+# excludes anything.
+EXCLUDE = [
+    s.strip()
+    for s in os.environ.get("SPARK_GRAFT_BENCH_EXCLUDE", "").split(",")
+    if s.strip()
+]
 
 
 def _run_once(fn, spark, sf_dir) -> float:
@@ -65,7 +76,15 @@ def main() -> None:
         app_name="exosql_spark_bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    bench = {n: q for n, q in all_queries().items() if q.bench}
+    all_bench = {n: q for n, q in all_queries().items() if q.bench}
+    unknown = [n for n in EXCLUDE if n not in all_bench]
+    if unknown:
+        # a typo'd exclusion would otherwise RUN the query while the
+        # output JSON claims it was excluded — fail loudly instead
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_EXCLUDE names not in the bench set: {unknown}"
+        )
+    bench = {n: q for n, q in all_bench.items() if n not in EXCLUDE}
 
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -92,6 +111,7 @@ def main() -> None:
     set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
     detail = {
         "estimator": f"min_of_{RUNS}",
+        "excluded": sorted(EXCLUDE),
         "n_queries": len(per_query),
         "query_set": query_set,
         "query_set_sha1": set_sha1,
@@ -107,6 +127,7 @@ def main() -> None:
 
     out = {
         "metric": "headline_queries_total_wall",
+        "excluded": sorted(EXCLUDE),
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "estimator": f"min_of_{RUNS}",

@@ -487,6 +487,12 @@ def jaccard_index_pairs(
     df. The prefix threshold backs off by 1e-4 because the final
     filter keeps pairs whose ROUNDED Jaccard ≥ t (a true J of
     t − 0.00004 still rounds in — the prune must not lose it).
+    On top of the prefix prune, PPJoin's positional and length
+    filters (Xiao et al., WWW'08 — also lossless, argument at the
+    filter site below) drop collision rows whose position already
+    caps the overlap below threshold, BEFORE the candidate distinct:
+    measured at the 100× scale point this is what keeps the verify
+    join linear (BENCH_SCALING.json, round 8).
     Verification recomputes exact Jaccard from the full (sorted)
     per-doc hash arrays via array_intersect — doc-size-bounded rows,
     never a corpus-sized state.
@@ -558,13 +564,41 @@ def jaccard_index_pairs(
     prefix_len = (
         F.col("_n") - F.ceil(F.col("_n") * F.lit(t_prefix)).cast("int") + F.lit(1)
     )
+    # posexplode: the 1-based prefix position rides along for the
+    # PPJoin positional filter below
     pref = docs.select(
-        "_id", F.explode(F.slice("_hs", F.lit(1), prefix_len)).alias("_h")
+        "_id",
+        F.col("_n"),
+        F.posexplode(F.slice("_hs", F.lit(1), prefix_len)).alias("_p", "_h"),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional + length filters (Xiao et al., WWW'08 — both
+    # LOSSLESS): a pair needs overlap o ≥ α = ⌈t/(1+t)·(na+nb)⌉ to
+    # reach J ≥ t; a collision at (0-based) prefix positions (pa, pb)
+    # caps the overlap at 1 + min(na−pa−1, nb−pb−1), so collisions too
+    # deep in both prefixes can never qualify and die BEFORE the
+    # distinct + array-verify joins — the verify join is the scale
+    # bottleneck (measured at the 100× point: 68 M candidates × ~450 B
+    # array payloads dominate the wall), so every candidate pruned
+    # here is a row that never shuffles its doc arrays. The length
+    # filter (t·nb ≤ na, both orders) is the coarse special case that
+    # also prunes unbalanced pairs the position test misses at p=0.
+    alpha = F.ceil(
+        F.lit(t_prefix) / F.lit(1.0 + t_prefix)
+        * (F.col("a._n") + F.col("b._n"))
+    ).cast("int")
+    ubound = F.lit(1) + F.least(
+        F.col("a._n") - F.col("a._p") - F.lit(1),
+        F.col("b._n") - F.col("b._p") - F.lit(1),
+    )
     cands = (
         a.join(
             b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id"))
+        )
+        .filter(
+            (ubound >= alpha)
+            & (F.col("a._n") >= F.lit(t_prefix) * F.col("b._n"))
+            & (F.col("b._n") >= F.lit(t_prefix) * F.col("a._n"))
         )
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()

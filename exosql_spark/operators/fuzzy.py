@@ -92,12 +92,23 @@ def fuzzy_join(
     The matched strings ride through the variant frames so the verify
     step needs no join back to the inputs — one variant equi-join,
     one distinct, one vectorized levenshtein filter."""
-    out_lid, out_rid = left_id, right_id
-    if left_id == right_id:
-        out_lid, out_rid = f"{left_id}_l", f"{right_id}_r"
-    out_lon, out_ron = left_on, right_on
-    if left_on == right_on:
-        out_lon, out_ron = f"{left_on}_l", f"{right_on}_r"
+    # Disambiguate ANY output-name collision (id/id, on/on, and the
+    # cross cases like left_id == right_on): left-side columns get _l,
+    # right-side _r, applied to every name that occurs more than once.
+    names = [left_id, right_id, left_on, right_on]
+    sides = ["_l", "_r", "_l", "_r"]
+    dup = {n for n in names if names.count(n) > 1}
+    out_lid, out_rid, out_lon, out_ron = (
+        n + s if n in dup else n for n, s in zip(names, sides)
+    )
+    final = [out_lid, out_rid, out_lon, out_ron]
+    if len(set(final)) != 4:
+        # same-side collision (e.g. left_id == left_on) — suffixing
+        # cannot separate these; the caller must rename
+        raise ValueError(
+            f"fuzzy_join output columns collide even after _l/_r "
+            f"suffixing: {final}; rename the input columns"
+        )
     lv = left.select(
         F.col(left_id).alias("_lid"), F.col(left_on).alias("_ls")
     ).select(

@@ -417,9 +417,9 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     construction and closed-form top-10 oracle as
     similarity_topk_ivf_planted, so memory-path vs stored-path parity
     is enforced by the driver's value hash, not just locally. The
-    write lands under the system temp dir keyed by SF (overwrite mode
-    — idempotent per run); at production scale the same call sequence
-    targets the warehouse path."""
+    write lands in a fresh per-invocation temp dir (concurrent runs
+    cannot race each other's overwrite); at production scale the same
+    call sequence targets the warehouse path."""
     import os
     import tempfile
 
@@ -428,10 +428,10 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_query_copies(t)
     cents = similarity._hyperplanes(64, 16, 7)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"exosql_ivf_stored_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # unique dir per invocation: a fixed shared path races overwrite-
+    # vs-read between concurrent runs (oracle sweep + bench on one
+    # box) and can be squatted by another user (round-8 review find)
+    path = os.path.join(tempfile.mkdtemp(prefix="exosql_ivf_stored_"), "layout")
     sinks.write_table(
         similarity.ivf_encode(corpus, cents, assigner="pandas"),
         path,
@@ -1708,9 +1708,12 @@ def dedup_jaccard_exact_pairs(spark, sf_dir):
     n−⌈t·n⌉+1 globally-rarest shingles → join on the 60-bit hash →
     exact verify from full hash arrays) — the deterministic,
     oracle-checkable complement to the LSH paths. Lossless AllPairs
-    prune: see dedup.jaccard_index_pairs. No all-pairs stage; the
-    shuffle carries (hash, id) longs only. r5: prefix filter + shingle
-    persist took this 4.3 s → 0.84 s at sf0.1."""
+    prune + PPJoin positional/length filters: see
+    dedup.jaccard_index_pairs. No all-pairs stage; the shuffle
+    carries (hash, id) longs only. r5: prefix filter + shingle
+    persist took this 4.3 s → 0.84 s at sf0.1; r8: the positional
+    filter took the 100× point from exponent 1.4 to linear
+    (BENCH_SCALING.json)."""
     t = Tables(spark, sf_dir)
     return dedup.jaccard_index_pairs(
         t.documents, "text", "doc_id", k=3, threshold=0.3, max_df=100
@@ -1885,10 +1888,8 @@ def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
     sample = t.embeddings.filter(F.col("vec_id") < 500)
     books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
     cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"exosql_ivfpq_stored_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
+    # unique dir per invocation — see similarity_topk_ivf_stored_planted
+    path = os.path.join(tempfile.mkdtemp(prefix="exosql_ivfpq_stored_"), "layout")
     sinks.write_table(
         pq.ivfpq_encode(corpus, books, cents, encoder="pandas"),
         path,

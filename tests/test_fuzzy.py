@@ -115,3 +115,21 @@ class TestFuzzyJoin:
         assert (row.id_l, row.id_r, row.name_l, row.name_r, row.edit_dist) == (
             1, 10, "color", "colour", 1,
         )
+
+    def test_cross_collision_and_unresolvable_collision(self, spark):
+        # cross collision: left_id shares its name with right_on
+        left = spark.createDataFrame([(1, "color")], "alias long, name string")
+        right = spark.createDataFrame([(10, "colour")], "nick long, alias string")
+        out = fuzzy_join(
+            left, right, "name", "alias", max_dist=1,
+            left_id="alias", right_id="nick",
+        )
+        assert out.columns == ["alias_l", "nick", "name", "alias_r", "edit_dist"]
+        # same-side collision can't be fixed by suffixing: must raise
+        import pytest
+
+        with pytest.raises(ValueError, match="collide"):
+            fuzzy_join(
+                left, left, "name", "name", max_dist=1,
+                left_id="name", right_id="alias",
+            )

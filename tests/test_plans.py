@@ -282,13 +282,8 @@ class TestExplainCollapseDetector:
     positive on the object-identity basis — round-8 fix)."""
 
     def _note(self, df):
-        import os
-        import sys
-
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
-        )
         import importlib.util
+        import os
 
         spec = importlib.util.spec_from_file_location(
             "gen_explain",

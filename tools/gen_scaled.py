@@ -19,27 +19,28 @@ engine, not a changed data distribution:
   integrity holds within each replica and join fan-outs are exactly
   those of sf0.1, ten times over. ``region``/``nation`` stay single
   copies (fixed-key dimensions, still broadcast-sized at any SF).
-- **Names get a per-replica ``qXq``-style tag** (pairwise levenshtein
-  between tags ≥ 3): without it every replica repeats the same 1 000
-  supplier names and the k≤2 fuzzy joins degenerate into
-  mass-duplicate cross products — the tag keeps within-replica edit
-  structure identical and cross-replica distances above every
-  catalog threshold.
-- **Document text is vowel-rotated per replica** (a→e→i→o→u→a, ``i``
-  times, both cases): length, whitespace, punctuation, and token
+- **Names get a per-replica tag** from a precomputed code of 110
+  length-5 strings with pairwise LEVENSHTEIN ≥ 3 (self-checked at
+  startup): without it every replica repeats the same 1 000 supplier
+  names and the k≤2 fuzzy joins degenerate into mass-duplicate cross
+  products — the tag keeps within-replica edit structure identical
+  and cross-replica distances above every catalog threshold.
+- **Document text gets a per-replica pure-translate transform** —
+  three independent 5-cycles (vowels, b/c/d/f/g, l/m/n/p/r) giving
+  125 distinct transforms: length, whitespace, punctuation, and token
   boundaries are untouched, so within-replica token/quality/dup
   structure is EXACTLY sf0.1's; across replicas the token sets are
-  disjoint for any vowel-bearing word, so exact/Jaccard/MinHash dedup
-  outputs scale linearly instead of exploding on 10-way copies.
-- **Embeddings get a per-replica sign-flip mask** (flip dim ``j`` of
-  replica ``i`` iff ``(i·7 + j) % 11 < 5``): flipping ~half the dims
-  of a near-isotropic vector decorrelates it from its source, so
-  replicas are fresh vectors, not planted near-dups; within-replica
-  geometry (norms, pairwise cosines) is preserved exactly.
-  (dedup_semantic still trains k=16 on the replica-0 sample — at 10×
-  corpus under fixed k its Σ|cluster|² candidate work grows ~100×/k;
-  the measurement is SUPPOSED to show that, k being the documented
-  scale knob.)
+  disjoint for any cycled-letter word, so exact/Jaccard/MinHash dedup
+  outputs scale linearly instead of exploding on N-way copies.
+- **Embeddings get a per-replica sign-flip mask** (two coprime
+  moduli, pairwise-distinct for factors < 143 — see emb_replica):
+  flipping ~half the dims of a near-isotropic vector decorrelates it
+  from its source, so replicas are fresh vectors, not planted
+  near-dups; within-replica geometry (norms, pairwise cosines) is
+  preserved exactly. (dedup_semantic still trains k=16 on the
+  replica-0 sample — at N× corpus under fixed k its Σ|cluster|²
+  candidate work grows ~N²/k; the measurement is SUPPOSED to show
+  that, k being the documented scale knob.)
 - **Events** shift ``event_id``/``user_id``; timestamps are untouched
   so the windowed/sessionized per-user series repeat per replica.
 
@@ -57,29 +58,69 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 
-#: per-replica name/text tags: pairwise levenshtein ≥ 3 (all three
-#: chars differ between any two tags), so tagged duplicates never land
-#: within any catalog fuzzy threshold (k ≤ 2) across replicas.
-_TAGS = [f"{c}{d}{c}" for c, d in zip("abcdefghij", "qrstuvwxyz")]
+#: Per-replica name tags: 110 length-5 strings with pairwise
+#: LEVENSHTEIN distance ≥ 3 (greedy lexicographic code over an
+#: 11-letter alphabet, deterministic construction, verified in
+#: tests/test_tools.py and re-checked at startup — an MDS/Hamming
+#: argument is NOT enough here: a [4,2,3] RS code has Hamming
+#: distance 3 but measured Levenshtein-2 pairs via shifts).
+#: Distance ≥ 3 keeps tagged name duplicates outside every catalog
+#: fuzzy threshold (k ≤ 2) across replicas, for factors up to 110.
+_TAGS = [
+    "aaaaa", "aabbb", "aaccc", "aaddd", "aaeee", "aafff", "aaggg", "aahhh",
+    "aaiii", "aajjj", "aakkk", "ababc", "abbad", "abcda", "abdcb", "abefg",
+    "abfeh", "abghe", "abhgf", "abijk", "acacd", "acbde", "accab", "acdbf",
+    "acega", "acfhc", "acgei", "achfj", "acikg", "acjih", "adadb", "adbcg",
+    "adced", "addac", "adebh", "adfge", "adgfa", "adhik", "adihf", "adjki",
+    "aeaef", "aebfc", "aecbg", "aedgh", "aeeai", "aefdj", "aegck", "aehja",
+    "aejhb", "aekid", "afafe", "afbea", "afcgj", "afdhg", "afecf", "affak",
+    "afgbd", "afhdi", "afkjb", "agagi", "agbhj", "agcie", "agdek", "agedc",
+    "agfjd", "aggaf", "aghkb", "agiba", "agkch", "ahahk", "ahbif", "ahcfi",
+    "ahdje", "ahekj", "ahfca", "ahgdh", "ahhag", "ahieb", "ahjgc", "aiaig",
+    "aibgk", "aicjf", "aidka", "aiehd", "aifbi", "aihce", "aiiah", "aikec",
+    "ajajh", "ajdij", "ajifd", "ajjae", "ajkdf", "akbji", "akeib", "akjdg",
+    "akkaj", "baabd", "babae", "bacdg", "badca", "baefb", "bafei", "baghc",
+    "bahgj", "baijh", "bajik", "bbaaf", "bbbba", "bbccd",
+]
+
+
+
+def _lev(a: str, b: str) -> int:
+    """Levenshtein distance — module-level so tests reuse THIS
+    implementation instead of keeping a duplicate in sync (the tag
+    code's ≥ 3 guarantee is load-bearing; see _TAGS)."""
+    dp = list(range(len(b) + 1))
+    for x, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], x
+        for y, cb in enumerate(b, 1):
+            prev, dp[y] = dp[y], min(dp[y] + 1, dp[y - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
 
 _VOWELS = "aeiou"
 
 
 def _rot_vowels(col, i: int):
-    """Per-replica text transform, a pure translate: vowel rotation by
-    ``i`` (period 5) plus, for i ≥ 5, a consonant shift (b→c→d→f→g→b)
-    — the two combined give 10 DISTINCT transforms, so no two replicas
-    share text (a bare vowel rotation made replicas i and i+5
-    byte-identical: cross-replica exact duplicates that would have
-    changed the corpus's dup density, caught by the distinct-text
-    sanity check)."""
+    """Per-replica text transform, a pure translate — three
+    independent 5-cycles giving 125 DISTINCT transforms (injective
+    for i < 125): vowel rotation by i, a b→c→d→f→g consonant cycle
+    raised to (i//5), and an l→m→n→p→r cycle raised to (i//25).
+    Distinctness matters: a transform collision makes two replicas
+    byte-identical — cross-replica exact duplicates that change the
+    corpus's dup density (the first 10× generation hit exactly this
+    with a bare vowel rotation at i and i+5; the distinct-text count
+    is the sanity check)."""
     from pyspark.sql import functions as F
 
     if i == 0:
         return col
-    src, dst = _VOWELS, _VOWELS[i % 5 :] + _VOWELS[: i % 5]
-    if i >= 5:
-        src, dst = src + "bcdfg", dst + "cdfgb"
+
+    def _cyc(alpha: str, power: int) -> str:
+        p = power % len(alpha)
+        return alpha[p:] + alpha[:p]
+
+    src = _VOWELS + "bcdfg" + "lmnpr"
+    dst = _cyc(_VOWELS, i) + _cyc("bcdfg", i // 5) + _cyc("lmnpr", i // 25)
     return F.translate(col, src + src.upper(), dst + dst.upper())
 
 
@@ -252,10 +293,19 @@ def generate(spark, src: str, out: str, factor: int) -> None:
     def emb_replica(df, i):
         if i == 0:
             return df.select("vec_id", "embedding", "label")
-        # sign-flip mask: flip dim j iff (i*7 + j) % 11 < 5
+        # sign-flip mask: flip dim j iff ((i*7+j) % 11 < 5) XOR
+        # ((i*5+j) % 13 < 6). Two coprime moduli make the masks
+        # PAIRWISE DISTINCT for all i < 143 (a collision needs
+        # i1 ≡ i2 mod 11 AND mod 13); a single modulus repeated every
+        # 11 replicas — byte-identical vectors across replicas, the
+        # same density bug the text-transform collision had.
         flipped = F.transform(
             "embedding",
-            lambda x, j: F.when(((F.lit(i * 7) + j) % 11) < 5, -x).otherwise(x),
+            lambda x, j: F.when(
+                (((F.lit(i * 7) + j) % 11) < 5)
+                != (((F.lit(i * 5) + j) % 13) < 6),
+                -x,
+            ).otherwise(x),
         ).cast("array<float>")
         return df.select(
             (F.col("vec_id") + i * n_emb).alias("vec_id"),
@@ -279,7 +329,19 @@ def main() -> None:
     )
     args = ap.parse_args()
     if args.factor > len(_TAGS):
-        raise SystemExit(f"--factor must be ≤ {len(_TAGS)} (tag alphabet)")
+        raise SystemExit(f"--factor must be ≤ {len(_TAGS)} (tag code size)")
+
+    # defensive: the fuzzy-threshold guarantee is load-bearing — verify
+    # the tags actually used are pairwise levenshtein ≥ 3 (cheap:
+    # factor² short-string DPs).
+    used = _TAGS[: args.factor]
+    bad = [
+        (a, b)
+        for idx, a in enumerate(used)
+        for b in used[idx + 1 :]
+        if _lev(a, b) < 3
+    ]
+    assert not bad, f"tag code violates levenshtein ≥ 3: {bad[:3]}"
 
     from exosql_spark.session import get_spark
 
