@@ -75,7 +75,9 @@ _QUERY_MODULES = (
 #      (embedding_centroids, events_funnel, events_retention,
 #      text_bm25_topk, text_fingerprint_rolling, text_lang_id,
 #      text_repetition, text_tfidf_topk, udf_scalar_rank_normalize)
-#      front the r9 rotation; steady state is a ≤3-round cadence.
+#      front the r9 rotation, together with join_fuzzy_qgram_k3
+#      (registered after this round's cutoff); steady state is a
+#      ≤3-round cadence.
 # 4 + 1 + 10 + 22 + 13 = 50.
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).

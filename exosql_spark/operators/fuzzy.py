@@ -153,3 +153,114 @@ def fuzzy_self_pairs(
     return pairs.filter(F.col("a_id") < F.col("b_id")).select(
         F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"), "edit_dist"
     )
+
+
+def qgrams(s: F.Column, q: int = 2) -> F.Column:
+    """Array of the |s|−q+1 contiguous q-grams of a string (empty
+    array when |s| < q)."""
+    return F.when(
+        F.length(s) >= q,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(q - 1)),
+            lambda i: F.substring(s, i, q),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fuzzy_self_pairs_qgram(
+    df: DataFrame,
+    on: str,
+    id_col: str = "id",
+    max_dist: int = 3,
+    q: int = 2,
+) -> DataFrame:
+    """Within-table fuzzy pairs (id_a < id_b, levenshtein ≤ max_dist)
+    via the Q-GRAM COUNT FILTER (Gravano et al., VLDB'01) — the
+    documented escape hatch for edit radii the deletion-neighborhood
+    join cannot reach (its candidate fan-out is O(|s|^k); see
+    deletion_neighborhood). The result is EXACT.
+
+    Filter: one edit operation destroys at most ``q`` of a string's
+    q-grams, so ed(a,b) ≤ k ⟹ the BAG intersection of their q-gram
+    multisets has size ≥ max(|a|,|b|) − q + 1 − k·q. Bag semantics via
+    occurrence numbering: the j-th occurrence of gram g in a matches
+    only the j-th occurrence in b, so an equi-join on (gram, occ)
+    counts min(cnt_a, cnt_b) per gram — exactly the bag intersection.
+    Candidates violating the bound die before the levenshtein verify.
+
+    Exactness residue: a pair whose bound is ≤ 0 (both strings shorter
+    than k·q + q, e.g. ≤ 7 chars at q=2, k=3) can satisfy ed ≤ k while
+    sharing ZERO q-grams — the index join would silently miss it. Those
+    short strings are verified by a dedicated small cross join instead
+    (they are few and cheap by construction: post-dedup vocabularies
+    have bounded short-string residues; the operator stays exact
+    rather than quietly dropping them).
+
+    Scale anatomy: grams explode fuses into the scan; one shuffle
+    numbers occurrences per (id, gram); the candidate join keys are
+    (gram, occ) — hot grams (natural-language bigrams) fan out, so
+    this path is for post-exact-dedup VOCABULARIES (the same
+    dedup-first ordering every fuzzy operator here documents), with
+    MinHash-LSH the designated path for raw 100 TB corpora."""
+    from pyspark.sql import Window as W
+
+    kq = max_dist * q + q - 1  # max length with bound ≤ 0
+    base = df.select(F.col(id_col).alias("_id"), F.col(on).alias("_s"))
+    long_side = base.filter(F.length("_s") > kq)
+    short_side = base.filter(F.length("_s") <= kq)
+
+    grams = long_side.select(
+        "_id", "_s", F.length("_s").alias("_len"),
+        F.explode(qgrams(F.col("_s"), q)).alias("_g"),
+    )
+    occ = grams.withColumn(
+        "_occ",
+        F.row_number().over(W.partitionBy("_id", "_g").orderBy(F.monotonically_increasing_id())),
+    )
+    a, b = occ.alias("a"), occ.alias("b")
+    shared = (
+        a.join(
+            b, (F.col("a._g") == F.col("b._g")) & (F.col("a._occ") == F.col("b._occ"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._s").alias("_sa"), F.col("b._s").alias("_sb"),
+            F.col("a._len").alias("_la"), F.col("b._len").alias("_lb"),
+        )
+        .agg(F.count(F.lit(1)).alias("_shared"))
+        .filter(
+            F.col("_shared")
+            >= F.greatest("_la", "_lb") - F.lit(q - 1) - F.lit(max_dist * q)
+        )
+    )
+    long_pairs = (
+        shared.withColumn("edit_dist", F.levenshtein("_sa", "_sb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+    # Short-string residue: strings with bound ≤ 0 can reach ed ≤ k
+    # with zero shared grams, and they are also absent from the index,
+    # so every (short, anything) pair needs its own candidate path — a
+    # small nested-loop verify against the whole vocabulary. The count
+    # gate (one cheap aggregate on the length filter) keeps that
+    # nested-loop join OUT of the plan entirely for vocabularies with
+    # no short strings — the common post-dedup case — instead of
+    # shipping a BroadcastNestedLoopJoin that AQE merely collapses.
+    if short_side.limit(1).count() == 0:
+        return long_pairs
+    sa = short_side.select(
+        F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
+    )
+    other = base.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    short_pairs = (
+        sa.join(other, F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.levenshtein("_sa", "_sb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .distinct()  # short×short pairs arrive in both orientations
+    )
+    return long_pairs.unionByName(short_pairs).distinct()

@@ -293,3 +293,47 @@ def join_fuzzy_vocab_k2(spark, sf_dir):
     return fuzzy_self_pairs(vocab, "p_name", "id", max_dist=2).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "join_fuzzy_qgram_k3",
+    oracle="""
+WITH v AS (
+  SELECT p_name || ' ' || p_brand AS s, min(p_partkey) AS id
+  FROM part GROUP BY 1
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
+FROM v a JOIN v b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 3
+ORDER BY id_a, id_b
+""",
+    tags=("join", "fuzzy", "extension", "scale"),
+)
+def join_fuzzy_qgram_k3(spark, sf_dir):
+    """Edit-distance ≤ 3 fuzzy self-join via the Q-GRAM COUNT FILTER
+    (operators/fuzzy.py fuzzy_self_pairs_qgram, Gravano et al.
+    VLDB'01) — the radius the deletion-neighborhood join deliberately
+    refuses (its fan-out is O(|s|^k); its docstring names q-gram count
+    filtering as the k ≥ 3 algorithm, and this entry closes that gap).
+
+    Input: the distinct "p_name p_brand" vocabulary (~1130 strings of
+    15–21 chars — long enough that the count bound max(|a|,|b|)−q+1−kq
+    ≥ 8 shared bigrams has real pruning power; bare p_name at 7–12
+    chars gives a bound ≤ 0, i.e. no filter at all). ~15 200 true
+    pairs, ~4 260 at distance exactly 3 (measured, stable across SFs),
+    so the bag-intersection machinery — occurrence-numbered gram join,
+    count bound, levenshtein verify — is load-bearing, and the oracle
+    is the naive DuckDB cross product, pair-for-pair exact. No short
+    strings in this vocabulary, so the plan carries no nested-loop
+    residue branch (the operator's count gate, plan-asserted in
+    tests/test_fuzzy.py)."""
+    from exosql_spark.operators.fuzzy import fuzzy_self_pairs_qgram
+
+    t = Tables(spark, sf_dir)
+    vocab = t.part.groupBy(
+        F.concat_ws(" ", "p_name", "p_brand").alias("s")
+    ).agg(F.min("p_partkey").alias("id"))
+    return fuzzy_self_pairs_qgram(vocab, "s", "id", max_dist=3).orderBy(
+        "id_a", "id_b"
+    )

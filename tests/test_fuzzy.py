@@ -33,6 +33,15 @@ def _spark_df(spark, rows):
     return spark.createDataFrame(rows, "id long, name string")
 
 
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
 def _brute(rows, k):
     import itertools
 
@@ -133,3 +142,49 @@ class TestFuzzyJoin:
                 left, left, "name", "name", max_dist=1,
                 left_id="name", right_id="alias",
             )
+
+
+class TestQgramFuzzyJoin:
+    """Q-gram count-filter path (k ≥ 3 — beyond the deletion
+    neighborhood's O(|s|^k) reach): exact vs brute force, including
+    the short-string residue the bound cannot filter."""
+
+    @pytest.mark.parametrize("k", [1, 2, 3, 4])
+    def test_exact_vs_bruteforce(self, spark, k):
+        from exosql_spark.operators.fuzzy import fuzzy_self_pairs_qgram
+
+        rows = [
+            (1, "small copper ring"),
+            (2, "small copper wing"),    # 1 sub
+            (3, "smal copper rings"),    # del + ins
+            (4, "large copper ring"),    # 3 subs
+            (5, "small copper ring"),    # exact dup
+            (6, "ab"),                   # short residue (len ≤ kq+q-1)
+            (7, "abc"),                  # short, ed(6,7)=1
+            (8, "xx"),                   # short, far from all
+            (9, "small kopper rink"),    # 2 subs from 1
+        ]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = {
+            (r.id_a, r.id_b, r.edit_dist)
+            for r in fuzzy_self_pairs_qgram(df, "name", "id", max_dist=k).collect()
+        }
+        want = {
+            (i, j, _lev(a, b))
+            for (i, a), (j, b) in __import__("itertools").combinations(rows, 2)
+            if _lev(a, b) <= k
+        }
+        assert got == want, f"k={k}: extra={got-want} missing={want-got}"
+
+    def test_no_short_strings_skips_nested_loop(self, spark):
+        from exosql_spark.operators.fuzzy import fuzzy_self_pairs_qgram
+
+        df = spark.createDataFrame(
+            [(1, "small copper ring"), (2, "small copper wing")],
+            "id long, name string",
+        )
+        out = fuzzy_self_pairs_qgram(df, "name", "id", max_dist=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert {(r.id_a, r.id_b) for r in out.collect()} == {(1, 2)}
