@@ -25,6 +25,12 @@ intermittent CPU-steal storms (cumulative steal ≈ 38% of user time in
 noise-robust estimator for "what does the plan cost" (same reason
 timeit reports min); median and stddev still land in BENCH_DETAIL.json
 so diffs can be read against run noise.
+
+``calibration_sec`` (headline + detail) is a data-free machine scalar
+(codegen sum over range(10⁹), min of 3) measured in the same session
+just before the sweep: divide cross-round per-query ratios by the
+calibration ratio to separate box drift from code changes (see
+SCALE.md "environment drift").
 """
 
 from __future__ import annotations
@@ -69,6 +75,24 @@ def _run_once(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _calibrate(spark) -> float:
+    """Data-free machine-calibration scalar: wall seconds for a
+    whole-stage-codegen sum over range(10⁹) — no I/O, no shuffle, no
+    Python workers, so it moves only with the box (CPU + scheduling
+    latency), never with this repo's code. Recorded in every bench
+    artifact so cross-round comparisons can be drift-normalized
+    mechanically (the r7→r8 1.24× uniform regression took a manual
+    worktree A/B to attribute to the box; see SCALE.md "environment
+    drift"). Min of 3: same noise-robust estimator as the queries."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr("sum(id)").collect()
+        return time.perf_counter() - t0
+
+    once()  # warm the codegen path
+    return round(min(once() for _ in range(3)), 3)
+
+
 def main() -> None:
     # Stage-progress bars write \r-spam to stderr/stdout that crowded the
     # driver's tail capture in r4/r5 — keep the bench process silent.
@@ -86,6 +110,7 @@ def main() -> None:
         )
     bench = {n: q for n, q in all_bench.items() if n not in EXCLUDE}
 
+    calibration = _calibrate(spark)
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
@@ -110,6 +135,7 @@ def main() -> None:
     query_set = sorted(per_query)
     set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
     detail = {
+        "calibration_sec": calibration,
         "estimator": f"min_of_{RUNS}",
         "excluded": sorted(EXCLUDE),
         "n_queries": len(per_query),
@@ -130,6 +156,7 @@ def main() -> None:
         "excluded": sorted(EXCLUDE),
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
+        "calibration_sec": calibration,
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
         "query_set_sha1": set_sha1,

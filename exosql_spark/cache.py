@@ -69,8 +69,14 @@ def release_caches(spark: SparkSession) -> int:
         sc = getattr(spark, "sparkContext", None)
         if sc is None or getattr(sc, "_jsc", None) is None:
             continue  # session already stopped — nothing to release
-        df.unpersist(blocking=False)
-        released += 1
+        try:
+            df.unpersist(blocking=False)
+            released += 1
+        except Exception:
+            # best-effort: a session stopped between the check above and
+            # the unpersist (or any py4j error) must not abandon the
+            # remaining registry entries
+            continue
     return released
 
 

@@ -564,8 +564,9 @@ def jaccard_index_pairs(
     prefix_len = (
         F.col("_n") - F.ceil(F.col("_n") * F.lit(t_prefix)).cast("int") + F.lit(1)
     )
-    # posexplode: the 1-based prefix position rides along for the
-    # PPJoin positional filter below
+    # posexplode: the 0-based prefix position rides along for the
+    # PPJoin positional filter below (the ubound formula expects
+    # 0-based positions)
     pref = docs.select(
         "_id",
         F.col("_n"),

@@ -196,6 +196,17 @@ def fuzzy_self_pairs_qgram(
     have bounded short-string residues; the operator stays exact
     rather than quietly dropping them).
 
+    **Execution contract (not fully lazy)**: COMPOSING this operator
+    runs exactly ONE cheap Spark action — ``limit(1).count()`` on the
+    short-string length filter (Spark may map it to a couple of
+    CollectLimit partition-scan jobs) — to decide whether the
+    short-residue nested-loop join belongs in the plan at all. For the common
+    post-dedup vocabulary with no short strings this keeps the
+    BroadcastNestedLoopJoin out of the PLAN (rather than shipping one
+    for AQE to merely collapse); the cost is that composition inside a
+    larger lazy pipeline executes that one bounded scan eagerly
+    (pinned by a job-count test). Everything else stays lazy.
+
     Scale anatomy — the jaccard_index_pairs discipline applied to edit
     distance: only each string's kq+1 RAREST tagged grams are indexed
     for candidate generation (prefix filtering under the global

