@@ -128,7 +128,8 @@ def main() -> None:
         times = [_run_once(q.fn, spark, SF_DIR) for _ in range(RUNS)]
         per_query[name] = round(min(times), 3)
         medians[name] = round(statistics.median(times), 3)
-        spread[name] = round(statistics.stdev(times), 3)
+        # stdev needs ≥2 samples; RUNS=1 smoke sweeps get 0.0
+        spread[name] = round(statistics.stdev(times), 3) if len(times) > 1 else 0.0
     release_caches(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

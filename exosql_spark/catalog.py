@@ -50,46 +50,39 @@ _QUERY_MODULES = (
 # by the deterministic sample_stratified_topn); 4 are unanchorable by
 # nature (engine RNG / sketch internals: sample_fraction,
 # agg_approx_percentile, fn_nondeterministic, approx_count_distinct).
-# The round-8 window counts to exactly 50, in priority order:
-#   1. entries new this round (5 exact oracles: the large-star/
-#      small-star CC variant on the chain oracle, the k=2 fuzzy
-#      neighborhood over the part-name vocabulary, and the stored
-#      cell-partitioned read paths for BOTH ANN layouts — raw-vector
-#      IVF on the planted top-k oracle and compressed-domain IVFADC
-#      on the planted membership oracle — plus the stream-static
-#      dimension-enrichment parity entry, pinned into the streaming
-#      block below as its 10th member);
-#   2. dedup_semantic (rows-only): its natural threshold moved to the
-#      corpus's own similarity scale this round, so the driver row now
-#      records a survivor set STRICTLY below the corpus count (432/500
-#      at sf0.01) — the non-degeneracy evidence the r7 verdict asked
-#      for;
-#   3. the streaming-parity block, pinned every round (guards the
-#      round-4 timestamp-unit bug class), now 10 entries with the new
-#      stream-static enrichment parity;
-#   4. the 22 remaining stale entries (last driver row r2/r3) — this
-#      CLOSES the freshness program: after r8 every exact-oracle entry
-#      has a driver row from r4 or later;
-#   5. 13 refresh picks from the r4 cohort (core dialect surface first,
-#      then LLM anchors). The 9 r4 entries left behind
-#      (embedding_centroids, events_funnel, events_retention,
-#      text_bm25_topk, text_fingerprint_rolling, text_lang_id,
-#      text_repetition, text_tfidf_topk, udf_scalar_rank_normalize)
-#      front the r9 rotation, together with join_fuzzy_qgram_k3
-#      (registered after this round's cutoff); steady state is a
-#      ≤3-round cadence.
-# 4 + 1 + 10 + 22 + 13 = 50.
+# The round-9 window counts to exactly 50, in priority order:
+#   1. join_fuzzy_qgram_k3 FIRST — the only exact-oracle entry without
+#      a driver row (registered after the r8 verify cutoff; r8 verdict
+#      Next #1). Green here = 164/164 exact-oracle entries driver-green
+#      cumulatively;
+#   2. the two new r9 entries: the stored-index APPEND paths for both
+#      ANN layouts (r8 verdict Next #7) — ivf_append on the planted
+#      top-k oracle and ivfpq_append on the planted membership oracle;
+#      both prove append-with-frozen-quantizer ≡ from-scratch rebuild
+#      by sharing the rebuild entries' closed-form oracles;
+#   3. the streaming-parity block (guards the round-4 timestamp-unit
+#      bug class), 9 of its 10 members this round:
+#      streaming_enrich_parity — green r8, the block's FRESHEST row —
+#      sits out one round so the window can cover the whole r5 exact
+#      cohort below; it returns in r10;
+#   4. the 9-entry r4 cohort (oldest driver rows anywhere);
+#   5. ALL 29 exact-oracle entries whose last green is r5. After r9
+#      every exact-oracle entry's driver row dates from r6 or later
+#      (the 7 rows-only r5 entries — curate_corpus_pipeline,
+#      dedup_minhash_pairs, embedding_kmeans, similarity_topk_
+#      {ivf,ivfpq,lsh,pq} — refresh on the normal rotation; each
+#      carries a planted exact-oracle anchor on the same code path,
+#      and the local twin gate re-runs them every round).
+# 1 + 2 + 9 + 9 + 29 = 50.
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
 _VERIFY_FIRST = (
-    # -- 1. new this round (round 8) --
-    "dedup_components_star_planted",   # star CC on the closed-form chains
-    "join_fuzzy_vocab_k2",             # 2-deletion recursion, exact oracle
-    "similarity_topk_ivf_stored_planted",  # stored cell-partitioned read path
-    "similarity_topk_ivfpq_stored_planted",  # stored IVFADC (codes) read path
-    # -- 2. the de-degenerated natural SemDeDup entry --
-    "dedup_semantic",
-    # -- 3. streaming parity block (pinned every round) --
+    # -- 1. the one exact-oracle entry with no driver row yet --
+    "join_fuzzy_qgram_k3",             # q-gram count-filter fuzzy join, k=3
+    # -- 2. new this round (round 9): stored-index maintenance --
+    "similarity_topk_ivf_appended_planted",    # ivf_append ≡ rebuild
+    "similarity_topk_ivfpq_appended_planted",  # ivfpq_append ≡ rebuild
+    # -- 3. streaming parity block (enrich_parity rests this round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
     "streaming_sessions_parity",       # session windows ↔ gaps-and-islands
@@ -99,45 +92,46 @@ _VERIFY_FIRST = (
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
     "streaming_curation_parity",       # curation map under streaming
     "streaming_topk_parity",           # complete-mode heavy hitters
-    "streaming_enrich_parity",         # NEW r8: stream-static dim join
-    # -- 4. the last stale cohort (r2-era + r3's join_left_outer):
-    #    closes the freshness program --
-    "join_full_outer",
-    "subquery_exists",
-    "agg_statistics",
-    "agg_percentiles",
-    "grouping_sets",
-    "agg_min_max_by",
-    "pivot_status_priority",
-    "agg_bitwise",
-    "fn_strings2",
-    "fn_arrays",
-    "fn_maps",
-    "fn_fuzzy_strings",
-    "fn_coercion_sql",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_token_topk",
-    "text_pii_redact",
-    "source_http_api",
-    "source_generate_series_ts",
-    "udaf_weighted_avg",
-    "udtf_split_words",
-    "join_left_outer",
-    # -- 5. r4-cohort refresh picks (oldest remaining rows) --
-    "case_expr",
-    "cte_from_subquery",
-    "federation_cross_source_join",
-    "generate_series",
-    "predicate_ilike",
-    "predicates_zoo",
-    "scalar_subquery",
-    "sort_limit_offset",
-    "chunk_documents",
-    "dedup_keep_best",
-    "mixture_sample",
-    "shard_export_stats",
-    "text_quality_score",
+    # -- 4. the r4 cohort (oldest rows anywhere) --
+    "embedding_centroids",
+    "events_funnel",
+    "events_retention",
+    "text_bm25_topk",
+    "text_fingerprint_rolling",
+    "text_lang_id",
+    "text_repetition",
+    "text_tfidf_topk",
+    "udf_scalar_rank_normalize",
+    # -- 5. the full r5 exact-oracle cohort --
+    "agg_listagg",
+    "corpus_quality_report",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
+    "dedup_incremental_batch",
+    "dedup_jaccard_exact_pairs",
+    "dedup_minhash_clusters_planted",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "embedding_kmeans_planted",
+    "events_resample_gapfill",
+    "fn_humanize_si",
+    "join_asof_forward",
+    "join_inner_star",
+    "multimodal_features",
+    "pack_sequences",
+    "q1_pricing_summary",
+    "scan_project_filter",
+    "similarity_topk_cosine",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "text_decontaminate",
+    "text_decontaminate_bloom",
+    "text_line_dedup",
+    "text_lm_score",
+    "text_span_dedup",
+    "text_token_topk_approx",
+    "tpch_q21_waiting_suppliers",
+    "unpivot_melt",
 )
 
 

@@ -292,6 +292,37 @@ def ivfpq_encode(
     return pq_encode(enc, codebooks, vec_col, "vec_id", encoder, keep_cols=("cell",))
 
 
+def ivfpq_append(
+    new_vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    encoder: str = "expr",
+) -> None:
+    """Index MAINTENANCE for the stored IVFADC layout — the
+    compressed-domain sibling of ``similarity.ivf_append`` (see its
+    docstring for the lifecycle rationale): encode ``new_vectors`` with
+    the FROZEN codebooks + coarse centroids (no retrain) and append the
+    (vec_id, cell, pq_code) rows into the cell-partitioned layout at
+    ``path``.  Frozen quantizers mean appended rows get exactly the
+    cell and codes a from-scratch rebuild would give them, so probes
+    over the appended layout equal probes over a rebuild
+    (driver-hash-proven by similarity_topk_ivfpq_appended_planted).
+    Never use this across a codebook retrain — that is a rebuild;
+    validate_encoded_ivfpq trips on structural mismatches at read
+    time."""
+    from exosql_spark import sinks
+
+    sinks.write_table(
+        ivfpq_encode(new_vectors, codebooks, centroids, vec_col, id_col, encoder),
+        path,
+        mode="append",
+        partition_by=["cell"],
+    )
+
+
 def validate_encoded_ivfpq(
     encoded: DataFrame, codebooks: list[list[list[float]]], n_cells: int
 ) -> None:

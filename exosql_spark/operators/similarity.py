@@ -531,6 +531,47 @@ def validate_encoded_ivf(
         )
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigner: str = "expr",
+) -> None:
+    """Index MAINTENANCE for the stored IVF layout: assign ``new_vectors``
+    with the FROZEN ``centroids`` (no retrain) and append them into the
+    existing cell-partitioned parquet at ``path``.
+
+    This is the missing piece of the 100 TB index lifecycle between
+    encode-once (:func:`ivf_encode` + ``sinks.write_table``) and
+    probe-many (:func:`ivf_topk(encoded=...)`): a production corpus
+    grows daily, and re-encoding 10⁹ resident vectors to admit 10⁶ new
+    ones is not an option.  Because the quantizer is frozen, appended
+    rows land in exactly the cell a from-scratch build would give them,
+    so a probe over the appended layout is IDENTICAL to a probe over a
+    full rebuild (driver-hash-proven by
+    ``similarity_topk_ivf_appended_planted``).  Spark's dynamic
+    partitionBy append only touches the cells the new batch hits —
+    existing cell directories gain one file each, untouched cells keep
+    their files byte-identical, and probe-time PartitionFilters pruning
+    works unchanged (plan-asserted in tests/test_sinks.py).
+
+    Retraining the quantizer (new centroids) is the one thing this must
+    NOT be used for — cells would change meaning mid-layout.  That path
+    is a rebuild; validate_encoded_ivf's range check plus the
+    fingerprint discipline in sinks.write_table's docstring guard the
+    read side."""
+    from exosql_spark import sinks
+
+    sinks.write_table(
+        ivf_encode(new_vectors, centroids, id_col, vec_col, assigner),
+        path,
+        mode="append",
+        partition_by=["cell"],
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

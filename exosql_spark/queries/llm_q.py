@@ -463,6 +463,56 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+@register(
+    "similarity_topk_ivf_appended_planted",
+    oracle=_PLANTED_TOPK_ORACLE,
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivf_appended_planted(spark, sf_dir):
+    """Stored-index MAINTENANCE driver-gated (round-8 verdict Next #7):
+    the APPEND path of the 100 TB IVF lifecycle.  Build the stored
+    layout from the NATURAL embeddings only, then admit the planted
+    copies through ``similarity.ivf_append`` — assignment with the
+    frozen centroids, ``mode="append"`` into the existing
+    cell-partitioned parquet, no retrain, no rewrite of resident
+    cells.  Probe the appended layout via ``ivf_topk(encoded=...)``.
+
+    The oracle is the SAME closed-form top-10 as
+    similarity_topk_ivf_stored_planted (which builds the full corpus
+    from scratch): ranks 2–10 of every query are planted copies that
+    exist ONLY in the appended increment, so the driver's value hash
+    mechanically proves append-then-probe ≡ rebuild-then-probe.  A
+    mis-assigned appended cell would drop copies from the probed cells
+    and break the hash.  Partition pruning over the appended layout is
+    plan-asserted in tests/test_sinks.py."""
+    import os
+
+    from exosql_spark import sinks
+
+    t = Tables(spark, sf_dir)
+    full = _embeddings_with_query_copies(t)
+    base = t.embeddings.select("vec_id", "embedding")
+    # the increment: exactly the planted copies (vec_id ≥ 100000 by
+    # construction — natural ids top out ≪ 100000 at every SF)
+    increment = full.filter(F.col("vec_id") >= 100000)
+    cents = similarity._hyperplanes(64, 16, 7)
+    path = os.path.join(_ephemeral_dir("exosql_ivf_append_"), "layout")
+    sinks.write_table(
+        similarity.ivf_encode(base, cents, assigner="pandas"),
+        path,
+        partition_by=["cell"],
+    )
+    similarity.ivf_append(increment, cents, path, assigner="pandas")
+    stored = spark.read.parquet(path)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        full, queries, k=10, centroids=cents, assigner="pandas",
+        encoded=stored,
+    ).orderBy("query_id", "rank")
+
+
 # --------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------
@@ -1916,6 +1966,57 @@ def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
     )
     res = pq.ivfpq_topk(
         corpus, queries, books, k=10, n_probe=4, centroids=cents,
+        encoded=stored,
+    )
+    return (
+        res.filter(F.col("vec_id") >= 100000)
+        .select("query_id", "vec_id")
+        .orderBy("query_id", "vec_id")
+    )
+
+
+@register(
+    "similarity_topk_ivfpq_appended_planted",
+    oracle=_PLANTED_ADC_ORACLE,
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivfpq_appended_planted(spark, sf_dir):
+    """The IVFADC APPEND path — compressed-domain sibling of
+    similarity_topk_ivf_appended_planted: encode the NATURAL
+    embeddings into the stored (vec_id, cell, pq_code) layout, then
+    admit the planted copies via ``pq.ivfpq_append`` with the FROZEN
+    codebooks + coarse grid (no retrain), and probe the appended
+    layout through ``ivfpq_topk(encoded=...)``.  Same planted-copy
+    membership oracle as similarity_topk_ivfpq_stored_planted (the
+    from-scratch build), and the planted survivors exist ONLY in the
+    appended increment — so the driver hash proves the appended
+    compressed layout is probe-indistinguishable from a rebuild."""
+    import os
+
+    from exosql_spark import sinks
+    from exosql_spark.operators import pq
+    from exosql_spark.operators.similarity import _hyperplanes
+
+    t = Tables(spark, sf_dir)
+    full = _embeddings_with_query_copies(t, n_copies=3)
+    base = t.embeddings.select("vec_id", "embedding")
+    increment = full.filter(F.col("vec_id") >= 100000)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
+    path = os.path.join(_ephemeral_dir("exosql_ivfpq_append_"), "layout")
+    sinks.write_table(
+        pq.ivfpq_encode(base, books, cents, encoder="pandas"),
+        path,
+        partition_by=["cell"],
+    )
+    pq.ivfpq_append(increment, books, cents, path, encoder="pandas")
+    stored = spark.read.parquet(path)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq.ivfpq_topk(
+        full, queries, books, k=10, n_probe=4, centroids=cents,
         encoded=stored,
     )
     return (
