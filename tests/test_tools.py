@@ -64,3 +64,63 @@ class TestScaledGenerator:
 
         masks = [mask(i) for i in range(1, 143)]
         assert len(set(masks)) == len(masks)
+
+
+class TestArtifactDrift:
+    """Mechanical doc/artifact drift guards (round-8 verdict Next #3/#8):
+    a stale superlinear row in BENCH_SCALING's headline table, or a
+    renamed catalog entry silently orphaning a COVERAGE.md row, reads
+    as wrong evidence to anyone scanning the artifacts."""
+
+    def _repo(self, *parts):
+        return os.path.join(os.path.dirname(os.path.dirname(__file__)), *parts)
+
+    def test_scaling_table_agrees_with_ppjoin_note(self):
+        """The headline dedup_jaccard_exact_pairs row must BE the
+        post-PPJoin run recorded in the note — the r8 table shipped the
+        pre-filter (already-fixed) scale-killer numbers."""
+        import json
+
+        with open(self._repo("BENCH_SCALING.json")) as f:
+            d = json.load(f)
+        row = d["queries"]["dedup_jaccard_exact_pairs"]
+        note = d["jaccard_ppjoin_note"]["post_filter_sec"]
+        assert row["sf0.1_sec"] == note["sf0.1"]
+        assert row["sf1_sec"] == note["sf1"]
+        assert row["sf10_sec"] == note["sf10"]
+        # and the fix's point: top-decade exponent is linear-ish
+        assert row["exponent_top_decade"] <= 1.1
+
+    def test_scaling_totals_are_column_sums(self):
+        """totals must equal the sum of the per-query rows (excluded
+        entries aside) — a refreshed row with stale totals misstates
+        the headline curve."""
+        import json
+
+        with open(self._repo("BENCH_SCALING.json")) as f:
+            d = json.load(f)
+        for sf_key, row_key in (
+            ("sf0.1", "sf0.1_sec"), ("sf1", "sf1_sec"), ("sf10", "sf10_sec")
+        ):
+            colsum = sum(
+                row[row_key] for row in d["queries"].values() if row_key in row
+            )
+            assert abs(colsum - d["totals"][sf_key]) < 0.05, (sf_key, colsum)
+
+    def test_coverage_md_entry_names_exist(self):
+        """Every catalog entry COVERAGE.md cites by name after an
+        'oracle:' / 'rows-only:' marker must exist in the registry —
+        a rename would otherwise orphan the coverage row silently."""
+        import re
+
+        from exosql_spark.catalog import all_queries
+
+        qs = all_queries()
+        with open(self._repo("COVERAGE.md")) as f:
+            text = f.read()
+        cited = set()
+        for seg in re.findall(r"(?:oracle|rows-only):([^|;\n]*)", text):
+            cited.update(re.findall(r"`([a-z0-9_]+)`", seg))
+        missing = sorted(n for n in cited if n not in qs)
+        assert not missing, missing
+        assert len(cited) >= 60  # the map really does cite the catalog
