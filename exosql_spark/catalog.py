@@ -55,11 +55,11 @@ _QUERY_MODULES = (
 #      a driver row (registered after the r8 verify cutoff; r8 verdict
 #      Next #1). Green here = 164/164 exact-oracle entries driver-green
 #      cumulatively;
-#   2. the two new r9 entries: the stored-index APPEND paths for both
-#      ANN layouts (r8 verdict Next #7) — ivf_append on the planted
-#      top-k oracle and ivfpq_append on the planted membership oracle;
-#      both prove append-with-frozen-quantizer ≡ from-scratch rebuild
-#      by sharing the rebuild entries' closed-form oracles;
+#   2. the two new r9 entries: stored-index MAINTENANCE (r8 verdict
+#      Next #7) — the IVF append→compact→delete lifecycle on a
+#      closed-form survivor oracle, and ivfpq_append on the planted
+#      membership oracle; frozen-quantizer maintenance is proven
+#      probe-equivalent to a from-scratch rebuild by the hashes;
 #   3. the streaming-parity block (guards the round-4 timestamp-unit
 #      bug class), 9 of its 10 members this round:
 #      streaming_enrich_parity — green r8, the block's FRESHEST row —
@@ -80,7 +80,7 @@ _VERIFY_FIRST = (
     # -- 1. the one exact-oracle entry with no driver row yet --
     "join_fuzzy_qgram_k3",             # q-gram count-filter fuzzy join, k=3
     # -- 2. new this round (round 9): stored-index maintenance --
-    "similarity_topk_ivf_appended_planted",    # ivf_append ≡ rebuild
+    "similarity_topk_ivf_lifecycle_planted",   # append→compact→delete≡rebuild
     "similarity_topk_ivfpq_appended_planted",  # ivfpq_append ≡ rebuild
     # -- 3. streaming parity block (enrich_parity rests this round) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity

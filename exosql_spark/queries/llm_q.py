@@ -463,28 +463,44 @@ def similarity_topk_ivf_stored_planted(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+_PLANTED_LIFECYCLE_ORACLE = """
+SELECT q AS query_id,
+       CASE WHEN r = 1 THEN q ELSE q + (r - 1) * 100000 END AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine_sim,
+       CAST(r AS INT) AS rank
+FROM range(5) t(q), range(1, 7) s(r)
+ORDER BY query_id, rank
+"""
+
+
 @register(
-    "similarity_topk_ivf_appended_planted",
-    oracle=_PLANTED_TOPK_ORACLE,
+    "similarity_topk_ivf_lifecycle_planted",
+    oracle=_PLANTED_LIFECYCLE_ORACLE,
     tags=("llm", "similarity", "scale"),
 )
-def similarity_topk_ivf_appended_planted(spark, sf_dir):
-    """Stored-index MAINTENANCE driver-gated (round-8 verdict Next #7):
-    the APPEND path of the 100 TB IVF lifecycle.  Build the stored
-    layout from the NATURAL embeddings only, then admit the planted
-    copies through ``similarity.ivf_append`` — assignment with the
-    frozen centroids, ``mode="append"`` into the existing
-    cell-partitioned parquet, no retrain, no rewrite of resident
-    cells.  Probe the appended layout via ``ivf_topk(encoded=...)``.
+def similarity_topk_ivf_lifecycle_planted(spark, sf_dir):
+    """The full stored-index MAINTENANCE lifecycle driver-gated
+    (round-8 verdict Next #7): encode → APPEND → COMPACT → DELETE →
+    probe, all against one cell-partitioned layout.
 
-    The oracle is the SAME closed-form top-10 as
-    similarity_topk_ivf_stored_planted (which builds the full corpus
-    from scratch): ranks 2–10 of every query are planted copies that
-    exist ONLY in the appended increment, so the driver's value hash
-    mechanically proves append-then-probe ≡ rebuild-then-probe.  A
-    mis-assigned appended cell would drop copies from the probed cells
-    and break the hash.  Partition pruning over the appended layout is
-    plan-asserted in tests/test_sinks.py."""
+    Build the stored layout from the NATURAL embeddings only; admit
+    the 10 planted copies per query through ``similarity.ivf_append``
+    (frozen centroids, ``mode="append"`` — no retrain, no rewrite of
+    resident cells); ``sinks.compact_partitioned`` the fragmented
+    layout back to one file per cell (contents unchanged); then
+    ``sinks.delete_rows_partitioned`` copies 6–10 — a broadcast
+    semi-join finds the affected cells and ONLY those partitions are
+    rewritten via dynamic partition overwrite.  Probe the surviving
+    layout via ``ivf_topk(encoded=...)`` at k=6.
+
+    The oracle is closed-form: rank 1 is the query itself, ranks 2–6
+    its five SURVIVING copies in vec_id order (all cosine 1.0, same
+    tie rule as _PLANTED_TOPK_ORACLE).  Every maintenance step is
+    load-bearing for the hash — a mis-assigned append drops copies
+    from the probed cells, a corrupting compaction changes survivors,
+    an under-deleting delete leaves copies 6–10 ranked above the cut.
+    Per-step unit coverage (emptied-cell removal, pruning preserved,
+    append ≡ rebuild) lives in tests/test_sinks.py."""
     import os
 
     from exosql_spark import sinks
@@ -496,19 +512,24 @@ def similarity_topk_ivf_appended_planted(spark, sf_dir):
     # construction — natural ids top out ≪ 100000 at every SF)
     increment = full.filter(F.col("vec_id") >= 100000)
     cents = similarity._hyperplanes(64, 16, 7)
-    path = os.path.join(_ephemeral_dir("exosql_ivf_append_"), "layout")
+    path = os.path.join(_ephemeral_dir("exosql_ivf_lifecycle_"), "layout")
     sinks.write_table(
         similarity.ivf_encode(base, cents, assigner="pandas"),
         path,
         partition_by=["cell"],
     )
     similarity.ivf_append(increment, cents, path, assigner="pandas")
+    sinks.compact_partitioned(spark, path, partition_col="cell")
+    doomed = spark.range(5).selectExpr(
+        "explode(sequence(6, 10)) AS j", "id AS q"
+    ).select((F.col("q") + F.col("j") * 100000).alias("vec_id"))
+    sinks.delete_rows_partitioned(spark, path, doomed, key_col="vec_id")
     stored = spark.read.parquet(path)
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
-        full, queries, k=10, centroids=cents, assigner="pandas",
+        full, queries, k=6, centroids=cents, assigner="pandas",
         encoded=stored,
     ).orderBy("query_id", "rank")
 

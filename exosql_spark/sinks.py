@@ -18,6 +18,7 @@ defaults:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_table(
@@ -91,3 +92,123 @@ def write_stream_parquet(
     else:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _hadoop_delete(spark, target: str) -> None:
+    """Remove a path through the Hadoop FileSystem API so the same code
+    works on file://, hdfs:// and s3a:// layouts (os.* would silently
+    only work locally)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(target)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+def compact_partitioned(
+    spark,
+    path: str,
+    partition_col: str = "cell",
+    compression: str = "snappy",
+) -> None:
+    """Compact a partitioned parquet layout in place: one data file per
+    partition value, partition directories and row contents unchanged.
+
+    Append-maintained layouts fragment — every ``ivf_append`` /
+    ``ivfpq_append`` batch adds one file to each cell it touches, and
+    after months of daily ingest a probe of 4 cells opens hundreds of
+    small files whose open/seek overhead dwarfs the bytes read. This
+    rewrite is the classic small-files compaction: stage the layout
+    repartitioned BY the partition column (each value lands in exactly
+    one task → exactly one output file), then dynamic-partition-
+    overwrite the original path from the stage. Only the second write
+    touches ``path``, and Spark's dynamic mode replaces each partition
+    directory atomically-per-partition; the stage is required because
+    Spark refuses to overwrite a path that a running plan is reading.
+
+    At 100 TB you compact cells incrementally (filter the stage to the
+    fragmented cells — dynamic overwrite leaves the rest untouched);
+    the full-layout form here is the testable core of that loop.
+    """
+    stage = path.rstrip("/") + "__compact_stage"
+    stored = spark.read.parquet(path)
+    (
+        stored.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(partition_col)
+        .parquet(stage)
+    )
+    try:
+        (
+            spark.read.parquet(stage)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .option("compression", compression)
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        _hadoop_delete(spark, stage)
+
+
+def delete_rows_partitioned(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_col: str = "vec_id",
+    partition_col: str = "cell",
+    compression: str = "snappy",
+) -> None:
+    """Targeted row deletion from a partitioned parquet layout: rewrite
+    ONLY the partitions that contain a doomed key, leave every other
+    partition's files untouched.
+
+    This is the curation/GDPR shape of stored-index maintenance: a
+    100 TB cell-partitioned ANN layout cannot be rewritten end-to-end
+    to forget a few thousand vectors. The affected partition set is
+    discovered with a broadcast semi-join (the delete set is small by
+    contract — broadcast it, never shuffle the corpus), the surviving
+    rows of ONLY those partitions are staged, and a dynamic-partition
+    overwrite swaps just those directories. A partition whose rows are
+    all deleted is removed explicitly afterwards — dynamic overwrite
+    can only replace partitions it writes, so an emptied cell would
+    otherwise keep its old files (tested in test_sinks.py).
+
+    The broadcast + ``.collect()`` of the affected partition VALUES is
+    bounded by the layout's partition cardinality (n_cells for ANN
+    layouts — hundreds, not rows), same contract as the other bounded
+    collects in this repo.
+    """
+    stored = spark.read.parquet(path)
+    key_set = F.broadcast(keys.select(key_col).distinct())
+    affected = [
+        r[0]
+        for r in stored.join(key_set, key_col, "left_semi")
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return
+    remaining = stored.filter(F.col(partition_col).isin(affected)).join(
+        key_set, key_col, "left_anti"
+    )
+    stage = path.rstrip("/") + "__delete_stage"
+    remaining.write.mode("overwrite").option("compression", compression).partitionBy(
+        partition_col
+    ).parquet(stage)
+    try:
+        staged = spark.read.parquet(stage)
+        kept = {r[0] for r in staged.select(partition_col).distinct().collect()}
+        if kept:
+            (
+                staged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .option("compression", compression)
+                .partitionBy(partition_col)
+                .parquet(path)
+            )
+        for value in set(affected) - kept:
+            _hadoop_delete(spark, f"{path.rstrip('/')}/{partition_col}={value}")
+    finally:
+        _hadoop_delete(spark, stage)

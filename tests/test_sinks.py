@@ -106,6 +106,109 @@ class TestParquetSink:
         ).collect()
         assert sorted(map(tuple, from_append)) == sorted(map(tuple, from_rebuild))
 
+    def test_compact_partitioned_one_file_per_cell(self, spark, sf_dir, tmp_path):
+        """Append-fragmented layout → compact_partitioned → exactly one
+        data file per cell, identical rows, pruning still intact."""
+        import glob
+
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            ivf_append,
+            ivf_encode,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 8, 7)
+        p = str(tmp_path / "ivf_frag")
+        sinks.write_table(
+            ivf_encode(emb.filter(F.col("vec_id") % 3 == 0), cents),
+            p, partition_by=["cell"],
+        )
+        ivf_append(emb.filter(F.col("vec_id") % 3 == 1), cents, p)
+        ivf_append(emb.filter(F.col("vec_id") % 3 == 2), cents, p)
+        before = spark.read.parquet(p).collect()
+        assert any(
+            len(glob.glob(f"{d}/*.parquet")) > 1
+            for d in glob.glob(f"{p}/cell=*")
+        ), "fixture should be fragmented before compaction"
+
+        sinks.compact_partitioned(spark, p, partition_col="cell")
+        for d in glob.glob(f"{p}/cell=*"):
+            assert len(glob.glob(f"{d}/*.parquet")) == 1, d
+        after = spark.read.parquet(p)
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after.collect()))
+        plan = (
+            after.filter(F.col("cell").isin(3, 4))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [cell" in plan
+
+    def test_delete_rows_partitioned_rewrites_only_affected_cells(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Targeted delete: doomed keys vanish, survivors are intact,
+        and UNAFFECTED partitions keep their files byte-identical
+        (mtime+size unchanged) — the whole point at 100 TB."""
+        import glob
+        import os
+
+        from exosql_spark.operators.similarity import _hyperplanes, ivf_encode
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 8, 7)
+        p = str(tmp_path / "ivf_del")
+        sinks.write_table(ivf_encode(emb, cents), p, partition_by=["cell"])
+        stored = spark.read.parquet(p)
+        # doom every key in cell 2, plus a few keys from cell 5
+        doomed = stored.filter(
+            (F.col("cell") == 2)
+            | ((F.col("cell") == 5) & (F.col("vec_id") % 2 == 0))
+        ).select("vec_id")
+        doomed_ids = {r[0] for r in doomed.collect()}
+        untouched_files = {
+            f: (os.path.getsize(f), os.path.getmtime(f))
+            for f in glob.glob(f"{p}/cell=*/*.parquet")
+            if "/cell=2/" not in f and "/cell=5/" not in f
+        }
+
+        sinks.delete_rows_partitioned(spark, p, doomed, key_col="vec_id")
+
+        back = spark.read.parquet(p)
+        left = {r[0] for r in back.select("vec_id").collect()}
+        assert not (left & doomed_ids)
+        assert left == {r[0] for r in emb.select("vec_id").collect()} - doomed_ids
+        # emptied partition directory is gone entirely
+        assert not glob.glob(f"{p}/cell=2"), "emptied cell dir must be removed"
+        # unaffected partitions were not rewritten
+        for f, sig in untouched_files.items():
+            assert os.path.exists(f) and (
+                os.path.getsize(f), os.path.getmtime(f)
+            ) == sig, f
+        # no stage dirs left behind
+        assert not glob.glob(f"{p}__*_stage") and not glob.glob(f"{p}__stage*")
+
+    def test_delete_rows_partitioned_no_match_is_noop(
+        self, spark, sf_dir, tmp_path
+    ):
+        import glob
+        import os
+
+        from exosql_spark.operators.similarity import _hyperplanes, ivf_encode
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        p = str(tmp_path / "ivf_del_noop")
+        sinks.write_table(
+            ivf_encode(emb, _hyperplanes(64, 8, 7)), p, partition_by=["cell"]
+        )
+        files = {
+            f: os.path.getmtime(f) for f in glob.glob(f"{p}/cell=*/*.parquet")
+        }
+        ghosts = spark.range(5).select((F.col("id") + 10_000_000).alias("vec_id"))
+        sinks.delete_rows_partitioned(spark, p, ghosts, key_col="vec_id")
+        assert {
+            f: os.path.getmtime(f) for f in glob.glob(f"{p}/cell=*/*.parquet")
+        } == files
+
     def test_csv_export(self, spark, sf_dir, tmp_path):
         p = str(tmp_path / "region_csv")
         region = load_table(spark, sf_dir, "region")
