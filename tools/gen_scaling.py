@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Regenerate BENCH_SCALING.json mechanically: run the full bench-tagged
+query set at 1×/10×/100× data back-to-back in one session each
+(subprocess-per-scale so every point gets a fresh JVM), and assemble the
+per-query rows, ratios, top-decade exponents, and column-sum totals.
+
+    python tools/gen_scaling.py [--skip-generate]
+
+Replaces the hand-assembled artifact that let round 8 ship a stale
+pre-fix row for dedup_jaccard_exact_pairs (tests/test_tools.py now pins
+table/note agreement and totals-as-column-sums). The scaled inputs come
+from tools/gen_scaled.py (derived from sf0.1 — NOT driver testdata);
+they are regenerated if absent. Run counts mirror the round-8 protocol:
+min-of-5 at sf0.1, min-of-3 at 10×, min-of-2 at 100× (each point also
+records bench.py's data-free calibration_sec for drift normalization).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+POINTS = (
+    # (label, data dir, bench runs, gen factor or None for driver data)
+    ("sf0.1", "/root/testdata/sf0.1", 5, None),
+    ("sf1", os.path.join(REPO, ".scaled", "sf1"), 3, 10),
+    ("sf10", os.path.join(REPO, ".scaled", "sf10"), 2, 100),
+)
+
+
+def _ensure_data(path: str, factor: int) -> None:
+    if os.path.isdir(path) and os.path.exists(
+        os.path.join(path, "embeddings.parquet")
+    ):
+        return
+    print(f"generating {path} (factor {factor})...", flush=True)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "gen_scaled.py"),
+         "--factor", str(factor), "--out", path],
+        check=True, cwd=REPO,
+    )
+
+
+def _run_point(label: str, sf_dir: str, runs: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+    # keep the repo's BENCH_DETAIL.json reserved for the driver's sf0.1
+    # record — scale points write their detail to a scratch path
+    env["SPARK_GRAFT_DETAIL_PATH"] = os.path.join(
+        "/tmp", f"bench_detail_scaling_{label.replace('.', '_')}.json"
+    )
+    print(f"running {label} ({sf_dir}, min-of-{runs})...", flush=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, check=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-generate", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_generate:
+        for _, path, _, factor in POINTS:
+            if factor:
+                _ensure_data(path, factor)
+
+    results = {label: _run_point(label, d, r) for label, d, r, _ in POINTS}
+
+    names = sorted(results["sf0.1"]["queries"])
+    queries: dict[str, dict] = {}
+    for name in names:
+        row: dict = {}
+        for label, _, _, _ in POINTS:
+            sec = results[label]["queries"].get(name)
+            if sec is not None:
+                row[f"{label}_sec"] = sec
+        if "sf1_sec" in row and row.get("sf0.1_sec"):
+            row["ratio_10x"] = round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+        if "sf10_sec" in row and row.get("sf0.1_sec"):
+            row["ratio_100x"] = round(row["sf10_sec"] / row["sf0.1_sec"], 2)
+        if "sf10_sec" in row and row.get("sf1_sec"):
+            row["exponent_top_decade"] = round(
+                math.log10(row["sf10_sec"] / row["sf1_sec"]), 2
+            )
+        queries[name] = row
+
+    totals = {
+        label: round(
+            sum(r[f"{label}_sec"] for r in queries.values() if f"{label}_sec" in r),
+            2,
+        )
+        for label, _, _, _ in POINTS
+    }
+    out = {
+        "basis": (
+            "tools/gen_scaling.py: full bench-tagged set at sf0.1 (driver "
+            "testdata, min_of_5), sf1-equivalent (10x, min_of_3) and "
+            "sf10-equivalent (100x, min_of_2), one fresh JVM per point, "
+            "back-to-back on one box. Scaled inputs derived from sf0.1 by "
+            "tools/gen_scaled.py key-offset replication (NOT driver "
+            "testdata). No entry excluded at any point. totals = column "
+            "sums over all rows; calibration_sec per point for drift "
+            "normalization."
+        ),
+        "excluded_at_sf10": [],
+        "calibration_sec": {
+            label: results[label].get("calibration_sec")
+            for label, _, _, _ in POINTS
+        },
+        "estimators": {label: f"min_of_{r}" for label, _, r, _ in POINTS},
+        "queries": queries,
+        "totals": totals,
+    }
+
+    # carry forward the historical pre/post-fix notes, refreshed to the
+    # new run so tests/test_tools.py's table↔note agreement holds
+    prev_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prev = json.load(f)
+        jrow = queries.get("dedup_jaccard_exact_pairs", {})
+        note = prev.get("jaccard_ppjoin_note")
+        if note and jrow:
+            note["post_filter_sec"] = {
+                "sf0.1": jrow.get("sf0.1_sec"),
+                "sf1": jrow.get("sf1_sec"),
+                "sf10": jrow.get("sf10_sec"),
+            }
+            out["jaccard_ppjoin_note"] = note
+        if "semdedup_autok_note" in prev:
+            out["semdedup_autok_note"] = prev["semdedup_autok_note"]
+
+    with open(prev_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({"totals": totals, "calibration": out["calibration_sec"]}))
+
+
+if __name__ == "__main__":
+    main()
