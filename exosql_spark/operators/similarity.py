@@ -551,7 +551,7 @@ def ivf_append(
     rows land in exactly the cell a from-scratch build would give them,
     so a probe over the appended layout is IDENTICAL to a probe over a
     full rebuild (driver-hash-proven by
-    ``similarity_topk_ivf_appended_planted``).  Spark's dynamic
+    ``similarity_topk_ivf_lifecycle_planted``).  Spark's dynamic
     partitionBy append only touches the cells the new batch hits —
     existing cell directories gain one file each, untouched cells keep
     their files byte-identical, and probe-time PartitionFilters pruning

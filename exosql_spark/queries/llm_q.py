@@ -2003,7 +2003,7 @@ def similarity_topk_ivfpq_stored_planted(spark, sf_dir):
 )
 def similarity_topk_ivfpq_appended_planted(spark, sf_dir):
     """The IVFADC APPEND path — compressed-domain sibling of
-    similarity_topk_ivf_appended_planted: encode the NATURAL
+    similarity_topk_ivf_lifecycle_planted's append step: encode the NATURAL
     embeddings into the stored (vec_id, cell, pq_code) layout, then
     admit the planted copies via ``pq.ivfpq_append`` with the FROZEN
     codebooks + coarse grid (no retrain), and probe the appended

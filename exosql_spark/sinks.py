@@ -193,6 +193,14 @@ def delete_rows_partitioned(
     remaining = stored.filter(F.col(partition_col).isin(affected)).join(
         key_set, key_col, "left_anti"
     )
+    if remaining.isEmpty():
+        # every affected partition is emptied — there is nothing to
+        # stage, and parquet cannot round-trip a zero-row partitioned
+        # write (the staged read would fail UNABLE_TO_INFER_SCHEMA
+        # before any directory was removed); just drop the dirs
+        for value in affected:
+            _hadoop_delete(spark, f"{path.rstrip('/')}/{partition_col}={value}")
+        return
     stage = path.rstrip("/") + "__delete_stage"
     remaining.write.mode("overwrite").option("compression", compression).partitionBy(
         partition_col

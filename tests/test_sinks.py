@@ -187,6 +187,31 @@ class TestParquetSink:
         # no stage dirs left behind
         assert not glob.glob(f"{p}__*_stage") and not glob.glob(f"{p}__stage*")
 
+    def test_delete_rows_partitioned_all_affected_cells_emptied(
+        self, spark, sf_dir, tmp_path
+    ):
+        """When the doomed keys empty EVERY affected partition there is
+        no survivor row to stage — the op must still remove the emptied
+        partition dirs (and not crash on a zero-row staged read)."""
+        import glob
+
+        from exosql_spark.operators.similarity import _hyperplanes, ivf_encode
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        p = str(tmp_path / "ivf_del_empty")
+        sinks.write_table(
+            ivf_encode(emb, _hyperplanes(64, 8, 7)), p, partition_by=["cell"]
+        )
+        stored = spark.read.parquet(p)
+        doomed = stored.filter(F.col("cell").isin(1, 4)).select("vec_id")
+        n_doomed = doomed.count()
+        assert n_doomed > 0
+        sinks.delete_rows_partitioned(spark, p, doomed, key_col="vec_id")
+        assert not glob.glob(f"{p}/cell=1") and not glob.glob(f"{p}/cell=4")
+        back = spark.read.parquet(p)
+        assert back.count() == emb.count() - n_doomed
+        assert not glob.glob(f"{p}__delete_stage")
+
     def test_delete_rows_partitioned_no_match_is_noop(
         self, spark, sf_dir, tmp_path
     ):

@@ -34,8 +34,13 @@ import sys
 def _load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    # driver artifacts wrap the bench line under "parsed"
-    return d.get("parsed", d) if isinstance(d, dict) else d
+    # driver artifacts wrap the bench line under "parsed" — which can
+    # be null (tail-capture overflow, e.g. BENCH_r05.json)
+    if isinstance(d, dict) and d.get("parsed") is not None:
+        return d["parsed"]
+    if isinstance(d, dict) and "parsed" in d:
+        sys.exit(f"{path}: 'parsed' is null (tail overflow) - no bench data")
+    return d
 
 
 def main() -> None:

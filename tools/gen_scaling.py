@@ -51,6 +51,10 @@ def _run_point(label: str, sf_dir: str, runs: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+    # a lingering exclude (e.g. the documented round-8 100x protocol)
+    # would silently shrink every point while the artifact claims full
+    # coverage — this sweep always runs the whole bench set
+    env.pop("SPARK_GRAFT_BENCH_EXCLUDE", None)
     # keep the repo's BENCH_DETAIL.json reserved for the driver's sf0.1
     # record — scale points write their detail to a scratch path
     env["SPARK_GRAFT_DETAIL_PATH"] = os.path.join(
@@ -113,7 +117,12 @@ def main() -> None:
             "sums over all rows; calibration_sec per point for drift "
             "normalization."
         ),
-        "excluded_at_sf10": [],
+        # recorded from each point's actual bench output, not assumed
+        "excluded_at_sf10": sorted(results["sf10"].get("excluded", [])),
+        "excluded_by_point": {
+            label: sorted(results[label].get("excluded", []))
+            for label, _, _, _ in POINTS
+        },
         "calibration_sec": {
             label: results[label].get("calibration_sec")
             for label, _, _, _ in POINTS
