@@ -53,18 +53,20 @@ _QUERY_MODULES = (
 # The round-9 window counts to exactly 50, in priority order:
 #   1. join_fuzzy_qgram_k3 FIRST — the only exact-oracle entry without
 #      a driver row (registered after the r8 verify cutoff; r8 verdict
-#      Next #1). Green here = 164/164 exact-oracle entries driver-green
-#      cumulatively;
+#      Next #1). Green here — with the three new r9 entries below —
+#      = 165/165 exact-oracle entries driver-green cumulatively;
 #   2. the two new r9 entries: stored-index MAINTENANCE (r8 verdict
 #      Next #7) — the IVF append→compact→delete lifecycle on a
 #      closed-form survivor oracle, and ivfpq_append on the planted
 #      membership oracle; frozen-quantizer maintenance is proven
 #      probe-equivalent to a from-scratch rebuild by the hashes;
 #   3. the streaming-parity block (guards the round-4 timestamp-unit
-#      bug class), 9 of its 10 members this round:
-#      streaming_enrich_parity — green r8, the block's FRESHEST row —
-#      sits out one round so the window can cover the whole r5 exact
-#      cohort below; it returns in r10;
+#      bug class), 9 members this round: 8 of the 10 r8 members plus
+#      the NEW streaming_ivf_ingest_parity (foreachBatch continuous
+#      index ingest on the closed-form planted oracle).
+#      streaming_topk_parity and streaming_enrich_parity — both green
+#      r8, the block's FRESHEST rows — sit out one round so the window
+#      can cover the whole r5 exact cohort below; they return in r10;
 #   4. the 9-entry r4 cohort (oldest driver rows anywhere);
 #   5. ALL 29 exact-oracle entries whose last green is r5. After r9
 #      every exact-oracle entry's driver row dates from r6 or later
@@ -91,7 +93,7 @@ _VERIFY_FIRST = (
     "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
     "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
     "streaming_curation_parity",       # curation map under streaming
-    "streaming_topk_parity",           # complete-mode heavy hitters
+    "streaming_ivf_ingest_parity",     # NEW r9: foreachBatch index ingest
     # -- 4. the r4 cohort (oldest rows anywhere) --
     "embedding_centroids",
     "events_funnel",

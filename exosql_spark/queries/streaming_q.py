@@ -483,3 +483,73 @@ def streaming_enrich_parity(spark, sf_dir):
     q = streaming.run_to_memory(agg, "cat_enrich", mode="complete")
     q.stop()
     return spark.table("cat_enrich").orderBy("segment")
+
+
+@register(
+    "streaming_ivf_ingest_parity",
+    oracle="""
+SELECT q AS query_id,
+       CASE WHEN r = 1 THEN q ELSE q + (r - 1) * 100000 END AS vec_id,
+       CAST(1.0 AS DOUBLE) AS cosine_sim,
+       CAST(r AS INT) AS rank
+FROM range(5) t(q), range(1, 11) s(r)
+ORDER BY query_id, rank
+""",
+    tags=("streaming", "llm", "similarity", "scale"),
+)
+def streaming_ivf_ingest_parity(spark, sf_dir):
+    """Continuous stored-index ingest under Structured Streaming,
+    exact-oracled: the planted copies arrive as a FILE STREAM (four
+    files, maxFilesPerTrigger=1 → four real micro-batches), each
+    micro-batch is appended into the cell-partitioned IVF layout by
+    ``ivf_ingest_stream`` (foreachBatch → ``ivf_append`` with the
+    frozen centroids), and the drained layout is probed with
+    ``ivf_topk(encoded=...)``.
+
+    The oracle is the same closed-form planted top-10 as the batch
+    stored/lifecycle entries: ranks 2–10 of every query exist ONLY in
+    the streamed increment, so the driver's value hash proves
+    stream-ingested index ≡ batch-built index — vectors become
+    searchable exactly as appended, across micro-batch boundaries.
+    Fragmentation repair for this ingest (one file per cell per batch)
+    is ``sinks.compact_partitioned``, driver-gated in
+    similarity_topk_ivf_lifecycle_planted."""
+    import os
+
+    from exosql_spark import sinks, streaming
+    from exosql_spark.operators import similarity
+    from exosql_spark.queries.llm_q import (
+        _embeddings_with_query_copies,
+        _ephemeral_dir,
+    )
+    from exosql_spark.io import Tables
+
+    t = Tables(spark, sf_dir)
+    full = _embeddings_with_query_copies(t)
+    base = t.embeddings.select("vec_id", "embedding")
+    increment = full.filter(F.col("vec_id") >= 100000)
+    cents = similarity._hyperplanes(64, 16, 7)
+    work = _ephemeral_dir("exosql_ivf_ingest_")
+    path = os.path.join(work, "layout")
+    sinks.write_table(
+        similarity.ivf_encode(base, cents, assigner="pandas"),
+        path,
+        partition_by=["cell"],
+    )
+    # stage the increment as FOUR parquet files → four micro-batches
+    inc_dir = os.path.join(work, "incoming")
+    increment.repartition(4).write.parquet(inc_dir)
+    stream = streaming.read_embeddings_stream(spark, inc_dir)
+    q = streaming.ivf_ingest_stream(
+        stream, cents, path, os.path.join(work, "ckpt"), assigner="pandas"
+    )
+    q.awaitTermination(120)
+    q.stop()
+    stored = spark.read.parquet(path)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        full, queries, k=10, centroids=cents, assigner="pandas",
+        encoded=stored,
+    ).orderBy("query_id", "rank")

@@ -15,8 +15,16 @@ from exosql_spark.streaming.events import (
     attribution_join,
     enrich_with_dimension,
 )
+from exosql_spark.streaming.index_ingest import (
+    EMBEDDINGS_SCHEMA,
+    ivf_ingest_stream,
+    read_embeddings_stream,
+)
 
 __all__ = [
+    "EMBEDDINGS_SCHEMA",
+    "ivf_ingest_stream",
+    "read_embeddings_stream",
     "EVENTS_SCHEMA",
     "read_events_stream",
     "tumbling_counts",

@@ -1,0 +1,78 @@
+"""Streaming stored-index ingest — continuous ``ivf_append``.
+
+The batch maintenance path (`similarity.ivf_append`: frozen-quantizer
+assignment appended into the cell-partitioned layout) composed with
+Structured Streaming's ``foreachBatch``: every micro-batch of new
+vectors is assigned with the SAME frozen centroids and appended into
+the SAME stored layout, so a probe sees vectors become searchable
+batches after they arrive — the continuous-ingest shape of the 100 TB
+index lifecycle (encode once → stream appends → compact periodically →
+probe always).
+
+Delivery semantics, stated honestly: the checkpoint's offset log makes
+each source batch processed AT LEAST once, but a crash between the
+parquet append and the offset commit would re-append that batch on
+restart — plain-parquet appends are not idempotent. Production closes
+this with an idempotent sink (table format with batch-id dedup, or
+batch-id-keyed file names); the availableNow parity entry
+(`streaming_ivf_ingest_parity`) runs the clean-drain case, which is
+exact. The fragmentation this ingest creates (one file per cell per
+micro-batch) is what `sinks.compact_partitioned` exists to repair.
+
+Reference parity note: the reference engine (SURVEY.md §2.9) has no
+streaming surface at all — this extension exists for the
+training-data-pipeline story, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EMBEDDINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, parquet_path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an embeddings parquet dir (or staged
+    single file); ``maxFilesPerTrigger=1`` makes each file its own
+    micro-batch, so multi-file inputs exercise true multi-batch
+    ingest."""
+    from exosql_spark.streaming.events import _as_stream_dir
+
+    return (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(parquet_path))
+    )
+
+
+def ivf_ingest_stream(
+    stream_df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    checkpoint: str,
+    assigner: str = "expr",
+):
+    """Start an availableNow foreachBatch query appending each
+    micro-batch into the cell-partitioned IVF layout at ``path`` with
+    the frozen ``centroids``. Returns the running StreamingQuery;
+    callers await/stop it. See the module docstring for the
+    delivery-semantics contract."""
+    from exosql_spark.operators.similarity import ivf_append
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        ivf_append(batch_df, centroids, path, assigner=assigner)
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -363,3 +363,45 @@ class TestCheckpointRestart:
         assert (
             out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
         )
+
+
+class TestIndexIngestStream:
+    def test_stream_ingest_equals_batch_encode(self, spark, sf_dir, tmp_path):
+        """foreachBatch ivf_append over a 3-file stream produces the
+        SAME (vec_id, cell) layout as a one-shot batch encode — frozen
+        centroids make continuous ingest rebuild-equivalent — and the
+        per-batch appends fragment cells (the compaction rationale)."""
+        import glob
+
+        from exosql_spark import sinks, streaming
+        from exosql_spark.io import load_table
+        from exosql_spark.operators.similarity import _hyperplanes, ivf_encode
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 8, 7)
+        base = emb.filter(F.col("vec_id") % 4 == 0)
+        increment = emb.filter(F.col("vec_id") % 4 != 0)
+
+        path = str(tmp_path / "layout")
+        sinks.write_table(ivf_encode(base, cents), path, partition_by=["cell"])
+        inc_dir = str(tmp_path / "incoming")
+        increment.repartition(3).write.parquet(inc_dir)
+
+        stream = streaming.read_embeddings_stream(spark, inc_dir)
+        q = streaming.ivf_ingest_stream(
+            stream, cents, path, str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        q.stop()
+        assert len(q.recentProgress) >= 3, "expected one micro-batch per file"
+
+        ingested = spark.read.parquet(path).select("vec_id", "cell")
+        rebuilt = ivf_encode(emb, cents).select("vec_id", "cell")
+        assert sorted(map(tuple, ingested.collect())) == sorted(
+            map(tuple, rebuilt.collect())
+        )
+        # per-batch appends fragment at least one cell
+        assert any(
+            len(glob.glob(f"{d}/*.parquet")) > 1
+            for d in glob.glob(f"{path}/cell=*")
+        )
