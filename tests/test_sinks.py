@@ -234,6 +234,46 @@ class TestParquetSink:
             f: os.path.getmtime(f) for f in glob.glob(f"{p}/cell=*/*.parquet")
         } == files
 
+    def test_ivfpq_layout_maintenance_matches_rebuild(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The maintenance ops are layout-generic: append + compact +
+        delete over the IVFADC (vec_id, cell, pq_code) layout probe
+        exactly like a from-scratch rebuild of the surviving corpus —
+        the compressed-domain symmetry of the IVF lifecycle tests."""
+        from exosql_spark.operators import pq
+        from exosql_spark.operators.similarity import _hyperplanes
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        sample = emb.filter(F.col("vec_id") < 300)
+        books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+        cents = _hyperplanes(64, 8, 7)
+        base = emb.filter(F.col("vec_id") % 2 == 0)
+        increment = emb.filter(F.col("vec_id") % 2 == 1)
+        doomed = emb.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+
+        p = str(tmp_path / "ivfpq_maint")
+        sinks.write_table(
+            pq.ivfpq_encode(base, books, cents), p, partition_by=["cell"]
+        )
+        pq.ivfpq_append(increment, books, cents, p)
+        sinks.compact_partitioned(spark, p)
+        sinks.delete_rows_partitioned(spark, p, doomed, key_col="vec_id")
+
+        survivors = emb.join(doomed, "vec_id", "left_anti")
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        maintained = pq.ivfpq_topk(
+            survivors, queries, books, k=5, n_cells=8, centroids=cents,
+            encoded=spark.read.parquet(p),
+        ).collect()
+        rebuilt = pq.ivfpq_topk(
+            survivors, queries, books, k=5, n_cells=8, centroids=cents,
+            encoded=pq.ivfpq_encode(survivors, books, cents),
+        ).collect()
+        assert sorted(map(tuple, maintained)) == sorted(map(tuple, rebuilt))
+
     def test_csv_export(self, spark, sf_dir, tmp_path):
         p = str(tmp_path / "region_csv")
         region = load_table(spark, sf_dir, "region")
