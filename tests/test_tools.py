@@ -24,7 +24,11 @@ def _load_gen_scaled():
 
 
 class TestScaledGenerator:
-    def test_tags_pairwise_levenshtein_at_least_3(self):
+    def test_tags_pairwise_levenshtein_at_least_4(self):
+        """≥ 4 (raised from ≥ 3 in round 9): distance EXACTLY 3 made
+        every same-name cross-replica pair a true match for the q-gram
+        k=3 fuzzy join, polluting its scaled-point measurement — the
+        code must clear every catalog fuzzy threshold (k ≤ 3)."""
         gs = _load_gen_scaled()
         tags = gs._TAGS
         assert len(tags) >= 110 and len(set(tags)) == len(tags)
@@ -32,7 +36,7 @@ class TestScaledGenerator:
             (a, b)
             for i, a in enumerate(tags)
             for b in tags[i + 1 :]
-            if gs._lev(a, b) < 3
+            if gs._lev(a, b) < 4
         ]
         assert not bad, bad[:5]
 

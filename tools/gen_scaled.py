@@ -19,9 +19,11 @@ engine, not a changed data distribution:
   integrity holds within each replica and join fan-outs are exactly
   those of sf0.1, ten times over. ``region``/``nation`` stay single
   copies (fixed-key dimensions, still broadcast-sized at any SF).
-- **Names get a per-replica tag** from a precomputed code of 110
-  length-5 strings with pairwise LEVENSHTEIN ≥ 3 (self-checked at
-  startup): without it every replica repeats the same 1 000 supplier
+- **Names get a per-replica tag** from a precomputed code of 130
+  length-5 strings with pairwise LEVENSHTEIN ≥ 4 (self-checked at
+  startup; raised from ≥ 3 in round 9 — distance exactly 3 made every
+  same-name cross-replica pair a TRUE match for the k=3 fuzzy join,
+  polluting its scaled-point measurement): without it every replica repeats the same 1 000 supplier
   names and the k≤2 fuzzy joins degenerate into mass-duplicate cross
   products — the tag keeps within-replica edit structure identical
   and cross-replica distances above every catalog threshold.
@@ -63,29 +65,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
 
-#: Per-replica name tags: 110 length-5 strings with pairwise
-#: LEVENSHTEIN distance ≥ 3 (greedy lexicographic code over an
-#: 11-letter alphabet, deterministic construction, verified in
-#: tests/test_tools.py and re-checked at startup — an MDS/Hamming
-#: argument is NOT enough here: a [4,2,3] RS code has Hamming
-#: distance 3 but measured Levenshtein-2 pairs via shifts).
-#: Distance ≥ 3 keeps tagged name duplicates outside every catalog
-#: fuzzy threshold (k ≤ 2) across replicas, for factors up to 110.
+#: Per-replica name tags: 130 length-5 strings with pairwise
+#: LEVENSHTEIN distance ≥ 4 (deterministic greedy filter over a
+#: structured enumeration, verified in tests/test_tools.py and
+#: re-checked at startup — an MDS/Hamming argument is NOT enough
+#: here: a [4,2,3] RS code has Hamming distance 3 but measured
+#: Levenshtein-2 pairs via shifts; round 8 shipped exactly that bug).
+#: Distance ≥ 4 keeps tagged name duplicates outside EVERY catalog
+#: fuzzy threshold (k ≤ 3, including the q-gram k=3 join whose
+#: scaled-point measurement the old ≥ 3 code polluted with
+#: tag-distance-exactly-3 true matches), for factors up to 130.
 _TAGS = [
-    "aaaaa", "aabbb", "aaccc", "aaddd", "aaeee", "aafff", "aaggg", "aahhh",
-    "aaiii", "aajjj", "aakkk", "ababc", "abbad", "abcda", "abdcb", "abefg",
-    "abfeh", "abghe", "abhgf", "abijk", "acacd", "acbde", "accab", "acdbf",
-    "acega", "acfhc", "acgei", "achfj", "acikg", "acjih", "adadb", "adbcg",
-    "adced", "addac", "adebh", "adfge", "adgfa", "adhik", "adihf", "adjki",
-    "aeaef", "aebfc", "aecbg", "aedgh", "aeeai", "aefdj", "aegck", "aehja",
-    "aejhb", "aekid", "afafe", "afbea", "afcgj", "afdhg", "afecf", "affak",
-    "afgbd", "afhdi", "afkjb", "agagi", "agbhj", "agcie", "agdek", "agedc",
-    "agfjd", "aggaf", "aghkb", "agiba", "agkch", "ahahk", "ahbif", "ahcfi",
-    "ahdje", "ahekj", "ahfca", "ahgdh", "ahhag", "ahieb", "ahjgc", "aiaig",
-    "aibgk", "aicjf", "aidka", "aiehd", "aifbi", "aihce", "aiiah", "aikec",
-    "ajajh", "ajdij", "ajifd", "ajjae", "ajkdf", "akbji", "akeib", "akjdg",
-    "akkaj", "baabd", "babae", "bacdg", "badca", "baefb", "bafei", "baghc",
-    "bahgj", "baijh", "bajik", "bbaaf", "bbbba", "bbccd",
+    "aaaaa", "abbcd", "acceg", "addgj", "aeeim", "affkp", "aggms", "ahhov",
+    "aiiqy", "ajjsb", "akkue", "allwh", "ammyk", "bcdfh", "befjn", "bfglq",
+    "bghnt", "bhipw", "bijrz", "bjktc", "bklvf", "blmxi", "bmnzl", "bnobo",
+    "bopdr", "bqrhx", "cbdef", "cegko", "cfhmr", "chjqx", "ciksa", "cjlud",
+    "ckmwg", "clnyj", "cmoam", "cnpcp", "cprgv", "cqsiy", "ctvoh", "dehlp",
+    "dfins", "dgjpv", "dhkry", "diltb", "dknxh", "dlozk", "dmpbn", "dnqdq",
+    "dorft", "dpshw", "dqtjz", "dwzvr", "ecgik", "eimuc", "ejnwf", "ekoyi",
+    "elpal", "enrer", "eosgu", "equka", "ervmd", "eswog", "etxqj", "euysm",
+    "ezdcb", "fjoxg", "fkpzj", "flqbm", "fmrdp", "fnsfs", "fothv", "fqvlb",
+    "frwne", "fsxph", "ftyrk", "fuztn", "fvavq", "gdjmp", "giowe", "gkqak",
+    "glrcn", "gmseq", "gntgt", "gouiw", "gpvkz", "grxof", "gtzsl", "guauo",
+    "gwcyu", "hlsdo", "hmtfr", "hnuhu", "hovjx", "hpwla", "hqxnd", "hrypg",
+    "hszrj", "htatm", "hubvp", "hxeby", "iemqu", "inviv", "ipxmb", "iqyoe",
+    "isask", "itbun", "iucwq", "ivdyt", "iweaw", "ixfcz", "izhgf", "jmvht",
+    "jpync", "jqzpf", "jrari", "jsbtl", "judxr", "jvezu", "jwfbx", "jxgda",
+    "jyhfd", "kfpuz", "kgqwc", "krbsj", "kyige", "kzjih", "leptx", "lvgbw",
+    "lwhdz", "mcoqs",
 ]
 
 
@@ -93,7 +100,7 @@ _TAGS = [
 def _lev(a: str, b: str) -> int:
     """Levenshtein distance — module-level so tests reuse THIS
     implementation instead of keeping a duplicate in sync (the tag
-    code's ≥ 3 guarantee is load-bearing; see _TAGS)."""
+    code's ≥ 4 guarantee is load-bearing; see _TAGS)."""
     dp = list(range(len(b) + 1))
     for x, ca in enumerate(a, 1):
         prev, dp[0] = dp[0], x
@@ -340,16 +347,16 @@ def main() -> None:
         raise SystemExit(f"--factor must be ≤ {len(_TAGS)} (tag code size)")
 
     # defensive: the fuzzy-threshold guarantee is load-bearing — verify
-    # the tags actually used are pairwise levenshtein ≥ 3 (cheap:
+    # the tags actually used are pairwise levenshtein ≥ 4 (cheap:
     # factor² short-string DPs).
     used = _TAGS[: args.factor]
     bad = [
         (a, b)
         for idx, a in enumerate(used)
         for b in used[idx + 1 :]
-        if _lev(a, b) < 3
+        if _lev(a, b) < 4
     ]
-    assert not bad, f"tag code violates levenshtein ≥ 3: {bad[:3]}"
+    assert not bad, f"tag code violates levenshtein ≥ 4: {bad[:3]}"
 
     from exosql_spark.session import get_spark
 
