@@ -660,6 +660,88 @@ def ivf_topk(
     )
 
 
+def exact_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    metric: str = "sq_l2",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact-distance refinement of an ANN shortlist — the second
+    stage of the standard two-stage retrieval pipeline (FAISS's
+    ``IndexRefineFlat`` / DiskANN's re-rank step): a compressed-domain
+    stage (PQ/ADC, sign-LSH, IVF pruning) produces a generous
+    candidate shortlist, then only those |Q|·shortlist_k candidates
+    are scored against the FULL-precision vectors and re-ordered by
+    exact distance.  Quantization error never reaches the final
+    ranking — it only costs recall at the shortlist boundary.
+
+    ``shortlist``: (query_id, vec_id) pairs from any ANN stage
+    (:func:`~exosql_spark.operators.pq.ivfpq_topk`, :func:`lsh_topk`,
+    …; extra columns such as the approximate distance are ignored).
+    ``corpus``: (vec_id, embedding) full-precision vectors.
+    ``queries``: (query_id, embedding).
+
+    Plan shape — the scale story is that the EXPENSIVE side never
+    moves: the shortlist (k-bounded per query) and the query vectors
+    are both broadcast, so the corpus side resolves candidates inside
+    its scan via a broadcast hash join — no corpus shuffle, no raw
+    vectors on the wire beyond the |Q|·shortlist_k matched rows.  The
+    final rank window sees only the matched candidates (k-bounded),
+    never the corpus.
+
+    ``metric``: ``"sq_l2"`` (squared Euclidean, matching
+    ``approx_sq_dist`` of the PQ/ADC stages; ascending) or
+    ``"cosine"`` (descending, matching :func:`cosine_topk`).
+    Columns: query_id, vec_id, ``exact_sq_dist``|``cosine_sim``, rank.
+    """
+    if metric not in ("sq_l2", "cosine"):
+        raise ValueError(f"unknown rerank metric {metric!r}")
+    cand = F.broadcast(
+        shortlist.select(
+            F.col(query_id_col).alias("query_id"), F.col(id_col).alias("vec_id")
+        ).distinct()
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    matched = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .join(cand, "vec_id")
+        .join(qv, "query_id")
+    )
+    if metric == "cosine":
+        score = cosine(F.col("c_vec"), F.col("q_vec"))
+        order = [F.col("_s").desc(), F.col("vec_id")]
+        out_name = "cosine_sim"
+    else:
+        # exact squared L2 in double (vectors arrive float32)
+        score = F.aggregate(
+            F.zip_with(
+                F.col("c_vec"),
+                F.col("q_vec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        order = [F.col("_s").asc(), F.col("vec_id")]
+        out_name = "exact_sq_dist"
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        matched.select("query_id", "vec_id", score.alias("_s"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("_s", 4).alias(out_name), "rank")
+    )
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

@@ -331,6 +331,43 @@ def _embeddings_with_query_copies(t, n_queries=5, n_copies=10):
     return base.unionByName(copies)
 
 
+def _embeddings_with_perturbed_copies(t, n_queries=5, n_copies=3, delta=1e-3):
+    """embeddings ∪ PERTURBED copies of the first ``n_queries`` query
+    vectors: copy j (vec_id = q + j·100000, j = 1..n_copies) shifts
+    coordinate 0 by ``(n_copies + 1 - j)·delta`` — so copy 1 is the
+    FARTHEST from the query and copy ``n_copies`` the closest, the
+    REVERSE of vec_id order.  Exact distances to the query are then
+    closed-form separated (squared-L2 gaps ≥ delta² ≫ float32 ulp)
+    while the shifts stay far below the PQ quantization resolution, so
+    every copy still encodes into the query's neighborhood and
+    survives ADC shortlisting.  Any stage that breaks ties or orders
+    by vec_id (or by approximate distance quantized to a shared code)
+    ranks the copies WRONG; only an exact-distance re-rank recovers
+    the true order — which is what the rerank oracle pins."""
+    base = t.embeddings.select("vec_id", "embedding")
+    copies = (
+        base.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.explode(F.array(*[F.lit(j) for j in range(1, n_copies + 1)])).alias("_j"),
+            "vec_id",
+            "embedding",
+        )
+        .select(
+            (F.col("vec_id") + F.col("_j") * 100000).alias("vec_id"),
+            F.concat(
+                F.array(
+                    (
+                        F.element_at("embedding", 1)
+                        + (F.lit(n_copies + 1) - F.col("_j")) * F.lit(delta)
+                    ).cast("float")
+                ),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+    )
+    return base.unionByName(copies)
+
+
 _PLANTED_TOPK_ORACLE = """
 SELECT q AS query_id,
        CASE WHEN r = 1 THEN q ELSE q + (r - 1) * 100000 END AS vec_id,
@@ -2044,6 +2081,52 @@ def similarity_topk_ivfpq_appended_planted(spark, sf_dir):
         res.filter(F.col("vec_id") >= 100000)
         .select("query_id", "vec_id")
         .orderBy("query_id", "vec_id")
+    )
+
+
+@register(
+    "similarity_topk_ivfpq_rerank_planted",
+    oracle="""
+SELECT q AS query_id, q + (5 - r) * 100000 AS vec_id, CAST(r AS INT) AS rank
+FROM range(5) t(q), range(2, 5) s(r)
+ORDER BY query_id, rank
+""",
+    tags=("llm", "similarity", "scale"),
+)
+def similarity_topk_ivfpq_rerank_planted(spark, sf_dir):
+    """Two-stage retrieval — IVFADC shortlist → EXACT re-rank
+    (similarity.exact_rerank, the FAISS IndexRefineFlat shape) —
+    exact-oracled on planted PERTURBED copies whose true distance
+    order is the REVERSE of their vec_id order
+    (_embeddings_with_perturbed_copies: copy j shifts coordinate 0 by
+    (4−j)·10⁻³, so vec_id q+3·10⁵ is closest, q+10⁵ farthest).  The
+    shifts sit far below PQ quantization resolution, so all three
+    copies (plus the query's own natural row, exact distance 0 →
+    rank 1) survive the ADC top-20 shortlist structurally; the ADC
+    stage CANNOT certify their order — identical codes tie, and ADC
+    tie-break is vec_id ASC, which here is exactly the wrong order —
+    so the oracle's (rank → vec_id) mapping passes ONLY if the second
+    stage truly re-orders by exact full-precision distance.  At scale
+    this is the standard pattern: compressed-domain shortlist prunes
+    10⁹ → shortlist_k, then one broadcast-join refine pass touches
+    raw vectors for |Q|·shortlist_k rows only."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_perturbed_copies(t, n_copies=3, delta=1e-3)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = pq.ivfpq_topk(
+        corpus, queries, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
+    )
+    res = similarity.exact_rerank(shortlist, corpus, queries, k=10)
+    return (
+        res.filter(F.col("vec_id") >= 100000)
+        .select("query_id", "vec_id", "rank")
+        .orderBy("query_id", "rank")
     )
 
 

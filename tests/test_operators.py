@@ -480,6 +480,86 @@ class TestProductQuantization:
             assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
 
 
+class TestExactRerank:
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((40, 8)))
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _queries(self, tiny):
+        return tiny.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    def test_full_shortlist_equals_brute_force(self, tiny):
+        """Rerank over an all-pairs shortlist IS brute force: with no
+        pruning, exact_rerank(metric=cosine) must reproduce
+        cosine_topk's (query_id, vec_id, rank) exactly."""
+        from exosql_spark.operators import similarity
+
+        q = self._queries(tiny)
+        full = q.select("query_id").crossJoin(tiny.select("vec_id"))
+        got = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in similarity.exact_rerank(full, tiny, q, k=5, metric="cosine").collect()
+        }
+        want = {
+            (r.query_id, r.vec_id, r.rank)
+            for r in similarity.cosine_topk(tiny, q, k=5).collect()
+        }
+        assert got == want
+
+    def test_sq_l2_orders_by_exact_distance(self, tiny):
+        """A shortlist handed over in the WRONG order (descending true
+        distance) must come back re-ordered by exact squared L2."""
+        from exosql_spark.operators import similarity
+
+        q = self._queries(tiny)
+        full = q.select("query_id").crossJoin(tiny.select("vec_id"))
+        res = similarity.exact_rerank(full, tiny, q, k=40).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.exact_sq_dist, r.vec_id))
+        for qid, rows in by_q.items():
+            rows.sort()
+            dists = [d for _, d, _ in rows]
+            assert dists == sorted(dists), f"query {qid} not distance-ordered"
+            # the query's own corpus row is its exact-distance rank 1
+            assert rows[0][2] == qid and rows[0][1] == 0.0
+
+    def test_shortlist_extra_columns_ignored_and_deduped(self, tiny):
+        from exosql_spark.operators import similarity
+
+        q = self._queries(tiny)
+        sl = q.select("query_id").crossJoin(tiny.select("vec_id").limit(7))
+        sl_dup = sl.unionByName(sl).withColumn("approx_sq_dist", F.lit(9.9))
+        got = similarity.exact_rerank(sl_dup, tiny, q, k=7).collect()
+        per_q = {}
+        for r in got:
+            per_q.setdefault(r.query_id, set()).add(r.vec_id)
+        assert all(len(v) == 7 for v in per_q.values())
+
+    def test_empty_shortlist(self, tiny):
+        from exosql_spark.operators import similarity
+
+        q = self._queries(tiny)
+        empty = q.select("query_id").crossJoin(tiny.select("vec_id")).limit(0)
+        assert similarity.exact_rerank(empty, tiny, q, k=5).count() == 0
+
+    def test_bad_metric_raises(self, tiny):
+        from exosql_spark.operators import similarity
+
+        q = self._queries(tiny)
+        with pytest.raises(ValueError, match="metric"):
+            similarity.exact_rerank(q.crossJoin(tiny.select("vec_id")), tiny, q, metric="dot")
+
+
 class TestSemanticDedup:
     @pytest.fixture(scope="class")
     def planted(self, spark):
