@@ -1,0 +1,150 @@
+"""Corpus-selection operators — the "which documents make the cut"
+stage of a training-data pipeline (beyond-reference LLM surface; the
+reference has no corpus-curation operators):
+
+- :func:`take_while_budget` — greedy selection under a global weight
+  budget ("take the best documents until the token budget is spent"),
+  the canonical data-mixture step after quality scoring.
+- :func:`capped_per_key` — per-key top-``n`` retention ("at most N
+  documents per domain"), the RefinedWeb/C4-style anti-monoculture
+  cap.
+
+Scale design — both operators exist because their one-line SQL
+equivalents hide a scale-killer, and the whole point here is to keep
+the semantics while removing it:
+
+``take_while_budget``'s SQL twin is a cumulative window over a GLOBAL
+``ORDER BY`` — which Spark executes as a single-partition window (one
+task sorts and scans the entire corpus).  Here the global prefix sum
+is distributed, textbook-style: ``repartitionByRange`` on the
+selection order gives range-ordered partitions; per-partition weight
+totals (one tiny P-row aggregate) prefix-sum on the driver into base
+offsets; a broadcast joins the offsets back; each partition then
+computes its EXACT global cumulative weight independently — the
+window is partitioned by ``spark_partition_id()``, so every task
+sorts only its own range.  Partitions whose base offset already
+exceeds the budget are dropped BEFORE the window (with non-negative
+weights every row in them is over budget), so the late stages touch
+only the ~budget-sized prefix, not the corpus.
+
+``capped_per_key``'s SQL twin is ``row_number() OVER (PARTITION BY
+key ...)`` — correct until one hot key (a crawl's biggest domain) owns
+10⁹ rows and its window partition becomes one giant task.  Here a
+partition-local pre-trim (the two-level top-k idiom from
+``similarity.cosine_topk``) slices every (scan-partition, key) group
+to ``n`` rows first, so the real window sees ≤ n·P rows per key —
+bounded regardless of key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from exosql_spark.cache import managed_persist_disk
+
+
+def take_while_budget(
+    df: DataFrame,
+    weight_col: str,
+    order_by: list[Column],
+    budget: float | None = None,
+    fraction: float | None = None,
+    n_parts: int = 32,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Rows of ``df`` in ``order_by`` order while the running total of
+    ``weight_col`` stays ≤ the budget, with the exact global running
+    total appended as ``cum_col``.
+
+    ``order_by`` must be a TOTAL order (include a unique id as the
+    final key) — ties straddling a partition boundary would otherwise
+    make the prefix sums order-dependent.  ``weight_col`` must be
+    non-negative: the partition-level budget prune below relies on
+    per-row cumulative weights never decreasing.
+
+    Exactly one of ``budget`` (absolute) or ``fraction`` (of the
+    grand total — resolved from the same per-partition aggregate that
+    computes the offsets, no extra pass) must be given.
+
+    Execution contract: composing this operator runs ONE small Spark
+    job at plan-composition time (the P-row per-partition totals
+    aggregate — the distributed prefix-sum's driver step).  The frame
+    it aggregates is range-partitioned and persisted, so the main
+    query reuses the shuffle instead of repeating it.
+    """
+    if (budget is None) == (fraction is None):
+        raise ValueError("pass exactly one of budget= or fraction=")
+    ranged = df.repartitionByRange(n_parts, *order_by)
+    stamped = ranged.withColumn("_pid", F.spark_partition_id()).transform(
+        managed_persist_disk
+    )
+    totals = (
+        stamped.groupBy("_pid")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+        .collect()
+    )
+    per_pid = sorted((r["_pid"], r["_w"] or 0) for r in totals)
+    if fraction is not None:
+        budget = fraction * sum(w for _, w in per_pid)
+    offsets, acc = [], 0
+    for pid, w in per_pid:
+        offsets.append((pid, acc))
+        acc += w
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        stamped.join(off, "_pid")
+        # partitions that start past the budget cannot contribute
+        .filter(F.col("_off") <= F.lit(float(budget)))
+        .withColumn(
+            cum_col,
+            F.col("_off") + F.sum(F.col(weight_col).cast("long")).over(w),
+        )
+        .filter(F.col(cum_col) <= F.lit(float(budget)))
+        .drop("_pid", "_off")
+    )
+
+
+def capped_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_key: Column,
+    n: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """At most ``n`` rows per ``key_cols`` group, the best-first ``n``
+    under ascending ``order_key``, with their 1-based rank appended.
+
+    ``order_key`` is a single struct-sortable Column that defines the
+    priority as an ASCENDING sort (negate numeric columns for
+    descending; make it a total order by ending with a unique id) —
+    the same expression drives both the partition-local pre-trim's
+    ``array_sort`` and the final rank window, so the two levels can
+    never disagree.  Output columns: ``df``'s columns + ``rank_col``.
+    """
+    pair = F.struct(
+        order_key.alias("k"), F.struct(*df.columns).alias("row")
+    )
+    local = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", *[F.col(c) for c in key_cols])
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, n).alias("_top"))
+        .select(F.explode("_top").alias("_t"))
+        .select(F.col("_t.k").alias("_k"), F.col("_t.row").alias("_row"))
+    )
+    w = Window.partitionBy(*[F.col(f"_row.{c}") for c in key_cols]).orderBy(
+        F.col("_k").asc()
+    )
+    return (
+        local.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+        .select("_row.*", rank_col)
+    )

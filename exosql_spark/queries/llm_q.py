@@ -697,6 +697,95 @@ def filter_quality_percentile(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_select_token_budget",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, w AS (
+  SELECT doc_id, quality, q_n_tokens AS n_tokens,
+         -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT, which
+         -- renders as float in pandas and breaks the driver's
+         -- stringified value-hash against Spark's LONG
+         CAST(SUM(q_n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM quality_scored
+), b AS (SELECT CAST(0.25 AS DOUBLE) * SUM(q_n_tokens) AS budget
+         FROM quality_scored)
+SELECT doc_id, quality, n_tokens, cum_tokens
+FROM w, b WHERE cum_tokens <= budget
+""",
+    tags=("llm", "curation", "scale"),
+)
+def corpus_select_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: rank documents best-quality-first
+    and keep them while the running token total stays within 25% of
+    the corpus's tokens — the greedy data-mixture step every training
+    run performs after quality scoring.  The oracle's global-ORDER-BY
+    cumulative window is the textbook scale-killer (Spark plans it as
+    ONE task sorting the whole corpus); selection.take_while_budget
+    computes the identical prefix sums distributed — range partition
+    on the selection order, per-partition totals prefix-summed on the
+    driver (a P-row collect), offsets broadcast back, windows local to
+    each range — and prunes whole partitions past the budget before
+    the window runs.  Budget ties are impossible: cum_tokens is an
+    integer and the budget a .25 fraction of an integer, and the
+    selection order (quality desc, doc_id) is total."""
+    from exosql_spark.operators import selection
+
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select(
+        "doc_id", "quality", F.col("q_n_tokens").alias("n_tokens")
+    )
+    return selection.take_while_budget(
+        scored,
+        "n_tokens",
+        [F.col("quality").desc(), F.col("doc_id")],
+        fraction=0.25,
+        cum_col="cum_tokens",
+    )
+
+
+@register(
+    "corpus_domain_cap",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, j AS (
+  SELECT d.source, q.doc_id, q.quality
+  FROM quality_scored q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT source, doc_id, quality, rank
+FROM (SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM j)
+WHERE rank <= 10
+""",
+    tags=("llm", "curation", "scale"),
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Per-domain retention cap (the RefinedWeb/C4 anti-monoculture
+    rule): keep at most the 10 best-quality documents per source.  The
+    naive row_number window is correct until one hot domain owns a
+    whole crawl — selection.capped_per_key pre-trims every
+    (scan-partition, source) group to 10 rows first (the two-level
+    top-k idiom), so the real window sees ≤ 10·P rows per source no
+    matter how skewed the domain distribution is."""
+    from exosql_spark.operators import selection
+
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select(
+        "source", "doc_id", "quality"
+    )
+    return selection.capped_per_key(
+        scored,
+        ["source"],
+        F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id")),
+        n=10,
+    )
+
+
 def _lang_scored_sql() -> str:
     """DuckDB list-of-structs mirroring text.lang_id's (score, lang)
     argmax array — struct field order (score first) drives the same

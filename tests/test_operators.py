@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from exosql_spark.operators import dedup, similarity, text
@@ -478,6 +479,104 @@ class TestProductQuantization:
         for qid, planted_id in ((0, 100), (1, 101)):
             ids = [v for _, v in sorted(top[qid])]
             assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
+
+
+class TestSelection:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [
+            (i, rng.randint(0, 9), rng.randint(1, 50), f"k{i % 7}")
+            for i in range(400)
+        ]
+        return spark.createDataFrame(
+            rows, "id long, q int, w int, key string"
+        ).repartition(8)
+
+    def test_budget_matches_naive_prefix_sum(self, docs):
+        from exosql_spark.operators import selection
+
+        rows = sorted(
+            ((r.q, r.id, r.w) for r in docs.collect()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        total = sum(w for _, _, w in rows)
+        budget = 0.3 * total
+        want, acc = {}, 0
+        for q, i, w in rows:
+            acc += w
+            if acc > budget:
+                break
+            want[i] = acc
+        got = {
+            r.id: r.cum
+            for r in selection.take_while_budget(
+                docs,
+                "w",
+                [F.col("q").desc(), F.col("id")],
+                fraction=0.3,
+                n_parts=8,
+                cum_col="cum",
+            ).collect()
+        }
+        assert got == want
+
+    def test_budget_edges(self, docs):
+        from exosql_spark.operators import selection
+
+        order = [F.col("q").desc(), F.col("id")]
+        assert (
+            selection.take_while_budget(docs, "w", order, budget=0.5).count() == 0
+        )
+        total = sum(r.w for r in docs.collect())
+        full = selection.take_while_budget(docs, "w", order, budget=total)
+        assert full.count() == docs.count()
+        assert max(r.cum_weight for r in full.collect()) == total
+
+    def test_budget_arg_validation(self, docs):
+        from exosql_spark.operators import selection
+
+        with pytest.raises(ValueError, match="exactly one"):
+            selection.take_while_budget(docs, "w", [F.col("id")])
+        with pytest.raises(ValueError, match="exactly one"):
+            selection.take_while_budget(
+                docs, "w", [F.col("id")], budget=1, fraction=0.5
+            )
+
+    def test_capped_per_key_matches_naive_window(self, docs):
+        from exosql_spark.operators import selection
+
+        got = {
+            (r.key, r.id, r.rank)
+            for r in selection.capped_per_key(
+                docs,
+                ["key"],
+                F.struct((-F.col("q")).alias("nq"), F.col("id").alias("i")),
+                n=5,
+            ).collect()
+        }
+        w = Window.partitionBy("key").orderBy(F.col("q").desc(), F.col("id"))
+        want = {
+            (r.key, r.id, r.rank)
+            for r in docs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .collect()
+        }
+        assert got == want
+
+    def test_capped_per_key_small_groups_survive(self, spark):
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, key string, q int"
+        ).repartition(4)
+        got = selection.capped_per_key(
+            df, ["key"], F.struct(F.col("q").alias("q"), F.col("id").alias("i")), n=5
+        ).collect()
+        assert {(r.key, r.id) for r in got} == {("a", 1), ("a", 2), ("b", 3)}
+        assert all(r.rank <= 2 for r in got)
 
 
 class TestExactRerank:
