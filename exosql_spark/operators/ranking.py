@@ -25,7 +25,7 @@ right physical plan and are hinted explicitly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist_disk
@@ -183,6 +183,101 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    k0: int = 60,
+    k: int = 15,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    nd: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of ranked
+    retrieval lists: ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))`` — the
+    standard score-free way to combine keyword (BM25) and vector
+    (cosine/ANN) retrieval into one hybrid ranking.
+
+    Each input frame needs (``id_col``, ``rank_col``); docs absent
+    from a list simply contribute nothing for it. Determinism: the
+    summed terms are exact IEEE doubles from integer ranks, identical
+    in any engine; with ≤ 2 lists the sum is order-independent
+    outright (float addition is commutative), and ties break on the
+    id. The fused frame is Σ|list_i| rows — k-bounded by construction
+    since every input is already a top-k list — so the single global
+    rank window here is safe at any corpus scale (the scale lives in
+    the stages that PRODUCED the lists).
+    Columns: id, ``rrf`` (rounded), ``n_lists``, ``rank``.
+    """
+    u = None
+    for df in lists:
+        part = df.select(F.col(id_col).alias("_id"), F.col(rank_col).alias("_r"))
+        u = part if u is None else u.unionByName(part)
+    if u is None:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = u.groupBy("_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))).alias("_rrf"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("_rrf").desc(), F.col("_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            fround(F.col("_rrf"), nd).alias("rrf"),
+            "n_lists",
+            "rank",
+        )
+    )
+
+
+def rrf_hybrid_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k0: int = 60,
+    k: int = 15,
+    nd: int = 6,
+) -> str:
+    """DuckDB oracle for the BM25 ⊕ cosine hybrid: re-rank both top-k
+    lists, UNION ALL, sum the reciprocal ranks, rank the fusion —
+    the exact SQL mirror of ``rrf_fuse`` over ``bm25_topk`` and
+    ``cosine_topk`` (vec_id ≡ doc_id in the testdata)."""
+    from exosql_spark.queries._util import fround_sql
+
+    bm25 = bm25_topk_sql(query_terms, k=k_each)
+    score = fround_sql("rrf_raw", nd)
+    return f"""
+WITH b AS (SELECT doc_id, bm25 FROM ({bm25})),
+br AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM b
+),
+cs AS (
+  SELECT e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS sim
+  FROM embeddings e,
+       (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}) q
+),
+cr AS (
+  SELECT vec_id AS doc_id, r FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r FROM cs
+  ) WHERE r <= {k_each}
+),
+u AS (SELECT doc_id, r FROM br UNION ALL SELECT doc_id, r FROM cr),
+f AS (
+  SELECT doc_id,
+         SUM(CAST(1.0 AS DOUBLE) / (CAST({k0}.0 AS DOUBLE) + r)) AS rrf_raw,
+         count(*) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, {score} AS rrf, n_lists, rank
+FROM (SELECT doc_id, rrf_raw, n_lists,
+             row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= {k}
+"""
 
 
 def bm25_topk_sql(

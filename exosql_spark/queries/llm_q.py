@@ -7,6 +7,7 @@ check and the judge sees which).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
@@ -1702,6 +1703,34 @@ def text_bm25_topk(spark, sf_dir):
     scalars ride a broadcast 1-row crossJoin (no driver collect)."""
     t = Tables(spark, sf_dir)
     return ranking.bm25_topk(t.documents, _BM25_TERMS)
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=ranking.rrf_hybrid_sql(_BM25_TERMS, query_vec_id=0),
+    tags=("llm", "text", "ranking", "similarity"),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval — BM25 keyword top-20 ⊕ exact-cosine vector
+    top-20 fused by reciprocal-rank fusion (ranking.rrf_fuse,
+    rrf = Σ 1/(60+rank)).  Score-free fusion sidesteps the
+    incomparable-score-scales problem (BM25 is unbounded, cosine is
+    [−1,1]); only the integer RANKS cross the boundary, so the fused
+    scores are bit-identical in any engine.  Both arms keep their own
+    scale paths (BM25's broadcast-scalar pipeline, cosine's two-level
+    top-k; swap the cosine arm for ivfpq_topk + exact_rerank at
+    10⁹ vectors) and the fusion itself touches only Σ top-k rows."""
+    t = Tables(spark, sf_dir)
+    bm25 = ranking.bm25_topk(t.documents, _BM25_TERMS, k=20)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm25_ranked = bm25.withColumn("rank", F.row_number().over(wb))
+    queries = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = similarity.cosine_topk(t.embeddings, queries, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return ranking.rrf_fuse([bm25_ranked, cos], k0=60, k=15)
 
 
 # --------------------------------------------------------------------

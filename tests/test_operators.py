@@ -481,6 +481,48 @@ class TestProductQuantization:
             assert qid in ids and planted_id in ids, f"q{qid}: {ids}"
 
 
+class TestRrfFuse:
+    def test_fusion_math_and_ranks(self, spark):
+        from exosql_spark.operators import ranking
+
+        a = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(2, 1), (4, 2), (1, 3)], "doc_id long, rank int"
+        )
+        got = {
+            r.doc_id: (r.rrf, r.n_lists, r.rank)
+            for r in ranking.rrf_fuse([a, b], k0=60, k=10).collect()
+        }
+        exp = {
+            1: 1 / 61 + 1 / 63,
+            2: 1 / 62 + 1 / 61,
+            3: 1 / 63,
+            4: 1 / 62,
+        }
+        order = sorted(exp, key=lambda d: (-exp[d], d))
+        for d, score in exp.items():
+            rrf, n_lists, rank = got[d]
+            assert abs(rrf - score) < 1e-6  # rrf is rounded to 6 decimals
+            assert n_lists == (2 if d in (1, 2) else 1)
+            assert rank == order.index(d) + 1
+
+    def test_k_truncates(self, spark):
+        from exosql_spark.operators import ranking
+
+        a = spark.createDataFrame(
+            [(i, i) for i in range(1, 9)], "doc_id long, rank int"
+        )
+        assert ranking.rrf_fuse([a], k=3).count() == 3
+
+    def test_empty_lists_raise(self, spark):
+        from exosql_spark.operators import ranking
+
+        with pytest.raises(ValueError, match="at least one"):
+            ranking.rrf_fuse([])
+
+
 class TestSelection:
     @pytest.fixture(scope="class")
     def docs(self, spark):
