@@ -53,20 +53,25 @@ _QUERY_MODULES = (
 # The round-9 window counts to exactly 50, in priority order:
 #   1. join_fuzzy_qgram_k3 FIRST — the only exact-oracle entry without
 #      a driver row (registered after the r8 verify cutoff; r8 verdict
-#      Next #1). Green here — with the three new r9 entries below —
-#      = 165/165 exact-oracle entries driver-green cumulatively;
-#   2. the two new r9 entries: stored-index MAINTENANCE (r8 verdict
-#      Next #7) — the IVF append→compact→delete lifecycle on a
-#      closed-form survivor oracle, and ivfpq_append on the planted
-#      membership oracle; frozen-quantizer maintenance is proven
-#      probe-equivalent to a from-scratch rebuild by the hashes;
+#      Next #1);
+#   2. the six other entries REGISTERED THIS ROUND, so no exact-oracle
+#      entry ever waits a round for its first driver row again: the
+#      stored-index MAINTENANCE pair (r8 verdict Next #7 — IVF
+#      append→compact→delete lifecycle and ivfpq_append, both proven
+#      probe-equivalent to a from-scratch rebuild by the hashes), the
+#      two-stage ANN rerank (exact_rerank over an IVFADC shortlist on
+#      a perturbed-copy ordering oracle), the two corpus-selection
+#      entries (token-budget prefix-sum select, per-domain cap), and
+#      the BM25⊕cosine RRF hybrid. Green here = 169/169 exact-oracle
+#      entries driver-green cumulatively;
 #   3. the streaming-parity block (guards the round-4 timestamp-unit
-#      bug class), 9 members this round: 8 of the 10 r8 members plus
+#      bug class), 5 members this round: 4 of the 10 r8 members plus
 #      the NEW streaming_ivf_ingest_parity (foreachBatch continuous
 #      index ingest on the closed-form planted oracle).
-#      streaming_topk_parity and streaming_enrich_parity — both green
-#      r8, the block's FRESHEST rows — sit out one round so the window
-#      can cover the whole r5 exact cohort below; they return in r10;
+#      topk/enrich/attribution/sliding/anomaly/curation — all green
+#      r8, the block's freshest rows — sit out so the window covers
+#      the whole r5 exact cohort below; they return in r10 (2 rounds
+#      stale, inside the ≤3-round cadence);
 #   4. the 9-entry r4 cohort (oldest driver rows anywhere);
 #   5. ALL 29 exact-oracle entries whose last green is r5. After r9
 #      every exact-oracle entry's driver row dates from r6 or later
@@ -75,24 +80,24 @@ _QUERY_MODULES = (
 #      {ivf,ivfpq,lsh,pq} — refresh on the normal rotation; each
 #      carries a planted exact-oracle anchor on the same code path,
 #      and the local twin gate re-runs them every round).
-# 1 + 2 + 9 + 9 + 29 = 50.
+# 1 + 6 + 5 + 9 + 29 = 50.
 # Names absent from the registry are ignored; registered names absent
 # from this list follow in registration order (after the window cutoff).
 _VERIFY_FIRST = (
     # -- 1. the one exact-oracle entry with no driver row yet --
     "join_fuzzy_qgram_k3",             # q-gram count-filter fuzzy join, k=3
-    # -- 2. new this round (round 9): stored-index maintenance --
+    # -- 2. registered this round (round 9) --
     "similarity_topk_ivf_lifecycle_planted",   # append→compact→delete≡rebuild
     "similarity_topk_ivfpq_appended_planted",  # ivfpq_append ≡ rebuild
-    # -- 3. streaming parity block (enrich_parity rests this round) --
+    "similarity_topk_ivfpq_rerank_planted",    # IVFADC shortlist → exact rerank
+    "corpus_select_token_budget",      # distributed prefix-sum budget select
+    "corpus_domain_cap",               # per-domain top-N retention cap
+    "search_hybrid_rrf",               # BM25 ⊕ cosine reciprocal-rank fusion
+    # -- 3. streaming parity block (6 freshest members rest until r10) --
     "streaming_running_stats_parity",  # stateful streaming ↔ batch parity
     "streaming_tumbling_parity",       # watermarked windows ↔ batch parity
     "streaming_sessions_parity",       # session windows ↔ gaps-and-islands
     "streaming_dedup_parity",          # dropDuplicatesWithinWatermark ↔ DISTINCT
-    "streaming_attribution_parity",    # stream-stream interval join ↔ SQL join
-    "streaming_sliding_parity",        # sliding windows ↔ unnest desugar
-    "streaming_anomaly_parity",        # stateful alerting ↔ closed-form set
-    "streaming_curation_parity",       # curation map under streaming
     "streaming_ivf_ingest_parity",     # NEW r9: foreachBatch index ingest
     # -- 4. the r4 cohort (oldest rows anywhere) --
     "embedding_centroids",
