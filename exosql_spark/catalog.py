@@ -42,10 +42,11 @@ _QUERY_MODULES = (
 # 1–7 cumulatively blessed all 156 exact-oracle entries (every one
 # driver-green, zero failures) and ran every rows-only entry clean; the
 # full local gate (tests/test_oracle.py) keeps rotated-out entries green
-# between windows.  Rows-only bookkeeping (16 entries total): 12 carry
+# between windows.  Rows-only bookkeeping (17 entries total): 13 carry
 # an exact-oracle anchor driving the same code path or intent
 # (curate_corpus_pipeline, dedup_minhash_pairs, dedup_minhash_components,
-# similarity_topk_{lsh,lsh_multiprobe,ivf,pq,ivfpq}, embedding_kmeans,
+# similarity_topk_{lsh,lsh_multiprobe,ivf,pq,ivfpq,ivfpq_rerank},
+# embedding_kmeans,
 # dedup_semantic, export_training_corpus, sample_stratified — anchored
 # by the deterministic sample_stratified_topn); 4 are unanchorable by
 # nature (engine RNG / sketch internals: sample_fraction,

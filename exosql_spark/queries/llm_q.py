@@ -718,6 +718,7 @@ SELECT doc_id, quality, n_tokens, cum_tokens
 FROM w, b WHERE cum_tokens <= budget
 """,
     tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 9
 )
 def corpus_select_token_budget(spark, sf_dir):
     """Token-budget corpus selection: rank documents best-quality-first
@@ -764,6 +765,7 @@ FROM (SELECT source, doc_id, quality,
 WHERE rank <= 10
 """,
     tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 9
 )
 def corpus_domain_cap(spark, sf_dir):
     """Per-domain retention cap (the RefinedWeb/C4 anti-monoculture
@@ -1709,6 +1711,7 @@ def text_bm25_topk(spark, sf_dir):
     "search_hybrid_rrf",
     oracle=ranking.rrf_hybrid_sql(_BM25_TERMS, query_vec_id=0),
     tags=("llm", "text", "ranking", "similarity"),
+    bench=True,  # tracked since round 9
 )
 def search_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval — BM25 keyword top-20 ⊕ exact-cosine vector
@@ -2200,6 +2203,38 @@ def similarity_topk_ivfpq_appended_planted(spark, sf_dir):
         .select("query_id", "vec_id")
         .orderBy("query_id", "vec_id")
     )
+
+
+@register(
+    "similarity_topk_ivfpq_rerank",
+    oracle=None,  # natural-corpus twin of similarity_topk_ivfpq_rerank_planted
+    # (which exact-oracles the same shortlist→exact-rerank path on
+    # perturbed planted copies with a closed-form ordering): on natural
+    # data the IVFADC shortlist is approximate, so the reranked set is
+    # not the exact top-k any SQL oracle would compute; exact-distance
+    # ordering within the shortlist is additionally asserted in
+    # tests/test_operators.py::TestExactRerank
+    tags=("llm", "similarity", "scale"),
+    bench=True,  # two-stage retrieval flagship: tracked since round 9
+)
+def similarity_topk_ivfpq_rerank(spark, sf_dir):
+    """Two-stage retrieval on the natural corpus: IVFADC shortlist
+    (top-20, compressed domain) → exact_rerank to the final top-10 by
+    full-precision squared L2.  The production ANN shape — quantization
+    error only moves the shortlist boundary, never the final order."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = pq.ivfpq_topk(
+        t.embeddings, queries, books, k=20, n_cells=16, n_probe=4,
+        encoder="pandas",
+    )
+    return similarity.exact_rerank(shortlist, t.embeddings, queries, k=10)
 
 
 @register(

@@ -113,6 +113,7 @@ class TestNoAccidentalCartesian:
         "tpch_q11_important_stock",  # 1-row global-total broadcast scalar
         "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
         "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
+        "search_hybrid_rrf",  # composes the bm25 scalar + cosine query broadcasts
         "text_lm_score",  # 1-row vocab-size broadcast scalar
         "filter_quality_percentile",  # 1-row percentile broadcast scalar
     }
@@ -385,3 +386,60 @@ class TestRuntimeBloomFilter:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestRound9Plans:
+    def test_exact_rerank_corpus_never_shuffles(self, spark, sf_dir):
+        """The refine stage's contract: shortlist + query vectors
+        broadcast; the corpus resolves candidates inside its scan via
+        broadcast hash joins — no SortMergeJoin, no corpus-side
+        Exchange below the joins, and the rank window input is the
+        k-bounded candidate set."""
+        from exosql_spark.catalog import all_queries
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import similarity
+
+        t = Tables(spark, sf_dir)
+        queries = t.embeddings.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        shortlist = queries.select("query_id").crossJoin(
+            t.embeddings.select("vec_id").limit(20)
+        )
+        df = similarity.exact_rerank(shortlist, t.embeddings, queries, k=5)
+        s = plan(df)
+        assert "SortMergeJoin" not in s
+        assert s.count("BroadcastHashJoin") >= 2
+        # the only exchange feeds the final rank window (query_id), and
+        # it sits ABOVE both broadcast joins (plan text is top-down)
+        win_ex = s.find("hashpartitioning(query_id")
+        first_join = s.find("BroadcastHashJoin")
+        assert win_ex != -1 and first_join != -1 and win_ex < first_join
+
+    def test_take_while_budget_window_is_partitioned(self, spark, sf_dir):
+        """The budget select's cumulative window must be keyed on the
+        range-partition id — NEVER a single-partition global window —
+        and the offset prune must sit below the window exchange."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["corpus_select_token_budget"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "hashpartitioning(_pid" in s
+        assert "SinglePartition" not in s
+        assert "rangepartitioning" in s
+        # window sort is (pid, selection order), not a global sort
+        assert "Sort [_pid" in s
+
+    def test_capped_per_key_pretrim_before_window(self, spark, sf_dir):
+        """Two-level cap: the partition-local slice (ObjectHashAggregate
+        on (_pid, key) + re-explode) must run before the per-key rank
+        window's exchange, so the window input is n·P-bounded per key."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["corpus_domain_cap"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "ObjectHashAggregate" in s and "_pid" in s
+        assert "slice(array_sort(" in formatted(df)
+        gen = s.find("Generate")
+        win_ex = s.find("hashpartitioning(_row.source" if "hashpartitioning(_row.source" in s else "hashpartitioning")
+        assert gen != -1 and win_ex != -1 and gen > win_ex
