@@ -75,25 +75,35 @@ def take_while_budget(
     """
     if (budget is None) == (fraction is None):
         raise ValueError("pass exactly one of budget= or fraction=")
+    # Sum in the weight column's own numeric family: integral weights
+    # stay exact longs (the token-count case — keeps the cum column
+    # hash-comparable to a BIGINT oracle), fractional weights sum as
+    # doubles (a cast to long here would silently truncate every row).
+    integral = dict(df.dtypes)[weight_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    sum_type = "long" if integral else "double"
     ranged = df.repartitionByRange(n_parts, *order_by)
     stamped = ranged.withColumn("_pid", F.spark_partition_id()).transform(
         managed_persist_disk
     )
     totals = (
         stamped.groupBy("_pid")
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("_w"))
+        .agg(F.sum(F.col(weight_col).cast(sum_type)).alias("_w"))
         .collect()
     )
     per_pid = sorted((r["_pid"], r["_w"] or 0) for r in totals)
     if fraction is not None:
         budget = fraction * sum(w for _, w in per_pid)
-    offsets, acc = [], 0
+    offsets, acc = [], (0 if integral else 0.0)
     for pid, w in per_pid:
         offsets.append((pid, acc))
         acc += w
     spark = df.sparkSession
     off = F.broadcast(
-        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+        spark.createDataFrame(
+            offsets or [(0, acc)], f"_pid int, _off {sum_type}"
+        )
     )
     w = (
         Window.partitionBy("_pid")
@@ -106,7 +116,7 @@ def take_while_budget(
         .filter(F.col("_off") <= F.lit(float(budget)))
         .withColumn(
             cum_col,
-            F.col("_off") + F.sum(F.col(weight_col).cast("long")).over(w),
+            F.col("_off") + F.sum(F.col(weight_col).cast(sum_type)).over(w),
         )
         .filter(F.col(cum_col) <= F.lit(float(budget)))
         .drop("_pid", "_off")

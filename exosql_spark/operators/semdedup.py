@@ -126,7 +126,7 @@ def semantic_dedup_pairs(
     max_cluster: int | None = None,
     normalize: bool = True,
     scorer: str = "hof",
-    assigner: str = "hof",
+    assigner: str | None = None,
 ) -> DataFrame:
     """Semantic near-duplicate pairs (id_a < id_b, cosine_sim ≥
     threshold, both in the same k-means cluster).
@@ -155,6 +155,8 @@ def semantic_dedup_pairs(
     'pandas' the Arrow-batched argmin (clustering.
     assign_clusters_pandas) — mandatory at large k, where the literal
     tree's Catalyst analysis cost explodes; requires ``centroids``.
+    ``None`` (default) resolves to 'pandas' on the auto-k path and
+    'hof' otherwise; an explicit value is always honored.
     Columns: id_a, id_b, cluster, cosine_sim."""
     from exosql_spark.operators.clustering import (
         assign_clusters,
@@ -179,7 +181,13 @@ def semantic_dedup_pairs(
         centroids = train_kmeans_sample(
             sample, k=k, iters=iters, vec_col=vec_col, id_col=id_col
         )
-        assigner = "pandas"  # mandatory at large k (Catalyst tree cost)
+        if assigner is None:
+            # default for auto-k: mandatory at large k (Catalyst tree
+            # cost); an EXPLICIT assigner="hof" is honored — the caller
+            # owns the analysis-cost trade documented above
+            assigner = "pandas"
+    if assigner is None:
+        assigner = "hof"
     if centroids is None:
         _, assigned = kmeans(df, k, iters, vec_col, id_col)
     elif assigner == "pandas":
@@ -224,7 +232,7 @@ def semantic_dedup(
     max_cluster: int | None = None,
     normalize: bool = True,
     scorer: str = "hof",
-    assigner: str = "hof",
+    assigner: str | None = None,
 ) -> DataFrame:
     """Drop semantic near-duplicates, keeping the lowest id of each
     duplicate group (every id that appears as id_b of some ≥-threshold

@@ -717,7 +717,7 @@ def exact_rerank(
     )
     if metric == "cosine":
         score = cosine(F.col("c_vec"), F.col("q_vec"))
-        order = [F.col("_s").desc(), F.col("vec_id")]
+        order = [F.col("_s").desc_nulls_last(), F.col("vec_id")]
         out_name = "cosine_sim"
     else:
         # exact squared L2 in double (vectors arrive float32)
@@ -731,7 +731,10 @@ def exact_rerank(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        order = [F.col("_s").asc(), F.col("vec_id")]
+        # nulls LAST: a NULL or length-mismatched vector scores NULL
+        # (zip_with pads with nulls) — asc would otherwise rank it #1
+        # and evict a true neighbor
+        order = [F.col("_s").asc_nulls_last(), F.col("vec_id")]
         out_name = "exact_sq_dist"
     w = Window.partitionBy("query_id").orderBy(*order)
     return (

@@ -543,8 +543,16 @@ def streaming_ivf_ingest_parity(spark, sf_dir):
     q = streaming.ivf_ingest_stream(
         stream, cents, path, os.path.join(work, "ckpt"), assigner="pandas"
     )
-    q.awaitTermination(120)
+    drained = q.awaitTermination(120)
     q.stop()
+    if not drained:
+        # fail LOUDLY: probing a partially ingested layout would record
+        # a red driver row against the append code when the real cause
+        # is a harness stall (this box has measured CPU-steal storms)
+        raise RuntimeError(
+            "streaming_ivf_ingest_parity: availableNow drain did not "
+            "finish within 120 s — partial layout, aborting the probe"
+        )
     stored = spark.read.parquet(path)
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -194,7 +194,10 @@ def run_to_memory(
 ):
     """Execute a streaming query to a memory sink with availableNow
     (process-everything-then-stop — the batch-parity test harness).
-    Returns the StreamingQuery after it has fully drained."""
+    Returns the StreamingQuery after it has fully drained; raises if
+    the drain times out (a partially drained sink would make a parity
+    check fail against the batch oracle for harness reasons, not code
+    reasons — fail loudly instead)."""
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -202,7 +205,12 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"run_to_memory({name!r}): availableNow drain did not finish "
+            f"within {timeout_s} s — partial sink, aborting"
+        )
     return q
 
 

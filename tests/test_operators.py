@@ -608,6 +608,23 @@ class TestSelection:
         }
         assert got == want
 
+    def test_budget_double_weights_not_truncated(self, spark):
+        """Fractional weights must sum as doubles — a cast to long
+        would truncate 0.9-per-row weights to 0 and select the whole
+        corpus regardless of budget."""
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(i, 0.25) for i in range(100)], "id long, w double"
+        ).repartition(4)
+        # 0.25 is exact in binary, so every association order of the
+        # distributed prefix sum yields identical doubles — no FP slack
+        got = selection.take_while_budget(
+            df, "w", [F.col("id")], budget=9.0, n_parts=4
+        ).collect()
+        assert len(got) == 36  # 36 * 0.25 = 9.0 <= budget; the 37th breaks it
+        assert max(r.cum_weight for r in got) == 9.0
+
     def test_capped_per_key_small_groups_survive(self, spark):
         from exosql_spark.operators import selection
 
@@ -692,6 +709,27 @@ class TestExactRerank:
         q = self._queries(tiny)
         empty = q.select("query_id").crossJoin(tiny.select("vec_id")).limit(0)
         assert similarity.exact_rerank(empty, tiny, q, k=5).count() == 0
+
+    def test_null_vector_ranks_last_not_first(self, spark, tiny):
+        """A shortlisted corpus row with a NULL embedding scores NULL —
+        it must sink to the bottom of the rerank, never claim rank 1."""
+        from exosql_spark.operators import similarity
+
+        corpus = tiny.unionByName(
+            spark.createDataFrame(
+                [(999, None)], "vec_id long, embedding array<float>"
+            )
+        )
+        q = self._queries(tiny)
+        full = q.select("query_id").crossJoin(corpus.select("vec_id"))
+        res = similarity.exact_rerank(full, corpus, q, k=41).collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r.query_id, []).append(r)
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r.rank)
+            assert rows[0].vec_id == qid  # exact self-match still #1
+            assert rows[-1].vec_id == 999 and rows[-1].exact_sq_dist is None
 
     def test_bad_metric_raises(self, tiny):
         from exosql_spark.operators import similarity

@@ -49,7 +49,7 @@ def main() -> None:
         sys.exit(2)
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
     cal_old, cal_new = old.get("calibration_sec"), new.get("calibration_sec")
-    if cal_old and cal_new:
+    if cal_old is not None and cal_new is not None and cal_old > 0 and cal_new > 0:
         cal_ratio = cal_new / cal_old
         note = f"calibration {cal_old} -> {cal_new} (box ratio {cal_ratio:.2f})"
     else:
@@ -58,9 +58,17 @@ def main() -> None:
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(qo) & set(qn))
-    rows = []
+    rows, skipped = [], []
     for name in shared:
-        if qo[name] and qn[name]:
+        # explicit None/zero test: per_query values are round(min, 3),
+        # so a sub-millisecond query legitimately records 0.0 — a
+        # truthiness test would silently drop it from the comparison
+        if qo[name] is None or qn[name] is None:
+            skipped.append(name)
+        elif qo[name] == 0:
+            # old time 0.0 → ratio undefined; report, don't hide
+            skipped.append(f"{name} (old 0.0 -> new {qn[name]})")
+        else:
             raw = qn[name] / qo[name]
             rows.append((name, qo[name], qn[name], raw, raw / cal_ratio))
     rows.sort(key=lambda r: -r[4])
@@ -88,6 +96,8 @@ def main() -> None:
         f"\nsummary: {len(rows)} shared queries; "
         f"{len(worse)} slower >1.25x normalized, {len(better)} faster <0.8x"
     )
+    if skipped:
+        print(f"skipped (no ratio possible): {', '.join(skipped)}")
 
 
 if __name__ == "__main__":

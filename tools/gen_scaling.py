@@ -34,17 +34,39 @@ POINTS = (
 )
 
 
+def _generator_fingerprint(factor: int) -> str:
+    """Identity of the data a scaled dir SHOULD hold: the replication
+    factor + a hash of the generator source. A stale dir (pre-fix
+    generator, or a different --factor experiment written to the same
+    path) must force regeneration — otherwise the 'mechanical' sweep
+    silently publishes curves measured on the wrong distribution."""
+    import hashlib
+
+    with open(os.path.join(REPO, "tools", "gen_scaled.py"), "rb") as f:
+        src_sha = hashlib.sha1(f.read()).hexdigest()[:12]
+    return f"factor={factor} gen_scaled_sha={src_sha}"
+
+
 def _ensure_data(path: str, factor: int) -> None:
-    if os.path.isdir(path) and os.path.exists(
-        os.path.join(path, "embeddings.parquet")
-    ):
-        return
+    manifest = os.path.join(path, "MANIFEST.txt")
+    want = _generator_fingerprint(factor)
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            if f.read().strip() == want:
+                return
+        print(f"stale scaled data at {path} (manifest mismatch)", flush=True)
     print(f"generating {path} (factor {factor})...", flush=True)
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
     subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "gen_scaled.py"),
          "--factor", str(factor), "--out", path],
         check=True, cwd=REPO,
     )
+    with open(manifest, "w") as f:
+        f.write(want + "\n")
 
 
 def _run_point(label: str, sf_dir: str, runs: int) -> dict:
