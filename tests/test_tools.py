@@ -95,6 +95,23 @@ class TestArtifactDrift:
         # and the fix's point: top-decade exponent is linear-ish
         assert row["exponent_top_decade"] <= 1.1
 
+    def test_scaling_table_agrees_with_semdedup_note(self):
+        """The semdedup auto-k note's table_row_sec is mechanical data
+        from the same sweep as the table — prose numbers went stale
+        once (the r9 note carried a previous sweep's row); the field +
+        this assert keep them from ever disagreeing again."""
+        import json
+
+        with open(self._repo("BENCH_SCALING.json")) as f:
+            d = json.load(f)
+        row = d["queries"]["dedup_semantic"]
+        note = d["semdedup_autok_note"]["table_row_sec"]
+        assert row["sf0.1_sec"] == note["sf0.1"]
+        assert row["sf1_sec"] == note["sf1"]
+        assert row["sf10_sec"] == note["sf10"]
+        # prose must not embed this sweep's row numbers (they rot)
+        assert "table_row_sec" in d["semdedup_autok_note"]["read"]
+
     def test_scaling_totals_are_column_sums(self):
         """totals must equal the sum of the per-query rows (excluded
         entries aside) — a refreshed row with stale totals misstates

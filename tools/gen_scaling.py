@@ -170,7 +170,17 @@ def main() -> None:
             }
             out["jaccard_ppjoin_note"] = note
         if "semdedup_autok_note" in prev:
-            out["semdedup_autok_note"] = prev["semdedup_autok_note"]
+            snote = prev["semdedup_autok_note"]
+            srow = queries.get("dedup_semantic", {})
+            if srow:
+                # the sweep's own row is mechanical — embed it as data,
+                # never as prose numbers that go stale on the next run
+                snote["table_row_sec"] = {
+                    "sf0.1": srow.get("sf0.1_sec"),
+                    "sf1": srow.get("sf1_sec"),
+                    "sf10": srow.get("sf10_sec"),
+                }
+            out["semdedup_autok_note"] = snote
 
     with open(prev_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
