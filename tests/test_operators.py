@@ -625,6 +625,58 @@ class TestSelection:
         assert len(got) == 36  # 36 * 0.25 = 9.0 <= budget; the 37th breaks it
         assert max(r.cum_weight for r in got) == 9.0
 
+    def test_budget_randomized_matches_naive(self, spark):
+        """Five random corpora (skewed weights, duplicate qualities,
+        zero weights, n_parts >/< rows) must all equal the naive
+        single-threaded prefix-sum reference."""
+        import random
+
+        from exosql_spark.operators import selection
+
+        for seed, n, n_parts, frac in (
+            (1, 30, 64, 0.5),    # more partitions than rows
+            (2, 200, 4, 0.1),
+            (3, 150, 16, 0.9),
+            (4, 100, 8, 0.33),
+            (5, 120, 32, 0.25),
+        ):
+            rng = random.Random(seed)
+            rows = [
+                (i, rng.randint(0, 3), rng.choice([0, 1, 1, 2, 7, 40]))
+                for i in range(n)
+            ]
+            df = spark.createDataFrame(rows, "id long, q int, w int").repartition(6)
+            ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+            total = sum(w for _, _, w in ordered)
+            budget = frac * total
+            want, acc = {}, 0
+            for i, _, w in ordered:
+                if acc + w > budget:
+                    break
+                acc += w
+                want[i] = acc
+            got = {
+                r.id: r.cum_weight
+                for r in selection.take_while_budget(
+                    df, "w", [F.col("q").desc(), F.col("id")],
+                    fraction=frac, n_parts=n_parts,
+                ).collect()
+            }
+            assert got == want, f"seed={seed}"
+
+    def test_budget_zero_weight_rows_at_boundary_kept(self, spark):
+        """Zero-weight rows whose cum equals the budget exactly must
+        be selected — the partition prune uses <=, not <, for this."""
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, 0), (4, 1)], "id long, w int"
+        ).repartition(2)
+        got = {r.id for r in selection.take_while_budget(
+            df, "w", [F.col("id")], budget=5.0, n_parts=4
+        ).collect()}
+        assert got == {1, 2, 3}  # ids 2,3 ride at cum == budget
+
     def test_capped_per_key_small_groups_survive(self, spark):
         from exosql_spark.operators import selection
 
