@@ -94,14 +94,45 @@ def write_stream_parquet(
     return w.start()
 
 
-def _hadoop_delete(spark, target: str) -> None:
+def _hadoop_delete(spark, target: str, must_exist: bool = False) -> bool:
     """Remove a path through the Hadoop FileSystem API so the same code
     works on file://, hdfs:// and s3a:// layouts (os.* would silently
-    only work locally)."""
+    only work locally).
+
+    ``must_exist=True`` raises when the path is absent — callers that
+    COMPUTED the path (a partition directory that provably holds rows)
+    use it so a path-construction bug surfaces as an error instead of
+    silently retaining data. A ``False`` return from Hadoop's
+    ``fs.delete`` (the API's failure signal) always raises."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(target)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    fs.delete(p, True)
+    if not fs.exists(p):
+        if must_exist:
+            raise IOError(
+                f"expected path to exist, cannot delete it: {target}"
+            )
+        return False
+    if not fs.delete(p, True):
+        raise IOError(f"Hadoop FileSystem refused to delete {target}")
+    return True
+
+
+# Spark's sentinel directory name for a NULL partition value.
+_HIVE_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_dir(spark, path: str, partition_col: str, value) -> str:
+    """The on-disk directory of one partition value, using Spark's OWN
+    path escaping (``ExternalCatalogUtils.escapePathName`` — the exact
+    function that named the directory at write time). Building
+    ``f"{col}={value}"`` by hand retains data silently: a string value
+    like ``a:b`` lives in ``cell=a%3Ab``, and a NULL in
+    ``cell=__HIVE_DEFAULT_PARTITION__`` — neither matches the naive
+    string."""
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    name = _HIVE_NULL_PARTITION if value is None else esc(str(value))
+    return f"{path.rstrip('/')}/{esc(partition_col)}={name}"
 
 
 def compact_partitioned(
@@ -128,19 +159,28 @@ def compact_partitioned(
     At 100 TB you compact cells incrementally (filter the stage to the
     fragmented cells — dynamic overwrite leaves the rest untouched);
     the full-layout form here is the testable core of that loop.
+
+    The stage path carries a per-invocation nonce: two maintenance
+    runs racing on the same layout must not share (and clobber) one
+    stage directory mid-copy. The stage write itself sits inside the
+    try/finally, so a mid-write failure cannot orphan the stage.
     """
-    stage = path.rstrip("/") + "__compact_stage"
+    import uuid
+
+    stage = f"{path.rstrip('/')}__compact_stage_{uuid.uuid4().hex[:12]}"
     stored = spark.read.parquet(path)
-    (
-        stored.repartition(F.col(partition_col))
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .partitionBy(partition_col)
-        .parquet(stage)
-    )
     try:
         (
-            spark.read.parquet(stage)
+            stored.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(partition_col)
+            .parquet(stage)
+        )
+        (
+            # schema enforced for the same VOID-partition-inference
+            # reason as delete_rows_partitioned's stage read
+            spark.read.schema(stored.schema).parquet(stage)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .option("compression", compression)
@@ -190,23 +230,43 @@ def delete_rows_partitioned(
     ]
     if not affected:
         return
-    remaining = stored.filter(F.col(partition_col).isin(affected)).join(
-        key_set, key_col, "left_anti"
-    )
+    # NULL-safe partition membership: .isin() never matches NULL, so a
+    # doomed key living in the NULL partition would otherwise vanish
+    # from the staged rewrite (its partition rewritten WITHOUT it is
+    # correct — but its partition not being rewritten at all retains
+    # the row)
+    non_null = [v for v in affected if v is not None]
+    in_affected = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(affected):
+        in_affected = in_affected | F.col(partition_col).isNull()
+    remaining = stored.filter(in_affected).join(key_set, key_col, "left_anti")
     if remaining.isEmpty():
         # every affected partition is emptied — there is nothing to
         # stage, and parquet cannot round-trip a zero-row partitioned
         # write (the staged read would fail UNABLE_TO_INFER_SCHEMA
-        # before any directory was removed); just drop the dirs
+        # before any directory was removed); just drop the dirs.
+        # must_exist: these partitions provably held the doomed rows —
+        # a missing directory means the path construction is wrong,
+        # which must surface as an error, never as silent retention
         for value in affected:
-            _hadoop_delete(spark, f"{path.rstrip('/')}/{partition_col}={value}")
+            _hadoop_delete(
+                spark,
+                _partition_dir(spark, path, partition_col, value),
+                must_exist=True,
+            )
         return
-    stage = path.rstrip("/") + "__delete_stage"
-    remaining.write.mode("overwrite").option("compression", compression).partitionBy(
-        partition_col
-    ).parquet(stage)
+    import uuid
+
+    stage = f"{path.rstrip('/')}__delete_stage_{uuid.uuid4().hex[:12]}"
     try:
-        staged = spark.read.parquet(stage)
+        remaining.write.mode("overwrite").option(
+            "compression", compression
+        ).partitionBy(partition_col).parquet(stage)
+        # enforce the layout's schema on the stage read: partition-value
+        # inference types an all-NULL partition column as VOID (e.g.
+        # when the only surviving rows sit in __HIVE_DEFAULT_PARTITION__),
+        # and a VOID partition column cannot be written back
+        staged = spark.read.schema(stored.schema).parquet(stage)
         kept = {r[0] for r in staged.select(partition_col).distinct().collect()}
         if kept:
             (
@@ -217,6 +277,10 @@ def delete_rows_partitioned(
                 .parquet(path)
             )
         for value in set(affected) - kept:
-            _hadoop_delete(spark, f"{path.rstrip('/')}/{partition_col}={value}")
+            _hadoop_delete(
+                spark,
+                _partition_dir(spark, path, partition_col, value),
+                must_exist=True,
+            )
     finally:
         _hadoop_delete(spark, stage)

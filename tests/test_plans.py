@@ -395,7 +395,6 @@ class TestRound9Plans:
         broadcast hash joins — no SortMergeJoin, no corpus-side
         Exchange below the joins, and the rank window input is the
         k-bounded candidate set."""
-        from exosql_spark.catalog import all_queries
         from exosql_spark.io import Tables
         from exosql_spark.operators import similarity
 

@@ -3,6 +3,7 @@ layout, bucketed join without exchange."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from exosql_spark import sinks
@@ -185,7 +186,7 @@ class TestParquetSink:
                 os.path.getsize(f), os.path.getmtime(f)
             ) == sig, f
         # no stage dirs left behind
-        assert not glob.glob(f"{p}__*_stage") and not glob.glob(f"{p}__stage*")
+        assert not glob.glob(f"{p}__*_stage*")
 
     def test_delete_rows_partitioned_all_affected_cells_emptied(
         self, spark, sf_dir, tmp_path
@@ -210,7 +211,62 @@ class TestParquetSink:
         assert not glob.glob(f"{p}/cell=1") and not glob.glob(f"{p}/cell=4")
         back = spark.read.parquet(p)
         assert back.count() == emb.count() - n_doomed
-        assert not glob.glob(f"{p}__delete_stage")
+        assert not glob.glob(f"{p}__delete_stage*")
+
+    def test_delete_rows_partitioned_escaped_string_partitions(
+        self, spark, tmp_path
+    ):
+        """String partition values that Hive-escape on disk (':' →
+        '%3A') and NULL partitions (__HIVE_DEFAULT_PARTITION__) must
+        actually be deleted — the naive f'{col}={value}' path silently
+        retained the rows (returned success, data still readable)."""
+        import glob
+
+        p = str(tmp_path / "esc_del")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, "a:b"), (3, None), (4, None), (5, "ok"), (6, "ok")],
+            "vec_id long, cell string",
+        )
+        sinks.write_table(df, p, partition_by=["cell"])
+        # doom all of the escaped partition and half the NULL partition
+        doomed = spark.createDataFrame([(1,), (2,), (3,)], "vec_id long")
+
+        sinks.delete_rows_partitioned(spark, p, doomed, key_col="vec_id")
+
+        back = spark.read.parquet(p)
+        left = {r[0] for r in back.select("vec_id").collect()}
+        assert left == {4, 5, 6}
+        # the fully-emptied escaped dir is gone; NULL partition remains
+        # (it still holds vec_id 4)
+        assert not glob.glob(f"{p}/cell=a%3Ab")
+        assert glob.glob(f"{p}/cell=__HIVE_DEFAULT_PARTITION__")
+
+    def test_delete_rows_partitioned_all_escaped_emptied(self, spark, tmp_path):
+        """The empty-everything path must also resolve escaped and NULL
+        dirs (it deletes directories directly, no staged rewrite)."""
+        import glob
+
+        p = str(tmp_path / "esc_del_all")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, None), (3, "keep")], "vec_id long, cell string"
+        )
+        sinks.write_table(df, p, partition_by=["cell"])
+        doomed = spark.createDataFrame([(1,), (2,)], "vec_id long")
+
+        sinks.delete_rows_partitioned(spark, p, doomed, key_col="vec_id")
+
+        back = spark.read.parquet(p)
+        assert {r[0] for r in back.select("vec_id").collect()} == {3}
+        assert not glob.glob(f"{p}/cell=a%3Ab")
+        assert not glob.glob(f"{p}/cell=__HIVE_DEFAULT_PARTITION__")
+
+    def test_hadoop_delete_must_exist_raises(self, spark, tmp_path):
+        from exosql_spark.sinks import _hadoop_delete
+
+        missing = str(tmp_path / "nope")
+        assert _hadoop_delete(spark, missing) is False  # lenient default
+        with pytest.raises(IOError, match="expected path to exist"):
+            _hadoop_delete(spark, missing, must_exist=True)
 
     def test_delete_rows_partitioned_no_match_is_noop(
         self, spark, sf_dir, tmp_path

@@ -391,8 +391,9 @@ class TestIndexIngestStream:
         q = streaming.ivf_ingest_stream(
             stream, cents, path, str(tmp_path / "ckpt")
         )
-        q.awaitTermination(120)
+        drained = q.awaitTermination(120)
         q.stop()
+        assert drained, "availableNow drain timed out (harness stall, not an ivf_append bug)"
         assert len(q.recentProgress) >= 3, "expected one micro-batch per file"
 
         ingested = spark.read.parquet(path).select("vec_id", "cell")
