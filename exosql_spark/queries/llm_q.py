@@ -2648,3 +2648,163 @@ def corpus_quality_report(spark, sf_dir):
         GROUP BY GROUPING SETS ((lang), (source), ())
         """
     )
+
+
+# --------------------------------------------------------------------
+# Corpus organization — epoch shuffle / split assignment / upsert merge
+# (operators/ordering.py; registered round 9)
+# --------------------------------------------------------------------
+
+_SQL_NORM_TEXT = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "corpus_shuffle_epoch",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_h60("CAST(doc_id AS VARCHAR) || ':42'")} AS hkey
+  FROM documents
+)
+SELECT doc_id,
+       hkey % 8 AS shard,
+       CAST(row_number() OVER (PARTITION BY hkey % 8
+                               ORDER BY hkey, doc_id) AS INTEGER) AS pos
+FROM h
+""",
+    tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 9
+)
+def corpus_shuffle_epoch(spark, sf_dir):
+    """Seeded deterministic epoch shuffle (seed 42, 8 shards): every
+    document gets a (shard, pos) training-order coordinate that is
+    uniform-pseudorandom in doc_id, identical across engines/runs/
+    cluster sizes, and changes to an independent permutation when the
+    seed does — the reproducible "reshuffle each epoch" a data loader
+    needs.  Scale contract (ordering.epoch_shuffle): the md5-derived
+    hash both permutes and partitions, so the plan is one hash
+    shuffle + per-shard windows — never a global sort or a
+    single-task global row_number; n_shards is the parallelism and
+    output-file unit (thousands at 100 TB)."""
+    from exosql_spark.operators import ordering
+
+    t = Tables(spark, sf_dir)
+    return (
+        ordering.epoch_shuffle(
+            t.documents.select("doc_id"), "doc_id", seed=42, n_shards=8
+        )
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "corpus_split_assign",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         {_sql_h60(_SQL_NORM_TEXT + " || ':7'")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+""",
+    tags=("llm", "curation"),
+    bench=True,  # tracked since round 9
+)
+def corpus_split_assign(spark, sf_dir):
+    """Leakage-free train/val/test assignment (80/10/10, seed 7):
+    the bucket is a hash of the NORMALIZED CONTENT, not the id, so
+    byte-identical duplicate documents (present in any pre-dedup
+    corpus — this one has exact dupes) can never straddle a split
+    boundary and leak eval data into train.  Pure projection — zero
+    shuffles at any scale (ordering.split_assign)."""
+    from exosql_spark.operators import ordering
+
+    t = Tables(spark, sf_dir)
+    return (
+        ordering.split_assign(
+            t.documents.select("doc_id", "text"),
+            text.normalize_text("text"),
+            seed=7,
+        )
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_merge_upsert",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, 1 AS version, text FROM documents
+), delta AS (
+  SELECT doc_id, 2 AS version, text || ' [rev2]' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 1 AS version, text
+  FROM documents WHERE doc_id % 11 = 0
+), u AS (
+  SELECT *, 0 AS src FROM base
+  UNION ALL
+  SELECT *, 1 AS src FROM delta
+), r AS (
+  SELECT doc_id, version, text,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY version DESC, src DESC) AS rn
+  FROM u
+)
+SELECT doc_id, version, CAST(length(text) AS INTEGER) AS n_chars_merged
+FROM r WHERE rn = 1
+""",
+    tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 9
+)
+def corpus_merge_upsert(spark, sf_dir):
+    """Incremental-corpus upsert: merge a delta snapshot (revisions of
+    every 7th document at version 2, plus brand-new documents) into
+    the base corpus keeping the newest version per doc_id — inserts
+    land, revisions replace, untouched rows survive.  The oracle is
+    the textbook row_number-over-union; ordering.merge_keep_latest
+    instead plans ONE max_by hash aggregation whose map-side partial
+    reduces each input split to one candidate per key before the
+    shuffle — no sort, and a small delta into a huge base moves
+    ~|keys| rows, not |base| sorted rows.  (version, src) is a total
+    order within every key group, so the survivor is engine-
+    independent."""
+    from exosql_spark.operators import ordering
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.lit(1).alias("version"), "text", F.lit(0).alias("src")
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id",
+            F.lit(2).alias("version"),
+            F.concat(F.col("text"), F.lit(" [rev2]")).alias("text"),
+            F.lit(1).alias("src"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit(1).alias("version"),
+                "text",
+                F.lit(1).alias("src"),
+            )
+        )
+    )
+    merged = ordering.merge_keep_latest(
+        [base, delta], ["doc_id"], ["version", "src"]
+    )
+    return merged.select(
+        "doc_id", "version", F.length("text").alias("n_chars_merged")
+    ).orderBy("doc_id")

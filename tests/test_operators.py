@@ -2055,3 +2055,98 @@ class TestKeepBest:
         df = spark.createDataFrame(docs, "doc_id long, text string")
         kept = [r.doc_id for r in dedup.keep_best_representative(df).collect()]
         assert kept == [4]
+
+
+class TestOrdering:
+    """ordering.py — epoch shuffle / split assignment / upsert merge."""
+
+    def test_epoch_shuffle_is_permutation(self, spark):
+        from exosql_spark.operators import ordering
+
+        df = spark.range(200).withColumnRenamed("id", "k")
+        out = ordering.epoch_shuffle(df, "k", seed=1, n_shards=4).collect()
+        # every row exactly once, shard in range, pos dense 1..|shard|
+        assert sorted(r.k for r in out) == list(range(200))
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            assert 0 <= r.shard < 4
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    def test_epoch_shuffle_deterministic_and_seeded(self, spark):
+        from exosql_spark.operators import ordering
+
+        df = spark.range(100).withColumnRenamed("id", "k")
+
+        def order(seed):
+            out = ordering.epoch_shuffle(df, "k", seed=seed, n_shards=2)
+            return [r.k for r in out.orderBy("shard", "pos").collect()]
+
+        assert order(5) == order(5)  # same seed → same permutation
+        assert order(5) != order(6)  # new seed → new epoch order
+        # and it actually shuffles: not the identity order
+        assert order(5) != list(range(100))
+
+    def test_split_assign_fractions_and_leakage(self, spark):
+        from exosql_spark.operators import ordering
+
+        # 300 distinct texts + 3 exact duplicates of the first ten
+        rows = [(i, f"document number {i} body") for i in range(300)]
+        rows += [(1000 + i, f"document number {i} body") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = ordering.split_assign(df, F.col("text"), seed=3).collect()
+        frac = {s: 0 for s in ("train", "val", "test")}
+        by_text: dict[str, set] = {}
+        for r in out:
+            assert r.split == (
+                "train" if r.bucket < 80 else "val" if r.bucket < 90 else "test"
+            )
+            frac[r.split] += 1
+            by_text.setdefault(r.text, set()).add(r.split)
+        # duplicates can never straddle a split (the leakage guard)
+        assert all(len(s) == 1 for s in by_text.values())
+        # roughly 80/10/10 over 310 docs (loose: binomial noise)
+        assert frac["train"] > 200 and frac["val"] > 5 and frac["test"] > 5
+
+    def test_split_assign_custom_weights(self, spark):
+        from exosql_spark.operators import ordering
+
+        df = spark.createDataFrame(
+            [(i, str(i)) for i in range(50)], "doc_id long, text string"
+        )
+        out = ordering.split_assign(
+            df, F.col("text"), splits=(("a", 1), ("b", 1)), seed=0
+        ).collect()
+        assert {r.split for r in out} == {"a", "b"}
+        assert all(r.bucket in (0, 1) for r in out)
+
+    def test_merge_keep_latest(self, spark):
+        from exosql_spark.operators import ordering
+
+        base = spark.createDataFrame(
+            [(1, 1, "one"), (2, 1, "two"), (3, 1, "three")],
+            "k long, version int, text string",
+        )
+        delta = spark.createDataFrame(
+            [(2, 2, "two-revised"), (4, 1, "four")],
+            "k long, version int, text string",
+        )
+        out = {
+            r.k: (r.version, r.text)
+            for r in ordering.merge_keep_latest(
+                [base, delta], ["k"], ["version"]
+            ).collect()
+        }
+        assert out == {
+            1: (1, "one"),          # untouched survives
+            2: (2, "two-revised"),  # revision replaces
+            3: (1, "three"),
+            4: (1, "four"),         # insert lands
+        }
+
+    def test_merge_requires_snapshots(self):
+        from exosql_spark.operators import ordering
+
+        with pytest.raises(ValueError):
+            ordering.merge_keep_latest([], ["k"], ["version"])

@@ -442,3 +442,53 @@ class TestRound9Plans:
         gen = s.find("Generate")
         win_ex = s.find("hashpartitioning(_row.source" if "hashpartitioning(_row.source" in s else "hashpartitioning")
         assert gen != -1 and win_ex != -1 and gen > win_ex
+
+    def test_split_assign_is_pure_projection(self, spark, sf_dir):
+        """The leakage-free split is a projection over the scan — zero
+        Exchanges, zero Sorts: at 100 TB it costs exactly one pass."""
+        from exosql_spark.operators import ordering, text
+
+        t = Tables(spark, sf_dir)
+        df = ordering.split_assign(
+            t.documents.select("doc_id", "text"),
+            text.normalize_text("text"),
+            seed=7,
+        )
+        s = plan(df)
+        assert "Exchange" not in s and "Sort" not in s, s
+
+    def test_epoch_shuffle_never_global_sorts(self, spark, sf_dir):
+        """The epoch order must come from per-shard windows after ONE
+        hash shuffle — never a global sort / single-task window (the
+        whole-corpus row_number scale-killer)."""
+        from exosql_spark.operators import ordering
+
+        t = Tables(spark, sf_dir)
+        df = ordering.epoch_shuffle(
+            t.documents.select("doc_id"), "doc_id", seed=42, n_shards=8
+        )
+        s = plan(df)
+        assert s.count("Exchange") == 1
+        assert "hashpartitioning(shard" in s
+        assert "SinglePartition" not in s and "rangepartitioning" not in s
+
+    def test_merge_upsert_partial_aggregates(self, spark, sf_dir):
+        """merge_keep_latest's max_by agg must do a map-side partial
+        before its single key shuffle — merging a small delta into a
+        huge base then moves ~|keys| candidate rows, not |base|."""
+        from exosql_spark.operators import ordering
+
+        t = Tables(spark, sf_dir)
+        docs = t.documents.select("doc_id", "text")
+        base = docs.select(
+            "doc_id", F.lit(1).alias("version"), "text", F.lit(0).alias("src")
+        )
+        delta = docs.limit(10).select(
+            "doc_id", F.lit(2).alias("version"), "text", F.lit(1).alias("src")
+        )
+        df = ordering.merge_keep_latest([base, delta], ["doc_id"], ["version", "src"])
+        s = plan(df)
+        assert "partial_max_by" in s
+        assert s.count("Exchange hashpartitioning(doc_id") == 1
+        # partial agg sits BELOW the exchange (plan text is top-down)
+        assert s.find("partial_max_by") > s.find("Exchange hashpartitioning(doc_id")
