@@ -52,15 +52,22 @@ def hash60(col: Column, salt: str = "") -> Column:
     """Seeded variant of :func:`packing.portable_hash60`: hash of
     ``col || ':' || salt``, so each salt (seed) yields an independent
     engine-portable permutation.  DuckDB twin:
-    ``CAST(('0x' || substr(md5(x || ':salt'), 1, 15)) AS BIGINT)``."""
-    return portable_hash60(F.concat_ws(":", col.cast("string"), F.lit(salt)))
+    ``CAST(('0x' || substr(md5(x || ':salt'), 1, 15)) AS BIGINT)``.
+
+    NULL inputs propagate to a NULL hash — ``F.concat``, not
+    ``concat_ws`` (which silently DROPS null elements: a NULL key
+    would hash to just ``":salt"``, parking every null-content row in
+    one deterministic bucket while the SQL twin's ``x || ':salt'``
+    yields NULL).  Downstream this keeps the twins aligned: a NULL
+    key gets a NULL shard/bucket in both engines."""
+    return portable_hash60(F.concat(col.cast("string"), F.lit(":" + salt)))
 
 
 def epoch_shuffle(
     df: DataFrame,
     key_col: str,
     seed: int = 0,
-    n_shards: int = 32,
+    n_shards: int | None = None,
     shard_col: str = "shard",
     pos_col: str = "pos",
 ) -> DataFrame:
@@ -73,10 +80,23 @@ def epoch_shuffle(
     the same one.
 
     ``key_col`` must be unique (it is the tie-breaker that makes the
-    order total).  Each shard's position window runs in ONE task —
+    order total) and therefore non-NULL in practice; a NULL key
+    follows the SQL twin's semantics — NULL hash, NULL shard
+    (:func:`hash60`).  Each shard's position window runs in ONE task —
     size ``n_shards`` so a shard's rows fit a task comfortably
     (``rows / n_shards`` ≲ a few million; shards are also the natural
-    output-file granularity for a training reader)."""
+    output-file granularity for a training reader).
+    ``n_shards=None`` (default) derives that sizing from a cheap
+    ``df.count()`` (``selection.derive_n_parts`` — same rule, same
+    one-small-job composition-time contract): a fixed default that is
+    fine at sf0.1 would hand a 100 TB corpus to 32 window tasks.
+    NOTE: the shard ids themselves depend on ``n_shards`` (``h %
+    n_shards``), so reproducible epoch orders across runs over
+    growing data must pass it explicitly."""
+    if n_shards is None:
+        from exosql_spark.operators.selection import derive_n_parts
+
+        n_shards = derive_n_parts(df.count())
     h = hash60(F.col(key_col), salt=str(seed))
     w = Window.partitionBy(shard_col).orderBy("_hkey", key_col)
     return (

@@ -300,6 +300,7 @@ def ivfpq_append(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     encoder: str = "expr",
+    batch_id: int | None = None,
 ) -> None:
     """Index MAINTENANCE for the stored IVFADC layout — the
     compressed-domain sibling of ``similarity.ivf_append`` (see its
@@ -312,15 +313,17 @@ def ivfpq_append(
     (driver-hash-proven by similarity_topk_ivfpq_appended_planted).
     Never use this across a codebook retrain — that is a rebuild;
     validate_encoded_ivfpq trips on structural mismatches at read
-    time."""
+    time.  ``batch_id``: same idempotent-replay contract as
+    ``similarity.ivf_append`` (sinks.append_batch_keyed)."""
     from exosql_spark import sinks
 
-    sinks.write_table(
-        ivfpq_encode(new_vectors, codebooks, centroids, vec_col, id_col, encoder),
-        path,
-        mode="append",
-        partition_by=["cell"],
+    encoded = ivfpq_encode(
+        new_vectors, codebooks, centroids, vec_col, id_col, encoder
     )
+    if batch_id is not None:
+        sinks.append_batch_keyed(encoded, path, "cell", batch_id)
+    else:
+        sinks.write_table(encoded, path, mode="append", partition_by=["cell"])
 
 
 def validate_encoded_ivfpq(

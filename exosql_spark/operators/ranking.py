@@ -201,8 +201,14 @@ def rrf_fuse(
     Each input frame needs (``id_col``, ``rank_col``); docs absent
     from a list simply contribute nothing for it. Determinism: the
     summed terms are exact IEEE doubles from integer ranks, identical
-    in any engine; with ≤ 2 lists the sum is order-independent
-    outright (float addition is commutative), and ties break on the
+    in any engine; with ≤ 2 lists the two-term sum is additionally
+    order-independent outright. With 3+ lists the summation ORDER is
+    plan-dependent in the last ulp, so the rank window orders on the
+    nd-ROUNDED score (the same value the output exposes) — rank and
+    score can never disagree, and summation-order noise is absorbed
+    by the round except exactly at a rounding boundary (a raw sum
+    within one ulp of a .5·10⁻ⁿᵈ edge — measure-zero for reciprocal
+    sums of integer ranks). Ties on the rounded score break on the
     id. The fused frame is Σ|list_i| rows — k-bounded by construction
     since every input is already a top-k list — so the single global
     rank window here is safe at any corpus scale (the scale lives in
@@ -216,7 +222,9 @@ def rrf_fuse(
     if u is None:
         raise ValueError("rrf_fuse needs at least one ranked list")
     fused = u.groupBy("_id").agg(
-        F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))).alias("_rrf"),
+        fround(
+            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))), nd
+        ).alias("_rrf"),
         F.count(F.lit(1)).alias("n_lists"),
     )
     w = Window.orderBy(F.col("_rrf").desc(), F.col("_id"))
@@ -225,7 +233,7 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(
             F.col("_id").alias(id_col),
-            fround(F.col("_rrf"), nd).alias("rrf"),
+            F.col("_rrf").alias("rrf"),
             "n_lists",
             "rank",
         )
@@ -272,9 +280,11 @@ f AS (
          count(*) AS n_lists
   FROM u GROUP BY doc_id
 )
-SELECT doc_id, {score} AS rrf, n_lists, rank
-FROM (SELECT doc_id, rrf_raw, n_lists,
-             row_number() OVER (ORDER BY rrf_raw DESC, doc_id) AS rank
+SELECT doc_id, rrf, n_lists, rank
+FROM (SELECT doc_id, {score} AS rrf, n_lists,
+             -- rank on the ROUNDED score, mirroring rrf_fuse: rank
+             -- and exposed score must never disagree
+             row_number() OVER (ORDER BY {score} DESC, doc_id) AS rank
       FROM f)
 WHERE rank <= {k}
 """

@@ -38,10 +38,25 @@ bounded regardless of key skew.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist_disk
+
+# Sizing rule for the derived range-partition count: each partition's
+# sort+window task sees about this many rows. A few million rows of
+# (weight, order-key) columns is comfortably one task's memory; at
+# 100 TB / 10^12 rows this derives hundreds of thousands of partitions
+# instead of 32 thousand-times-oversized ones.
+_TARGET_ROWS_PER_PART = 2_000_000
+
+
+def derive_n_parts(n_rows: int, floor: int = 32) -> int:
+    """Range-partition count for ``n_rows``: ``rows / target`` with a
+    small floor so tiny frames still parallelize across a node."""
+    return max(floor, -(-int(n_rows) // _TARGET_ROWS_PER_PART))
 
 
 def take_while_budget(
@@ -50,7 +65,7 @@ def take_while_budget(
     order_by: list[Column],
     budget: float | None = None,
     fraction: float | None = None,
-    n_parts: int = 32,
+    n_parts: int | None = None,
     cum_col: str = "cum_weight",
 ) -> DataFrame:
     """Rows of ``df`` in ``order_by`` order while the running total of
@@ -67,14 +82,24 @@ def take_while_budget(
     grand total — resolved from the same per-partition aggregate that
     computes the offsets, no extra pass) must be given.
 
+    ``n_parts=None`` (default) derives the range-partition count from
+    a cheap ``df.count()`` as ``rows / _TARGET_ROWS_PER_PART`` (floor
+    32) — the semdedup-auto-k lesson: a constant that is right at
+    sf0.1 is a single-sort-task time bomb at 100 TB.  Pass it
+    explicitly to skip the count (e.g. when the caller already knows
+    the cardinality).
+
     Execution contract: composing this operator runs ONE small Spark
     job at plan-composition time (the P-row per-partition totals
-    aggregate — the distributed prefix-sum's driver step).  The frame
-    it aggregates is range-partitioned and persisted, so the main
-    query reuses the shuffle instead of repeating it.
+    aggregate — the distributed prefix-sum's driver step), plus the
+    sizing ``count()`` when ``n_parts`` is not passed.  The frame it
+    aggregates is range-partitioned and persisted, so the main query
+    reuses the shuffle instead of repeating it.
     """
     if (budget is None) == (fraction is None):
         raise ValueError("pass exactly one of budget= or fraction=")
+    if n_parts is None:
+        n_parts = derive_n_parts(df.count())
     # Sum in the weight column's own numeric family: integral weights
     # stay exact longs (the token-count case — keeps the cum column
     # hash-comparable to a BIGINT oracle), fractional weights sum as
@@ -95,6 +120,15 @@ def take_while_budget(
     per_pid = sorted((r["_pid"], r["_w"] or 0) for r in totals)
     if fraction is not None:
         budget = fraction * sum(w for _, w in per_pid)
+    # Budget literal in the cumulative column's own type: with integral
+    # weights the cum column is an exact LONG, and `cum <= budget` for
+    # real budget is equivalent to `cum <= floor(budget)` as a pure
+    # long-long comparison — a double literal would force a long→double
+    # promotion that mis-rounds the boundary row once totals pass 2^53
+    # (plausible for token counts at 100 TB).
+    blit = (
+        F.lit(int(math.floor(budget))) if integral else F.lit(float(budget))
+    )
     offsets, acc = [], (0 if integral else 0.0)
     for pid, w in per_pid:
         offsets.append((pid, acc))
@@ -113,12 +147,12 @@ def take_while_budget(
     return (
         stamped.join(off, "_pid")
         # partitions that start past the budget cannot contribute
-        .filter(F.col("_off") <= F.lit(float(budget)))
+        .filter(F.col("_off") <= blit)
         .withColumn(
             cum_col,
             F.col("_off") + F.sum(F.col(weight_col).cast(sum_type)).over(w),
         )
-        .filter(F.col(cum_col) <= F.lit(float(budget)))
+        .filter(F.col(cum_col) <= blit)
         .drop("_pid", "_off")
     )
 

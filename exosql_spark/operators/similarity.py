@@ -538,10 +538,18 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assigner: str = "expr",
+    batch_id: int | None = None,
 ) -> None:
     """Index MAINTENANCE for the stored IVF layout: assign ``new_vectors``
     with the FROZEN ``centroids`` (no retrain) and append them into the
     existing cell-partitioned parquet at ``path``.
+
+    ``batch_id`` (streaming callers): route the append through
+    ``sinks.append_batch_keyed`` — files land under deterministic
+    batch-keyed names, so a micro-batch REPLAYED after a crash between
+    append and offset commit overwrites itself instead of duplicating
+    rows (exactly-once-effect ingest; replay-tested in
+    tests/test_streaming.py). ``None`` keeps the plain bulk append.
 
     This is the missing piece of the 100 TB index lifecycle between
     encode-once (:func:`ivf_encode` + ``sinks.write_table``) and
@@ -564,12 +572,11 @@ def ivf_append(
     read side."""
     from exosql_spark import sinks
 
-    sinks.write_table(
-        ivf_encode(new_vectors, centroids, id_col, vec_col, assigner),
-        path,
-        mode="append",
-        partition_by=["cell"],
-    )
+    encoded = ivf_encode(new_vectors, centroids, id_col, vec_col, assigner)
+    if batch_id is not None:
+        sinks.append_batch_keyed(encoded, path, "cell", batch_id)
+    else:
+        sinks.write_table(encoded, path, mode="append", partition_by=["cell"])
 
 
 def ivf_topk(

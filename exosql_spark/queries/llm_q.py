@@ -731,9 +731,10 @@ def corpus_select_token_budget(spark, sf_dir):
     on the selection order, per-partition totals prefix-summed on the
     driver (a P-row collect), offsets broadcast back, windows local to
     each range — and prunes whole partitions past the budget before
-    the window runs.  Budget ties are impossible: cum_tokens is an
-    integer and the budget a .25 fraction of an integer, and the
-    selection order (quality desc, doc_id) is total."""
+    the window runs.  Budget ties (cum_tokens == budget — possible
+    whenever the corpus's token total is divisible by 4) are harmless,
+    not impossible: both engines keep the boundary row via ``<=``, and
+    the selection order (quality desc, doc_id) is total."""
     from exosql_spark.operators import selection
 
     t = Tables(spark, sf_dir)

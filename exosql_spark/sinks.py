@@ -51,6 +51,84 @@ def write_table(
     w.parquet(path)
 
 
+def append_batch_keyed(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    batch_id: int,
+    compression: str = "snappy",
+) -> None:
+    """IDEMPOTENT append of one ingest batch into a partitioned parquet
+    layout: the batch's files land under deterministic batch-keyed
+    names (``ingest-b{batch_id}-{i}.snappy.parquet``), so re-running
+    the SAME batch — a streaming micro-batch replayed after a crash
+    between the parquet append and the checkpoint's offset commit —
+    overwrites its own previous files instead of duplicating rows.
+    This is the classic batch-id-keyed-file sink that turns
+    foreachBatch's at-least-once delivery into exactly-once-effect
+    output without a transactional table format.
+
+    Mechanics: the batch stages partitioned by ``partition_col`` with
+    one task per value (exactly one file per touched value — the same
+    fragmentation unit as a plain append, repaired by
+    :func:`compact_partitioned`); each staged file then MOVES into the
+    layout's partition directory under its batch-keyed name, after
+    purging any ``ingest-b{batch_id}-*`` files a previous attempt left
+    there. The purge-then-move makes a PARTIAL earlier attempt (crash
+    mid-move) harmless too: the replay deletes whatever subset landed
+    and re-moves the full batch. Plain-append files (``part-*``) never
+    collide with the keyed names, so batch-keyed and bulk appends
+    coexist in one layout.
+
+    Caveat (same as every batch-id-keyed sink): idempotence holds per
+    ``batch_id`` — two DIFFERENT batch ids carrying the same rows are
+    an upstream bug this layer cannot see. Structured Streaming's
+    checkpoint guarantees a replayed micro-batch keeps its id, which
+    is exactly the case this protects."""
+    import uuid
+
+    spark = df.sparkSession
+    root = path.rstrip("/")
+    stage = f"{root}__ingest_stage_b{batch_id}_{uuid.uuid4().hex[:12]}"
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"ingest-b{batch_id}-"
+    try:
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(partition_col)
+            .parquet(stage)
+        )
+        for st in fs.listStatus(hpath(stage)):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(partition_col + "=")):
+                continue
+            fs.mkdirs(hpath(f"{root}/{name}"))
+            stale = fs.globStatus(hpath(f"{root}/{name}/{prefix}*"))
+            for old in stale or []:
+                if not fs.delete(old.getPath(), False):
+                    raise IOError(
+                        f"could not purge replayed batch file {old.getPath()}"
+                    )
+            moved = sorted(
+                (
+                    f.getPath()
+                    for f in fs.listStatus(st.getPath())
+                    if f.isFile() and f.getPath().getName().endswith(".parquet")
+                ),
+                key=lambda p: p.getName(),
+            )
+            for i, src in enumerate(moved):
+                dst = hpath(f"{root}/{name}/{prefix}{i}.snappy.parquet")
+                if not fs.rename(src, dst):
+                    raise IOError(f"rename failed: {src} -> {dst}")
+    finally:
+        _hadoop_delete(spark, stage)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,
@@ -218,6 +296,17 @@ def delete_rows_partitioned(
     bounded by the layout's partition cardinality (n_cells for ANN
     layouts — hundreds, not rows), same contract as the other bounded
     collects in this repo.
+
+    Concurrency contract: this function is NOT safe to run
+    concurrently with another maintenance op on the same layout —
+    only the stage path is race-protected (per-invocation nonce). The
+    ``must_exist=True`` directory deletes are deliberate: a partition
+    this run PROVED holds doomed rows must exist at delete time, so a
+    second racer removing it first surfaces as an error rather than
+    as silent mutual interference (two interleaved rewrites can
+    resurrect deleted rows, which no-oping would hide). Serialize
+    maintenance per layout — the same discipline every non-
+    transactional table format demands.
     """
     stored = spark.read.parquet(path)
     key_set = F.broadcast(keys.select(key_col).distinct())

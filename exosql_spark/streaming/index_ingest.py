@@ -9,15 +9,19 @@ batches after they arrive — the continuous-ingest shape of the 100 TB
 index lifecycle (encode once → stream appends → compact periodically →
 probe always).
 
-Delivery semantics, stated honestly: the checkpoint's offset log makes
-each source batch processed AT LEAST once, but a crash between the
-parquet append and the offset commit would re-append that batch on
-restart — plain-parquet appends are not idempotent. Production closes
-this with an idempotent sink (table format with batch-id dedup, or
-batch-id-keyed file names); the availableNow parity entry
-(`streaming_ivf_ingest_parity`) runs the clean-drain case, which is
-exact. The fragmentation this ingest creates (one file per cell per
-micro-batch) is what `sinks.compact_partitioned` exists to repair.
+Delivery semantics: the checkpoint's offset log makes each source
+batch processed AT LEAST once — a crash between the parquet append and
+the offset commit replays that batch on restart. Since round 10 the
+append is IDEMPOTENT per batch: foreachBatch's batch id keys the
+appended file names (``sinks.append_batch_keyed``), so a replayed
+micro-batch purges and overwrites its own files instead of duplicating
+rows — exactly-once-EFFECT output without a transactional table
+format (replay-tested in tests/test_streaming.py: processing a batch
+twice leaves probe results and the stored layout byte-identical to
+once). The availableNow parity entry (`streaming_ivf_ingest_parity`)
+drives the same keyed path end-to-end. The fragmentation this ingest
+creates (one file per cell per micro-batch) is what
+`sinks.compact_partitioned` exists to repair.
 
 Reference parity note: the reference engine (SURVEY.md §2.9) has no
 streaming surface at all — this extension exists for the
@@ -64,11 +68,12 @@ def ivf_ingest_stream(
     micro-batch into the cell-partitioned IVF layout at ``path`` with
     the frozen ``centroids``. Returns the running StreamingQuery;
     callers await/stop it. See the module docstring for the
-    delivery-semantics contract."""
+    delivery-semantics contract (the batch id keys the appended files
+    — replays are idempotent)."""
     from exosql_spark.operators.similarity import ivf_append
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
-        ivf_append(batch_df, centroids, path, assigner=assigner)
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(batch_df, centroids, path, assigner=assigner, batch_id=batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_append)

@@ -2150,3 +2150,87 @@ class TestOrdering:
 
         with pytest.raises(ValueError):
             ordering.merge_keep_latest([], ["k"], ["version"])
+
+
+class TestAutoSizing:
+    """Round-10 hardening: the partition/shard knobs on the corpus
+    operators derive from a cheap count when not passed (the semdedup
+    auto-k lesson — a constant right at sf0.1 is wrong at 100 TB),
+    and the budget boundary compares in the cum column's own type."""
+
+    def test_derive_n_parts_rule(self):
+        from exosql_spark.operators.selection import (
+            _TARGET_ROWS_PER_PART,
+            derive_n_parts,
+        )
+
+        assert derive_n_parts(0) == 32
+        assert derive_n_parts(_TARGET_ROWS_PER_PART * 32) == 32
+        # ceil division above the floor
+        assert derive_n_parts(_TARGET_ROWS_PER_PART * 100 + 1) == 101
+        assert derive_n_parts(10**12) == 10**12 // _TARGET_ROWS_PER_PART
+
+    def test_budget_auto_n_parts_matches_explicit(self, spark):
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(i, 1 + (i % 3)) for i in range(200)], "id long, w int"
+        )
+        order = [F.col("id")]
+        auto = {
+            (r.id, r.cum_weight)
+            for r in selection.take_while_budget(
+                df, "w", order, budget=117
+            ).collect()
+        }
+        explicit = {
+            (r.id, r.cum_weight)
+            for r in selection.take_while_budget(
+                df, "w", order, budget=117, n_parts=8
+            ).collect()
+        }
+        assert auto == explicit and auto
+
+    def test_budget_boundary_is_long_floor(self, spark):
+        from exosql_spark.operators import selection
+
+        # integral weights: a fractional budget keeps rows up to
+        # floor(budget) via a pure long-long comparison
+        df = spark.createDataFrame([(i, 1) for i in range(10)], "id long, w int")
+        got = selection.take_while_budget(
+            df, "w", [F.col("id")], budget=5.7, n_parts=2
+        )
+        assert got.count() == 5
+        assert dict(got.dtypes)["cum_weight"] == "bigint"
+
+    def test_epoch_shuffle_auto_shards(self, spark):
+        from exosql_spark.operators import ordering
+
+        df = spark.range(150).withColumnRenamed("id", "k")
+        out = ordering.epoch_shuffle(df, "k", seed=2).collect()
+        assert sorted(r.k for r in out) == list(range(150))
+        # small frame → the derived count is the floor (32)
+        assert all(0 <= r.shard < 32 for r in out)
+
+    def test_hash60_null_propagates(self, spark):
+        from exosql_spark.operators import ordering
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, None)], "doc_id long, text string"
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", ordering.hash60(F.col("text"), salt="7").alias("h")
+            ).collect()
+        }
+        # NULL content → NULL hash (the SQL twin's `x || ':7'` yields
+        # NULL); concat_ws would have parked it in a real bucket
+        assert rows[2].h is None and rows[1].h is not None
+        # and split_assign sends it to the catch-all last split in
+        # both engines (CASE WHEN NULL<80 ... ELSE 'test')
+        out = {
+            r.doc_id: (r.bucket, r.split)
+            for r in ordering.split_assign(df, F.col("text")).collect()
+        }
+        assert out[2] == (None, "test")

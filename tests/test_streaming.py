@@ -5,6 +5,8 @@ semantics to copy)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -406,3 +408,64 @@ class TestIndexIngestStream:
             len(glob.glob(f"{d}/*.parquet")) > 1
             for d in glob.glob(f"{path}/cell=*")
         )
+
+    def test_replayed_batch_is_idempotent(self, spark, sf_dir, tmp_path):
+        """Round-10 durability close: a micro-batch re-run with the
+        SAME batch id (the crash-between-append-and-offset-commit
+        replay) must leave the stored layout and probe results
+        byte-identical to a single run — batch-id-keyed file names
+        overwrite, never duplicate (sinks.append_batch_keyed)."""
+        import glob
+
+        from exosql_spark import sinks
+        from exosql_spark.operators.similarity import (
+            _hyperplanes,
+            ivf_append,
+            ivf_encode,
+            ivf_topk,
+        )
+        from exosql_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = _hyperplanes(64, 8, 7)
+        base = emb.filter(F.col("vec_id") % 4 == 0)
+        batch = emb.filter(F.col("vec_id") % 4 == 1)
+        path = str(tmp_path / "layout")
+        sinks.write_table(ivf_encode(base, cents), path, partition_by=["cell"])
+
+        def snapshot():
+            files = sorted(
+                (f, os.path.getsize(f))
+                for f in glob.glob(f"{path}/cell=*/*.parquet")
+            )
+            rows = sorted(
+                map(tuple, spark.read.parquet(path).select("vec_id", "cell").collect())
+            )
+            queries = emb.filter(F.col("vec_id") < 3).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            probe = sorted(
+                map(
+                    tuple,
+                    ivf_topk(emb, queries, k=5, centroids=cents, encoded=spark.read.parquet(path))
+                    .select("query_id", "vec_id", "rank")
+                    .collect(),
+                )
+            )
+            return files, rows, probe
+
+        ivf_append(batch, cents, path, batch_id=7)
+        once = snapshot()
+        # keyed names present, exactly one per touched cell for this batch
+        keyed = glob.glob(f"{path}/cell=*/ingest-b7-*.parquet")
+        assert keyed and all(f.endswith("ingest-b7-0.snappy.parquet") for f in keyed)
+
+        ivf_append(batch, cents, path, batch_id=7)  # the replay
+        assert snapshot() == once
+
+        # a DIFFERENT batch id still appends (no false dedup)
+        ivf_append(
+            emb.filter(F.col("vec_id") % 4 == 2), cents, path, batch_id=8
+        )
+        n_all = spark.read.parquet(path).count()
+        assert n_all == len(once[1]) + emb.filter(F.col("vec_id") % 4 == 2).count()

@@ -145,3 +145,112 @@ class TestArtifactDrift:
         missing = sorted(n for n in cited if n not in qs)
         assert not missing, missing
         assert len(cited) >= 60  # the map really does cite the catalog
+
+
+class TestVerifyWindow:
+    """Round-10 mechanization (r9 verdict Next #3): the driver-verify
+    window is computed from FRESHNESS.json, which is itself a pure
+    fold of the CORRECTNESS artifacts — so the freshness bound is a
+    number the code enforces, not prose arithmetic."""
+
+    def _repo(self, *parts):
+        return os.path.join(os.path.dirname(os.path.dirname(__file__)), *parts)
+
+    def _gen_freshness(self):
+        spec = importlib.util.spec_from_file_location(
+            "gen_freshness", self._repo("tools", "gen_freshness.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_checked_in_freshness_matches_fold(self):
+        """A new CORRECTNESS artifact without a regenerated
+        FRESHNESS.json would silently freeze the rotation."""
+        import json
+
+        with open(self._repo("FRESHNESS.json")) as f:
+            checked_in = json.load(f)
+        assert self._gen_freshness().fold() == checked_in
+
+    def test_window_policy_on_real_catalog(self):
+        import json
+
+        from exosql_spark import catalog
+
+        qs = catalog.all_queries()
+        with open(self._repo("FRESHNESS.json")) as f:
+            fresh = json.load(f)
+        last, latest = fresh["last_green"], fresh["latest_round"]
+        window = catalog.verify_window()
+        assert len(window) == min(
+            catalog._WINDOW_SIZE, sum(1 for q in qs.values() if q.oracle)
+        )
+        in_window = set(window)
+        exact = [n for n, q in qs.items() if q.oracle]
+        # tier 1: every exact entry without a driver row is in the window
+        new = [n for n in exact if n not in last]
+        assert set(new) <= in_window
+        # tier 2: every rested streaming-parity entry is in the window
+        rested = [
+            n
+            for n in exact
+            if n in last and "streaming" in qs[n].tags and last[n] < latest
+        ]
+        assert set(rested) <= in_window
+        # tier 3 fill is oldest-green first: nothing excluded is older
+        # than anything included from the plain pool
+        pool = [n for n in exact if n in last and n not in set(rested)]
+        included = [last[n] for n in pool if n in in_window]
+        excluded = [last[n] for n in pool if n not in in_window]
+        assert not included or not excluded or max(included) <= min(excluded)
+        # and the window IS the iteration prefix the driver truncates
+        assert tuple(list(qs)[: len(window)]) == window
+
+    def test_window_fronts_r10_named_entries(self):
+        """The r9 capacity note names the nine entries that MUST front
+        the r10 window (three 4-round-stale rows + six rested
+        streaming parity members); pin them while FRESHNESS.json says
+        latest_round == 9."""
+        import json
+
+        from exosql_spark import catalog
+
+        with open(self._repo("FRESHNESS.json")) as f:
+            fresh = json.load(f)
+        if fresh["latest_round"] != 9:
+            return  # later rounds rotate differently, by design
+        named = {
+            "skew_salted_agg", "skew_salted_join", "unpivot_melt",
+            "streaming_topk_parity", "streaming_enrich_parity",
+            "streaming_attribution_parity", "streaming_sliding_parity",
+            "streaming_anomaly_parity", "streaming_curation_parity",
+        }
+        assert named <= set(catalog.verify_window())
+
+
+class TestBenchArtifacts:
+    """Every bench artifact from round 9 on must carry the
+    calibration_sec drift scalar — tools/compare_bench.py silently
+    degrades to RAW ratios without it (r9 verdict Next #6)."""
+
+    def _repo(self, *parts):
+        return os.path.join(os.path.dirname(os.path.dirname(__file__)), *parts)
+
+    def test_bench_artifacts_carry_calibration(self):
+        import glob
+        import json
+        import re
+
+        seen = 0
+        for path in sorted(glob.glob(self._repo("BENCH_r*.json"))):
+            rnd = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
+            if rnd < 9:
+                continue
+            with open(path) as f:
+                d = json.load(f)
+            parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+            assert isinstance(parsed.get("calibration_sec"), (int, float)) and \
+                parsed["calibration_sec"] > 0, path
+            seen += 1
+        assert seen >= 1  # BENCH_r09.json exists

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Regenerate FRESHNESS.json mechanically from the driver's
+CORRECTNESS_r*.json artifacts.
+
+    python tools/gen_freshness.py
+
+FRESHNESS.json records, for every catalog entry the driver has ever
+verified, the LATEST round in which it was green, plus the latest
+round seen at all:
+
+    {"latest_round": 9, "last_green": {"scan_project_filter": 9, ...}}
+
+This file is the input to the catalog's COMPUTED verify window
+(exosql_spark.catalog.compute_verify_window): the driver truncates its
+correctness run after 50 entries, so with 170+ exact-oracle entries
+the window must rotate — new registrations first, then the rested
+streaming-parity block, then oldest-green-first fill.  Through round 9
+that rotation was a hand-maintained tuple plus prose arithmetic; the
+round-9 verdict (Next #3) asked for the bound the code enforces
+instead: regenerate this file each round, and tests/test_tools.py
+asserts the checked-in copy matches a fresh fold (no stale window) and
+that the computed window fronts exactly what the policy says.
+
+Green = the row has no error and every recorded match flag that is
+present is true (exact entries need hash_match; rows-only entries
+record rows_match only — they never influence window ORDER, which is
+computed over exact-oracle entries, but are kept here for the record).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def row_is_green(row: dict) -> bool:
+    if row.get("err") is not None:
+        return False
+    flags = [
+        row.get(k)
+        for k in ("rows_match", "schema_match", "hash_match")
+        if row.get(k) is not None
+    ]
+    return bool(flags) and all(flags)
+
+
+def fold(repo: str = REPO) -> dict:
+    latest = 0
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            if isinstance(row, dict) and row_is_green(row):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return {
+        "latest_round": latest,
+        "last_green": dict(sorted(last_green.items())),
+    }
+
+
+def main() -> None:
+    out = fold()
+    dest = os.path.join(REPO, "FRESHNESS.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(
+        f"wrote {dest}: latest_round={out['latest_round']}, "
+        f"{len(out['last_green'])} entries with a green row"
+    )
+
+
+if __name__ == "__main__":
+    main()
