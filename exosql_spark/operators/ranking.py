@@ -290,6 +290,46 @@ WHERE rank <= {k}
 """
 
 
+def rrf_hybrid_ann_sql(
+    query_terms: list[str],
+    k_each: int = 20,
+    k0: int = 60,
+    k: int = 15,
+    nd: int = 6,
+) -> str:
+    """DuckDB oracle for the PRODUCTION hybrid shape — BM25 ⊕ (IVFADC
+    shortlist → exact rerank) — on a corpus planted with 10 exact
+    copies of query vector 0: the ANN arm's exact-reranked top-10 is
+    then CLOSED FORM (the 11 zero-distance rows — the query's own row
+    plus its copies — tie-break by vec_id, so rank r holds vec_id
+    (r−1)·100000), which makes the whole fusion SQL-expressible even
+    though the compressed ADC stage itself is not. The BM25 arm is the
+    real corpus-wide retrieval; only the vector arm is planted."""
+    from exosql_spark.queries._util import fround_sql
+
+    bm25 = bm25_topk_sql(query_terms, k=k_each)
+    score = fround_sql("rrf_raw", nd)
+    return f"""
+WITH b AS (SELECT doc_id, bm25 FROM ({bm25})),
+br AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM b
+),
+ar AS (SELECT (r - 1) * 100000 AS doc_id, r FROM range(1, 11) t(r)),
+u AS (SELECT doc_id, r FROM br UNION ALL SELECT doc_id, r FROM ar),
+f AS (
+  SELECT doc_id,
+         SUM(CAST(1.0 AS DOUBLE) / (CAST({k0}.0 AS DOUBLE) + r)) AS rrf_raw,
+         count(*) AS n_lists
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id, rrf, n_lists, rank
+FROM (SELECT doc_id, {score} AS rrf, n_lists,
+             row_number() OVER (ORDER BY {score} DESC, doc_id) AS rank
+      FROM f)
+WHERE rank <= {k}
+"""
+
+
 def bm25_topk_sql(
     query_terms: list[str],
     k: int = 20,

@@ -157,6 +157,62 @@ def take_while_budget(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    n_parts: int | None = None,
+    rank_col: str = "global_rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global ``row_number()`` in ``order_by`` order WITHOUT the
+    single-task global window — the general form of the distributed
+    prefix-sum underneath :func:`take_while_budget`, reusable wherever
+    a pipeline needs an exact global position (deciles, curriculum
+    order, head/tail splits).
+
+    ``row_number() OVER (ORDER BY …)`` is THE textbook scale-killer:
+    Spark plans an un-partitioned window as one task sorting the whole
+    input. Here ``repartitionByRange`` on the order gives
+    range-ordered partitions, per-partition COUNTS (a P-row aggregate
+    collected on the driver) prefix-sum into base offsets, a broadcast
+    joins them back, and each partition ranks only its own range —
+    every task sorts ``rows / n_parts`` rows.
+
+    ``order_by`` must be a TOTAL order (end with a unique id):
+    boundary ties between range partitions would otherwise make ranks
+    order-dependent. ``total_col`` optionally appends the grand total
+    (known for free from the same aggregate — saves callers a second
+    pass when computing quantiles from the rank). Same execution
+    contract as ``take_while_budget``: ONE small job at composition
+    time; ``n_parts=None`` derives sizing from a cheap count."""
+    if n_parts is None:
+        n_parts = derive_n_parts(df.count())
+    ranged = df.repartitionByRange(n_parts, *order_by)
+    stamped = ranged.withColumn("_pid", F.spark_partition_id()).transform(
+        managed_persist_disk
+    )
+    counts = stamped.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    per_pid = sorted((r["_pid"], r["_n"]) for r in counts)
+    total = sum(n for _, n in per_pid)
+    offsets, acc = [], 0
+    for pid, n in per_pid:
+        offsets.append((pid, acc))
+        acc += n
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    out = (
+        stamped.join(off, "_pid")
+        .withColumn(rank_col, F.col("_off") + F.row_number().over(w))
+        .drop("_pid", "_off")
+    )
+    if total_col:
+        out = out.withColumn(total_col, F.lit(total))
+    return out
+
+
 def capped_per_key(
     df: DataFrame,
     key_cols: list[str],

@@ -790,6 +790,66 @@ def corpus_domain_cap(spark, sf_dir):
     )
 
 
+@register(
+    "corpus_quality_deciles",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, r AS (
+  SELECT doc_id, quality, q_n_tokens,
+         row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM quality_scored
+)
+SELECT CAST(floor(((rnk - 1) * 10) / CAST(n AS DOUBLE)) + 1 AS INT) AS decile,
+       count(*) AS n_docs,
+       CAST(sum(q_n_tokens) AS BIGINT) AS n_tokens,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality
+FROM r GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 10
+)
+def corpus_quality_deciles(spark, sf_dir):
+    """Quality-decile corpus profile: rank every document best-first
+    by (quality desc, doc_id), cut the EXACT global rank into ten
+    equal-population deciles, and report each decile's doc count,
+    token mass, and quality range — the standard "what does each
+    quality slice actually hold" audit before choosing a selection
+    threshold.  The oracle's ``row_number() OVER (ORDER BY …)`` is
+    the canonical single-task global window; selection.global_rank
+    computes the identical ranks distributed (range partition →
+    P-row count collect → broadcast offsets → per-range local
+    windows), and the grand total the decile math needs rides out of
+    the same aggregate for free (total_col)."""
+    from exosql_spark.operators import selection
+
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select(
+        "doc_id", "quality", F.col("q_n_tokens").alias("n_tokens")
+    )
+    ranked = selection.global_rank(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id")],
+        rank_col="rnk",
+        total_col="_n",
+    )
+    decile = (
+        F.floor(((F.col("rnk") - 1) * 10) / F.col("_n").cast("double")) + 1
+    ).cast("int")
+    return (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
 def _lang_scored_sql() -> str:
     """DuckDB list-of-structs mirroring text.lang_id's (score, lang)
     argmax array — struct field order (score first) drives the same
@@ -1692,6 +1752,50 @@ def text_tfidf_topk(spark, sf_dir):
     return ranking.tfidf_top_terms(t.documents)
 
 
+@register(
+    "text_bigram_topk",
+    oracle=rf"""
+WITH toks AS (SELECT {_SQL_TOKS} AS l FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 25
+""",
+    tags=("llm", "text"),
+)
+def text_bigram_topk(spark, sf_dir):
+    """Top-25 corpus bigrams (adjacent-token pairs) by count — the
+    collocation profile used for boilerplate detection and n-gram
+    decontamination lists.  The pair construction is a pure
+    projection: ``zip_with`` over two slices of the token array
+    (tokens 1..n−1 ⊗ 2..n) builds every adjacent pair inside the scan
+    with no join and no UDF; then one explode → two-stage hash
+    aggregate → TakeOrderedAndProject, the same shape as
+    text_tfidf_topk.  At 100 TB the map-side partial combine absorbs
+    the explosion — only distinct (bigram, partial-count) pairs reach
+    the shuffle."""
+    t = Tables(spark, sf_dir)
+    l = text.tokens("text")
+    n_pairs = F.greatest(F.size(l) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(l, 1, n_pairs),
+        F.slice(l, 2, n_pairs),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        t.documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(25)
+    )
+
+
 _BM25_TERMS = ["spark", "table", "hash"]
 
 
@@ -1735,6 +1839,50 @@ def search_hybrid_rrf(spark, sf_dir):
         "vec_id", "doc_id"
     )
     return ranking.rrf_fuse([bm25_ranked, cos], k0=60, k=15)
+
+
+@register(
+    "search_hybrid_rrf_ann_planted",
+    oracle=ranking.rrf_hybrid_ann_sql(_BM25_TERMS),
+    tags=("llm", "text", "ranking", "similarity", "scale"),
+    bench=True,  # tracked since round 10
+)
+def search_hybrid_rrf_ann_planted(spark, sf_dir):
+    """The PRODUCTION hybrid shape, driver-verified (r9 verdict Next
+    #7): search_hybrid_rrf's docstring promises "swap the cosine arm
+    for ivfpq_topk + exact_rerank at 10⁹ vectors" — this entry
+    actually composes that swap.  BM25 keyword top-20 ⊕ (IVFADC
+    compressed shortlist top-20 → exact full-precision rerank top-10)
+    fused by RRF.  Exact-oracled by planting 10 exact copies of query
+    vector 0 (_embeddings_with_query_copies): the copies encode to the
+    query's own PQ codes, so they are ADC-OPTIMAL (encoding picks the
+    per-subspace nearest sub-centroid, so no code is closer to the
+    query than its own) and survive the top-20 shortlist structurally;
+    the exact rerank then sees 11 zero-distance rows whose vec_id
+    tie-break makes the ANN arm's top-10 closed-form — rank r is
+    vec_id (r−1)·100000 — while the BM25 arm runs real corpus-wide
+    retrieval.  Scale shape: the ADC stage prunes 10⁹ → 20 in the
+    compressed domain, the rerank broadcast-joins raw vectors for
+    |Q|·20 rows only, and the fusion touches Σ top-k rows — nothing
+    in the plan holds more than the shortlists."""
+    from exosql_spark.operators import pq
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t, n_queries=1, n_copies=10)
+    sample = t.embeddings.filter(F.col("vec_id") < 500)
+    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    queries = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = pq.ivfpq_topk(
+        corpus, queries, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
+    )
+    ann = similarity.exact_rerank(shortlist, corpus, queries, k=10)
+    bm25 = ranking.bm25_topk(t.documents, _BM25_TERMS, k=20)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm25_ranked = bm25.withColumn("rank", F.row_number().over(wb))
+    ann_list = ann.select(F.col("vec_id").alias("doc_id"), "rank")
+    return ranking.rrf_fuse([bm25_ranked, ann_list], k0=60, k=15)
 
 
 # --------------------------------------------------------------------

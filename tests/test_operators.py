@@ -2234,3 +2234,48 @@ class TestAutoSizing:
             for r in ordering.split_assign(df, F.col("text")).collect()
         }
         assert out[2] == (None, "test")
+
+
+class TestGlobalRank:
+    """selection.global_rank — exact distributed row_number."""
+
+    def test_matches_naive_global_window(self, spark):
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 50) for i in range(400)], "id long, score int"
+        )
+        order = [F.col("score").desc(), F.col("id")]
+        got = {
+            r.id: (r.global_rank, r.total)
+            for r in selection.global_rank(
+                df, order, n_parts=7, total_col="total"
+            ).collect()
+        }
+        want_order = sorted(
+            ((r.id, r.score) for r in df.collect()), key=lambda t: (-t[1], t[0])
+        )
+        assert got == {
+            i: (rnk, 400) for rnk, (i, _) in enumerate(want_order, start=1)
+        }
+
+    def test_boundary_ties_need_total_order(self, spark):
+        """Duplicate order values straddling range boundaries still
+        rank deterministically because the unique id ends the order."""
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame([(i, 1) for i in range(100)], "id long, v int")
+        out = selection.global_rank(
+            df, [F.col("v"), F.col("id")], n_parts=9, rank_col="r"
+        )
+        assert [r.id for r in out.orderBy("r").collect()] == list(range(100))
+
+    def test_auto_n_parts(self, spark):
+        from exosql_spark.operators import selection
+
+        df = spark.range(50).withColumnRenamed("id", "k")
+        ranks = sorted(
+            r.global_rank
+            for r in selection.global_rank(df, [F.col("k")]).collect()
+        )
+        assert ranks == list(range(1, 51))

@@ -429,6 +429,19 @@ class TestRound9Plans:
         # window sort is (pid, selection order), not a global sort
         assert "Sort [_pid" in s
 
+    def test_global_rank_window_is_partitioned(self, spark, sf_dir):
+        """corpus_quality_deciles' exact global rank must come from
+        per-range local windows over the distributed prefix-sum —
+        never the oracle's single-task global row_number."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["corpus_quality_deciles"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "hashpartitioning(_pid" in s
+        assert "SinglePartition" not in s
+        assert "rangepartitioning" in s
+        assert "Sort [_pid" in s
+
     def test_capped_per_key_pretrim_before_window(self, spark, sf_dir):
         """Two-level cap: the partition-local slice (ObjectHashAggregate
         on (_pid, key) + re-explode) must run before the per-key rank
