@@ -213,6 +213,49 @@ def global_rank(
     return out
 
 
+def mixture_resample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic fractional resampling for training mixtures: each
+    row is emitted ``floor(w) + (h < frac(w))`` times, where ``w`` is
+    the row's mixture ``weight`` and ``h`` an engine-portable seeded
+    hash-bernoulli on ``id_col`` — so ``w = 2.5`` upsamples a source
+    to 2 copies plus a deterministic half of rows at 3, and
+    ``w = 0.25`` downsamples to a stable quarter.  Output: ``df``'s
+    columns plus ``copy_col`` (1-based copy index).
+
+    Why hash, not RNG: a row's multiplicity is then REPRODUCIBLE
+    across engines, runs, retried tasks, and cluster sizes, and STABLE
+    under corpus growth (membership of existing rows never changes
+    when new rows arrive) — none of which ``sample(fraction)`` / RNG
+    resampling can promise; Spark's sample is additionally
+    partition-layout-dependent.  Changing ``seed`` redraws the
+    fractional bernoulli independently.
+
+    Scale: pure projection + explode — no shuffle, no state; the
+    explosion factor is the mixture's own expansion, produced
+    map-side inside the scan.  The bernoulli threshold compares the
+    hash mod 10⁶ against ``frac(w)·10⁶`` (exact for the usual
+    dyadic/decimal mixture weights)."""
+    from exosql_spark.operators.ordering import hash60
+
+    base = F.floor(weight).cast("long")
+    frac = weight - F.floor(weight)
+    bern = (
+        F.pmod(hash60(F.col(id_col), salt=str(seed)), F.lit(1_000_000))
+        < frac * F.lit(1_000_000.0)
+    ).cast("long")
+    n = (base + bern).cast("int")
+    seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+    return df.withColumn(copy_col, F.explode(seq))
+
+
 def capped_per_key(
     df: DataFrame,
     key_cols: list[str],

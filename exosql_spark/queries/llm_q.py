@@ -850,6 +850,84 @@ def corpus_quality_deciles(spark, sf_dir):
     )
 
 
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE {_sql_h60("CAST(doc_id AS VARCHAR) || ':13'")} % 1000 < 100
+ORDER BY doc_id
+""",
+    tags=("llm", "sampling"),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic 10% sample by seeded hash threshold — the
+    exact-oracle-able sibling of the engine-RNG ``sample_fraction``
+    (one of the catalog's four unanchorable rows-only entries): a
+    row's membership is a pure function of (id, seed), so the sample
+    is reproducible across engines, runs, retried tasks, and cluster
+    sizes, and STABLE under corpus growth — existing rows never flip
+    in or out as data arrives, which is what makes hash sampling the
+    right tool for holdout sets and A/B corpus slices.  Pure
+    projection + filter: zero shuffles at any scale."""
+    from exosql_spark.operators import ordering
+
+    t = Tables(spark, sf_dir)
+    keep = F.pmod(ordering.hash60(F.col("doc_id"), salt="13"), F.lit(1000)) < 100
+    return t.documents.select("doc_id", "source").filter(keep).orderBy("doc_id")
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN CAST(2.5 AS DOUBLE)
+              WHEN source = 'src2' THEN CAST(0.25 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS wt,
+         {_sql_h60("CAST(doc_id AS VARCHAR) || ':11'")} % 1000000 AS h
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(
+         1,
+         CAST(floor(wt)
+              + CASE WHEN h < (wt - floor(wt)) * 1000000 THEN 1 ELSE 0 END
+           AS INT))) AS INT) AS copy
+FROM w
+ORDER BY doc_id, copy
+""",
+    tags=("llm", "sampling", "curation", "scale"),
+    bench=True,  # tracked since round 10
+)
+def corpus_mixture_resample(spark, sf_dir):
+    """Deterministic training-mixture resampling
+    (selection.mixture_resample): sources src0/src1 upsample at
+    weight 2.5 (two full copies plus a stable hash-chosen half at a
+    third), src2 downsamples to a stable quarter, everything else
+    passes through — the epoch-level mixture materialization step of
+    a training-data pipeline, with multiplicities that are a pure
+    function of (doc_id, seed) instead of RNG state.  Scale shape:
+    one projection + explode inside the scan — no shuffle, no
+    collect; the output size is the mixture's own expansion.  The
+    oracle is the same floor(w) + hash-bernoulli arithmetic over
+    generate_series."""
+    from exosql_spark.operators import selection
+
+    t = Tables(spark, sf_dir)
+    w = (
+        F.when(F.col("source").isin("src0", "src1"), F.lit(2.5))
+        .when(F.col("source") == "src2", F.lit(0.25))
+        .otherwise(F.lit(1.0))
+    )
+    return (
+        selection.mixture_resample(
+            t.documents.select("doc_id", "source"), w, seed=11
+        )
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
 def _lang_scored_sql() -> str:
     """DuckDB list-of-structs mirroring text.lang_id's (score, lang)
     argmax array — struct field order (score first) drives the same

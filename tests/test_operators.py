@@ -2279,3 +2279,58 @@ class TestGlobalRank:
             for r in selection.global_rank(df, [F.col("k")]).collect()
         )
         assert ranks == list(range(1, 51))
+
+
+class TestMixtureResample:
+    def test_multiplicities_floor_plus_bernoulli(self, spark):
+        from exosql_spark.operators import selection
+        from exosql_spark.operators.ordering import hash60
+
+        df = spark.createDataFrame(
+            [(i, 2.5 if i < 50 else (0.25 if i < 100 else 1.0))
+             for i in range(150)],
+            "doc_id long, w double",
+        )
+        out = selection.mixture_resample(df, F.col("w"), seed=4)
+        counts = {
+            r.doc_id: r.n
+            for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        h = {
+            r.doc_id: r.h % 1_000_000
+            for r in df.select(
+                "doc_id", hash60(F.col("doc_id"), salt="4").alias("h")
+            ).collect()
+        }
+        for i in range(150):
+            if i < 50:
+                want = 2 + (1 if h[i] < 500_000 else 0)
+            elif i < 100:
+                want = 1 if h[i] < 250_000 else 0
+            else:
+                want = 1
+            assert counts.get(i, 0) == want, i
+        # copy index is dense 1..n
+        copies = [r.copy for r in out.filter(F.col("doc_id") == 0).collect()]
+        assert sorted(copies) == list(range(1, counts.get(0, 0) + 1))
+
+    def test_membership_stable_under_growth(self, spark):
+        """Hash sampling's defining property: adding rows never changes
+        an existing row's multiplicity (RNG sampling cannot promise
+        this)."""
+        from exosql_spark.operators import selection
+
+        def counts(n_rows):
+            df = spark.createDataFrame(
+                [(i, 0.5) for i in range(n_rows)], "doc_id long, w double"
+            )
+            out = selection.mixture_resample(df, F.col("w"), seed=9)
+            return {
+                r.doc_id: r.n
+                for r in out.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        small, big = counts(80), counts(160)
+        assert all(big.get(i, 0) == small.get(i, 0) for i in range(80))

@@ -114,6 +114,9 @@ class TestNoAccidentalCartesian:
         "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
         "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
         "search_hybrid_rrf",  # composes the bm25 scalar + cosine query broadcasts
+        # composes the bm25 scalar broadcast + the PQ ADC literal-table
+        # broadcast (both 1-row/k-bounded sides, same as its arms)
+        "search_hybrid_rrf_ann_planted",
         "text_lm_score",  # 1-row vocab-size broadcast scalar
         "filter_quality_percentile",  # 1-row percentile broadcast scalar
     }
