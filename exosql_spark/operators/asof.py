@@ -45,11 +45,24 @@ def asof_join(
     descending timestamp order (cost identical: one shuffle on the
     key + one sort) — no second code path, no range explosion.
 
+    ``direction="nearest"`` attaches the right row minimizing
+    ``|left.ts − right.ts|``, ties (equidistant before/after) taking
+    the EARLIER right row — pandas ``merge_asof`` semantics. It runs
+    BOTH carries over one union (same single shuffle on the key, two
+    per-partition sorts — asc and desc) and picks per row; requires a
+    NUMERIC timestamp column (the delta is arithmetic — cast
+    timestamps to epoch first) and is inclusive by definition
+    (``strict=True`` rejected).
+
     Returns all left columns plus ``<value_col><suffix>`` columns and
     ``<right_ts><suffix>`` (the matched right timestamp).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and strict:
+        raise ValueError("direction='nearest' is inclusive; strict=True unsupported")
     value_cols = value_cols or [
         c for c in right.columns if c not in (on, right_ts)
     ]
@@ -83,15 +96,48 @@ def asof_join(
     # carried value excludes same-instant right rows. Forward mode =
     # the same merge over descending ts (carry the next right row).
     order_side = F.col("_side").asc() if not strict else F.col("_side").desc()
-    order_ts = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
-    w = (
-        Window.partitionBy("_k")
-        .orderBy(order_ts, order_side)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "_match", F.last("_r", ignorenulls=True).over(w)
-    )
+    if direction == "nearest":
+        # both carries over ONE union: the backward candidate is the
+        # max right ts <= left ts (nearest below), the forward one the
+        # min right ts >= left ts (nearest above) — the global nearest
+        # is whichever delta is smaller, backward on equidistant ties
+        # (the earlier row, pandas merge_asof's rule)
+        w_b = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), order_side)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_f = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), order_side)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        u = (
+            l_tagged.unionByName(r_tagged)
+            .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_b))
+            .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_f))
+        )
+        d_b = F.abs(F.col("_ts") - F.col("_mb")[right_ts])
+        d_f = F.abs(F.col("_mf")[right_ts] - F.col("_ts"))
+        merged = u.withColumn(
+            "_match",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(d_b <= d_f, F.col("_mb"))
+            .otherwise(F.col("_mf")),
+        )
+    else:
+        order_ts = (
+            F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+        )
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(order_ts, order_side)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        merged = l_tagged.unionByName(r_tagged).withColumn(
+            "_match", F.last("_r", ignorenulls=True).over(w)
+        )
     out = merged.filter(F.col("_side") == 1).select(
         *[F.col("_l")[c].alias(c) for c in left.columns],
         *[

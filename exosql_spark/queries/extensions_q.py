@@ -89,6 +89,47 @@ def join_asof_forward(spark, sf_dir):
 
 
 @register(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT v.ts FROM v WHERE v.user_id = p.user_id
+        ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
+        LIMIT 1) AS ts_right,
+       (SELECT v.event_id FROM v WHERE v.user_id = p.user_id
+        ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
+        LIMIT 1) AS nearest_view_event_id
+FROM p
+""",
+    tags=("join", "extension", "timeseries"),
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join: each purchase gets the user's
+    view CLOSEST in time, before or after, equidistant ties taking the
+    earlier view — pandas merge_asof(direction='nearest') semantics,
+    completing the backward/forward/nearest triple.  The oracle is the
+    definitional per-row correlated subquery (quadratic — fine for
+    DuckDB at sf0.01, the exact shape asof.asof_join exists to avoid);
+    the Spark plan is the union+window merge running BOTH carries over
+    ONE shuffle on user_id (two per-partition sorts) and picking the
+    smaller delta per row."""
+    from exosql_spark.operators.asof import asof_join
+
+    t = Tables(spark, sf_dir)
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = t.events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("nearest_view_event_id")
+    )
+    return asof_join(
+        purchases, views, on="user_id", direction="nearest"
+    ).withColumnRenamed("nearest_view_event_id_right", "nearest_view_event_id")
+
+
+@register(
     "join_range",
     oracle="""
 SELECT a.user_id, count(*) AS n_pairs

@@ -851,6 +851,64 @@ def corpus_quality_deciles(spark, sf_dir):
 
 
 @register(
+    "corpus_curriculum_order",
+    oracle=_SQL_QUALITY_CTES
+    + f"""
+, r AS (
+  SELECT doc_id, quality,
+         row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
+         count(*) OVER () AS n
+  FROM quality_scored
+), h AS (
+  SELECT doc_id,
+         CAST(floor(((rnk - 1) * 4) / CAST(n AS DOUBLE)) + 1 AS INT) AS band,
+         {_sql_h60("CAST(doc_id AS VARCHAR) || ':5'")} AS hk
+  FROM r
+)
+SELECT doc_id, band, hk % 4 AS shard,
+       CAST(row_number() OVER (PARTITION BY band, hk % 4
+                               ORDER BY hk, doc_id) AS INT) AS pos
+FROM h ORDER BY band, shard, pos
+""",
+    tags=("llm", "curation", "scale"),
+)
+def corpus_curriculum_order(spark, sf_dir):
+    """Curriculum data ordering: quality QUARTILE bands read
+    best-first, pseudorandomly shuffled WITHIN each band — the
+    easy-to-hard schedule curriculum training wants, reproducible
+    across engines and epochs (new seed = new within-band
+    permutation).  Pure composition of this round's operators:
+    selection.global_rank cuts exact equal-population bands without
+    the global window, and the within-band order reuses
+    epoch_shuffle's seeded-hash construction — the position window
+    partitions on (band, shard), never on a whole quarter of the
+    corpus, so task size stays rows/(bands·shards) at any scale."""
+    from exosql_spark.operators import ordering, selection
+
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select("doc_id", "quality")
+    ranked = selection.global_rank(
+        scored,
+        [F.col("quality").desc(), F.col("doc_id")],
+        rank_col="rnk",
+        total_col="_n",
+    )
+    band = (
+        F.floor(((F.col("rnk") - 1) * 4) / F.col("_n").cast("double")) + 1
+    ).cast("int")
+    hk = ordering.hash60(F.col("doc_id"), salt="5")
+    w = Window.partitionBy("band", "shard").orderBy("_hk", "doc_id")
+    return (
+        ranked.withColumn("band", band)
+        .withColumn("_hk", hk)
+        .withColumn("shard", F.pmod(F.col("_hk"), F.lit(4)))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "band", "shard", "pos")
+        .orderBy("band", "shard", "pos")
+    )
+
+
+@register(
     "sample_hash_deterministic",
     oracle=f"""
 SELECT doc_id, source FROM documents

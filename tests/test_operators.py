@@ -1707,7 +1707,40 @@ class TestAsofJoin:
 
         df = spark.createDataFrame([(1, 1, "x")], "k long, ts long, v string")
         with _pt.raises(ValueError):
-            asof_join(df, df, on="k", direction="nearest")
+            asof_join(df, df, on="k", direction="sideways")
+        # nearest is inclusive by definition — strict contradicts it
+        with _pt.raises(ValueError):
+            asof_join(df, df, on="k", direction="nearest", strict=True)
+
+    def test_nearest_direction(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, "mid"), (1, 2, "early"), (1, 95, "late"), (2, 7, "lonely")],
+            "k long, ts long, lv string",
+        )
+        right = spark.createDataFrame(
+            [(1, 5, "R@5"), (1, 14, "R@14"), (1, 40, "R@40")],
+            "k long, ts long, rv string",
+        )
+        got = {
+            r.lv: (r.rv_right, r.ts_right)
+            for r in asof_join(left, right, on="k", direction="nearest").collect()
+        }
+        assert got["mid"] == ("R@14", 14)     # |10-14| < |10-5|
+        assert got["early"] == ("R@5", 5)     # only forward side near
+        assert got["late"] == ("R@40", 40)    # nothing after -> backward
+        assert got["lonely"] == (None, None)  # key with no right rows
+
+    def test_nearest_equidistant_tie_takes_earlier(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 10, "L")], "k long, ts long, lv string")
+        right = spark.createDataFrame(
+            [(1, 7, "before"), (1, 13, "after")], "k long, ts long, rv string"
+        )
+        row = asof_join(left, right, on="k", direction="nearest").collect()[0]
+        assert row.rv_right == "before"  # pandas merge_asof tie rule
 
     def test_range_join_bounds(self, spark):
         from exosql_spark.operators.asof import range_join
