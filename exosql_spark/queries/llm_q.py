@@ -859,7 +859,7 @@ def corpus_quality_deciles(spark, sf_dir):
          row_number() OVER (ORDER BY quality DESC, doc_id) AS rnk,
          count(*) OVER () AS n
   FROM quality_scored
-), h AS (
+), curr AS (
   SELECT doc_id,
          CAST(floor(((rnk - 1) * 4) / CAST(n AS DOUBLE)) + 1 AS INT) AS band,
          {_sql_h60("CAST(doc_id AS VARCHAR) || ':5'")} AS hk
@@ -868,7 +868,7 @@ def corpus_quality_deciles(spark, sf_dir):
 SELECT doc_id, band, hk % 4 AS shard,
        CAST(row_number() OVER (PARTITION BY band, hk % 4
                                ORDER BY hk, doc_id) AS INT) AS pos
-FROM h ORDER BY band, shard, pos
+FROM curr ORDER BY band, shard, pos
 """,
     tags=("llm", "curation", "scale"),
 )
