@@ -49,10 +49,11 @@ def asof_join(
     ``|left.ts − right.ts|``, ties (equidistant before/after) taking
     the EARLIER right row — pandas ``merge_asof`` semantics. It runs
     BOTH carries over one union (same single shuffle on the key, two
-    per-partition sorts — asc and desc) and picks per row; requires a
-    NUMERIC timestamp column (the delta is arithmetic — cast
-    timestamps to epoch first) and is inclusive by definition
-    (``strict=True`` rejected).
+    per-partition sorts — asc and desc) and picks per row; TIMESTAMP
+    columns are handled by casting to epoch microseconds internally
+    (exact long arithmetic — no interval types, no double rounding at
+    micro-resolution ties), numeric columns compare as-is. Inclusive
+    by definition (``strict=True`` rejected).
 
     Returns all left columns plus ``<value_col><suffix>`` columns and
     ``<right_ts><suffix>`` (the matched right timestamp).
@@ -117,8 +118,18 @@ def asof_join(
             .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_b))
             .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_f))
         )
-        d_b = F.abs(F.col("_ts") - F.col("_mb")[right_ts])
-        d_f = F.abs(F.col("_mf")[right_ts] - F.col("_ts"))
+        # Deltas in exact long arithmetic: timestamps → epoch micros
+        # (a subtraction of raw TIMESTAMP columns would only work via
+        # DayTimeInterval compare, Spark 3.3+, and doubles lose
+        # micro-resolution ties); numerics compare as-is.  An NTZ→TZ
+        # cast shift is identical on both operands so it cancels.
+        ts_type = left.schema[left_ts].dataType.typeName()
+        if ts_type.startswith("timestamp"):
+            _num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        else:
+            _num = lambda c: c  # noqa: E731
+        d_b = F.abs(_num(F.col("_ts")) - _num(F.col("_mb")[right_ts]))
+        d_f = F.abs(_num(F.col("_mf")[right_ts]) - _num(F.col("_ts")))
         merged = u.withColumn(
             "_match",
             F.when(F.col("_mb").isNull(), F.col("_mf"))

@@ -245,10 +245,16 @@ def mixture_resample(
 
     base = F.floor(weight).cast("long")
     frac = weight - F.floor(weight)
-    bern = (
-        F.pmod(hash60(F.col(id_col), salt=str(seed)), F.lit(1_000_000))
-        < frac * F.lit(1_000_000.0)
-    ).cast("long")
+    # NULL id ⇒ NULL hash ⇒ NULL bernoulli: coalesce to 0 so the row
+    # still emits its floor(w) integer copies (matching the SQL twin's
+    # CASE WHEN … THEN … ELSE 0) instead of vanishing entirely.
+    bern = F.coalesce(
+        (
+            F.pmod(hash60(F.col(id_col), salt=str(seed)), F.lit(1_000_000))
+            < frac * F.lit(1_000_000.0)
+        ).cast("long"),
+        F.lit(0),
+    )
     n = (base + bern).cast("int")
     seq = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
         F.lit(None).cast("array<int>")
@@ -272,6 +278,18 @@ def capped_per_key(
     the same expression drives both the partition-local pre-trim's
     ``array_sort`` and the final rank window, so the two levels can
     never disagree.  Output columns: ``df``'s columns + ``rank_col``.
+
+    Sizing: the pre-trim granularity is (input partition × key) — the
+    local ``collect_list`` materializes at most one group of ONE input
+    partition's rows per task before ``slice`` trims it to ``n``, so
+    per-task memory is bounded by the largest single-partition,
+    single-key row group, not by the global key's row count.  A key
+    with G rows spread over P input partitions reaches the final rank
+    window as at most ``min(G, n·P)`` rows — the pre-trim is what
+    keeps a hot key (say 10⁹ rows of one domain at 100 TB) from
+    flooding one window task.  Results are independent of the input
+    partition layout (any layout trims to a superset of the true
+    top-``n``; the window decides).
     """
     pair = F.struct(
         order_key.alias("k"), F.struct(*df.columns).alias("row")

@@ -104,6 +104,7 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p
 """,
     tags=("join", "extension", "timeseries"),
+    bench=True,  # tracked since round 11
 )
 def join_asof_nearest(spark, sf_dir):
     """Nearest-direction as-of join: each purchase gets the user's

@@ -871,6 +871,7 @@ SELECT doc_id, band, hk % 4 AS shard,
 FROM curr ORDER BY band, shard, pos
 """,
     tags=("llm", "curation", "scale"),
+    bench=True,  # tracked since round 11
 )
 def corpus_curriculum_order(spark, sf_dir):
     """Curriculum data ordering: quality QUARTILE bands read
@@ -916,6 +917,7 @@ WHERE {_sql_h60("CAST(doc_id AS VARCHAR) || ':13'")} % 1000 < 100
 ORDER BY doc_id
 """,
     tags=("llm", "sampling"),
+    bench=True,  # tracked since round 11
 )
 def sample_hash_deterministic(spark, sf_dir):
     """Deterministic 10% sample by seeded hash threshold — the

@@ -60,7 +60,8 @@ def append_batch_keyed(
 ) -> None:
     """IDEMPOTENT append of one ingest batch into a partitioned parquet
     layout: the batch's files land under deterministic batch-keyed
-    names (``ingest-b{batch_id}-{i}.snappy.parquet``), so re-running
+    names (``ingest-b{batch_id}-{i}.<codec>.parquet``, extension taken
+    from what Spark wrote for ``compression``), so re-running
     the SAME batch — a streaming micro-batch replayed after a crash
     between the parquet append and the checkpoint's offset commit —
     overwrites its own previous files instead of duplicating rows.
@@ -122,7 +123,18 @@ def append_batch_keyed(
                 key=lambda p: p.getName(),
             )
             for i, src in enumerate(moved):
-                dst = hpath(f"{root}/{name}/{prefix}{i}.snappy.parquet")
+                # keep the codec extension Spark gave the staged file
+                # (".snappy.parquet", ".zstd.parquet", plain
+                # ".parquet", ...) so names never lie about contents
+                toks = src.getName().split(".")
+                codec = (
+                    toks[-2]
+                    if len(toks) >= 3
+                    and toks[-2] in {"snappy", "gz", "zstd", "lz4", "lz4raw", "br", "lzo"}
+                    else None
+                )
+                ext = f".{codec}.parquet" if codec else ".parquet"
+                dst = hpath(f"{root}/{name}/{prefix}{i}{ext}")
                 if not fs.rename(src, dst):
                     raise IOError(f"rename failed: {src} -> {dst}")
     finally:

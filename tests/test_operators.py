@@ -2367,3 +2367,122 @@ class TestMixtureResample:
 
         small, big = counts(80), counts(160)
         assert all(big.get(i, 0) == small.get(i, 0) for i in range(80))
+
+    def test_null_id_keeps_integer_copies(self, spark):
+        """A NULL id hashes NULL, so the fractional bernoulli is
+        undecidable — but the floor(w) integer copies are not.  The
+        SQL twin's CASE WHEN … ELSE 0 keeps them; so must Spark
+        (pre-fix the whole row vanished: NULL base+bern → explode of
+        NULL emits nothing)."""
+        from exosql_spark.operators import selection
+
+        df = spark.createDataFrame(
+            [(None, 2.5), ("d1", 2.0)], "doc_id string, w double"
+        )
+        out = selection.mixture_resample(df, F.col("w"), id_col="doc_id", seed=1)
+        counts = {
+            r.doc_id: r.n
+            for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts[None] == 2  # floor(2.5), bernoulli coalesced to 0
+        assert counts["d1"] == 2
+        # and a NULL id with w < 1 emits nothing (floor = 0)
+        sub = spark.createDataFrame([(None, 0.7)], "doc_id string, w double")
+        assert selection.mixture_resample(sub, F.col("w"), seed=1).count() == 0
+
+
+class TestAsofNearestTimestamps:
+    """direction='nearest' on real TIMESTAMP columns — the delta must
+    run in exact epoch-micros arithmetic (raw timestamp subtraction
+    only works via DayTimeInterval on Spark 3.3+, and doubles lose
+    micro-resolution ties)."""
+
+    def test_nearest_on_timestamp_columns(self, spark):
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP '2024-01-01 00:00:10' AS ts, 'L' AS lv"
+        )
+        right = spark.sql("""
+            SELECT 1 AS k, ts, rv FROM VALUES
+              (TIMESTAMP '2024-01-01 00:00:05', 'R@5'),
+              (TIMESTAMP '2024-01-01 00:00:14', 'R@14')
+            AS t(ts, rv)
+        """)
+        row = asof_join(left, right, on="k", direction="nearest").collect()[0]
+        assert row.rv_right == "R@14"  # |10-14| < |10-5|
+
+    def test_nearest_timestamp_microsecond_tie(self, spark):
+        """Equidistant at ±1µs must take the EARLIER row — a double
+        epoch (22 fractional bits at 2024 magnitudes ≈ 0.2µs steps,
+        rounded) could mis-order; exact long micros cannot."""
+        from exosql_spark.operators.asof import asof_join
+
+        left = spark.sql(
+            "SELECT 1 AS k, TIMESTAMP '2024-01-01 00:00:10.000001' AS ts, 'L' AS lv"
+        )
+        right = spark.sql("""
+            SELECT 1 AS k, ts, rv FROM VALUES
+              (TIMESTAMP '2024-01-01 00:00:10.000000', 'before'),
+              (TIMESTAMP '2024-01-01 00:00:10.000002', 'after')
+            AS t(ts, rv)
+        """)
+        row = asof_join(left, right, on="k", direction="nearest").collect()[0]
+        assert row.rv_right == "before"
+
+
+class TestSizingPins:
+    """Round-10 verdict Next #6: pin the two documented sizing
+    behaviors — epoch_shuffle's explicit-``n_shards`` reproducibility
+    contract and capped_per_key's layout-independent pre-trim."""
+
+    def test_epoch_shuffle_explicit_shards_stable_under_growth(self, spark):
+        """The docstring's caveat, proven: with ``n_shards`` passed
+        EXPLICITLY, an existing row's shard id and its relative order
+        within the shard never change as the corpus grows (auto-derived
+        n_shards re-derives the modulus, so ids may move — which is why
+        reproducible epochs must pin it)."""
+        from exosql_spark.operators import ordering
+
+        def layout(n_rows):
+            df = spark.range(n_rows).withColumnRenamed("id", "k")
+            out = ordering.epoch_shuffle(df, "k", seed=7, n_shards=8)
+            rows = out.orderBy("shard", "pos").collect()
+            shard = {r.k: r.shard for r in rows}
+            order = {}
+            for r in rows:
+                order.setdefault(r.shard, []).append(r.k)
+            return shard, order
+
+        shard_small, order_small = layout(100)
+        shard_big, order_big = layout(160)
+        # shard membership of the original rows is unchanged
+        assert all(shard_big[k] == shard_small[k] for k in range(100))
+        # and within each shard the original rows keep their relative
+        # order — new rows interleave, they never reshuffle the old
+        for s, ks in order_small.items():
+            survivors = [k for k in order_big.get(s, []) if k < 100]
+            assert survivors == ks, s
+
+    def test_capped_per_key_layout_independent(self, spark):
+        """The pre-trim runs per (input partition × key); any layout
+        must trim to a superset of the true top-n, so the final ranks
+        are identical whatever the partitioning."""
+        from exosql_spark.operators import selection
+
+        rows = [(i % 7, i, float((i * 37) % 101)) for i in range(400)]
+        df = spark.createDataFrame(rows, "key int, id long, score double")
+        order = F.struct(F.col("score"), F.col("id"))
+
+        def got(frame):
+            return sorted(
+                (r.key, r.id, r.rank)
+                for r in selection.capped_per_key(
+                    frame, ["key"], order, n=5
+                ).collect()
+            )
+
+        base = got(df.coalesce(1))
+        assert got(df.repartition(13)) == base
+        assert got(df.repartition(3, "key")) == base
+        assert len(base) == 7 * 5

@@ -387,3 +387,25 @@ class TestStreamingSink:
         back = spark.read.parquet(out)
         assert back.count() > 0
         assert "bucket_start" in back.columns
+
+
+class TestBatchKeyedExtensions:
+    def test_append_batch_keyed_extension_follows_codec(self, spark, tmp_path):
+        """File names must carry the codec Spark actually wrote —
+        a zstd batch may not masquerade as '.snappy.parquet'."""
+        import glob
+        import os
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "cell int, v string"
+        )
+        root = str(tmp_path / "layout")
+        sinks.append_batch_keyed(df, root, "cell", batch_id=0, compression="zstd")
+        sinks.append_batch_keyed(df, root, "cell", batch_id=1)  # default snappy
+        files = sorted(
+            os.path.basename(p)
+            for p in glob.glob(f"{root}/cell=1/ingest-b*.parquet")
+        )
+        assert files == ["ingest-b0-0.zstd.parquet", "ingest-b1-0.snappy.parquet"]
+        # both batches readable together, no duplication
+        assert spark.read.parquet(root).count() == 4
