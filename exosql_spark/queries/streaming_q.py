@@ -561,3 +561,45 @@ def streaming_ivf_ingest_parity(spark, sf_dir):
         full, queries, k=10, centroids=cents, assigner="pandas",
         encoded=stored,
     ).orderBy("query_id", "rank")
+
+
+@register(
+    "streaming_transform_state_parity",
+    oracle="""
+SELECT user_id, event_type, count(*) AS n_events
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "stateful"),
+)
+def streaming_transform_state_parity(spark, sf_dir):
+    """Arbitrary-SHAPE user state: the per-user map {event_type:
+    running count} packed as array fields of the state struct
+    (stateful.event_type_profile) drained with availableNow — the
+    final emission per (user, event_type) must equal the batch GROUP
+    BY exactly.  None of the other stateful entries carry
+    variable-size state; this is the surface SURVEY §2.9's
+    flatMapGroupsWithState row names.  (The point-update MapState twin
+    via Spark 4 transformWithStateInPandas ships alongside as
+    event_type_profile_tws, gated on protobuf — absent in this
+    container — and covered by a skip-guarded test.)  Update-mode
+    memory sink appends one row per touched (user, type, micro-batch);
+    counts are strictly monotone, so the last state row per pair is
+    the max-count one."""
+    from exosql_spark import streaming
+    from exosql_spark.streaming.stateful import event_type_profile
+
+    stream = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming.run_to_memory(
+        event_type_profile(stream), "cat_transform_state", mode="update"
+    )
+    q.stop()
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("n_events").desc())
+    return (
+        spark.table("cat_transform_state")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id", "event_type")
+    )

@@ -25,6 +25,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+try:  # transformWithState needs the protobuf state-server protocol
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - container has no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    HAS_TRANSFORM_WITH_STATE = False
 from pyspark.sql import types as T
 
 _STATS_OUT = T.StructType(
@@ -122,5 +131,139 @@ def anomaly_flags(events: DataFrame, step: float = 500.0) -> DataFrame:
         outputStructType=_ALERT_OUT,
         stateStructType=_ALERT_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+class _EventTypeProfile(StatefulProcessor):
+    """StatefulProcessor for :func:`event_type_profile` — declared at
+    module scope (the processor is pickled to executors)."""
+
+    def init(self, handle) -> None:
+        # MapState: one sub-entry per event_type under the user's key —
+        # the "arbitrary user state" shape applyInPandasWithState's
+        # single flat tuple cannot express without packing/unpacking.
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n long"
+        )
+
+    def handleInputRows(self, key, pdfs, timerValues):
+        (user_id,) = key
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for et, n in pdf["event_type"].value_counts().items():
+                batch[et] = batch.get(et, 0) + int(n)
+        types, counts = [], []
+        for et in sorted(batch):
+            prev = (
+                self._counts.getValue((et,))
+                if self._counts.containsKey((et,))
+                else None
+            )
+            total = (prev[0] if prev else 0) + batch[et]
+            self._counts.updateValue((et,), (total,))
+            types.append(et)
+            counts.append(total)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(types),
+                "event_type": types,
+                "n_events": counts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+def event_type_profile_tws(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts via the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + MapState) —
+    the map grows one RocksDB-backed sub-entry per event type, updated
+    point-wise, never rewritten wholesale: at 10⁹ users × dozens of
+    types that point-update is the scale path (the packed twin below
+    rewrites the user's whole map tuple each batch).
+
+    Requires ``protobuf`` (the transformWithState state-server wire
+    protocol) — unavailable in this container, so the parity entry
+    runs :func:`event_type_profile` and the test suite skips this
+    variant unless HAS_TRANSFORM_WITH_STATE."""
+    if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_EventTypeProfile(),
+        outputStructType="user_id long, event_type string, n_events long",
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+_PROFILE_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# Arbitrary VARIABLE-SIZE user state in the applyInPandasWithState API:
+# the per-user map {event_type: count} packed as two parallel arrays
+# (the state struct is fixed-shape, its array fields are not).
+_PROFILE_STATE = T.StructType(
+    [
+        T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def event_type_profile(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts — the arbitrary-shape
+    user-state pattern in the runnable API: applyInPandasWithState's
+    state struct is fixed-shape, but ARRAY fields inside it are not,
+    so a whole map of per-type counters packs as two parallel arrays
+    and grows with the user's observed type set (none of the other
+    stateful entries carry variable-size state).  Each micro-batch
+    emits the updated (user_id, event_type, n_events) rows for the
+    types that appeared; counts are monotone, so the final state per
+    pair is the max-count emission (what the parity entry selects).
+    State size: O(users × event types) entries, bounded by key
+    cardinality, not stream length."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        types, counts = state.get if state.exists else ([], [])
+        m = dict(zip(list(types), list(counts)))
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for et, n in pdf["event_type"].value_counts().items():
+                batch[et] = batch.get(et, 0) + int(n)
+        for et in batch:
+            m[et] = m.get(et, 0) + batch[et]
+        ks = sorted(m)
+        state.update((ks, [m[k] for k in ks]))
+        touched = sorted(batch)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(touched),
+                "event_type": touched,
+                "n_events": [m[et] for et in touched],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_PROFILE_OUT,
+        stateStructType=_PROFILE_STATE,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -469,3 +469,79 @@ class TestIndexIngestStream:
         )
         n_all = spark.read.parquet(path).count()
         assert n_all == len(once[1]) + emb.filter(F.col("vec_id") % 4 == 2).count()
+
+
+class TestEventTypeProfile:
+    """Variable-size (map-shaped) user state packed in array state
+    fields — plus the gated transformWithState twin."""
+
+    def test_profile_matches_batch_counts(self, spark, events_stream, events_batch):
+        from exosql_spark.streaming.stateful import event_type_profile
+
+        got = drain(
+            event_type_profile(events_stream), "t_type_profile", mode="update"
+        )
+        final = got.groupBy("user_id", "event_type").agg(
+            F.max("n_events").alias("n_events")
+        )
+        want = events_batch.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        joined = final.alias("a").join(want.alias("b"), ["user_id", "event_type"])
+        assert joined.count() == want.count() == final.count()
+        assert joined.filter(F.col("a.n_events") != F.col("b.n_events")).count() == 0
+
+    def test_state_actually_accumulates_across_batches(self, spark, tmp_path):
+        """Two files drained at maxFilesPerTrigger=1 → two micro-batches:
+        the shared (user, type) pairs must be emitted twice with growing
+        counts — a stateless per-batch count would emit equal ones."""
+        from exosql_spark.streaming.stateful import event_type_profile
+
+        src = str(tmp_path / "src")
+        rows = [
+            (i, f"2024-01-01 00:0{i}:00", i % 3, "view", 1.0, "{}")
+            for i in range(6)
+        ]
+        schema = (
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string"
+        )
+        for batch in (rows[:3], rows[3:]):
+            spark.createDataFrame(batch, schema).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = streaming.read_events_stream(spark, src)
+        got = drain(
+            event_type_profile(stream), "t_type_profile_acc", mode="update"
+        )
+        multi = (
+            got.groupBy("user_id", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_emissions"),
+                F.count(F.col("n_events")).alias("_n"),
+                F.size(F.collect_set("n_events")).alias("n_distinct_counts"),
+            )
+            .filter(F.col("n_emissions") > 1)
+        )
+        assert multi.count() > 0
+        # growing, not repeated: every multi-emission pair has as many
+        # distinct running counts as emissions (strict monotonicity)
+        assert multi.filter(
+            F.col("n_distinct_counts") != F.col("n_emissions")
+        ).count() == 0
+
+    def test_transform_with_state_twin(self, spark, events_stream):
+        from exosql_spark.streaming import stateful
+
+        if not stateful.HAS_TRANSFORM_WITH_STATE:
+            import pytest as _pt
+
+            with _pt.raises(ImportError):
+                stateful.event_type_profile_tws(events_stream)
+            _pt.skip("protobuf absent: transformWithState protocol unavailable")
+        got = drain(
+            stateful.event_type_profile_tws(events_stream),
+            "t_type_profile_tws",
+            mode="update",
+        )
+        assert got.count() > 0
