@@ -821,3 +821,38 @@ def keep_best_representative(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise source-overlap matrix: for every pair of sources
+    (A < B), how many distinct normalized-content fingerprints appear
+    in BOTH — the corpus-forensics table that answers "how much of
+    CommonCrawl dump N is already in dump M" before choosing what to
+    dedup against what.
+
+    Shape: distinct (fingerprint, source) → self equi-join on the
+    fingerprint → count per ordered source pair.  One shuffle
+    (the distinct) that the self-join reuses (same key), and the join
+    only multiplies WITHIN a fingerprint's source set (≤ |sources|
+    rows, not copies — duplicates within one source collapsed first),
+    so the worst case is |distinct fps| × |sources|², never all-pairs
+    of documents.  Output is |sources|² rows — tiny at any corpus
+    scale."""
+    from exosql_spark.operators.text import fingerprint_md5
+
+    d = df.select(
+        fingerprint_md5(F.col(text_col)).alias("fp"),
+        F.col(source_col).alias("src"),
+    ).distinct()
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), "fp")
+        .filter(F.col("a.src") < F.col("b.src"))
+    )
+    return pairs.groupBy(
+        F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("n_shared"))

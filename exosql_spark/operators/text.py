@@ -503,3 +503,51 @@ def span_dedup(
         ).alias(text_col),
         (F.col("_n") - F.size(kept)).alias("n_tokens_removed"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary (lowercased whitespace tokens,
+    ties at the cutoff broken by token text) — the cheap tokenizer-fit
+    signal: a doc whose tokens mostly miss the vocabulary is boilerplate,
+    another language, or noise the tokenizer will shred into bytes.
+
+    Two-phase, both scale-shaped: (1) the vocabulary is a global
+    top-k by frequency — ``orderBy().limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heaps, no full sort) over one
+    token-count shuffle; (2) membership scoring BROADCASTS the ≤k-row
+    vocabulary to a hash join against the exploded tokens (O(1) per
+    token), then re-aggregates per document.  Documents with zero
+    tokens have no token rows and drop out (same in the SQL twin).
+
+    Output: ``id_col``, ``n_tokens``, ``n_oov``, ``oov_ratio`` (4 dp).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_t")
+    ).select(id_col, F.lower(F.col("_t")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    scored = tok.join(F.broadcast(vocab), "tok", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ratio",
+            F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 4),
+        )
+    )

@@ -3095,3 +3095,191 @@ def corpus_merge_upsert(spark, sf_dir):
     return merged.select(
         "doc_id", "version", F.length("text").alias("n_chars_merged")
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
+# Round 11: per-language quality gate, cross-source overlap matrix,
+# int8 embedding quantization, vocabulary/OOV analysis
+# --------------------------------------------------------------------
+
+
+@register(
+    "filter_quality_percentile_by_lang",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, dql AS (
+  SELECT q.doc_id, d.lang, q.quality
+  FROM quality_scored q JOIN documents d USING (doc_id)
+), lthr AS (
+  SELECT lang, quantile_cont(quality, 0.2) AS t FROM dql GROUP BY lang
+)
+SELECT dql.doc_id, dql.lang, dql.quality
+FROM dql JOIN lthr USING (lang)
+WHERE dql.quality >= lthr.t
+ORDER BY dql.doc_id
+""",
+    tags=("llm", "text", "quality", "scale"),
+)
+def filter_quality_percentile_by_lang(spark, sf_dir):
+    """PER-LANGUAGE adaptive quality gate: keep documents at/above
+    their OWN language's 20th quality percentile — the C4/mC4 rule.
+    A single global threshold (filter_quality_percentile) silently
+    guts low-resource languages whose quality distribution sits lower
+    (stopword lists, token ratios are language-biased); a per-stratum
+    percentile keeps each language's best 80% on its own scale.
+
+    Plan shape: one pass computes the features; the per-language
+    exact interpolated percentiles (|langs| rows — single digits) come
+    from one tiny shuffle and BROADCAST back onto the scored corpus,
+    so the gate costs one scan + one broadcast join at any corpus
+    size."""
+    t = Tables(spark, sf_dir)
+    scored = text.quality_score(t.documents, "text").select(
+        "doc_id", "lang", "quality"
+    )
+    thr = scored.groupBy("lang").agg(F.percentile("quality", 0.2).alias("_t"))
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality") >= F.col("_t"))
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+WITH aug AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text,
+         CASE WHEN doc_id % 100 = 0 THEN 'zz_plant_a' ELSE 'zz_plant_b' END
+           AS source
+  FROM documents WHERE doc_id % 50 = 0
+), d AS (
+  SELECT DISTINCT md5({_SQL_NORM_TEXT}) AS fp, source FROM aug
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared
+FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    tags=("llm", "dedup", "scale"),
+    bench=True,  # tracked since round 11
+)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Pairwise source-overlap matrix (operators/dedup.py:
+    cross_source_overlap): distinct normalized-content fingerprints
+    shared by each source pair — the audit that decides WHICH corpora
+    are worth deduplicating against each other before paying for it.
+    Never all-pairs of documents: within-source copies collapse in the
+    distinct, the self-join multiplies only within one fingerprint's
+    source set (≤ |sources| rows), and the output is |sources|² rows
+    at any scale.
+
+    The input is augmented with PLANTED cross-source copies (every
+    50th doc re-tagged into a zz_plant_* source) because the testdata
+    has zero exact duplicates at sf0.01 — without them this oracle
+    verifies vacuously (0 = 0) at the driver's correctness SF; the
+    planted-copy trick is the same one the similarity/semdedup entries
+    use."""
+    from exosql_spark.operators.dedup import cross_source_overlap
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    plants = docs.filter(F.col("doc_id") % 50 == 0).select(
+        "text",
+        F.when(F.col("doc_id") % 100 == 0, F.lit("zz_plant_a"))
+        .otherwise(F.lit("zz_plant_b"))
+        .alias("source"),
+    )
+    aug = docs.select("text", "source").unionByName(plants)
+    return cross_source_overlap(aug).orderBy("source_a", "source_b")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+  FROM embeddings
+)
+, qq AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS q,
+         round(list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)
+                    - floor(127.0 * CAST(x AS DOUBLE) / scale + 0.5)
+                      * scale / 127.0))), 6) AS max_err
+  FROM s
+)
+SELECT vec_id, scale,
+       md5(array_to_string(q, ',')) AS q_md5,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       max_err
+FROM qq
+ORDER BY vec_id
+""",
+    tags=("llm", "embedding", "scale"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Per-vector symmetric int8 scalar quantization (operators/
+    quantize.py) — the 4× compression tier between full float32 and
+    PQ/ADC's 48×: max-abs scale, floor(127·x/s + 0.5) codes (ONE
+    IEEE formula both engines compute bit-identically — round() would
+    diverge on negative halves), plus the max dequantization error a
+    rerank tier budgets against.  Pure projection inside the scan:
+    zero shuffles at any corpus size.  The full code array is pinned
+    across engines by an md5 over its joined rendering plus the exact
+    integer code sum (the comparator handles scalars, not arrays)."""
+    from exosql_spark.operators.quantize import int8_quantize
+
+    t = Tables(spark, sf_dir)
+    q = int8_quantize(t.embeddings)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join("q", ",")).alias("q_md5"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        "max_err",
+    ).orderBy("vec_id")
+
+
+@register(
+    "text_oov_rate",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents, unnest({_SQL_TOKS}) AS t(tok)
+), vocab AS (
+  SELECT tok, 1 AS in_vocab
+  FROM tok GROUP BY tok
+  ORDER BY count(*) DESC, tok LIMIT 1000
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS oov_ratio
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("llm", "text", "scale"),
+    bench=True,  # tracked since round 11
+)
+def text_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-1000 token vocabulary (operators/text.py: oov_rate) — the
+    tokenizer-fit curation signal.  The vocabulary is a global top-k
+    (TakeOrderedAndProject — per-partition heaps, never a full sort)
+    and membership is a BROADCAST hash join against the exploded
+    tokens; zero-token documents drop out in both engines."""
+    t = Tables(spark, sf_dir)
+    return text.oov_rate(t.documents).orderBy("doc_id")

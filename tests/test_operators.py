@@ -2486,3 +2486,86 @@ class TestSizingPins:
         assert got(df.repartition(13)) == base
         assert got(df.repartition(3, "key")) == base
         assert len(base) == 7 * 5
+
+
+class TestQuantizeInt8:
+    def test_codes_bounded_and_roundtrip(self, spark):
+        from exosql_spark.operators.quantize import int8_quantize
+
+        df = spark.createDataFrame(
+            [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0]), (3, [-2.0, 2.0])],
+            "vec_id long, embedding array<float>",
+        )
+        rows = {r.vec_id: r for r in int8_quantize(df).collect()}
+        # floor(x+0.5) rounds halves toward +inf: -63.5 -> -63
+        assert rows[1].q == [127, -63, 32]
+        assert rows[1].scale == 1.0
+        assert rows[2].q == [0, 0]  # zero vector: eps guard, codes 0
+        assert rows[3].q == [-127, 127]
+        # error bound: ≤ scale/254 + float noise
+        for r in rows.values():
+            assert r.max_err <= r.scale / 254 + 1e-9
+
+    def test_int8_dot_approximates_exact(self, spark):
+        from exosql_spark.operators.quantize import int8_dot, int8_quantize
+
+        df = spark.createDataFrame(
+            [(1, [0.6, -0.3, 0.1]), (2, [0.2, 0.9, -0.4])],
+            "vec_id long, embedding array<float>",
+        )
+        q = int8_quantize(df)
+        a = q.filter(F.col("vec_id") == 1).select(
+            F.col("q").alias("qa"), F.col("scale").alias("sa")
+        )
+        b = q.filter(F.col("vec_id") == 2).select(
+            F.col("q").alias("qb"), F.col("scale").alias("sb")
+        )
+        got = (
+            a.crossJoin(b)
+            .select(
+                int8_dot(
+                    F.col("qa"), F.col("qb"), F.col("sa"), F.col("sb")
+                ).alias("d")
+            )
+            .collect()[0]
+            .d
+        )
+        exact = 0.6 * 0.2 + (-0.3) * 0.9 + 0.1 * (-0.4)
+        assert abs(got - exact) < 0.01  # within int8 quantization error
+
+
+class TestCrossSourceOverlap:
+    def test_pairwise_distinct_fingerprints(self, spark):
+        from exosql_spark.operators.dedup import cross_source_overlap
+
+        rows = [
+            (1, "shared text one", "A"),
+            (2, "Shared TEXT one!", "B"),   # same normalized content
+            (3, "shared text one", "C"),
+            (4, "only in a", "A"),
+            (5, "shared text two", "B"),
+            (6, "shared text two", "C"),
+            (7, "shared text two", "B"),    # within-source dup collapses
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r.source_a, r.source_b): r.n_shared
+            for r in cross_source_overlap(df).collect()
+        }
+        assert got == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 2}
+
+
+class TestOovRate:
+    def test_rate_and_zero_token_docs_drop(self, spark):
+        from exosql_spark.operators import text as tx
+
+        rows = [(1, "the the the rare1"), (2, "the"), (3, "   ")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_tokens, r.n_oov, r.oov_ratio)
+            for r in tx.oov_rate(df, vocab_size=1).collect()
+        }
+        # vocab = {'the'} (most frequent); 'rare1' is OOV
+        assert got[1] == (4, 1, 0.25)
+        assert got[2] == (1, 0, 0.0)
+        assert 3 not in got  # whitespace-only doc has no token rows
