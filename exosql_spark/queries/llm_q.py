@@ -3283,3 +3283,52 @@ def text_oov_rate(spark, sf_dir):
     tokens; zero-token documents drop out in both engines."""
     t = Tables(spark, sf_dir)
     return text.oov_rate(t.documents).orderBy("doc_id")
+
+
+@register(
+    "similarity_topk_int8",
+    oracle="""
+WITH qz AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale,
+         list_transform(embedding, x -> CAST(floor(127.0 * CAST(x AS DOUBLE) /
+           greatest(list_max(list_transform(embedding,
+                    y -> abs(CAST(y AS DOUBLE)))), 1e-30) + 0.5) AS INT)) AS q
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS query_id, scale AS sq, q AS qq FROM qz WHERE vec_id < 5
+), scored AS (
+  SELECT qs.query_id, c.vec_id,
+         c.scale * qs.sq / 16129.0 *
+           list_dot_product(CAST(c.q AS DOUBLE[]), CAST(qs.qq AS DOUBLE[])) AS int8_sim
+  FROM qz c, qs
+), ranked AS (
+  SELECT query_id, vec_id, int8_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY int8_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, int8_sim, rank FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+""",
+    tags=("llm", "similarity", "embedding", "scale"),
+    bench=True,  # tracked since round 11
+)
+def similarity_topk_int8(spark, sf_dir):
+    """Brute-force top-10 IN THE int8-QUANTIZED DOMAIN
+    (operators/quantize.py: int8_topk): both sides SQ8-compressed,
+    integer multiply-accumulate dots, scales outside the sum — the 4×
+    memory-bandwidth saving that makes a full-corpus scan the viable
+    rerank tier.  Exactly oracle-able, unlike the LSH/IVF ANN entries:
+    every vector is scored (no candidate pruning), the integer dot is
+    engine-portable, and the scale arithmetic is one shared IEEE
+    formula — so this entry also pins the quantizer end-to-end through
+    a real retrieval, not just per-vector codes."""
+    from exosql_spark.operators.quantize import int8_topk
+
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return int8_topk(t.embeddings, queries, k=10).orderBy("query_id", "rank")

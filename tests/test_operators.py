@@ -2569,3 +2569,38 @@ class TestOovRate:
         assert got[1] == (4, 1, 0.25)
         assert got[2] == (1, 0, 0.0)
         assert 3 not in got  # whitespace-only doc has no token rows
+
+
+class TestInt8Topk:
+    def test_int8_topk_self_match_and_recall(self, spark, sf_dir):
+        """Every query's own vector ranks first, and the int8 top-10
+        closely tracks the exact float dot-product top-10 (quantization
+        error must not reorder clearly-separated neighbors)."""
+        from exosql_spark.io import Tables
+        from exosql_spark.operators.quantize import int8_topk
+
+        emb = Tables(spark, sf_dir).embeddings
+        queries = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        got = int8_topk(emb, queries, k=10)
+        top1 = {r.query_id: r.vec_id for r in got.filter(F.col("rank") == 1).collect()}
+        assert top1 == {0: 0, 1: 1, 2: 2}
+        # exact float dot top-10 for comparison
+        exact = (
+            emb.crossJoin(F.broadcast(queries.select(
+                "query_id", F.col("embedding").alias("_qv"))))
+            .select(
+                "query_id", "vec_id",
+                F.aggregate(
+                    F.zip_with("embedding", "_qv",
+                               lambda a, b: a.cast("double") * b.cast("double")),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                ).alias("dot"),
+            )
+        )
+        from pyspark.sql import Window as _W
+        w = _W.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("vec_id"))
+        exact_top = exact.withColumn("r", F.row_number().over(w)).filter("r <= 10")
+        overlap = got.join(exact_top, ["query_id", "vec_id"]).count()
+        assert overlap >= 24  # recall@10 ≥ 0.8 over 3 queries
