@@ -385,3 +385,50 @@ def delete_rows_partitioned(
             )
     finally:
         _hadoop_delete(spark, stage)
+
+
+def read_layout_asof(
+    spark, path: str, batch_id: int, partition_col: str
+) -> DataFrame:
+    """Read a batch-keyed layout AS OF ingest batch ``batch_id``: only
+    files from batches ≤ ``batch_id`` (plus any plain-append
+    ``part-*`` base files) — poor-man's snapshot isolation that the
+    deterministic ``ingest-b{n}-*`` names from
+    :func:`append_batch_keyed` make possible without a transactional
+    table format.  "What did the index hold when batch N landed?" is
+    the question every ingest-pipeline debug session asks; with plain
+    appends the answer is gone, with batch-keyed names it's a file
+    filter.
+
+    Mechanics: one driver-side RECURSIVE listing (a metadata op — file
+    COUNT, not data size; the same cost every parquet read already
+    pays), filter names by parsed batch id, hand Spark the explicit
+    file list.  Schema/partition values are recovered from the Hive
+    paths via ``basePath``, so partition pruning and column projection
+    on the result behave exactly as a plain read."""
+    import re as _re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = path.rstrip("/")
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    keep: list[str] = []
+    pat = _re.compile(r"^ingest-b(\d+)-")
+    it = fs.listFiles(hpath(root), True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        m = pat.match(name)
+        if m is None and not name.startswith("part-"):
+            continue
+        if m is not None and int(m.group(1)) > batch_id:
+            continue
+        keep.append(st.getPath().toString())
+    if not keep:
+        raise FileNotFoundError(
+            f"read_layout_asof({root!r}, batch_id={batch_id}): no base or"
+            f" batch-keyed parquet files at or before that batch"
+        )
+    return spark.read.option("basePath", root).parquet(*keep)

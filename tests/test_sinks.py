@@ -409,3 +409,52 @@ class TestBatchKeyedExtensions:
         assert files == ["ingest-b0-0.zstd.parquet", "ingest-b1-0.snappy.parquet"]
         # both batches readable together, no duplication
         assert spark.read.parquet(root).count() == 4
+
+
+class TestReadLayoutAsof:
+    def test_asof_reads_prefix_of_batches(self, spark, tmp_path):
+        root = str(tmp_path / "layout")
+        for b in range(3):
+            df = spark.createDataFrame(
+                [(b * 10 + i, i % 2) for i in range(4)], "v long, cell int"
+            )
+            sinks.append_batch_keyed(df, root, "cell", batch_id=b)
+        # as of batch 1: batches 0 and 1 only
+        got = sorted(
+            r.v for r in sinks.read_layout_asof(spark, root, 1, "cell").collect()
+        )
+        assert got == sorted([i for i in range(4)] + [10 + i for i in range(4)])
+        # as of batch 2 == full read
+        assert sinks.read_layout_asof(spark, root, 2, "cell").count() == 12
+        # partition column recovered from hive paths
+        cells = {
+            r.cell
+            for r in sinks.read_layout_asof(spark, root, 0, "cell")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        assert cells == {0, 1}
+
+    def test_asof_includes_plain_append_base(self, spark, tmp_path):
+        root = str(tmp_path / "layout")
+        base = spark.createDataFrame([(100, 0), (101, 1)], "v long, cell int")
+        base.write.partitionBy("cell").parquet(root)  # part-* base files
+        inc = spark.createDataFrame([(200, 0)], "v long, cell int")
+        sinks.append_batch_keyed(inc, root, "cell", batch_id=5)
+        # as-of an EARLIER batch: base only
+        assert sorted(
+            r.v for r in sinks.read_layout_asof(spark, root, 4, "cell").collect()
+        ) == [100, 101]
+        assert sorted(
+            r.v for r in sinks.read_layout_asof(spark, root, 5, "cell").collect()
+        ) == [100, 101, 200]
+
+    def test_asof_before_any_data_raises(self, spark, tmp_path):
+        root = str(tmp_path / "empty_layout")
+        df = spark.createDataFrame([(1, 0)], "v long, cell int")
+        sinks.append_batch_keyed(df, root, "cell", batch_id=3)
+        import pytest as _pt
+
+        with _pt.raises(FileNotFoundError):
+            sinks.read_layout_asof(spark, root, 2, "cell")
