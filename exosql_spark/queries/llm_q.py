@@ -3401,3 +3401,124 @@ def similarity_recall_eval(spark, sf_dir):
     assert mean_recall >= 0.4, f"IVF recall collapsed: {mean_recall:.3f}"
     assert all(r.self_found == 1 for r in rows), "query's own vector missed"
     return per_q
+
+
+@register(
+    "corpus_quality_winsorize",
+    oracle=_SQL_QUALITY_CTES
+    + """
+, wb AS (
+  SELECT quantile_cont(q_punct_ratio, 0.01) AS p_lo,
+         quantile_cont(q_punct_ratio, 0.99) AS p_hi,
+         quantile_cont(q_stopword_ratio, 0.01) AS s_lo,
+         quantile_cont(q_stopword_ratio, 0.99) AS s_hi
+  FROM quality_scored
+)
+SELECT doc_id,
+       least(greatest(q_punct_ratio, p_lo), p_hi) AS punct_w,
+       least(greatest(q_stopword_ratio, s_lo), s_hi) AS stop_w,
+       CAST(q_punct_ratio < p_lo OR q_punct_ratio > p_hi
+            OR q_stopword_ratio < s_lo OR q_stopword_ratio > s_hi
+            AS INT) AS clipped
+FROM quality_scored, wb
+ORDER BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def corpus_quality_winsorize(spark, sf_dir):
+    """Winsorize the quality features at the corpus's own exact
+    p1/p99 — the standard robustification before feeding cheap
+    features to a quality classifier (a single pathological document's
+    punct ratio otherwise stretches the feature scale for everyone).
+    Deliberately comparison-only math: exact interpolated percentiles
+    (engine parity proven by agg_percentiles) + least/greatest clips —
+    no cross-engine float summation anywhere, so the oracle is exact
+    by construction.  Plan: one feature scan + a broadcast 1-row bound
+    struct; zero extra shuffles at any corpus size."""
+    t = Tables(spark, sf_dir)
+    feats = text.quality_features(t.documents, "text").select(
+        "doc_id", "q_punct_ratio", "q_stopword_ratio"
+    )
+    bounds = feats.agg(
+        F.percentile("q_punct_ratio", 0.01).alias("p_lo"),
+        F.percentile("q_punct_ratio", 0.99).alias("p_hi"),
+        F.percentile("q_stopword_ratio", 0.01).alias("s_lo"),
+        F.percentile("q_stopword_ratio", 0.99).alias("s_hi"),
+    )
+    clipped = (
+        (F.col("q_punct_ratio") < F.col("p_lo"))
+        | (F.col("q_punct_ratio") > F.col("p_hi"))
+        | (F.col("q_stopword_ratio") < F.col("s_lo"))
+        | (F.col("q_stopword_ratio") > F.col("s_hi"))
+    ).cast("int")
+    return (
+        feats.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            F.least(
+                F.greatest("q_punct_ratio", F.col("p_lo")), F.col("p_hi")
+            ).alias("punct_w"),
+            F.least(
+                F.greatest("q_stopword_ratio", F.col("s_lo")), F.col("s_hi")
+            ).alias("stop_w"),
+            clipped.alias("clipped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=rf"""
+WITH tok AS (
+  SELECT lower(t.tok) AS tok FROM documents, unnest({_SQL_TOKS}) AS t(tok)
+), freq AS (
+  SELECT tok, count(*) AS n FROM tok GROUP BY tok
+  ORDER BY n DESC, tok LIMIT 500
+), ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY n DESC, tok)) AS lr, ln(n) AS lf, n
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS top_mass,
+       round((avg(lr * lf) - avg(lr) * avg(lf))
+             / (avg(lr * lr) - avg(lr) * avg(lr)), 3) AS zipf_slope
+FROM ranked
+""",
+    tags=("llm", "text", "stats"),
+)
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the top-500 token frequencies: the
+    least-squares slope of log(freq) on log(rank) — the classic corpus
+    health check (natural language sits near −1; a slope collapsing
+    toward 0 means boilerplate/template spam, a cliff past −1.5 means
+    a tiny effective vocabulary).  Token counting shuffles once;
+    the top-500 is TakeOrderedAndProject; the rank window is global
+    but post-limit (500 rows in one task — bounded by k, not the
+    corpus); the regression is one closed-form aggregate over them.  The slope rounds at 3
+    decimals — engine float-sum drift over 500 log terms is ~1e-12,
+    nine orders below the rounding grid."""
+    tok = Tables(spark, sf_dir).documents.select(
+        F.explode(text.tokens("text")).alias("_t")
+    ).select(F.lower(F.col("_t")).alias("tok"))
+    freq = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok"))
+        .limit(500)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("n").cast("double")).alias("lf"),
+        "n",
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("n").alias("top_mass"),
+        F.round(
+            (F.avg(F.col("lr") * F.col("lf")) - F.avg("lr") * F.avg("lf"))
+            / (F.avg(F.col("lr") * F.col("lr")) - F.avg("lr") * F.avg("lr")),
+            3,
+        ).alias("zipf_slope"),
+    )
