@@ -508,3 +508,57 @@ class TestRound9Plans:
         assert s.count("Exchange hashpartitioning(doc_id") == 1
         # partial agg sits BELOW the exchange (plan text is top-down)
         assert s.find("partial_max_by") > s.find("Exchange hashpartitioning(doc_id")
+
+
+class TestRound11Plans:
+    """Plan-shape pins for the round-11 operators' scale claims."""
+
+    def test_int8_quantize_is_pure_projection(self, spark, sf_dir):
+        """Quantization must fuse into the scan — zero Exchanges, zero
+        Sorts: at 100 TB its cost is the read."""
+        from exosql_spark.io import Tables
+        from exosql_spark.operators.quantize import int8_quantize
+
+        df = int8_quantize(Tables(spark, sf_dir).embeddings).select(
+            "vec_id", "scale", "q", "max_err"
+        )
+        s = plan(df)
+        assert "Exchange" not in s and "Sort" not in s, s
+
+    def test_int8_topk_one_shuffle_broadcast_queries(self, spark, sf_dir):
+        """The quantized scan shape: queries broadcast (never shuffle
+        the corpus toward them), ONE hash exchange for the per-query
+        top-k window."""
+        from exosql_spark.io import Tables
+        from exosql_spark.operators.quantize import int8_topk
+
+        emb = Tables(spark, sf_dir).embeddings
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        s = plan(int8_topk(emb, queries, k=10))
+        assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+        assert s.count("Exchange hashpartitioning") == 1, s
+
+    def test_oov_vocab_is_takeordered_and_broadcast(self, spark, sf_dir):
+        """The vocabulary must be a top-k (per-partition heaps), never
+        a global sort of the token-count table, and membership must be
+        a broadcast join."""
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import text as tx
+
+        df = tx.oov_rate(Tables(spark, sf_dir).documents)
+        s = plan(df)
+        assert "TakeOrderedAndProject" in s, s
+        assert "BroadcastHashJoin" in s, s
+        assert "SortMergeJoin" not in s, s
+
+    def test_winsorize_bounds_broadcast_no_extra_shuffle(self, spark, sf_dir):
+        """The p1/p99 bounds are one single-row aggregate broadcast
+        back — the feature scan itself never hash-shuffles."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["corpus_quality_winsorize"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
+        assert "Exchange hashpartitioning" not in s, s
