@@ -60,6 +60,7 @@ class Context:
 
     spec forms (see :mod:`exosql_spark.sources`):
       {"csv": "/path/to/dir"}                → CSV directory (S2)
+      {"jsonl": "/path/to/dir"}              → JSON-lines directory
       {"parquet": "/path/to/dir"}            → parquet directory of tables
       {"env": True}                          → OS environment table (S3)
       {"tables": {"name": DataFrame}}        → pre-built DataFrames

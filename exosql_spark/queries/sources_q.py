@@ -92,3 +92,58 @@ def federation_cross_source_join(spark, sf_dir):
         "FROM pq.customer JOIN csvdb.nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
     )
+
+
+@register(
+    "federation_jsonl_nested",
+    oracle="""
+SELECT r_name, count(*) AS n_nations,
+       CAST(sum(extra_rank) AS BIGINT) AS rank_sum
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN (SELECT n_nationkey AS k, n_nationkey % 5 AS extra_rank FROM nation) m
+  ON n.n_nationkey = m.k
+GROUP BY r_name
+ORDER BY r_name
+""",
+    tags=("source", "federation", "json"),
+)
+def federation_jsonl_nested(spark, sf_dir):
+    """JSON-lines federation: one SQL over parquet tables and a
+    JSONL-served side table carrying a NESTED struct — the field shape
+    the CSV extractor model (flat strings) cannot express; the dotted
+    path reads straight through Spark SQL.  The JSONL side is derived
+    on the fly from sf_dir's nation table (25 rows — construction-
+    bounded, same documented edge as the CSV federation entry); its
+    nested ``meta.rank`` joins and aggregates like a column."""
+    import json as _json
+    import os
+    import tempfile
+
+    from exosql_spark.context import Context
+
+    jl_root = os.path.join(
+        tempfile.gettempdir(),
+        f"exoquery_jsonldb_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(jl_root, exist_ok=True)
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    with open(os.path.join(jl_root, "nation_meta.jsonl"), "w") as fh:
+        for r in nation.select("n_nationkey").toPandas().itertuples():
+            fh.write(
+                _json.dumps(
+                    {
+                        "k": int(r.n_nationkey),
+                        "meta": {"rank": int(r.n_nationkey) % 5},
+                    }
+                )
+                + "\n"
+            )
+    ctx = Context(
+        spark, {"pq": {"parquet": sf_dir}, "jdb": {"jsonl": jl_root}}
+    )
+    return ctx.sql(
+        "SELECT r_name, count(*) AS n_nations, sum(m.meta.rank) AS rank_sum "
+        "FROM pq.nation n JOIN pq.region r ON n.n_regionkey = r.r_regionkey "
+        "JOIN jdb.nation_meta m ON n.n_nationkey = m.k "
+        "GROUP BY r_name ORDER BY r_name"
+    )

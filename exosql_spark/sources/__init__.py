@@ -47,6 +47,22 @@ def csv_dir(spark: SparkSession, path: str, infer_schema: bool = True) -> dict[s
     return tables
 
 
+def jsonl_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Directory of ``*.jsonl`` / ``*.json`` (JSON-lines) = database;
+    file stem = table.  Schema inferred per file — the standard
+    interchange format for scraped/exported corpora, and the one the
+    CSV model can't carry nested fields through."""
+    _require_dir(path)
+    tables = {}
+    for f in sorted(
+        glob.glob(os.path.join(path, "*.jsonl"))
+        + glob.glob(os.path.join(path, "*.json"))
+    ):
+        name = os.path.splitext(os.path.basename(f))[0]
+        tables[name] = spark.read.json(f)
+    return tables
+
+
 def parquet_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Directory of ``*.parquet`` = database (the testdata layout)."""
     from exosql_spark.io import load_table
@@ -127,6 +143,8 @@ def resolve_source(spark: SparkSession, spec: Any) -> dict[str, DataFrame]:
     if isinstance(spec, dict):
         if "csv" in spec:
             return csv_dir(spark, spec["csv"], spec.get("infer_schema", True))
+        if "jsonl" in spec:
+            return jsonl_dir(spark, spec["jsonl"])
         if "parquet" in spec:
             return parquet_dir(spark, spec["parquet"])
         if spec.get("env"):

@@ -53,3 +53,31 @@ class TestNodeSource:
         assert mem >= 3
         proc = ctx.sql("SELECT pid FROM sys.process").collect()
         assert proc[0].pid > 0
+
+
+class TestJsonlDir:
+    def test_jsonl_tables_and_nested_schema(self, spark, tmp_path):
+        import json
+
+        d = tmp_path / "jdb"
+        d.mkdir()
+        with open(d / "items.jsonl", "w") as fh:
+            for i in range(3):
+                fh.write(json.dumps({"id": i, "meta": {"rank": i * 2}}) + "\n")
+        with open(d / "tags.json", "w") as fh:
+            fh.write(json.dumps({"id": 1, "tag": "x"}) + "\n")
+        from exosql_spark.sources import jsonl_dir
+
+        tables = jsonl_dir(spark, str(d))
+        assert set(tables) == {"items", "tags"}
+        rows = {r.id: r.meta.rank for r in tables["items"].collect()}
+        assert rows == {0: 0, 1: 2, 2: 4}
+
+    def test_missing_dir_raises_path_not_found(self, spark):
+        import pytest as _pt
+        from pyspark.errors import AnalysisException
+
+        from exosql_spark.sources import jsonl_dir
+
+        with _pt.raises(AnalysisException, match="PATH_NOT_FOUND"):
+            jsonl_dir(spark, "/no/such/dir")
