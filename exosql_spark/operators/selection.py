@@ -309,3 +309,45 @@ def capped_per_key(
         .filter(F.col(rank_col) <= n)
         .select("_row.*", rank_col)
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight: Column,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    key_col: str = "es_key",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-Res): each row gets key ``u^(1/w)`` for a
+    uniform ``u``; the top-``n`` keys are a weighted sample — rows with
+    double the weight are twice as likely to make the cut.  Here ``u``
+    is a seeded engine-portable hash of ``id_col`` mapped to (0,1)
+    instead of an RNG draw, which buys the properties RNG sampling
+    can't give: reproducible across engines/runs/retries, stable under
+    reshuffling, and EXACT-oracle-able (the reason the catalog's
+    ``sample_fraction`` stays rows-only).  Computed as
+    ``ln(u)/w`` (same ordering as ``u^(1/w)``, one transcendental
+    instead of pow) — keys are continuous, so cross-engine float
+    drift at the top-n boundary needs two keys within ~1 ulp of each
+    other: probability ~n²·2⁻⁵³.
+
+    Scale: key assignment is a projection; the top-n is
+    TakeOrderedAndProject (per-partition heaps) — no shuffle beyond
+    the final n rows.  Rows with w ≤ 0 or NULL are excluded (their
+    inclusion probability is 0).  Output: ``df``'s columns +
+    ``key_col``, best-first."""
+    from exosql_spark.operators.ordering import hash60
+
+    u = (
+        (F.pmod(hash60(F.col(id_col), salt=str(seed)), F.lit(1 << 53)) + 1)
+        / F.lit(float(1 << 53) + 2.0)
+    )
+    key = F.log(u) / weight
+    return (
+        df.filter(weight > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), F.col(id_col))
+        .limit(n)
+    )

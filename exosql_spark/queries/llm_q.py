@@ -3522,3 +3522,38 @@ def corpus_zipf_fit(spark, sf_dir):
             3,
         ).alias("zipf_slope"),
     )
+
+
+@register(
+    "sample_weighted_es",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(({_sql_h60("CAST(doc_id AS VARCHAR) || ':21'")} % {1 << 53} + 1)
+            / {float(1 << 53) + 2.0}) / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, es_key
+FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
+""",
+    tags=("llm", "sampling", "scale"),
+)
+def sample_weighted_es(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (selection.weighted_sample_topk — Efraimidis–Spirakis A-Res with a
+    seeded portable hash as the uniform): 50 documents drawn ∝ length,
+    the 'sample training docs proportional to token mass' primitive.
+    Unlike RNG sampling this is reproducible across engines, runs,
+    retries, and cluster layouts — which is exactly what makes it
+    exact-oracle-able where sample_fraction is rows-only.  Plan: key
+    assignment is a projection, the draw is TakeOrderedAndProject —
+    no shuffle beyond the final 50 rows."""
+    from exosql_spark.operators.selection import weighted_sample_topk
+
+    t = Tables(spark, sf_dir)
+    return weighted_sample_topk(
+        t.documents.select("doc_id", "source", "n_chars"),
+        F.col("n_chars"),
+        n=50,
+        seed=21,
+    )

@@ -2604,3 +2604,49 @@ class TestInt8Topk:
         exact_top = exact.withColumn("r", F.row_number().over(w)).filter("r <= 10")
         overlap = got.join(exact_top, ["query_id", "vec_id"]).count()
         assert overlap >= 24  # recall@10 ≥ 0.8 over 3 queries
+
+
+class TestWeightedSampleTopk:
+    def test_deterministic_and_seed_sensitive(self, spark, sf_dir):
+        from exosql_spark.io import Tables
+        from exosql_spark.operators.selection import weighted_sample_topk
+
+        docs = Tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+
+        def draw(seed):
+            return [
+                r.doc_id
+                for r in weighted_sample_topk(
+                    docs, F.col("n_chars"), n=30, seed=seed
+                ).collect()
+            ]
+
+        assert draw(1) == draw(1)  # reproducible
+        assert set(draw(1)) != set(draw(2))  # new seed, new sample
+
+    def test_selection_is_weight_biased(self, spark, sf_dir):
+        """The point of A-Res: the sample's mean weight must exceed the
+        corpus mean (long docs are proportionally likelier)."""
+        from exosql_spark.io import Tables
+        from exosql_spark.operators.selection import weighted_sample_topk
+
+        docs = Tables(spark, sf_dir).documents.select("doc_id", "n_chars")
+        picked = weighted_sample_topk(docs, F.col("n_chars"), n=50, seed=3)
+        mean_sel = picked.agg(F.avg("n_chars")).collect()[0][0]
+        mean_all = docs.filter(F.col("n_chars") > 0).agg(
+            F.avg("n_chars")
+        ).collect()[0][0]
+        assert mean_sel > mean_all
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from exosql_spark.operators.selection import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        got = [
+            r.doc_id
+            for r in weighted_sample_topk(df, F.col("w"), n=10).collect()
+        ]
+        assert got == [1]
