@@ -119,6 +119,7 @@ class TestNoAccidentalCartesian:
         "search_hybrid_rrf_ann_planted",
         "text_lm_score",  # 1-row vocab-size broadcast scalar
         "filter_quality_percentile",  # 1-row percentile broadcast scalar
+        "corpus_quality_winsorize",  # 1-row p1/p99 bounds broadcast
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
