@@ -777,3 +777,58 @@ def skew_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         _u.dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "stats_equidepth_histogram",
+    oracle="""
+WITH r AS (
+  SELECT l_extendedprice,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rnk,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(floor(((rnk - 1) * 16) / CAST(n AS DOUBLE)) + 1 AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(l_extendedprice) AS lo,
+       max(l_extendedprice) AS hi
+FROM r GROUP BY 1 ORDER BY 1
+""",
+    tags=("extension", "stats", "scale"),
+)
+def stats_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH (equal-population) 16-bucket histogram of
+    ``l_extendedprice`` — the statistic optimizers and skew detectors
+    want (equi-WIDTH buckets starve on skewed data; width_bucket is
+    already covered by fn_math_width_bucket).  The oracle's
+    ``row_number() OVER (ORDER BY …)`` / ``ntile`` desugaring is THE
+    single-task global window; the Spark side reuses
+    selection.global_rank (range partition → broadcast prefix-sum
+    offsets → per-range windows), so the same exact bucket boundaries
+    come out of a plan whose largest task sorts rows/P — the third
+    consumer of the distributed-rank primitive (deciles, curriculum,
+    now optimizer statistics)."""
+    from exosql_spark.operators import selection
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = selection.global_rank(
+        li,
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        rank_col="rnk",
+        total_col="_n",
+    )
+    bucket = (
+        F.floor(((F.col("rnk") - 1) * 16) / F.col("_n").cast("double")) + 1
+    ).cast("int")
+    return (
+        ranked.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -458,3 +458,28 @@ class TestReadLayoutAsof:
 
         with _pt.raises(FileNotFoundError):
             sinks.read_layout_asof(spark, root, 2, "cell")
+
+
+class TestSchemaEvolutionRead:
+    def test_merge_schema_fills_missing_columns(self, spark, tmp_path):
+        """A layout whose newer batches carry extra columns must read as
+        one table with NULLs backfilled — the schema-evolution shape
+        every long-lived ingest layout hits (mergeSchema pays a footer
+        scan per file; acceptable for evolving layouts, off by default
+        for stable ones)."""
+        root = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame([(1, "a")], "id long, text string")
+        v1.write.parquet(root + "/batch=0")
+        v2 = spark.createDataFrame(
+            [(2, "b", 0.9)], "id long, text string, quality double"
+        )
+        v2.write.parquet(root + "/batch=1")
+        back = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", root)
+            .parquet(root)
+        )
+        assert set(back.columns) == {"id", "text", "quality", "batch"}
+        rows = {r.id: (r.quality, r.batch) for r in back.collect()}
+        assert rows[1] == (None, 0)  # old rows: new column backfilled NULL
+        assert rows[2] == (0.9, 1)
