@@ -3557,3 +3557,79 @@ def sample_weighted_es(spark, sf_dir):
         n=50,
         seed=21,
     )
+
+
+@register(
+    "multimodal_png_header_probe",
+    oracle="""
+WITH media AS (
+  SELECT doc_id,
+         from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || lpad(hex(CAST(doc_id % 640 + 16 AS BIGINT)), 8, '0')
+                  || lpad(hex(CAST(doc_id % 360 + 9 AS BIGINT)), 8, '0'))
+           AS payload
+  FROM documents
+), hx AS (
+  SELECT doc_id, hex(payload) AS h FROM media
+), dims AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(h, 33, 8)) AS BIGINT) AS w,
+         CAST(('0x' || substr(h, 41, 8)) AS BIGINT) AS ht,
+         substr(h, 1, 16) = '89504E470D0A1A0A' AS is_png
+  FROM hx
+)
+SELECT CAST(floor(w / 100.0) AS INT) AS width_bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(w) AS INT) AS min_width,
+       CAST(max(ht) AS INT) AS max_height,
+       CAST(sum(w * ht) AS BIGINT) AS total_pixels
+FROM dims WHERE is_png
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "multimodal", "scale"),
+)
+def multimodal_png_header_probe(spark, sf_dir):
+    """REAL binary header parsing, exact-oracled end-to-end: both
+    engines construct byte-identical synthetic PNG payloads (true
+    signature + IHDR layout, dims derived from doc_id) and PARSE the
+    dimensions back out of the raw bytes — Spark via
+    multimodal.parse_png_dims (substring + hex arithmetic, pure
+    whole-stage-codegen column math, zero UDFs), DuckDB via hex-string
+    offsets.  This is the 100 TB multimodal triage shape: width/height
+    filters over blob columns read 16 header bytes per row, never a
+    decoder.  The parser is additionally pinned against bytes written
+    by Python's own struct/wave in tests (TestMediaHeaderProbes), so
+    the offsets are real PNG, not a shared mistake."""
+    from exosql_spark.operators.multimodal import PNG_MAGIC_HEX, parse_png_dims
+
+    t = Tables(spark, sf_dir)
+    width = (F.col("doc_id") % 640 + 16).cast("bigint")
+    height = (F.col("doc_id") % 360 + 9).cast("bigint")
+    media = t.documents.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit(PNG_MAGIC_HEX),
+                F.lit("0000000D"),
+                F.lit("49484452"),
+                F.lpad(F.hex(width), 8, "0"),
+                F.lpad(F.hex(height), 8, "0"),
+            )
+        ).alias("payload"),
+    )
+    w, h, is_png = parse_png_dims(F.col("payload"))
+    dims = media.select(
+        w.alias("w"), h.alias("ht"), is_png.alias("is_png")
+    ).filter(F.col("is_png") == 1)
+    return (
+        dims.groupBy(
+            F.floor(F.col("w") / 100.0).cast("int").alias("width_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("w").alias("min_width"),
+            F.max("ht").alias("max_height"),
+            F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
+        )
+        .orderBy("width_bucket")
+    )

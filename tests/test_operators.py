@@ -2650,3 +2650,51 @@ class TestWeightedSampleTopk:
             for r in weighted_sample_topk(df, F.col("w"), n=10).collect()
         ]
         assert got == [1]
+
+
+class TestMediaHeaderProbes:
+    """The header probes must parse REAL format bytes — fixtures built
+    with stdlib struct/wave, not copies of the parser's own math."""
+
+    def test_png_dims_from_real_header(self, spark):
+        import struct
+
+        from exosql_spark.operators.multimodal import probe_media_metadata
+
+        def png(w, h):
+            sig = bytes.fromhex("89504E470D0A1A0A")
+            ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+            return sig + ihdr + b"\x08\x02\x00\x00\x00"
+
+        rows = [(1, png(640, 480)), (2, png(32, 1080)), (3, b"not a png")]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in probe_media_metadata(df).collect()}
+        assert (got[1].png_width, got[1].png_height) == (640, 480)
+        assert (got[2].png_width, got[2].png_height) == (32, 1080)
+        assert got[1].detected == "png" and got[3].detected == "unknown"
+        assert got[3].png_width is None
+
+    def test_wav_meta_from_stdlib_wave_writer(self, spark):
+        """Fixture written by Python's own wave module — if the offsets
+        or endianness were wrong this cannot pass."""
+        import io
+        import wave
+
+        from exosql_spark.operators.multimodal import probe_media_metadata
+
+        def wav(channels, rate):
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as f:
+                f.setnchannels(channels)
+                f.setsampwidth(2)
+                f.setframerate(rate)
+                f.writeframes(b"\x00\x00" * channels * 4)
+            return buf.getvalue()
+
+        rows = [(1, wav(2, 44100)), (2, wav(1, 16000))]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        got = {r.media_id: r for r in probe_media_metadata(df).collect()}
+        assert (got[1].wav_channels, got[1].wav_sample_rate) == (2, 44100)
+        assert (got[2].wav_channels, got[2].wav_sample_rate) == (1, 16000)
+        assert all(r.detected == "wav" for r in got.values())
+        assert got[1].png_width is None
