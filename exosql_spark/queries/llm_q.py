@@ -3633,3 +3633,64 @@ def multimodal_png_header_probe(spark, sf_dir):
         )
         .orderBy("width_bucket")
     )
+
+
+@register(
+    "dedup_survivorship_by_source",
+    oracle=f"""
+WITH fp AS (
+  SELECT doc_id, source, md5({_SQL_NORM_TEXT}) AS f FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'zz_plant', md5({_SQL_NORM_TEXT})
+  FROM documents WHERE doc_id % 25 = 0
+), keep AS (
+  SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f
+)
+SELECT fp.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fp.doc_id = k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN fp.doc_id = k.keep_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS retention
+FROM fp JOIN keep k ON fp.f = k.f
+GROUP BY fp.source
+ORDER BY fp.source
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_survivorship_by_source(spark, sf_dir):
+    """Per-source dedup survivorship: after keep-smallest-id exact
+    dedup, what fraction of each source's documents survive — the
+    report that tells you WHICH corpus a dedup pass actually ate
+    (a crawl that's 90% duplicates of an earlier dump shows up here,
+    not in the global dedup count).  PLANTED duplicates (every 25th
+    doc re-tagged zz_plant, higher ids) keep the oracle non-vacuous at
+    sf0.01 and pin the keep-rule direction: the plant source's
+    retention must be 0.0 — every plant loses to its lower-id
+    original.  Plan: one fingerprint shuffle for the keeper set, one
+    broadcast-joinable (|distinct fps| rows) merge back, one per-source
+    aggregate."""
+    docs = Tables(spark, sf_dir).documents
+    plants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("zz_plant").alias("source"),
+        "text",
+    )
+    aug = docs.select("doc_id", "source", "text").unionByName(plants)
+    fp = aug.select(
+        "doc_id", "source", text.fingerprint_md5(F.col("text")).alias("f")
+    )
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("keep_id"))
+    kept_flag = F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    return (
+        fp.join(keep, "f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept_flag).alias("n_kept"),
+            F.round(
+                F.sum(kept_flag) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
