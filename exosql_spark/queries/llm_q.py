@@ -3694,3 +3694,151 @@ def dedup_survivorship_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=rf"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(l) - 2),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS g
+  FROM toks WHERE len(l) >= 3
+), df AS (
+  SELECT g, count(*) AS n_docs FROM sh GROUP BY g
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       round(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS novelty
+FROM sh JOIN df USING (g)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+""",
+    tags=("llm", "text", "dedup", "scale"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    word-trigram shingles that appear in NO other document — the
+    informativeness/near-dup gradient between exact dedup (novelty 0
+    for a copy) and unique content (novelty 1); docs under 0.2 are
+    boilerplate candidates even when no single near-dup partner
+    exists.  Shape: shingles built inside the scan (transform over the
+    token array — no join), distinct-per-doc collapses repeats BEFORE
+    the shuffle, one document-frequency aggregate on the shingle, one
+    merge back, one per-doc aggregate.  Same candidate economy as the
+    dedup stack: work scales with distinct shingles, never doc
+    pairs."""
+    toks = text.tokens("text")
+    sh = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id", toks.alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("l") - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at("l", i + 1),
+                            F.element_at("l", i + 2),
+                            F.element_at("l", i + 3),
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    df_counts = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    uniq = F.when(F.col("n_docs") == 1, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(uniq).alias("n_unique"),
+            F.round(F.sum(uniq) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_keywords_per_doc",
+    oracle=rf"""
+WITH tok AS (
+  SELECT doc_id, lower(t.tok) AS tok
+  FROM documents, unnest({_SQL_TOKS}) AS t(tok)
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), nn AS (SELECT count(DISTINCT doc_id) AS n FROM tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * (ln((1.0 + nn.n) / (1.0 + dfq.df)) + 1.0), 4) AS score
+  FROM tf JOIN dfq USING (tok), nn
+), ranked AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rank
+  FROM scored
+)
+SELECT doc_id, tok AS term, score, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+""",
+    tags=("llm", "text", "ranking"),
+)
+def text_keywords_per_doc(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by TF-IDF
+    (smoothed sklearn idf, same constants as text_tfidf_topk's corpus
+    ranking) — what a labeling/routing pipeline attaches to every doc.
+    The ranking window partitions by doc_id, bounded by per-doc
+    vocabulary (never corpus-wide); document frequencies come from one
+    term aggregate and the corpus size rides in as a broadcast 1-row
+    scalar.  Scoring is one shared IEEE formula on exact integer
+    inputs, so rank order is engine-identical and the 4-dp score
+    hashes exactly."""
+    tok = (
+        Tables(spark, sf_dir)
+        .documents.select(
+            "doc_id", F.explode(text.tokens("text")).alias("_t")
+        )
+        .select("doc_id", F.lower(F.col("_t")).alias("tok"))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((1.0 + F.col("n")) / (1.0 + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("tok").alias("term"), "score", "rank")
+        .orderBy("doc_id", "rank")
+    )

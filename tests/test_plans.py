@@ -120,6 +120,7 @@ class TestNoAccidentalCartesian:
         "text_lm_score",  # 1-row vocab-size broadcast scalar
         "filter_quality_percentile",  # 1-row percentile broadcast scalar
         "corpus_quality_winsorize",  # 1-row p1/p99 bounds broadcast
+        "text_keywords_per_doc",  # 1-row corpus-size broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
