@@ -3842,3 +3842,75 @@ def text_keywords_per_doc(spark, sf_dir):
         .select("doc_id", F.col("tok").alias("term"), "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+@register(
+    "corpus_length_survival",
+    oracle=rf"""
+WITH lens AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+), bucketed AS (
+  SELECT CAST(ceil(log2(greatest(n_tok, 1))) AS INT) AS len_bucket,
+         n_tok
+  FROM lens WHERE n_tok > 0
+), agg AS (
+  SELECT len_bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM bucketed GROUP BY len_bucket
+)
+SELECT len_bucket, n_docs, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY len_bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       round(sum(n_tokens) OVER (ORDER BY len_bucket
+             ROWS UNBOUNDED PRECEDING)
+             / CAST((SELECT sum(n_tokens) FROM agg) AS DOUBLE), 4)
+         AS cum_frac
+FROM agg ORDER BY len_bucket
+""",
+    tags=("llm", "curation", "stats"),
+)
+def corpus_length_survival(spark, sf_dir):
+    """Sequence-length survival table: token mass by power-of-two
+    length bucket with the cumulative fraction — answers "what
+    max-sequence-length cutoff keeps 95% of the corpus's tokens"
+    before anyone pays for packing/truncation.  The cumulative window
+    runs over ~log2(max_len) bucket rows (a dozen at any corpus size),
+    so the single-task window the raw per-doc version would need never
+    materializes — bucket-first is the scale trick.  Zero-token docs
+    are excluded in both engines (they contribute no mass and log2(0)
+    is undefined)."""
+    lens = (
+        Tables(spark, sf_dir)
+        .documents.select(F.size(text.tokens("text")).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    agg = (
+        lens.withColumn(
+            "len_bucket",
+            F.ceil(F.log2(F.greatest(F.col("n_tok"), F.lit(1)))).cast("int"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy("len_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = agg.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "len_bucket",
+            "n_docs",
+            "n_tokens",
+            "cum_tokens",
+            F.round(
+                F.col("cum_tokens") / F.col("_total").cast("double"), 4
+            ).alias("cum_frac"),
+        )
+        .orderBy("len_bucket")
+    )

@@ -121,6 +121,7 @@ class TestNoAccidentalCartesian:
         "filter_quality_percentile",  # 1-row percentile broadcast scalar
         "corpus_quality_winsorize",  # 1-row p1/p99 bounds broadcast
         "text_keywords_per_doc",  # 1-row corpus-size broadcast scalar
+        "corpus_length_survival",  # 1-row total-mass broadcast scalar
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
