@@ -140,3 +140,23 @@ def int8_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "int8_sim", "rank")
     )
+
+
+def int8_cosine(q_a: Column, q_b: Column) -> Column:
+    """Cosine similarity ENTIRELY in the integer code domain: the
+    per-vector scales cancel (cos of the dequantized vectors =
+    acc_ab / √(acc_aa·acc_bb)), so the whole computation is three
+    integer accumulations and one sqrt — and an exact code copy gives
+    EXACTLY 1.0 (acc_ab = acc_aa = acc_bb), which is what lets the
+    planted-copy oracle pin the two-stage IVF→int8 rerank closed-form.
+    Cauchy–Schwarz holds exactly over integers, so 1.0 is a true upper
+    bound, not a float artifact."""
+
+    def _acc(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: (a * b).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+
+    return _acc(q_a, q_b) / F.sqrt(_acc(q_a, q_a) * _acc(q_b, q_b))

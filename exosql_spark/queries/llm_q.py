@@ -3914,3 +3914,63 @@ def corpus_length_survival(spark, sf_dir):
         )
         .orderBy("len_bucket")
     )
+
+
+@register(
+    "similarity_topk_ivf_int8_planted",
+    oracle=_PLANTED_TOPK_ORACLE,
+    tags=("llm", "similarity", "embedding", "scale"),
+)
+def similarity_topk_ivf_int8_planted(spark, sf_dir):
+    """TWO-STAGE retrieval with a quantized rerank, exact-oracled on
+    the planted-copy construction: IVF cell pruning shortlists 50
+    candidates per query, then int8-COSINE (quantize.int8_cosine —
+    scales cancel, pure integer accumulations) reranks to the top-10.
+    This is the production memory ladder end-to-end: cells prune the
+    corpus, the rerank tier touches only candidate codes at 4× less
+    bandwidth than float32, raw vectors are never shipped.  The
+    closed form survives BOTH stages structurally: a bitwise copy
+    lands in the query's own probed cell (stage 1) and its identical
+    codes give int8 cosine EXACTLY 1.0 (stage 2) — strictly above any
+    natural candidate (Cauchy–Schwarz is exact over integers), so the
+    top-10 is the 11-member planted group minus one, ties by vec_id,
+    same as the float planted entries."""
+    from exosql_spark.operators.quantize import int8_cosine, int8_quantize
+
+    t = Tables(spark, sf_dir)
+    corpus = _embeddings_with_query_copies(t)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = similarity.ivf_topk(
+        corpus, queries, k=50, assigner="pandas"
+    ).select("query_id", "vec_id")
+    qc = int8_quantize(corpus, scale_col="_sc", q_col="_qc").select(
+        "vec_id", "_qc"
+    )
+    qq = int8_quantize(queries, scale_col="_sq", q_col="_qq").select(
+        "query_id", "_qq"
+    )
+    scored = (
+        cand.join(qc, "vec_id")
+        .join(F.broadcast(qq), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            int8_cosine(F.col("_qc"), F.col("_qq")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round("_cos", 4).alias("cosine_sim"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
