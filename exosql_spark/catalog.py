@@ -63,17 +63,28 @@ _QUERY_MODULES = (
 #   1. exact-oracle entries with NO driver row yet (new
 #      registrations, registration order) -- no entry ever waits a
 #      round for its first driver row;
-#   2. RESTED streaming-parity entries (tag "streaming", last green
+#   2. CHANGED-since-last-green entries (round 12, r11 verdict Next
+#      #3): FRESHNESS.json also records a per-entry SOURCE
+#      FINGERPRINT (entry_fingerprint: the fn's own source + oracle
+#      SQL + the full source of every exosql_spark module the fn
+#      references), taken at regen time; an entry whose current
+#      fingerprint differs from the recorded one runs code the
+#      driver's green row never saw, so it fronts ahead of the
+#      rotation regardless of how recent that row is.  Evidence of
+#      need: the r11 asof.py rewrite shipped while join_asof's last
+#      driver row was r7 and the oldest-first rotation alone could
+#      lag a changed entry by ceil(n_exact/window) rounds;
+#   3. RESTED streaming-parity entries (tag "streaming", last green
 #      before the latest round), oldest first -- the parity block
 #      guards the round-4 timestamp-unit bug class, so its members
 #      never rest more than one round;
-#   3. every other exact-oracle entry, oldest-green first
+#   4. every other exact-oracle entry, oldest-green first
 #      (registration order within the same round).
 # The steady-state freshness bound is therefore
 # ceil(n_exact / window) rounds, enforced by oldest-first rotation in
 # code; tests/test_tools.py asserts the checked-in FRESHNESS.json
 # matches a fresh fold of the CORRECTNESS files (no stale window) and
-# pins the three-tier policy on the real catalog.
+# pins the tier policy on the real catalog.
 
 _WINDOW_SIZE = 50
 
@@ -117,6 +128,90 @@ def _load() -> None:
         _LOADED = True
 
 
+_FP_CACHE: dict[str, str] = {}
+
+
+def entry_fingerprint(q: Query) -> str:
+    """Source fingerprint for the change-aware verify window (tier 2
+    above): sha1 over (a) the entry fn's own source — which, via
+    inspect.getsource on the decorated function, includes the
+    @register decorator and thus any inline doc; (b) the oracle SQL;
+    (c) the FULL source of every exosql_spark module the fn
+    references, found two ways: module-globals whose name appears as
+    a token in the fn source (top-level ``from exosql_spark.operators
+    import dedup`` style) and ``from exosql_spark.x import ...``
+    statements inside the fn body (function-local imports).  Module
+    granularity is deliberate: an edit anywhere in operators/asof.py
+    re-fronts every asof entry — conservative, never misses a
+    behavior change in code the entry executes.  The fn's own
+    DEFINING module is excluded (registering a new entry in llm_q.py
+    must not re-front its 80 neighbors), as is catalog itself (policy
+    comments would otherwise invalidate the whole file).  Cached per
+    name: source can't change within a process."""
+    if q.name in _FP_CACHE:
+        return _FP_CACHE[q.name]
+    import hashlib
+    import inspect
+
+    src, deps = _entry_source_and_deps(q)
+    parts = [src, q.oracle or ""]
+    for name in sorted(deps):
+        try:
+            parts.append(inspect.getsource(deps[name]))
+        except (OSError, TypeError):
+            parts.append(name)
+    fp = hashlib.sha1("\x00".join(parts).encode()).hexdigest()[:12]
+    _FP_CACHE[q.name] = fp
+    return fp
+
+
+def _entry_source_and_deps(q: Query) -> tuple[str, dict[str, object]]:
+    """(fn source, {module name → module}) for the exosql_spark
+    modules the fn references — the fingerprint's closure set, split
+    out so tests can pin that e.g. join_asof closes over
+    operators/asof.py."""
+    import inspect
+    import re
+
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):
+        src = q.fn.__name__
+    tokens = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", src))
+    own = inspect.getmodule(q.fn)
+    deps: dict[str, object] = {}
+
+    def consider(mod) -> None:
+        name = getattr(mod, "__name__", "")
+        if (
+            mod is not None
+            and mod is not own
+            and name.startswith("exosql_spark")
+            and name != "exosql_spark.catalog"
+        ):
+            deps.setdefault(name, mod)
+
+    if own is not None:
+        for gname, gval in vars(own).items():
+            if gname in tokens:
+                consider(inspect.getmodule(gval))
+    for pkg, names in re.findall(
+        r"from\s+(exosql_spark[\w.]*)\s+import\s+([\w, ]+)", src
+    ):
+        for cand in [pkg] + [f"{pkg}.{n.strip()}" for n in names.split(",") if n.strip()]:
+            try:
+                consider(importlib.import_module(cand))
+            except ImportError:
+                pass
+    return src, deps
+
+
+def current_fingerprints(registry: dict[str, Query]) -> dict[str, str]:
+    """Fingerprints of every exact-oracle entry (the only ones the
+    window orders) against the code currently on disk."""
+    return {n: entry_fingerprint(q) for n, q in registry.items() if q.oracle}
+
+
 def load_freshness() -> dict | None:
     """The checked-in FRESHNESS.json (see the window policy comment
     above), or None outside a repo checkout — the window then falls
@@ -135,32 +230,49 @@ def compute_verify_window(
     registry: dict[str, Query],
     freshness: dict,
     size: int = _WINDOW_SIZE,
+    current_fps: dict[str, str] | None = None,
 ) -> tuple[str, ...]:
-    """The driver-verify window for the NEXT round: the three-tier
+    """The driver-verify window for the NEXT round: the four-tier
     rotation documented above, computed over the exact-oracle entries
-    in ``registry`` (registration order) and the last-green rounds in
-    ``freshness``."""
+    in ``registry`` (registration order), the last-green rounds in
+    ``freshness``, and — when both the freshness file and the caller
+    carry fingerprints — the changed-since-last-green set."""
     last = freshness["last_green"]
     latest = freshness["latest_round"]
+    recorded_fps = freshness.get("fingerprints", {})
     exact = [n for n, q in registry.items() if q.oracle]
     order = {n: i for i, n in enumerate(exact)}
     new = [n for n in exact if n not in last]
+    changed = sorted(
+        (
+            n
+            for n in exact
+            if n in last
+            and current_fps is not None
+            and n in recorded_fps
+            and current_fps.get(n)
+            and current_fps[n] != recorded_fps[n]
+        ),
+        key=lambda n: (last[n], order[n]),
+    )
+    taken = set(new) | set(changed)
     rested_streaming = sorted(
         (
             n
             for n in exact
             if n in last
+            and n not in taken
             and "streaming" in registry[n].tags
             and last[n] < latest
         ),
         key=lambda n: (last[n], order[n]),
     )
-    taken = set(new) | set(rested_streaming)
+    taken |= set(rested_streaming)
     oldest_first = sorted(
         (n for n in exact if n in last and n not in taken),
         key=lambda n: (last[n], order[n]),
     )
-    return tuple((new + rested_streaming + oldest_first)[:size])
+    return tuple((new + changed + rested_streaming + oldest_first)[:size])
 
 
 def verify_window() -> tuple[str, ...]:
@@ -168,7 +280,8 @@ def verify_window() -> tuple[str, ...]:
     fresh = load_freshness()
     if not fresh:
         return ()
-    return compute_verify_window(_REGISTRY, fresh)
+    fps = current_fingerprints(_REGISTRY) if fresh.get("fingerprints") else None
+    return compute_verify_window(_REGISTRY, fresh, current_fps=fps)
 
 
 def all_queries() -> dict[str, Query]:

@@ -166,12 +166,19 @@ class TestVerifyWindow:
 
     def test_checked_in_freshness_matches_fold(self):
         """A new CORRECTNESS artifact without a regenerated
-        FRESHNESS.json would silently freeze the rotation."""
+        FRESHNESS.json would silently freeze the rotation.  Only the
+        FOLD keys are pinned: the r12 "fingerprints" block is
+        DELIBERATELY allowed to go stale mid-round — a stale
+        fingerprint is how a changed entry fronts the next window."""
         import json
 
         with open(self._repo("FRESHNESS.json")) as f:
             checked_in = json.load(f)
-        assert self._gen_freshness().fold() == checked_in
+        fold = self._gen_freshness().fold()
+        assert fold == {k: checked_in[k] for k in fold}
+        # and the r12 regen does carry fingerprints for every exact
+        # entry (a fingerprint-less file would silently disable tier 2)
+        assert checked_in.get("fingerprints"), "FRESHNESS.json has no fingerprints"
 
     def test_window_policy_on_real_catalog(self):
         import json
@@ -191,21 +198,88 @@ class TestVerifyWindow:
         # tier 1: every exact entry without a driver row is in the window
         new = [n for n in exact if n not in last]
         assert set(new) <= in_window
-        # tier 2: every rested streaming-parity entry is in the window
+        # tier 2: every changed-since-last-green entry is in the window
+        fps = catalog.current_fingerprints(qs)
+        recorded = fresh.get("fingerprints", {})
+        changed = [
+            n
+            for n in exact
+            if n in last and n in recorded and fps.get(n) and fps[n] != recorded[n]
+        ]
+        assert set(changed) <= in_window
+        # tier 3: every rested streaming-parity entry is in the window
         rested = [
             n
             for n in exact
-            if n in last and "streaming" in qs[n].tags and last[n] < latest
+            if n in last
+            and n not in set(changed)
+            and "streaming" in qs[n].tags
+            and last[n] < latest
         ]
         assert set(rested) <= in_window
-        # tier 3 fill is oldest-green first: nothing excluded is older
+        # tier 4 fill is oldest-green first: nothing excluded is older
         # than anything included from the plain pool
-        pool = [n for n in exact if n in last and n not in set(rested)]
+        pool = [
+            n for n in exact if n in last and n not in set(rested) | set(changed)
+        ]
         included = [last[n] for n in pool if n in in_window]
         excluded = [last[n] for n in pool if n not in in_window]
         assert not included or not excluded or max(included) <= min(excluded)
         # and the window IS the iteration prefix the driver truncates
         assert tuple(list(qs)[: len(window)]) == window
+
+    def test_changed_fingerprint_fronts_entry(self):
+        """r11 verdict Next #3: an entry whose implementing source
+        changed since its last driver-green row fronts as tier 2,
+        ahead of the oldest-first rotation — synthetic registry so the
+        pin is independent of the live catalog's rotation state."""
+        from exosql_spark import catalog
+
+        def fn(spark, sf_dir):  # never called
+            raise NotImplementedError
+
+        reg = {
+            n: catalog.Query(n, fn, "SELECT 1")
+            for n in ("a_old", "b_changed", "c_fresh", "d_new")
+        }
+        fresh = {
+            "latest_round": 11,
+            # b_changed is the FRESHEST green — only its fingerprint
+            # moves it ahead of a_old (green r5)
+            "last_green": {"a_old": 5, "b_changed": 11, "c_fresh": 11},
+            "fingerprints": {"a_old": "same", "b_changed": "OLD", "c_fresh": "same"},
+        }
+        fps = {"a_old": "same", "b_changed": "NEW", "c_fresh": "same"}
+        win = catalog.compute_verify_window(reg, fresh, size=3, current_fps=fps)
+        assert win == ("d_new", "b_changed", "a_old")
+        # without fingerprints the same call degrades to the r10 policy
+        win = catalog.compute_verify_window(reg, fresh, size=3, current_fps=None)
+        assert win == ("d_new", "a_old", "b_changed")
+
+    def test_real_fingerprint_sees_operator_module_source(self):
+        """entry_fingerprint must close over the OPERATOR module an
+        entry executes, not just the fn body — the failure mode that
+        motivated tier 2 was an asof.py rewrite invisible to the
+        rotation.  Pin that join_asof's closure set contains
+        operators/asof.py, that the defining query module is excluded
+        (a new llm_q entry must not re-front its neighbors), and that
+        the hash is deterministic."""
+        from exosql_spark import catalog
+
+        qs = catalog.all_queries()
+        q = qs["join_asof"]
+        _, deps = catalog._entry_source_and_deps(q)
+        assert "exosql_spark.operators.asof" in deps
+        assert "exosql_spark.queries.extensions_q" not in deps  # own module
+        assert "exosql_spark.catalog" not in deps
+        catalog._FP_CACHE.pop("join_asof", None)
+        fp1 = catalog.entry_fingerprint(q)
+        assert fp1 and len(fp1) == 12
+        catalog._FP_CACHE.pop("join_asof", None)
+        assert catalog.entry_fingerprint(q) == fp1
+        # a dedup entry closes over operators/dedup.py the same way
+        _, ddeps = catalog._entry_source_and_deps(qs["dedup_jaccard_exact_pairs"])
+        assert "exosql_spark.operators.dedup" in ddeps
 
     def test_window_fronts_r10_named_entries(self):
         """The r9 capacity note names the nine entries that MUST front

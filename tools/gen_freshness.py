@@ -68,15 +68,36 @@ def fold(repo: str = REPO) -> dict:
     }
 
 
+def fingerprints(repo: str = REPO) -> dict[str, str]:
+    """Per-entry source fingerprints at regen time (r11 verdict Next
+    #3): compute_verify_window compares the code currently on disk
+    against these and fronts any entry whose implementing source
+    changed since its last driver-green row — the fold alone cannot
+    see a rewrite (the r11 asof.py rewrite shipped while join_asof's
+    last driver row was r7).  Kept OUT of fold(): the fold is a pure
+    function of the CORRECTNESS artifacts and its tripwire test must
+    stay green while code changes mid-round — stale fingerprints
+    mid-round are the mechanism, not an error."""
+    import sys
+
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    from exosql_spark import catalog
+
+    return dict(sorted(catalog.current_fingerprints(catalog.all_queries()).items()))
+
+
 def main() -> None:
     out = fold()
+    out["fingerprints"] = fingerprints()
     dest = os.path.join(REPO, "FRESHNESS.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
         f"wrote {dest}: latest_round={out['latest_round']}, "
-        f"{len(out['last_green'])} entries with a green row"
+        f"{len(out['last_green'])} entries with a green row, "
+        f"{len(out['fingerprints'])} fingerprints"
     )
 
 
