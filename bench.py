@@ -30,7 +30,10 @@ so diffs can be read against run noise.
 (codegen sum over range(10⁹), min of 3) measured in the same session
 just before the sweep: divide cross-round per-query ratios by the
 calibration ratio to separate box drift from code changes (see
-SCALE.md "environment drift").
+SCALE.md "environment drift").  ``calibration_shuffle_sec`` (round 12
+on) is its scheduler/exchange-bound complement, and the detail file
+records ``plan_shuffles`` per entry so tools/compare_bench.py can
+normalize each query by the probe matching its plan class.
 """
 
 from __future__ import annotations
@@ -93,6 +96,47 @@ def _calibrate(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+def _calibrate_shuffle(spark) -> float:
+    """Second machine scalar (r11 verdict Next #2): the CPU-only
+    codegen probe provably cannot see scheduler/shuffle drift — in
+    r11 it normalized a raw wash into a 2× "regression" while
+    untouched shuffle-bound TPC-H queries swung ±40% both directions.
+    This probe is the complementary shape: a small repartition +
+    aggregation whose wall time is dominated by task scheduling and
+    exchange write/read, not codegen arithmetic (2M longs through a
+    96-partition hash exchange ≈ a few ms of CPU, the rest is the
+    scheduler).  tools/compare_bench.py normalizes each query by the
+    probe matching its plan class (shuffle count recorded per entry
+    in BENCH_DETAIL.json).  Min of 3, same estimator as everything
+    else on this steal-prone box."""
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(2_000_000)
+            .selectExpr("id % 9973 AS k", "id AS v")
+            .repartition(96, "k")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm the exchange/codegen paths
+    return round(min(once() for _ in range(3)), 3)
+
+
+def _count_shuffles(df) -> int:
+    """Shuffle-exchange count of the (possibly un-finalized AQE) plan
+    — classification input only: ≥1 → the query is normalized by the
+    shuffle probe, 0 → by the CPU probe.  Broadcast exchanges are
+    excluded; they don't pay the shuffle write/read path."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return 0
+    return plan.count("Exchange") - plan.count("BroadcastExchange")
+
+
 def main() -> None:
     # Stage-progress bars write \r-spam to stderr/stdout that crowded the
     # driver's tail capture in r4/r5 — keep the bench process silent.
@@ -111,9 +155,11 @@ def main() -> None:
     bench = {n: q for n, q in all_bench.items() if n not in EXCLUDE}
 
     calibration = _calibrate(spark)
+    calibration_shuffle = _calibrate_shuffle(spark)
     per_query: dict[str, float] = {}
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
+    plan_shuffles: dict[str, int] = {}
     for name, q in bench.items():
         # Release the PREVIOUS query's operator-internal persists
         # (registered with exosql_spark.cache), then warm THIS query:
@@ -124,7 +170,9 @@ def main() -> None:
         # caches — steady-state timing — while storage memory stays
         # flat across the sweep (at most one query's caches live).
         release_caches(spark)
-        q.fn(spark, SF_DIR).count()
+        warm_df = q.fn(spark, SF_DIR)
+        warm_df.count()
+        plan_shuffles[name] = _count_shuffles(warm_df)
         times = [_run_once(q.fn, spark, SF_DIR) for _ in range(RUNS)]
         per_query[name] = round(min(times), 3)
         medians[name] = round(statistics.median(times), 3)
@@ -137,6 +185,8 @@ def main() -> None:
     set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
     detail = {
         "calibration_sec": calibration,
+        "calibration_shuffle_sec": calibration_shuffle,
+        "plan_shuffles": plan_shuffles,
         "estimator": f"min_of_{RUNS}",
         "excluded": sorted(EXCLUDE),
         "n_queries": len(per_query),
@@ -158,6 +208,7 @@ def main() -> None:
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "calibration_sec": calibration,
+        "calibration_shuffle_sec": calibration_shuffle,
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
         "query_set_sha1": set_sha1,

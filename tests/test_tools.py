@@ -326,5 +326,11 @@ class TestBenchArtifacts:
             parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
             assert isinstance(parsed.get("calibration_sec"), (int, float)) and \
                 parsed["calibration_sec"] > 0, path
+            if rnd >= 12:
+                # r11 verdict Next #2: the shuffle-bound probe must
+                # ship alongside the CPU probe from round 12 on
+                assert isinstance(
+                    parsed.get("calibration_shuffle_sec"), (int, float)
+                ) and parsed["calibration_shuffle_sec"] > 0, path
             seen += 1
         assert seen >= 1  # BENCH_r09.json exists

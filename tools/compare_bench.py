@@ -6,28 +6,39 @@
 This box is a VM with persistent scheduling-latency drift (SCALE.md
 "environment drift"): raw cross-round totals moved 1.24× between
 rounds 7 and 8 with zero code change, proven by a worktree A/B. Every
-bench run since round 8 therefore records ``calibration_sec`` — a
+bench run since round 9 therefore records ``calibration_sec`` — a
 data-free whole-stage-codegen scalar (sum over range(10⁹), min of 3)
-measured in the same session as the sweep. Dividing the raw
-per-query ratio by the calibration ratio separates box drift from
-code changes mechanically, which is what this tool prints:
+measured in the same session as the sweep — and since round 12 ALSO
+``calibration_shuffle_sec``, a small repartition+agg probe whose wall
+time is scheduler/exchange-dominated.  Two probes because the r11
+comparison proved one is not enough: the CPU scalar said the box ran
+0.81× while untouched shuffle-bound TPC-H queries swung ±40% BOTH
+directions, and a worktree A/B showed the two queries it flagged at
+~2× "normalized" were byte-identical washes (SCALE.md round-12 note).
 
-    normalized_ratio(q) = (new_sec(q) / old_sec(q))
-                        / (new_calibration / old_calibration)
+    norm_cpu(q) = (new_sec(q)/old_sec(q)) / (cal_cpu_new/cal_cpu_old)
+    norm_shf(q) = (new_sec(q)/old_sec(q)) / (cal_shf_new/cal_shf_old)
+
+Both normalizations are always printed.  When per-query plan shuffle
+counts are available (``plan_shuffles`` in the new round's
+BENCH_DETAIL.json, recorded by bench.py at warmup), a third column
+picks the probe matching the query's plan class — shuffle probe for
+≥1 shuffle exchange, CPU probe for pure-scan/codegen shapes — and the
+summary counts regressions against THAT number.
 
 Caveats it enforces rather than assumes:
 - totals are only compared when ``query_set_sha1`` matches (otherwise
   per-query over the set intersection);
-- a missing calibration scalar (pre-round-9 artifacts) falls back to
-  1.0 with a loud note — the comparison is then RAW, not normalized;
-- calibration captures CPU-side drift only; shuffle/scheduling-latency
-  drift (the round-8 kind) shows up as a uniform residual across
-  untouched queries, which the per-query table makes visible.
+- a missing calibration scalar falls back to 1.0 with a loud note —
+  that normalization column is then RAW;
+- a missing plan_shuffles map degrades the "sel" column to norm_shf
+  (most catalog entries shuffle) with a note.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -43,18 +54,53 @@ def _load(path: str) -> dict:
     return d
 
 
+def _ratio(old: dict, new: dict, key: str) -> tuple[float, bool]:
+    a, b = old.get(key), new.get(key)
+    if a is not None and b is not None and a > 0 and b > 0:
+        return b / a, True
+    return 1.0, False
+
+
+def _plan_shuffles(new_path: str) -> dict[str, int]:
+    """plan_shuffles from the round's committed BENCH_DETAIL.json —
+    the headline line deliberately omits it (driver tail-capture
+    budget).  Looked up next to the NEW artifact, then at the repo
+    root."""
+    for cand in (
+        os.path.join(os.path.dirname(os.path.abspath(new_path)), "BENCH_DETAIL.json"),
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json",
+        ),
+    ):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                d = json.load(f)
+            if isinstance(d.get("plan_shuffles"), dict):
+                return d["plan_shuffles"]
+    return {}
+
+
 def main() -> None:
     if len(sys.argv) != 3:
         print(__doc__)
         sys.exit(2)
     old, new = _load(sys.argv[1]), _load(sys.argv[2])
-    cal_old, cal_new = old.get("calibration_sec"), new.get("calibration_sec")
-    if cal_old is not None and cal_new is not None and cal_old > 0 and cal_new > 0:
-        cal_ratio = cal_new / cal_old
-        note = f"calibration {cal_old} -> {cal_new} (box ratio {cal_ratio:.2f})"
-    else:
-        cal_ratio = 1.0
-        note = "NO calibration scalar in one input - ratios are RAW, not normalized"
+    cpu_ratio, cpu_ok = _ratio(old, new, "calibration_sec")
+    shf_ratio, shf_ok = _ratio(old, new, "calibration_shuffle_sec")
+    print(
+        f"calibration cpu {old.get('calibration_sec')} -> "
+        f"{new.get('calibration_sec')} (ratio {cpu_ratio:.2f})"
+        + ("" if cpu_ok else "  [MISSING -> norm_cpu is RAW]")
+    )
+    print(
+        f"calibration shuffle {old.get('calibration_shuffle_sec')} -> "
+        f"{new.get('calibration_shuffle_sec')} (ratio {shf_ratio:.2f})"
+        + ("" if shf_ok else "  [MISSING -> norm_shf is RAW]")
+    )
+    shuffles = _plan_shuffles(sys.argv[2])
+    if not shuffles:
+        print("no plan_shuffles map found - 'sel' column defaults to norm_shf")
 
     qo, qn = old.get("queries", {}), new.get("queries", {})
     shared = sorted(set(qo) & set(qn))
@@ -70,16 +116,21 @@ def main() -> None:
             skipped.append(f"{name} (old 0.0 -> new {qn[name]})")
         else:
             raw = qn[name] / qo[name]
-            rows.append((name, qo[name], qn[name], raw, raw / cal_ratio))
-    rows.sort(key=lambda r: -r[4])
+            cls = "shf" if shuffles.get(name, 1) >= 1 else "cpu"
+            sel = raw / (shf_ratio if cls == "shf" else cpu_ratio)
+            rows.append(
+                (name, qo[name], qn[name], raw, raw / cpu_ratio, raw / shf_ratio,
+                 cls, sel)
+            )
+    rows.sort(key=lambda r: -r[7])
 
     same_set = old.get("query_set_sha1") == new.get("query_set_sha1")
-    print(note)
     if same_set and old.get("value") and new.get("value"):
         raw_total = new["value"] / old["value"]
         print(
             f"total {old['value']} -> {new['value']} s: raw {raw_total:.2f}x, "
-            f"drift-normalized {raw_total / cal_ratio:.2f}x "
+            f"cpu-normalized {raw_total / cpu_ratio:.2f}x, "
+            f"shuffle-normalized {raw_total / shf_ratio:.2f}x "
             f"(query_set_sha1 {new.get('query_set_sha1')} matches)"
         )
     else:
@@ -87,14 +138,21 @@ def main() -> None:
             "query sets differ - totals not comparable; "
             f"per-query over the {len(rows)}-entry intersection:"
         )
-    print(f"{'query':42s} {'old_s':>8s} {'new_s':>8s} {'raw':>6s} {'norm':>6s}")
-    for name, o, n, raw, norm in rows:
-        print(f"{name:42s} {o:8.3f} {n:8.3f} {raw:6.2f} {norm:6.2f}")
-    worse = [r for r in rows if r[4] > 1.25]
-    better = [r for r in rows if r[4] < 0.8]
+    print(
+        f"{'query':42s} {'old_s':>8s} {'new_s':>8s} {'raw':>6s} "
+        f"{'ncpu':>6s} {'nshf':>6s} {'cls':>4s} {'sel':>6s}"
+    )
+    for name, o, n, raw, ncpu, nshf, cls, sel in rows:
+        print(
+            f"{name:42s} {o:8.3f} {n:8.3f} {raw:6.2f} "
+            f"{ncpu:6.2f} {nshf:6.2f} {cls:>4s} {sel:6.2f}"
+        )
+    worse = [r for r in rows if r[7] > 1.25]
+    better = [r for r in rows if r[7] < 0.8]
     print(
         f"\nsummary: {len(rows)} shared queries; "
-        f"{len(worse)} slower >1.25x normalized, {len(better)} faster <0.8x"
+        f"{len(worse)} slower >1.25x class-normalized, "
+        f"{len(better)} faster <0.8x"
     )
     if skipped:
         print(f"skipped (no ratio possible): {', '.join(skipped)}")
