@@ -55,6 +55,18 @@ def asof_join(
     micro-resolution ties), numeric columns compare as-is. Inclusive
     by definition (``strict=True`` rejected).
 
+    REQUIREMENT (``direction="nearest"`` with ``timestamp_ntz``
+    inputs): the session timezone must be a FIXED-OFFSET zone — this
+    repo pins ``spark.sql.session.timeZone=UTC`` in ``get_spark`` /
+    ``ensure_session_confs``.  The internal NTZ→TZ cast shifts both
+    operands by the session offset, which cancels in the subtraction
+    only when the offset is constant; under a DST zone, operands on
+    opposite sides of a transition would shift by different amounts
+    and could flip nearest/tie decisions.  Both timestamp columns
+    must also agree in kind (both timestamp-like or both numeric) —
+    mixed operands raise rather than silently comparing a shifted
+    cast against a raw number.
+
     Returns all left columns plus ``<value_col><suffix>`` columns and
     ``<right_ts><suffix>`` (the matched right timestamp).
     """
@@ -121,10 +133,23 @@ def asof_join(
         # Deltas in exact long arithmetic: timestamps → epoch micros
         # (a subtraction of raw TIMESTAMP columns would only work via
         # DayTimeInterval compare, Spark 3.3+, and doubles lose
-        # micro-resolution ties); numerics compare as-is.  An NTZ→TZ
-        # cast shift is identical on both operands so it cancels.
-        ts_type = left.schema[left_ts].dataType.typeName()
-        if ts_type.startswith("timestamp"):
+        # micro-resolution ties); numerics compare as-is.  The NTZ→TZ
+        # cast shift cancels between operands only under the pinned
+        # fixed-offset session tz — see the docstring REQUIREMENT.
+        # BOTH sides' types decide the conversion (the delta pairs the
+        # union's _ts column with the right struct's field): a mixed
+        # timestamp/numeric pair would compare a shifted cast against
+        # a raw number, so it raises instead.
+        l_is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
+        r_is_ts = right.schema[right_ts].dataType.typeName().startswith("timestamp")
+        if l_is_ts != r_is_ts:
+            raise TypeError(
+                "direction='nearest' needs both timestamp columns to be "
+                f"the same kind: {left_ts} is "
+                f"{left.schema[left_ts].dataType.simpleString()}, {right_ts} is "
+                f"{right.schema[right_ts].dataType.simpleString()}"
+            )
+        if l_is_ts:
             _num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
         else:
             _num = lambda c: c  # noqa: E731

@@ -568,6 +568,7 @@ def streaming_ivf_ingest_parity(spark, sf_dir):
     oracle="""
 SELECT user_id, event_type, count(*) AS n_events
 FROM events
+WHERE event_type IS NOT NULL
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """,

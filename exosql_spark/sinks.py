@@ -400,23 +400,38 @@ def read_layout_asof(
     appends the answer is gone, with batch-keyed names it's a file
     filter.
 
-    Mechanics: one driver-side RECURSIVE listing (a metadata op — file
-    COUNT, not data size; the same cost every parquet read already
-    pays), filter names by parsed batch id, hand Spark the explicit
-    file list.  Schema/partition values are recovered from the Hive
-    paths via ``basePath``, so partition pruning and column projection
-    on the result behave exactly as a plain read."""
+    Mechanics: one driver-side listing restricted to the layout's own
+    ``{partition_col}=*`` directories plus root-level base files (a
+    metadata op — file COUNT, not data size; the same cost every
+    parquet read already pays), filter names by parsed batch id, hand
+    Spark the explicit file list.  Scoping the listing by
+    ``partition_col`` is both a cost bound (unrelated sibling data
+    under ``path`` is never walked) and a layout check.  Schema/
+    partition values are recovered from the Hive paths via
+    ``basePath``, so partition pruning and column projection on the
+    result behave exactly as a plain read."""
     import re as _re
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     root = path.rstrip("/")
     fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _statuses():
+        for st in fs.listStatus(hpath(root)):
+            if st.isFile():
+                yield st
+        part_dirs = fs.globStatus(hpath(f"{root}/{partition_col}=*")) or []
+        for d in part_dirs:
+            if not d.isDirectory():
+                continue
+            it = fs.listFiles(d.getPath(), True)
+            while it.hasNext():
+                yield it.next()
+
     keep: list[str] = []
     pat = _re.compile(r"^ingest-b(\d+)-")
-    it = fs.listFiles(hpath(root), True)  # recursive
-    while it.hasNext():
-        st = it.next()
+    for st in _statuses():
         name = st.getPath().getName()
         if not name.endswith(".parquet"):
             continue

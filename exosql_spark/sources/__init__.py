@@ -59,6 +59,13 @@ def jsonl_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
         + glob.glob(os.path.join(path, "*.json"))
     ):
         name = os.path.splitext(os.path.basename(f))[0]
+        if name in tables:
+            # name.jsonl + name.json would otherwise silently keep
+            # only the later-globbed file as the table
+            raise ValueError(
+                f"jsonl_dir({path!r}): duplicate table name {name!r} "
+                "(both .jsonl and .json present)"
+            )
         tables[name] = spark.read.json(f)
     return tables
 

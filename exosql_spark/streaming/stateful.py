@@ -151,7 +151,11 @@ class _EventTypeProfile(StatefulProcessor):
         (user_id,) = key
         batch: dict[str, int] = {}
         for pdf in pdfs:
-            for et, n in pdf["event_type"].value_counts().items():
+            # .dropna() makes the NULL contract EXPLICIT: rows with a
+            # NULL event_type are excluded from state, and the parity
+            # oracle states the same filter (value_counts would drop
+            # them anyway, but silently — the contract was incidental)
+            for et, n in pdf["event_type"].dropna().value_counts().items():
                 batch[et] = batch.get(et, 0) + int(n)
         types, counts = [], []
         for et in sorted(batch):
@@ -245,7 +249,11 @@ def event_type_profile(events: DataFrame) -> DataFrame:
         m = dict(zip(list(types), list(counts)))
         batch: dict[str, int] = {}
         for pdf in pdfs:
-            for et, n in pdf["event_type"].value_counts().items():
+            # .dropna() makes the NULL contract EXPLICIT: rows with a
+            # NULL event_type are excluded from state, and the parity
+            # oracle states the same filter (value_counts would drop
+            # them anyway, but silently — the contract was incidental)
+            for et, n in pdf["event_type"].dropna().value_counts().items():
                 batch[et] = batch.get(et, 0) + int(n)
         for et in batch:
             m[et] = m.get(et, 0) + batch[et]
