@@ -252,6 +252,80 @@ def parse_wav_meta(payload) -> tuple:
     return ch, rate, is_wav.cast("int")
 
 
+def parse_jpeg_sof(payload, max_segments: int = 8) -> tuple:
+    """(width, height, sof_byte_offset, is_jpeg) from a JPEG payload
+    by WALKING the marker-segment chain — the variable-offset case the
+    fixed-offset PNG/WAV probes can't represent: APP0/COM/DQT segments
+    of arbitrary length precede the SOF frame header, so its position
+    differs per file and must be discovered, not assumed.
+
+    Pure column arithmetic, zero UDFs: the walk is an ``F.aggregate``
+    fold over ``sequence(1, max_segments)`` with a
+    ``struct<pos, found>`` accumulator.  Each step reads the 2-byte
+    marker at the current position; SOF0–SOF3 (``FFC0``–``FFC3``)
+    stops the walk, anything else advances by ``2 (marker) + seglen``
+    bytes where seglen is the segment's own big-endian u16 length
+    field (which includes the length bytes — ITU T.81 §B.1.1.4).  A
+    naive ``locate('FFC0', hex)`` would false-positive on those bytes
+    INSIDE an earlier segment's payload; the walk only ever reads
+    marker positions, so it can't.  The fold is the right shape both
+    at runtime AND at plan time: the lambda variable is a genuine
+    runtime variable, so the expression tree is O(1) in
+    ``max_segments`` (a hand-unrolled CASE chain re-references the
+    previous step's ``pos`` ~4×/step — a 4^n tree that OOMs the
+    driver during analysis before Catalyst can dedup it).  One
+    JVM-side projection, no shuffle, no Python, 16–300 header bytes
+    read per blob regardless of payload size.  Payloads whose SOF
+    sits deeper than ``max_segments`` markers (or truncated/non-JPEG
+    bytes) yield NULL dims, never a wrong parse.
+
+    SOF frame layout after the marker: length u16, precision u8,
+    height u16, width u16 (0-based byte offsets +2/+3/+5 from the
+    marker).  Offsets are pinned against Python-``struct``-written
+    JPEG bytes in tests (TestMediaHeaderProbes), so Spark and the
+    DuckDB oracle can't share a mistake."""
+    h = F.hex(payload)
+    is_jpeg = F.substring(h, 1, 4) == F.lit("FFD8")
+    sof_markers = ("FFC0", "FFC1", "FFC2", "FFC3")
+
+    # acc: struct<pos: hex-char position (1-based) of the marker being
+    # examined, found: hex pos of the SOF marker, -1 while unfound>
+    def _step(acc, _i):
+        pos, found = acc["pos"], acc["found"]
+        marker = F.substring(h, pos.cast("int"), F.lit(4))
+        hit = marker.isin(*sof_markers)
+        new_found = F.when(found >= 0, found).when(hit, pos).otherwise(
+            F.lit(-1).cast("long")
+        )
+        seglen = F.conv(
+            F.substring(h, (pos + 4).cast("int"), F.lit(4)), 16, 10
+        ).cast("long")
+        # truncated payload → empty substring → conv yields NULL/0 →
+        # pos walks off the end → found stays -1 → NULL dims, by design
+        new_pos = F.when(new_found >= 0, pos).otherwise(pos + 4 + 2 * seglen)
+        return F.struct(new_pos.alias("pos"), new_found.alias("found"))
+
+    init = F.struct(
+        F.lit(5).cast("long").alias("pos"), F.lit(-1).cast("long").alias("found")
+    )
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)),
+        init,
+        _step,
+    )
+    found = F.when(walk["found"] >= 0, walk["found"])
+    ok = is_jpeg & found.isNotNull()
+    height = F.when(
+        ok, F.conv(F.substring(h, (found + 10).cast("int"), F.lit(4)), 16, 10)
+    ).cast("int")
+    width = F.when(
+        ok, F.conv(F.substring(h, (found + 14).cast("int"), F.lit(4)), 16, 10)
+    ).cast("int")
+    # hex pos → 0-based BYTE offset of the SOF marker
+    sof_off = F.when(ok, ((found - 1) / 2).cast("int"))
+    return width, height, sof_off, is_jpeg.cast("int")
+
+
 def probe_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Append parsed header metadata (png_width, png_height, wav_channels,
     wav_sample_rate, detected kind) to a media frame — the REAL metadata

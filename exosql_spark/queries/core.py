@@ -265,3 +265,59 @@ def generate_series(spark, sf_dir):
         .select(F.col("id").alias("n"))
         .withColumn("n_squared", F.col("n") * F.col("n"))
     )
+
+
+# --------------------------------------------------------------------
+# §1 — $var parameterized queries (reference: ExoSQL.query/3 with
+# __vars__; exosql.ex query("... $var ...", context) binding).
+# --------------------------------------------------------------------
+
+_PARAM_SQL_BODY = f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_u.dsum_sql('o_totalprice')} AS revenue,
+       max(o_orderdate) AS last_date
+FROM {{orders}}
+WHERE o_totalprice >= {{min_price}}
+  AND o_orderdate >= CAST({{start_date}} AS DATE)
+  AND o_orderpriority LIKE {{prio_like}}
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_PARAM_VARS = {"min_price": 25000.0, "start_date": "1995-06-01", "prio_like": "%-%I%"}
+
+
+@register(
+    "params_var_binding",
+    oracle=_PARAM_SQL_BODY.format(
+        orders="orders",
+        min_price="25000.0",
+        start_date="'1995-06-01'",
+        prio_like="'%-%I%'",
+    ),
+    tags=("core", "params"),
+)
+def params_var_binding(spark, sf_dir):
+    """SURVEY §1 ``$var`` parameterized queries as a DRIVER-checked
+    entry (previously tests-only): the Spark side runs the exosql
+    dialect text with ``$min_price`` / ``$start_date`` / ``$prio_like``
+    placeholders through ``Context.sql(sql, vars=...)`` — the dialect
+    rewrite turns ``$var`` into Spark named parameters (``:var``) and
+    ``spark.sql(..., args=...)`` binds them as TRUE parameters (never
+    string-spliced, so a value like ``"'; DROP"`` is just data).  The
+    oracle is the constant-substituted twin of the same SQL body, so a
+    binding bug (wrong var, wrong type coercion, off-by-one rewrite
+    inside LIKE patterns) diverges the engines.  Three binding types
+    are covered: float, date-as-string (cast in SQL), and a LIKE
+    pattern containing ``%``/``_``-adjacent metacharacters."""
+    from exosql_spark.context import Context
+
+    ctx = Context(spark, {"db": {"parquet": sf_dir}})
+    sql = _PARAM_SQL_BODY.format(
+        orders="db.orders",
+        min_price="$min_price",
+        start_date="$start_date",
+        prio_like="$prio_like",
+    )
+    return ctx.sql(sql, vars=_PARAM_VARS)

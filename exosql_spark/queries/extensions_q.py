@@ -796,6 +796,7 @@ SELECT CAST(floor(((rnk - 1) * 16) / CAST(n AS DOUBLE)) + 1 AS INT) AS bucket,
 FROM r GROUP BY 1 ORDER BY 1
 """,
     tags=("extension", "stats", "scale"),
+    bench=True,  # plan-novel: third global-rank consumer, tracked since r12
 )
 def stats_equidepth_histogram(spark, sf_dir):
     """Equi-DEPTH (equal-population) 16-bucket histogram of

@@ -3637,6 +3637,119 @@ def multimodal_png_header_probe(spark, sf_dir):
 
 
 @register(
+    "multimodal_jpeg_sof_probe",
+    oracle="""
+WITH RECURSIVE hx AS (
+  SELECT doc_id,
+         'FFD8'
+         || 'FFFE' || lpad(hex(CAST(doc_id % 17 + 3 AS BIGINT)), 4, '0')
+                   || repeat('41', CAST(doc_id % 17 + 1 AS INT))
+         || 'FFFE' || lpad(hex(CAST(doc_id % 7 + 3 AS BIGINT)), 4, '0')
+                   || repeat('42', CAST(doc_id % 7 + 1 AS INT))
+         || 'FFC0' || '0011' || '08'
+         || lpad(hex(CAST(doc_id % 360 + 9 AS BIGINT)), 4, '0')
+         || lpad(hex(CAST(doc_id % 640 + 16 AS BIGINT)), 4, '0')
+         || '03' || '011100021101031101' AS h
+  FROM documents
+), walk AS (
+  SELECT doc_id, h, CAST(5 AS BIGINT) AS pos, 0 AS steps FROM hx
+  UNION ALL
+  SELECT doc_id, h,
+         pos + 4 + 2 * CAST(('0x' || substr(h, CAST(pos + 4 AS INT), 4)) AS BIGINT),
+         steps + 1
+  FROM walk
+  WHERE substr(h, CAST(pos AS INT), 4) NOT IN ('FFC0','FFC1','FFC2','FFC3')
+    AND steps < 7  -- rows steps 0..7 => exactly max_segments=8 markers examined, like the Spark fold
+), sof AS (
+  SELECT doc_id, h, min(pos) AS pos
+  FROM walk
+  WHERE substr(h, CAST(pos AS INT), 4) IN ('FFC0','FFC1','FFC2','FFC3')
+  GROUP BY doc_id, h
+), dims AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(h, CAST(pos + 14 AS INT), 4)) AS BIGINT) AS w,
+         CAST(('0x' || substr(h, CAST(pos + 10 AS INT), 4)) AS BIGINT) AS ht,
+         (pos - 1) // 2 AS sof_off
+  FROM sof
+)
+SELECT CAST(floor(w / 100.0) AS INT) AS width_bucket,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(min(w) AS INT) AS min_width,
+       CAST(max(ht) AS INT) AS max_height,
+       CAST(min(sof_off) AS INT) AS min_sof_off,
+       CAST(max(sof_off) AS INT) AS max_sof_off,
+       CAST(sum(w * ht) AS BIGINT) AS total_pixels
+FROM dims
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "multimodal", "scale"),
+    bench=True,  # plan-novel: unrolled marker walk, tracked since r12
+)
+def multimodal_jpeg_sof_probe(spark, sf_dir):
+    """VARIABLE-offset header parsing (r11 verdict Next #6): the
+    PNG/WAV probes read fixed offsets, but a JPEG's SOF frame header
+    sits after arbitrary-length APP0/COM/DQT segments — its position
+    must be DISCOVERED by walking the marker chain (ITU T.81).  Both
+    engines construct byte-identical synthetic JPEGs whose two COM
+    segments have doc_id-derived lengths, so the SOF offset genuinely
+    varies per row (byte 10 through 31 — min_sof_off/max_sof_off in
+    the output prove the spread), then parse the dimensions back out
+    of raw bytes: Spark via multimodal.parse_jpeg_sof (an unrolled
+    8-step fold of the segment walk — pure whole-stage-codegen CASE
+    chains, zero UDFs, immune to FFC0 bytes appearing inside earlier
+    segment payloads where a locate() scan would false-positive),
+    DuckDB via a recursive CTE doing the identical walk.  The 100 TB
+    shape: header triage reads ≤300 bytes per blob in a projection —
+    no shuffle, no decoder, no Python."""
+    from exosql_spark.operators.multimodal import parse_jpeg_sof
+
+    t = Tables(spark, sf_dir)
+    n1 = (F.col("doc_id") % 17 + 1).cast("int")
+    n2 = (F.col("doc_id") % 7 + 1).cast("int")
+    width = (F.col("doc_id") % 640 + 16).cast("bigint")
+    height = (F.col("doc_id") % 360 + 9).cast("bigint")
+    media = t.documents.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("FFD8"),
+                F.lit("FFFE"),
+                F.lpad(F.hex((F.col("doc_id") % 17 + 3).cast("bigint")), 4, "0"),
+                F.repeat(F.lit("41"), n1),
+                F.lit("FFFE"),
+                F.lpad(F.hex((F.col("doc_id") % 7 + 3).cast("bigint")), 4, "0"),
+                F.repeat(F.lit("42"), n2),
+                F.lit("FFC0"),
+                F.lit("0011"),
+                F.lit("08"),
+                F.lpad(F.hex(height), 4, "0"),
+                F.lpad(F.hex(width), 4, "0"),
+                F.lit("03"),
+                F.lit("011100021101031101"),
+            )
+        ).alias("payload"),
+    )
+    w, h, sof_off, is_jpeg = parse_jpeg_sof(F.col("payload"))
+    dims = media.select(
+        w.alias("w"), h.alias("ht"), sof_off.alias("sof_off")
+    ).filter(F.col("w").isNotNull())
+    return (
+        dims.groupBy(
+            F.floor(F.col("w") / 100.0).cast("int").alias("width_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("w").alias("min_width"),
+            F.max("ht").alias("max_height"),
+            F.min("sof_off").alias("min_sof_off"),
+            F.max("sof_off").alias("max_sof_off"),
+            F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
+        )
+        .orderBy("width_bucket")
+    )
+
+
+@register(
     "dedup_survivorship_by_source",
     oracle=f"""
 WITH fp AS (

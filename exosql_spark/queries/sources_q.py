@@ -106,6 +106,7 @@ GROUP BY r_name
 ORDER BY r_name
 """,
     tags=("source", "federation", "json"),
+    bench=True,  # plan-novel: multi-format federation, tracked since r12
 )
 def federation_jsonl_nested(spark, sf_dir):
     """JSON-lines federation: one SQL over parquet tables and a

@@ -2698,3 +2698,56 @@ class TestMediaHeaderProbes:
         assert (got[2].wav_channels, got[2].wav_sample_rate) == (1, 16000)
         assert all(r.detected == "wav" for r in got.values())
         assert got[1].png_width is None
+
+    def test_jpeg_sof_walk_from_struct_written_bytes(self, spark):
+        """Variable-offset SOF discovery: fixtures are assembled with
+        stdlib struct (big-endian u16 length fields per ITU T.81), with
+        segment payloads of DIFFERENT lengths so the SOF offset varies
+        per row — and one COM payload deliberately contains the bytes
+        FF C0, which a locate()-style scan would false-positive on but
+        the marker walk must skip."""
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import parse_jpeg_sof
+
+        def seg(marker, payload):
+            return marker + struct.pack(">H", len(payload) + 2) + payload
+
+        def sof(w, h, kind=b"\xff\xc0"):
+            body = struct.pack(">BHHB", 8, h, w, 3) + bytes.fromhex(
+                "011100021101031101"
+            )
+            return seg(kind, body)
+
+        trap = seg(b"\xff\xfe", b"\x00\xff\xc0\x00\x10\x08")  # FFC0 inside a COM
+        rows = [
+            (1, b"\xff\xd8" + sof(640, 480)),  # SOF is the 1st marker: offset 2
+            (2, b"\xff\xd8" + seg(b"\xff\xe0", b"JFIF\x00" * 3) + sof(32, 1080)),
+            (3, b"\xff\xd8" + trap + sof(100, 200, kind=b"\xff\xc2")),
+            (4, b"\xff\xd8" + seg(b"\xff\xfe", b"x" * 9) * 9 + sof(5, 6)),  # too deep
+            (5, b"not a jpeg"),
+            (6, b"\xff\xd8" + seg(b"\xff\xfe", b"x" * 50)[:20]),  # truncated
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        w, h, off, is_jpeg = parse_jpeg_sof(F.col("payload"))
+        got = {
+            r.media_id: r
+            for r in df.select(
+                "media_id",
+                w.alias("w"),
+                h.alias("h"),
+                off.alias("off"),
+                is_jpeg.alias("is_jpeg"),
+            ).collect()
+        }
+        assert (got[1].w, got[1].h, got[1].off) == (640, 480, 2)
+        # APP0 payload is 15 bytes -> seg is 2+2+15=19 -> SOF at 2+19=21
+        assert (got[2].w, got[2].h, got[2].off) == (32, 1080, 21)
+        # the trap COM is 2+2+6=10 bytes; SOF2 found at 12, not at the
+        # embedded FFC0 (byte offset 4) a substring scan would report
+        assert (got[3].w, got[3].h, got[3].off) == (100, 200, 12)
+        assert got[4].w is None and got[4].is_jpeg == 1  # deeper than 8 markers
+        assert got[5].w is None and got[5].is_jpeg == 0
+        assert got[6].w is None and got[6].is_jpeg == 1  # truncated: NULL, no wrong parse

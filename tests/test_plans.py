@@ -565,3 +565,20 @@ class TestRound11Plans:
         s = plan(df)
         assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s, s
         assert "Exchange hashpartitioning" not in s, s
+
+
+class TestRound12Plans:
+    """Plan-shape pins for the round-12 operators' scale claims."""
+
+    def test_jpeg_sof_walk_is_one_projection_no_python(self, spark, sf_dir):
+        """The variable-offset marker walk must stay a JVM-side
+        projection (an aggregate higher-order fold, not a Python/Arrow
+        stage, not a join): at 100 TB header triage is bounded by the
+        scan, and the only exchange is the final width-bucket rollup."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["multimodal_jpeg_sof_probe"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "EvalPython" not in s, s  # no BatchEvalPython/ArrowEvalPython
+        assert "Join" not in s, s
+        assert s.count("Exchange hashpartitioning") == 1, s
