@@ -243,13 +243,84 @@ def parse_wav_meta(payload) -> tuple:
     header: 'RIFF' at 0 and 'WAVE' at 8, channels as little-endian
     uint16 at byte 22, sample rate as little-endian uint32 at 24
     (0-based; assumes the standard fmt-chunk-first layout every encoder
-    writes)."""
+    writes).  The O(1) fast path — for non-canonical chunk order
+    (LIST/JUNK before ``fmt ``) use :func:`parse_wav_chunks`, which
+    walks the chain."""
     is_wav = (F.substring(payload, 1, 4) == F.lit(b"RIFF")) & (
         F.substring(payload, 9, 4) == F.lit(b"WAVE")
     )
     ch = F.when(is_wav, _le_u16(payload, 23))
     rate = F.when(is_wav, _le_u32(payload, 25))
     return ch, rate, is_wav.cast("int")
+
+
+def parse_wav_chunks(payload, max_chunks: int = 8) -> tuple:
+    """(n_channels, sample_rate, fmt_byte_offset, is_wav) from a
+    RIFF/WAVE payload by WALKING the chunk chain — the non-canonical
+    layout :func:`parse_wav_meta` explicitly assumes away: LIST/INFO,
+    JUNK, bext etc. chunks may legally precede ``fmt `` (RIFF does not
+    mandate order), so its offset must be discovered per file.
+
+    Same shape as :func:`parse_jpeg_sof`: an ``F.aggregate`` fold over
+    ``sequence(1, max_chunks)`` with a ``struct<pos, found>``
+    accumulator — O(1) expression tree, runtime loop, one JVM-side
+    projection, no UDF, no shuffle.  Each step reads the 4-byte chunk
+    id at the current position; ``fmt `` stops the walk, anything else
+    advances by ``8 (id+size) + size`` bytes with odd sizes padded to
+    even (RIFF word alignment — the walk would desync on any odd-sized
+    chunk without it).  The size field is little-endian u32, read by
+    byte-reversing the hex.  Non-WAV/truncated payloads and files whose
+    ``fmt `` sits deeper than ``max_chunks`` yield NULL, never a wrong
+    parse.  fmt data layout (0-based from data start): audio_format u16,
+    channels u16 @2, sample_rate u32 @4 — all little-endian, offsets
+    pinned against Python ``wave``/``struct``-written bytes in tests."""
+    h = F.hex(payload)
+    is_wav = (F.substring(h, 1, 8) == F.lit("52494646")) & (
+        F.substring(h, 17, 8) == F.lit("57415645")
+    )
+
+    def _le_u32_hex(pos):
+        # little-endian u32 whose first byte starts at hex-char `pos`
+        return F.conv(
+            F.concat(
+                F.substring(h, (pos + 6).cast("int"), F.lit(2)),
+                F.substring(h, (pos + 4).cast("int"), F.lit(2)),
+                F.substring(h, (pos + 2).cast("int"), F.lit(2)),
+                F.substring(h, pos.cast("int"), F.lit(2)),
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _step(acc, _i):
+        pos, found = acc["pos"], acc["found"]
+        cid = F.substring(h, pos.cast("int"), F.lit(8))
+        new_found = F.when(found >= 0, found).when(
+            cid == F.lit("666D7420"), pos  # 'fmt '
+        ).otherwise(F.lit(-1).cast("long"))
+        size = _le_u32_hex(pos + 8)
+        padded = size + size % 2  # RIFF pads odd chunk data to even
+        new_pos = F.when(new_found >= 0, pos).otherwise(pos + 16 + 2 * padded)
+        return F.struct(new_pos.alias("pos"), new_found.alias("found"))
+
+    init = F.struct(
+        # first chunk id sits at byte 12 (0-based) => hex char 25
+        F.lit(25).cast("long").alias("pos"), F.lit(-1).cast("long").alias("found")
+    )
+    walk = F.aggregate(F.sequence(F.lit(1), F.lit(max_chunks)), init, _step)
+    found = F.when(is_wav & (walk["found"] >= 0), walk["found"])
+    data = found + 16  # hex pos where fmt chunk data starts
+    ch = F.conv(
+        F.concat(
+            F.substring(h, (data + 6).cast("int"), F.lit(2)),
+            F.substring(h, (data + 4).cast("int"), F.lit(2)),
+        ),
+        16,
+        10,
+    ).cast("int")
+    rate = _le_u32_hex(data + 8).cast("int")
+    fmt_off = ((found - 1) / 2).cast("int")  # 0-based byte offset of 'fmt '
+    return ch, rate, fmt_off, is_wav.cast("int")
 
 
 def parse_jpeg_sof(payload, max_segments: int = 8) -> tuple:

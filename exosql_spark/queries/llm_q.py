@@ -3750,6 +3750,125 @@ def multimodal_jpeg_sof_probe(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_chunk_walk",
+    oracle="""
+WITH RECURSIVE hx AS (
+  SELECT doc_id,
+         '52494646' || '64000000' || '57415645'
+         || '4C495354' || lpad(hex(CAST(doc_id % 11 * 2 + 4 AS BIGINT)), 2, '0') || '000000'
+                       || repeat('4C', CAST(doc_id % 11 * 2 + 4 AS INT))
+         || '4A554E4B' || lpad(hex(CAST(doc_id % 5 * 2 + 3 AS BIGINT)), 2, '0') || '000000'
+                       || repeat('4B', CAST(doc_id % 5 * 2 + 3 AS INT)) || '00'
+         || '666D7420' || '10000000' || '0100'
+         || lpad(hex(CAST(doc_id % 8 + 1 AS BIGINT)), 2, '0') || '00'
+         || lpad(hex(CAST((doc_id % 6 + 1) * 8000 AS BIGINT) & 255), 2, '0')
+         || lpad(hex((CAST((doc_id % 6 + 1) * 8000 AS BIGINT) >> 8) & 255), 2, '0') || '0000'
+         || '00000000' || '0000' || '1000'
+         || '64617461' || '00000000' AS h
+  FROM documents
+), walk AS (
+  SELECT doc_id, h, CAST(25 AS BIGINT) AS pos, 0 AS steps FROM hx
+  UNION ALL
+  SELECT doc_id, h,
+         pos + 16 + 2 * (sz + sz % 2),
+         steps + 1
+  FROM (
+    SELECT doc_id, h, pos, steps,
+           CAST(('0x' || substr(h, CAST(pos + 14 AS INT), 2)
+                      || substr(h, CAST(pos + 12 AS INT), 2)
+                      || substr(h, CAST(pos + 10 AS INT), 2)
+                      || substr(h, CAST(pos + 8 AS INT), 2)) AS BIGINT) AS sz
+    FROM walk
+    WHERE substr(h, CAST(pos AS INT), 8) <> '666D7420'
+      AND steps < 7  -- rows steps 0..7 => exactly max_chunks=8 ids examined, like the Spark fold
+  )
+), fmt AS (
+  SELECT doc_id, h, min(pos) AS pos
+  FROM walk
+  WHERE substr(h, CAST(pos AS INT), 8) = '666D7420'
+  GROUP BY doc_id, h
+), meta AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(h, CAST(pos + 22 AS INT), 2)
+                    || substr(h, CAST(pos + 20 AS INT), 2)) AS BIGINT) AS ch,
+         CAST(('0x' || substr(h, CAST(pos + 30 AS INT), 2)
+                    || substr(h, CAST(pos + 28 AS INT), 2)
+                    || substr(h, CAST(pos + 26 AS INT), 2)
+                    || substr(h, CAST(pos + 24 AS INT), 2)) AS BIGINT) AS rate,
+         (pos - 1) // 2 AS fmt_off
+  FROM fmt
+)
+SELECT CAST(ch AS INT) AS n_channels,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(min(rate) AS INT) AS min_rate,
+       CAST(max(rate) AS INT) AS max_rate,
+       CAST(min(fmt_off) AS INT) AS min_fmt_off,
+       CAST(max(fmt_off) AS INT) AS max_fmt_off,
+       CAST(sum(rate) AS BIGINT) AS rate_sum
+FROM meta
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "multimodal", "scale"),
+)
+def multimodal_wav_chunk_walk(spark, sf_dir):
+    """Non-canonical RIFF chunk order (the r11 verdict's other
+    variable-offset case): parse_wav_meta's fixed offsets assume
+    ``fmt `` comes first, but RIFF permits LIST/JUNK/bext chunks ahead
+    of it — here every synthetic file carries a doc_id-length LIST and
+    an ODD-sized JUNK (exercising RIFF's pad-to-even rule, which any
+    walk without padding desyncs on) before ``fmt ``, so its offset
+    spreads over bytes 36..64 per row (min/max_fmt_off prove it).
+    Spark discovers it with multimodal.parse_wav_chunks — the same
+    O(1)-tree aggregate-fold shape as the JPEG SOF walk, pure JVM
+    projection, zero UDFs — and reads channels/rate as little-endian
+    integers via byte-reversed hex; DuckDB runs the identical walk as
+    a recursive CTE.  100 TB shape: header triage stays scan-bounded,
+    ≤100 bytes per blob, no shuffle before the final channel rollup."""
+    from exosql_spark.operators.multimodal import parse_wav_chunks
+
+    t = Tables(spark, sf_dir)
+    lst = (F.col("doc_id") % 11 * 2 + 4).cast("bigint")
+    junk = (F.col("doc_id") % 5 * 2 + 3).cast("bigint")
+    ch_v = (F.col("doc_id") % 8 + 1).cast("bigint")
+    rate_v = ((F.col("doc_id") % 6 + 1) * 8000).cast("bigint")
+    media = t.documents.select(
+        "doc_id",
+        F.unhex(
+            F.concat(
+                F.lit("52494646"), F.lit("64000000"), F.lit("57415645"),
+                F.lit("4C495354"), F.lpad(F.hex(lst), 2, "0"), F.lit("000000"),
+                F.repeat(F.lit("4C"), lst.cast("int")),
+                F.lit("4A554E4B"), F.lpad(F.hex(junk), 2, "0"), F.lit("000000"),
+                F.repeat(F.lit("4B"), junk.cast("int")), F.lit("00"),
+                F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+                F.lpad(F.hex(ch_v), 2, "0"), F.lit("00"),
+                F.lpad(F.hex(rate_v.bitwiseAND(F.lit(255))), 2, "0"),
+                F.lpad(F.hex(F.shiftright(rate_v, 8).bitwiseAND(F.lit(255))), 2, "0"),
+                F.lit("0000"),
+                F.lit("00000000"), F.lit("0000"), F.lit("1000"),
+                F.lit("64617461"), F.lit("00000000"),
+            )
+        ).alias("payload"),
+    )
+    ch, rate, fmt_off, is_wav = parse_wav_chunks(F.col("payload"))
+    meta = media.select(
+        ch.alias("ch"), rate.alias("rate"), fmt_off.alias("fmt_off")
+    ).filter(F.col("ch").isNotNull())
+    return (
+        meta.groupBy(F.col("ch").alias("n_channels"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("rate").alias("min_rate"),
+            F.max("rate").alias("max_rate"),
+            F.min("fmt_off").alias("min_fmt_off"),
+            F.max("fmt_off").alias("max_fmt_off"),
+            F.sum(F.col("rate").cast("long")).alias("rate_sum"),
+        )
+        .orderBy("n_channels")
+    )
+
+
+@register(
     "dedup_survivorship_by_source",
     oracle=f"""
 WITH fp AS (

@@ -148,3 +148,49 @@ def federation_jsonl_nested(spark, sf_dir):
         "JOIN jdb.nation_meta m ON n.n_nationkey = m.k "
         "GROUP BY r_name ORDER BY r_name"
     )
+
+
+@register(
+    "federation_orc_columnar",
+    oracle="""
+SELECT CAST(m.class AS BIGINT) AS class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       min(p.p_retailprice) AS min_price,
+       max(p.p_retailprice) AS max_price
+FROM part p
+JOIN (SELECT p_partkey AS k, p_partkey % 7 AS class FROM part) m
+  ON p.p_partkey = m.k
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("source", "federation", "orc"),
+)
+def federation_orc_columnar(spark, sf_dir):
+    """ORC federation: one SQL over parquet tables and an ORC-served
+    side table — the second binary columnar format through the same
+    extractor model (db dir -> tables), with pushdown/pruning coming
+    through Spark's native ORC relation exactly as for parquet.  The
+    ORC side is derived on the fly from sf_dir's part table and
+    written once per sf_dir (Spark writer, idempotent overwrite);
+    the oracle recomputes the same classification from part."""
+    import os
+    import tempfile
+
+    from exosql_spark.context import Context
+
+    orc_root = os.path.join(
+        tempfile.gettempdir(),
+        f"exoquery_orcdb_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    os.makedirs(orc_root, exist_ok=True)
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    part.select(
+        F.col("p_partkey").alias("k"),
+        (F.col("p_partkey") % 7).alias("class"),
+    ).write.mode("overwrite").orc(os.path.join(orc_root, "part_class.orc"))
+    ctx = Context(spark, {"pq": {"parquet": sf_dir}, "odb": {"orc": orc_root}})
+    return ctx.sql(
+        "SELECT m.class AS class, count(*) AS n_parts, "
+        "min(p.p_retailprice) AS min_price, max(p.p_retailprice) AS max_price "
+        "FROM pq.part p JOIN odb.part_class m ON p.p_partkey = m.k "
+        "GROUP BY m.class ORDER BY m.class"
+    )

@@ -70,6 +70,20 @@ def jsonl_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     return tables
 
 
+def orc_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Directory of ORC tables = database: each ``<name>.orc`` entry —
+    a single file or a Spark-written dataset directory — is a table.
+    The second binary columnar format next to parquet; predicate
+    pushdown and column pruning come through the native ORC reader
+    exactly as for parquet (Catalyst sees the same relation API)."""
+    _require_dir(path)
+    tables = {}
+    for f in sorted(glob.glob(os.path.join(path, "*.orc"))):
+        name = os.path.splitext(os.path.basename(f))[0]
+        tables[name] = spark.read.orc(f)
+    return tables
+
+
 def parquet_dir(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Directory of ``*.parquet`` = database (the testdata layout)."""
     from exosql_spark.io import load_table
@@ -152,6 +166,8 @@ def resolve_source(spark: SparkSession, spec: Any) -> dict[str, DataFrame]:
             return csv_dir(spark, spec["csv"], spec.get("infer_schema", True))
         if "jsonl" in spec:
             return jsonl_dir(spark, spec["jsonl"])
+        if "orc" in spec:
+            return orc_dir(spark, spec["orc"])
         if "parquet" in spec:
             return parquet_dir(spark, spec["parquet"])
         if spec.get("env"):

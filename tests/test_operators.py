@@ -2751,3 +2751,63 @@ class TestMediaHeaderProbes:
         assert got[4].w is None and got[4].is_jpeg == 1  # deeper than 8 markers
         assert got[5].w is None and got[5].is_jpeg == 0
         assert got[6].w is None and got[6].is_jpeg == 1  # truncated: NULL, no wrong parse
+
+    def test_wav_chunk_walk_noncanonical_order(self, spark):
+        """The chunk walk must find ``fmt `` wherever it sits: after a
+        LIST and an ODD-sized JUNK chunk (RIFF pad-to-even — a walk
+        without padding desyncs here), and still parse canonical files
+        written by Python's own wave module."""
+        import io
+        import struct
+        import wave
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import parse_wav_chunks
+
+        def chunk(cid, payload):
+            pad = b"\x00" if len(payload) % 2 else b""
+            return cid + struct.pack("<I", len(payload)) + payload + pad
+
+        def fmt(ch, rate):
+            return chunk(
+                b"fmt ", struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            )
+
+        def wav(*chunks):
+            body = b"WAVE" + b"".join(chunks)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(44100)
+            f.writeframes(b"\x00\x00" * 8)
+        rows = [
+            (1, buf.getvalue()),  # canonical, stdlib-written: fmt at byte 12
+            (2, wav(chunk(b"LIST", b"INFOabcd"), fmt(1, 16000), chunk(b"data", b""))),
+            # odd-sized JUNK (7 bytes -> padded to 8) before fmt
+            (3, wav(chunk(b"JUNK", b"x" * 7), fmt(8, 8000), chunk(b"data", b""))),
+            (4, b"RIFF\x10\x00\x00\x00AVI LIST"),  # RIFF but not WAVE
+            (5, wav(chunk(b"JUNK", b"x" * 100))[:30]),  # truncated, no fmt
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        ch, rate, off, is_wav = parse_wav_chunks(F.col("payload"))
+        got = {
+            r.media_id: r
+            for r in df.select(
+                "media_id",
+                ch.alias("ch"),
+                rate.alias("rate"),
+                off.alias("off"),
+                is_wav.alias("is_wav"),
+            ).collect()
+        }
+        assert (got[1].ch, got[1].rate, got[1].off) == (2, 44100, 12)
+        # LIST payload 8 -> chunk 16 bytes -> fmt at 12+16=28
+        assert (got[2].ch, got[2].rate, got[2].off) == (1, 16000, 28)
+        # JUNK payload 7 padded to 8 -> chunk 16 bytes -> fmt at 28
+        assert (got[3].ch, got[3].rate, got[3].off) == (8, 8000, 28)
+        assert got[4].ch is None and got[4].is_wav == 0
+        assert got[5].ch is None and got[5].is_wav == 1

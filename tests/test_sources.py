@@ -81,3 +81,32 @@ class TestJsonlDir:
 
         with _pt.raises(AnalysisException, match="PATH_NOT_FOUND"):
             jsonl_dir(spark, "/no/such/dir")
+
+
+class TestOrcDir:
+    def test_orc_tables_and_pushdown(self, spark, tmp_path):
+        """Stem = table; a filter on the ORC side must reach the scan
+        as a pushed predicate (the native reader's contract — the
+        reason this source needs no manual qual handling)."""
+        d = tmp_path / "odb"
+        d.mkdir()
+        spark.range(100).selectExpr("id AS k", "id % 7 AS class").write.orc(
+            str(d / "part_class.orc")
+        )
+        from exosql_spark.sources import orc_dir
+
+        tables = orc_dir(spark, str(d))
+        assert set(tables) == {"part_class"}
+        df = tables["part_class"].filter("k >= 90")
+        assert df.count() == 10
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,90" in plan, plan
+
+    def test_missing_dir_raises_path_not_found(self, spark):
+        import pytest as _pt
+        from pyspark.errors import AnalysisException
+
+        from exosql_spark.sources import orc_dir
+
+        with _pt.raises(AnalysisException, match="PATH_NOT_FOUND"):
+            orc_dir(spark, "/no/such/dir")
