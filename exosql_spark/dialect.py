@@ -15,6 +15,8 @@ need textual rewriting before ``spark.sql`` sees them:
 - ``SELECT DISTINCT ON (keys) …`` (Postgres-style, used by the
   reference — SURVEY.md §2.7 U3) → window ``row_number`` desugar,
   at top level and inside any parenthesized subquery.
+- ``… QUALIFY <pred>`` (DuckDB/Snowflake/BigQuery window filter;
+  Spark has no QUALIFY) → subquery-with-flag desugar, same recursion.
 
 All rewrites are applied through a quote-aware scanner: content of
 string literals — single- or double-quoted (exosql accepts both),
@@ -399,5 +401,85 @@ def rewrite_distinct_on(sql: str) -> str:
     return unmask_literals(_rewrite_distinct_on_masked(masked), lits)
 
 
+# --------------------------------------------------------------------
+# QUALIFY desugar
+# --------------------------------------------------------------------
+
+
+def _desugar_qualify(masked: str) -> str:
+    """``SELECT sel FROM rest QUALIFY pred [ORDER BY o] [LIMIT n]`` →
+
+        SELECT * EXCEPT (__exo_q) FROM (
+          SELECT sel, (pred) AS __exo_q FROM rest
+        ) WHERE __exo_q [ORDER BY o] [LIMIT n]
+
+    The predicate is evaluated in the SAME select scope as the
+    original projection, so window functions in it see the query's
+    partitioning (Catalyst merges textually-identical window
+    expressions into one Window node — repeating the expression in
+    QUALIFY costs nothing).  Referencing a select alias inside the
+    predicate resolves through Spark's lateral column alias rules;
+    a self-contained window expression always works."""
+    body, limit = _split_top_level(masked, "limit")
+    body, order = _split_top_level(body, "order by")
+    body, qual = _split_top_level(body, "qualify")
+    if qual is None:
+        return masked
+    # first top-level FROM (paren-depth aware, case-insensitive)
+    depth, from_pos = 0, None
+    low = body.lower()
+    for i, c in enumerate(body):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and low.startswith("from", i)
+            and (i == 0 or not (body[i - 1].isalnum() or body[i - 1] == "_"))
+            and (i + 4 >= len(body) or not (body[i + 4].isalnum() or body[i + 4] == "_"))
+        ):
+            from_pos = i
+            break
+    if from_pos is None:
+        return masked  # can't parse — leave for Spark to error on
+    sel, rest = body[:from_pos].strip(), body[from_pos + 4 :]
+    out = (
+        f"SELECT * EXCEPT (__exo_q) FROM ("
+        f"{sel[:6]} {sel[6:].strip()}, ({qual}) AS __exo_q FROM {rest.strip()}"
+        f") WHERE __exo_q"
+    )
+    if order:
+        out += f" ORDER BY {order}"
+    if limit:
+        out += f" LIMIT {limit}"
+    return out
+
+
+def _rewrite_qualify_masked(masked: str) -> str:
+    out: list[str] = []
+    i = 0
+    n = len(masked)
+    while i < n:
+        if masked[i] == "(":
+            close = _matching_paren(masked, i)
+            if close is None:
+                out.append(masked[i:])
+                break
+            out.append("(" + _rewrite_qualify_masked(masked[i + 1 : close]) + ")")
+            i = close + 1
+        else:
+            out.append(masked[i])
+            i += 1
+    return _desugar_qualify("".join(out))
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Desugar ``QUALIFY`` at top level and in any parenthesized
+    subquery."""
+    masked, lits = mask_literals(sql)
+    return unmask_literals(_rewrite_qualify_masked(masked), lits)
+
+
 def rewrite(sql: str) -> str:
-    return rewrite_distinct_on(rewrite_functions(sql))
+    return rewrite_distinct_on(rewrite_qualify(rewrite_functions(sql)))

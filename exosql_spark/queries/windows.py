@@ -126,3 +126,38 @@ def window_ntile_percent(spark, sf_dir):
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+FROM {orders}
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
+@register(
+    "window_qualify",
+    oracle=_QUALIFY_SQL.format(orders="orders"),
+    tags=("window", "dialect", "extension"),
+)
+def window_qualify(spark, sf_dir):
+    """``QUALIFY`` (DuckDB/Snowflake/BigQuery window filter — Spark
+    has no such clause): the SAME dialect text runs on both engines —
+    DuckDB executes it natively as the oracle, Spark gets it through
+    the dialect desugar (``dialect.rewrite_qualify``: subquery with
+    the predicate as a boolean flag, evaluated in the original select
+    scope so Catalyst merges the repeated window expression into ONE
+    Window node — top-2 orders per customer costs exactly one hash
+    exchange + one sort, same plan as writing the subquery by hand).
+    Better: Catalyst's InferWindowGroupLimit recognizes the desugared
+    rank-filter and plants a PARTIAL WindowGroupLimit before the
+    exchange (plan-pinned in tests/test_dialect.py), so at 100 TB each
+    map task ships at most k rows per key instead of its whole
+    partition."""
+    from exosql_spark.context import Context
+
+    ctx = Context(spark, {"db": {"parquet": sf_dir}})
+    return ctx.sql(_QUALIFY_SQL.format(orders="db.orders"))

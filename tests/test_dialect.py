@@ -213,3 +213,67 @@ class TestContextApi:
         before = spark.conf.get("spark.sql.ansi.enabled")
         ctx.sql("SELECT 1 AS x", coerce=True).collect()
         assert spark.conf.get("spark.sql.ansi.enabled") == before
+
+
+class TestQualifyDesugar:
+    def test_rewrite_shape(self):
+        from exosql_spark.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "SELECT a, rank() OVER (ORDER BY b) AS r FROM t QUALIFY r = 1"
+        )
+        assert out.startswith("SELECT * EXCEPT (__exo_q) FROM (")
+        assert out.endswith(") WHERE __exo_q")
+        assert "(r = 1) AS __exo_q" in out
+
+    def test_order_limit_stay_outside(self):
+        from exosql_spark.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "SELECT a FROM t QUALIFY rank() OVER (ORDER BY b) <= 3 "
+            "ORDER BY a LIMIT 5"
+        )
+        assert out.endswith("WHERE __exo_q ORDER BY a LIMIT 5")
+
+    def test_subquery_recursion_and_noop(self):
+        from exosql_spark.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "SELECT a FROM t WHERE x IN "
+            "(SELECT y FROM u QUALIFY rank() OVER (ORDER BY z) = 1)"
+        )
+        assert "WHERE x IN (SELECT * EXCEPT (__exo_q)" in out
+        assert rewrite_qualify("SELECT a FROM t") == "SELECT a FROM t"
+
+    def test_qualify_inside_string_literal_untouched(self):
+        from exosql_spark.dialect import rewrite_qualify
+
+        sql = "SELECT a FROM t WHERE b = 'does not qualify for this'"
+        assert rewrite_qualify(sql) == sql
+
+    def test_executes_with_single_window_node(self, spark, sf_dir):
+        """The repeated window expression (select list + QUALIFY) must
+        collapse to ONE Window operator — the desugar may not double
+        the sort/exchange."""
+        from exosql_spark.context import Context
+
+        ctx = Context(spark, {"db": {"parquet": sf_dir}})
+        df = ctx.sql(
+            "SELECT o_custkey, o_orderkey, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM db.orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("- Window ") == 1, plan
+        # the rank()<=k flag is recognized by Spark's top-k-per-group
+        # rewrite: partial WindowGroupLimit BEFORE the exchange, so at
+        # 100 TB each map task ships at most k rows per key
+        assert plan.count("WindowGroupLimit") == 2, plan
+        rows = df.collect()
+        assert rows
+        per_cust = {}
+        for r in rows:
+            per_cust.setdefault(r.o_custkey, []).append(r.rn)
+        assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+                   for v in per_cust.values())
