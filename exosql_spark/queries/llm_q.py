@@ -4207,3 +4207,71 @@ def similarity_topk_ivf_int8_planted(spark, sf_dir):
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_pca_planted",
+    oracle="""
+WITH base AS (
+  SELECT doc_id % 5 AS bucket,
+         CAST(doc_id % 13 - 6 AS DOUBLE) AS a,
+         CAST(doc_id % 7 - 3 AS DOUBLE) AS b
+  FROM documents
+), m AS (SELECT avg(a) AS ma, avg(b) AS mb FROM base)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(sum((a - ma) * (a - ma) + (b - mb) * (b - mb)) * 10000.0 + 0.5)
+         / 10000.0 AS sum_proj_sq
+FROM base, m
+GROUP BY bucket ORDER BY bucket
+""",
+    tags=("llm", "embedding", "scale"),
+)
+def embedding_pca_planted(spark, sf_dir):
+    """Distributed PCA with a CLOSED-FORM oracle — the planted-proof
+    pattern applied to linear algebra.  Synthetic d=16 vectors are
+    exactly rank-2: x = a·u + b·v with doc_id-derived integer loadings
+    and fixed orthonormal u (alternating ±1/4) and v (all 1/4), so
+    every coordinate is an exact quarter (power-of-two denominators ⇒
+    no float construction error).  The operator side
+    (operators/linalg.py) runs the REAL 100 TB pipeline: per-Arrow-
+    batch sufficient statistics via mapInPandas (O(batches·d²) leaves
+    the scan, never O(n·d)), one tiny index-sum shuffle, driver
+    eigendecomposition, broadcast projection in pure column
+    arithmetic.  Because the centered data lies exactly in span{u,v},
+    the top-2 eigenspace equals that span REGARDLESS of the
+    eigensolver's within-subspace rotation or sign choices — so
+    ‖proj‖² = (a-ā)² + (b-b̄)² exactly, which DuckDB computes in
+    closed form, and every rank-2 residual is ~0 (asserted < 1e-8,
+    the collapse detector for a wrong covariance, a dropped partial,
+    or a mean/center bug)."""
+    from exosql_spark.operators import linalg
+
+    t = Tables(spark, sf_dir)
+    a = (F.col("doc_id") % 13 - 6).cast("double")
+    b = (F.col("doc_id") % 7 - 3).cast("double")
+    vec = F.array(
+        *[
+            ((a * (1 if i % 2 == 0 else -1)) + b) / 4
+            for i in range(16)
+        ]
+    )
+    data = t.documents.select(
+        "doc_id", (F.col("doc_id") % 5).alias("bucket"), vec.alias("x")
+    )
+    _vals, comps, mean = linalg.pca_topk(data, "x", d=16, k=2)
+    projected = linalg.project(data, "x", comps, mean)
+    max_resid = projected.agg(F.max("resid_sq")).collect()[0][0]
+    assert max_resid < 1e-8, f"rank-2 data has residual {max_resid}"
+    proj_sq = F.aggregate(
+        F.col("proj"), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    return (
+        projected.select(F.col("bucket").cast("long"), proj_sq.alias("psq"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.floor(F.sum("psq") * 10000.0 + 0.5) / 10000.0).alias("sum_proj_sq"),
+        )
+        .orderBy("bucket")
+    )

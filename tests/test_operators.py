@@ -2811,3 +2811,58 @@ class TestMediaHeaderProbes:
         assert (got[3].ch, got[3].rate, got[3].off) == (8, 8000, 28)
         assert got[4].ch is None and got[4].is_wav == 0
         assert got[5].ch is None and got[5].is_wav == 1
+
+
+class TestLinalg:
+    """Distributed covariance/PCA vs numpy ground truth."""
+
+    def test_covariance_matches_numpy(self, spark):
+        import numpy as np
+
+        from exosql_spark.operators import linalg
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(257, 5))  # not a multiple of any batch size
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(x)], "id long, x array<double>"
+        ).repartition(4)
+        n, mean, cov = linalg.covariance_matrix(df, "x", d=5)
+        assert n == 257
+        assert np.allclose(mean, x.mean(axis=0), atol=1e-12)
+        assert np.allclose(cov, np.cov(x, rowvar=False, bias=True), atol=1e-10)
+
+    def test_pca_projection_recovers_planted_subspace(self, spark):
+        import numpy as np
+
+        from exosql_spark.operators import linalg
+
+        rng = np.random.default_rng(11)
+        u = np.array([1.0, -1.0, 1.0, -1.0]) / 2
+        v = np.array([1.0, 1.0, 1.0, 1.0]) / 2
+        ab = rng.integers(-5, 6, size=(100, 2)).astype(float)
+        x = ab[:, :1] * u + ab[:, 1:] * v
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(x)], "id long, x array<double>"
+        ).repartition(3)
+        vals, comps, mean = linalg.pca_topk(df, "x", d=4, k=2)
+        # top-2 eigenspace == span{u, v}: projector equality, which is
+        # invariant to sign/rotation ambiguity inside the subspace
+        p_hat = comps.T @ comps
+        basis = np.stack([u, v]).T
+        p_true = basis @ np.linalg.inv(basis.T @ basis) @ basis.T
+        assert np.allclose(p_hat, p_true, atol=1e-9)
+        assert vals[0] >= vals[1] > 1e-6
+        got = linalg.project(df, "x", comps, mean).select("id", "proj", "resid_sq").collect()
+        cent = x - x.mean(axis=0)
+        for r in got:
+            assert r.resid_sq < 1e-12
+            assert abs(sum(p * p for p in r.proj) - float(cent[r.id] @ cent[r.id])) < 1e-9
+
+    def test_empty_input_raises(self, spark):
+        import pytest as _pt
+
+        from exosql_spark.operators import linalg
+
+        df = spark.createDataFrame([], "id long, x array<double>")
+        with _pt.raises(ValueError, match="empty"):
+            linalg.covariance_matrix(df, "x", d=4)
