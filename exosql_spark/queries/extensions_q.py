@@ -833,3 +833,64 @@ def stats_equidepth_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+_ZORDER_TERMS = " + ".join(
+    f"(((x >> {b}) & 1) << {2 * b}) + (((y >> {b}) & 1) << {2 * b + 1})"
+    for b in range(6)
+)
+
+
+@register(
+    "layout_zorder_key",
+    oracle=f"""
+WITH pts AS (
+  SELECT CAST(doc_id % 64 AS BIGINT) AS x,
+         CAST((doc_id // 64) % 64 AS BIGINT) AS y
+  FROM documents
+), keyed AS (
+  SELECT x, y, {_ZORDER_TERMS} AS zkey FROM pts
+)
+SELECT CAST(zkey >> 8 AS BIGINT) AS zblock,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zkey) AS BIGINT) AS zmin,
+       CAST(max(zkey) AS BIGINT) AS zmax,
+       CAST(min(x) AS BIGINT) AS xmin, CAST(max(x) AS BIGINT) AS xmax,
+       CAST(min(y) AS BIGINT) AS ymin, CAST(max(y) AS BIGINT) AS ymax
+FROM keyed
+GROUP BY 1 ORDER BY 1
+""",
+    tags=("extension", "layout", "scale"),
+)
+def layout_zorder_key(spark, sf_dir):
+    """Morton/Z-order interleave key cross-checked bit-for-bit against
+    DuckDB's integer bit arithmetic (both engines compute the same
+    shift/mask sum — a single wrong bit position scrambles zmin/zmax
+    everywhere).  The per-zblock x/y bounding boxes in the output ARE
+    the pruning story: each 256-cell z-range block covers a tight
+    16x16 tile of the 64x64 grid, which is why per-file footer stats
+    bound BOTH columns after a z-ordered write (measured file-by-file
+    in tests/test_sinks.py::TestZOrderLayout) while a lexicographic
+    sort bounds only its leading column.  sinks.zorder_key /
+    write_zordered are the production write path."""
+    from exosql_spark.sinks import zorder_key
+
+    t = Tables(spark, sf_dir)
+    pts = t.documents.select(
+        (F.col("doc_id") % 64).cast("long").alias("x"),
+        ((F.col("doc_id") / 64).cast("long") % 64).alias("y"),
+    )
+    keyed = pts.withColumn("zkey", zorder_key([F.col("x"), F.col("y")], bits=6))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 8).alias("zblock"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+            F.min("x").alias("xmin"),
+            F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"),
+            F.max("y").alias("ymax"),
+        )
+        .orderBy("zblock")
+    )

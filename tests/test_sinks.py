@@ -483,3 +483,44 @@ class TestSchemaEvolutionRead:
         rows = {r.id: (r.quality, r.batch) for r in back.collect()}
         assert rows[1] == (None, 0)  # old rows: new column backfilled NULL
         assert rows[2] == (0.9, 1)
+
+
+class TestZOrderLayout:
+    def test_zorder_prunes_files_linear_sort_cannot(self, spark, tmp_path):
+        """The measurable claim behind Z-ordering: for a 64x64 grid
+        written as 8 files, a y-range predicate can skip most z-ordered
+        files by their per-file y min/max, while an x-sorted layout
+        puts every y value in every file (zero pruning)."""
+        import duckdb
+        import glob as _glob
+
+        from pyspark.sql import functions as F
+
+        from exosql_spark import sinks
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+        sinks.write_zordered(df, zdir, [F.col("x"), F.col("y")], bits=6, n_files=8)
+        (
+            df.repartitionByRange(8, "x")
+            .sortWithinPartitions("x")
+            .write.parquet(ldir)
+        )
+
+        def prunable(d, lo, hi):
+            con = duckdb.connect()
+            files = sorted(_glob.glob(f"{d}/part-*.parquet"))
+            assert len(files) == 8, files
+            skipped = 0
+            for f in files:
+                mn, mx = con.execute(
+                    f"SELECT min(y), max(y) FROM read_parquet('{f}')"
+                ).fetchone()
+                if mx < lo or mn > hi:
+                    skipped += 1
+            return skipped
+
+        assert prunable(zdir, 0, 7) >= 4   # z-order: file y-extents are 16 wide
+        assert prunable(ldir, 0, 7) == 0   # x-sort: every file spans all of y
