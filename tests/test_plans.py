@@ -582,3 +582,34 @@ class TestRound12Plans:
         assert "EvalPython" not in s, s  # no BatchEvalPython/ArrowEvalPython
         assert "Join" not in s, s
         assert s.count("Exchange hashpartitioning") == 1, s
+
+    def test_wav_chunk_walk_is_one_projection_no_python(self, spark, sf_dir):
+        """Same contract as the JPEG walk: JVM-side aggregate fold,
+        no Python stage, no join, one exchange for the rollup."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["multimodal_wav_chunk_walk"].fn(spark, sf_dir)
+        s = plan(df)
+        assert "EvalPython" not in s, s
+        assert "Join" not in s, s
+        assert s.count("Exchange hashpartitioning") == 1, s
+
+    def test_pca_projection_stays_jvm_side(self, spark, sf_dir):
+        """After the driver-side eig, the projection over the corpus
+        must be pure column arithmetic: no Python/Arrow stage, no
+        shuffle before the final bucket rollup."""
+        import numpy as np
+
+        from exosql_spark.io import Tables
+        from exosql_spark.operators import linalg
+
+        t = Tables(spark, sf_dir)
+        data = t.documents.select(
+            "doc_id",
+            F.array(*[(F.col("doc_id") % (i + 3)).cast("double") for i in range(4)]).alias("x"),
+        )
+        comps = np.eye(4)[:2]
+        df = linalg.project(data, "x", comps, np.zeros(4))
+        s = plan(df)
+        assert "EvalPython" not in s, s
+        assert "Exchange" not in s, s
