@@ -1,0 +1,59 @@
+"""Count-min sketches over keys: join-cardinality estimation without
+executing the join.
+
+At 100 TB the question "how big is A ⋈ B on this key?" decides the
+physical strategy (broadcast vs shuffle vs pre-bucket) and must be
+answered WITHOUT producing the join: the classic answer (Cormode &
+Muthukrishnan 2005, §4.2) is the count-min inner product — sketch each
+side's key-frequency vector into a depth×width table, then
+``est = min_d Σ_w A[d][w]·B[d][w]``, an upper bound on the true
+``Σ_k a_k·b_k`` that overestimates by at most ``ε·‖a‖₁·‖b‖₁`` with
+probability 1-δ (ε = e/width, δ = e^-depth).
+
+Scale shape: building a sketch is one pass — depth bucket ids per row
+(engine-portable seeded ``hash60``, so sketches built by different
+engines/runs/retries are IDENTICAL, which also makes the estimate
+exact-oracle-able in DuckDB), posexplode to (d, bucket), and a
+map-side-combined groupBy whose output is bounded by depth×width
+(1024 rows here), never by the data.  Comparing two sketches is a
+broadcast join of two tiny tables.  Sketches are mergeable (entrywise
+sum) across partitions, days, or corpora — the same pre-aggregation
+story as the HLL rollup (events_hll_sketch_rollup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from exosql_spark.operators.ordering import hash60
+
+
+def cms_counts(
+    df: DataFrame, key: Column, depth: int = 4, width: int = 256, salt: str = ""
+) -> DataFrame:
+    """Count-min table ``(d, bucket, n)`` of the key-frequency vector:
+    row r increments bucket ``hash_d(key(r)) mod width`` in each of
+    the ``depth`` rows.  Empty buckets are absent (implicit 0).
+    ``hash60`` is non-negative (60-bit), so ``% width`` needs no pmod;
+    NULL keys hash to NULL and are excluded, matching the SQL twin's
+    ``x || ':salt'`` NULL propagation."""
+    buckets = F.array(
+        *[(hash60(key, salt=f"{salt}{d}") % width) for d in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """CM inner-product estimate of |A ⋈ B| from two sketches built
+    with the SAME depth/width/salt: one row, column ``est``.  Only
+    buckets present on both sides contribute (absent = 0)."""
+    j = cms_a.alias("a").join(cms_b.alias("b"), ["d", "bucket"])
+    per_d = j.groupBy("d").agg(
+        F.sum(F.col("a.n") * F.col("b.n")).alias("s")
+    )
+    return per_d.agg(F.min("s").alias("est"))

@@ -894,3 +894,81 @@ def layout_zorder_key(spark, sf_dir):
         )
         .orderBy("zblock")
     )
+
+
+@register(
+    "stats_join_size_cms",
+    oracle="""
+WITH a AS (SELECT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+b AS (SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+ad AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jc'
+                                  || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS n
+  FROM a CROSS JOIN ds GROUP BY 1, 2
+),
+bd AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jc'
+                                  || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS n
+  FROM b CROSS JOIN ds GROUP BY 1, 2
+),
+est AS (
+  SELECT min(s) AS est FROM (
+    SELECT ad.d, sum(ad.n * bd.n) AS s
+    FROM ad JOIN bd ON ad.d = bd.d AND ad.bucket = bd.bucket
+    GROUP BY 1
+  )
+),
+ex AS (
+  SELECT sum(x.an * y.bn) AS exact_size
+  FROM (SELECT user_id, count(*) AS an FROM a GROUP BY 1) x
+  JOIN (SELECT user_id, count(*) AS bn FROM b GROUP BY 1) y USING (user_id)
+)
+SELECT CAST(ex.exact_size AS BIGINT) AS exact_size,
+       CAST(est.est AS BIGINT) AS cms_estimate
+FROM ex, est
+""",
+    tags=("extension", "stats", "sketch", "scale"),
+)
+def stats_join_size_cms(spark, sf_dir):
+    """Join-cardinality estimation WITHOUT executing the join — the
+    optimizer-statistics question that picks broadcast vs shuffle vs
+    pre-bucket at 100 TB.  Count-min inner product (Cormode &
+    Muthukrishnan 2005): each side's key-frequency vector sketches to
+    a 4×1024 table in one map-side-combined pass (output bounded by
+    depth×width, never the data); the estimate is min over depths of
+    the bucketwise product sum, an upper bound on the true Σₖ aₖ·bₖ.
+    Because the bucket hash is the engine-portable seeded md5
+    (``hash60``), DuckDB builds the IDENTICAL sketch — the ESTIMATE
+    itself is exact-oracled, not just the true size computed alongside
+    (the sketch math can't drift silently).  The entry's single output
+    row carries both; the CM guarantee (estimate ≥ exact, close under
+    low collision load: 150 keys in 1024 buckets) is thereby
+    driver-checked too."""
+    from exosql_spark.operators import sketch
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id").isNotNull())
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    cms_a = sketch.cms_counts(a, F.col("user_id"), depth=4, width=1024, salt="jc")
+    cms_b = sketch.cms_counts(b, F.col("user_id"), depth=4, width=1024, salt="jc")
+    est = sketch.cms_join_size_estimate(cms_a, cms_b)
+    exact = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("an"))
+        .join(b.groupBy("user_id").agg(F.count(F.lit(1)).alias("bn")), "user_id")
+        .agg(F.sum(F.col("an") * F.col("bn")).alias("exact_size"))
+    )
+    return exact.crossJoin(est).select(
+        F.col("exact_size").cast("long"),
+        F.col("est").cast("long").alias("cms_estimate"),
+    )

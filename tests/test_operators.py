@@ -2866,3 +2866,44 @@ class TestLinalg:
         df = spark.createDataFrame([], "id long, x array<double>")
         with _pt.raises(ValueError, match="empty"):
             linalg.covariance_matrix(df, "x", d=4)
+
+
+class TestCountMinSketch:
+    def test_inner_product_upper_bounds_join_size(self, spark):
+        """CM guarantee: estimate >= true join size, with equality when
+        no two keys collide in some depth row."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        a = spark.range(300).select((F.col("id") % 30).alias("k"))   # 10 each
+        b = spark.range(120).select((F.col("id") % 40).alias("k"))   # 3 each
+        exact = 30 * 10 * 3  # keys 0..29 shared
+        ca = sketch.cms_counts(a, F.col("k"), depth=4, width=512, salt="t")
+        cb = sketch.cms_counts(b, F.col("k"), depth=4, width=512, salt="t")
+        est = sketch.cms_join_size_estimate(ca, cb).collect()[0].est
+        assert est >= exact
+        assert est <= exact * 1.2  # 40 keys in 512 buckets: low collision load
+
+    def test_sketch_bounded_and_mergeable(self, spark):
+        """Output is bounded by depth*width regardless of input size,
+        and sketches merge by entrywise sum (partition-, day-, or
+        corpus-level pre-aggregation)."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        df = spark.range(5000).select((F.col("id") % 1000).alias("k"))
+        c = sketch.cms_counts(df, F.col("k"), depth=4, width=64, salt="m")
+        rows = c.collect()
+        assert len(rows) <= 4 * 64
+        assert sum(r.n for r in rows) == 4 * 5000  # every row lands in each depth
+        # merge two halves == sketch of the whole
+        h1 = sketch.cms_counts(df.filter("id < 2500"), F.col("k"), 4, 64, salt="m")
+        h2 = sketch.cms_counts(df.filter("id >= 2500"), F.col("k"), 4, 64, salt="m")
+        merged = (
+            h1.union(h2).groupBy("d", "bucket").agg(F.sum("n").alias("n"))
+        )
+        got = {(r.d, r.bucket): r.n for r in merged.collect()}
+        want = {(r.d, r.bucket): r.n for r in rows}
+        assert got == want

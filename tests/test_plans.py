@@ -122,6 +122,7 @@ class TestNoAccidentalCartesian:
         "corpus_quality_winsorize",  # 1-row p1/p99 bounds broadcast
         "text_keywords_per_doc",  # 1-row corpus-size broadcast scalar
         "corpus_length_survival",  # 1-row total-mass broadcast scalar
+        "stats_join_size_cms",  # 1-row exact × 1-row estimate attachment
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
