@@ -1,0 +1,109 @@
+"""Byte-pair-encoding merge learning, distributed.
+
+Greedy BPE (Sennrich et al. 2016 — the tokenizer-training algorithm
+behind GPT-2/RoBERTa vocabularies) is inherently iterative: k times,
+count adjacent symbol pairs over the corpus, merge the most frequent
+pair everywhere, repeat.  The distributed shape per iteration:
+
+1. **Pair counting**: ``zip_with(tokens, tokens[1:])`` → posexplode →
+   one freq-weighted groupBy — a single map-side-combined shuffle whose
+   key space is the live pair vocabulary, not the corpus.
+2. **Argmax**: deterministic top-1 (count DESC, then pair ASC so ties
+   break identically across engines/runs) — a 1-row collect per
+   iteration, the driver's only involvement (k rows total, bounded by
+   the requested merge count, like clustering.py's per-round collect).
+3. **Merge application**: a left-to-right non-overlapping pair
+   rewrite of every tokens array via one ``F.aggregate`` fold with a
+   ``struct<out, prev>`` accumulator — the same O(1)-expression-tree
+   HOF shape as the JPEG/WAV header walks (multimodal.py): a pending
+   token is either flushed or fused with the current one, so
+   ``[A,B,A,B]`` → ``[AB,AB]`` and ``[A,A,B]`` → ``[A,AB]`` exactly as
+   serial BPE does.  No UDF, no extra shuffle — the rewrite rides the
+   next iteration's scan.
+
+Each merge is one corpus pass; learning k merges is k passes — the
+standard trade every BPE trainer makes (HF tokenizers parallelizes
+exactly this loop).  Words-with-frequency input (the classic setup)
+means the corpus pass is over the DISTINCT word table, typically
+orders of magnitude smaller than the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _pair_counts(df: DataFrame, tokens: str, freq: str) -> DataFrame:
+    pairs = F.zip_with(
+        F.slice(F.col(tokens), 1, F.size(tokens) - 1),
+        F.slice(F.col(tokens), 2, F.size(tokens) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"), F.col(freq).alias("f"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("f").alias("n"))
+    )
+
+
+def merge_pair(tokens: Column, left: str, right: str, joined: str | None = None) -> Column:
+    """Left-to-right non-overlapping rewrite of every adjacent
+    ``(left, right)`` into their concatenation: an ``F.aggregate``
+    fold carrying the previous token as pending state (O(1) expression
+    tree, runtime loop — see module docstring)."""
+    joined_lit = F.lit(joined if joined is not None else left + right)
+    l_lit, r_lit = F.lit(left), F.lit(right)
+
+    def step(acc, t):
+        prev, out = acc["prev"], acc["out"]
+        fuse = prev.isNotNull() & (prev == l_lit) & (t == r_lit)
+        new_out = (
+            F.when(fuse, F.concat(out, F.array(joined_lit)))
+            .when(prev.isNotNull(), F.concat(out, F.array(prev)))
+            .otherwise(out)
+        )
+        new_prev = F.when(fuse, F.lit(None).cast("string")).otherwise(t)
+        return F.struct(new_out.alias("out"), new_prev.alias("prev"))
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    folded = F.aggregate(
+        tokens,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["prev"].isNotNull(), F.concat(acc["out"], F.array(acc["prev"]))
+        ).otherwise(acc["out"]),
+    )
+    return folded
+
+
+def learn_bpe(
+    df: DataFrame,
+    tokens: str = "tokens",
+    freq: str = "freq",
+    n_merges: int = 8,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Learn ``n_merges`` greedy BPE merges over a words-with-frequency
+    table.  Returns (merges, rewritten_df) where merges is the ordered
+    list of (left, right, pair_count) and rewritten_df carries the
+    corpus after applying them all.  Stops early if no pair is left.
+    Ties break on (left, right) ascending — deterministic across
+    engines, runs, and partitionings."""
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(df, tokens, freq)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, n = top[0].l, top[0].r, top[0].n
+        merges.append((l, r, int(n)))
+        df = df.withColumn(tokens, merge_pair(F.col(tokens), l, r))
+    return merges, df

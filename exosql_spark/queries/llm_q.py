@@ -4275,3 +4275,64 @@ def embedding_pca_planted(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "text_bpe_merges_planted",
+    oracle="""
+WITH n AS (SELECT doc_id % 5 AS c, count(*) AS n FROM documents GROUP BY 1)
+SELECT token, CAST(cnt AS BIGINT) AS cnt FROM (
+  SELECT 'ab' AS token, 9 * n AS cnt FROM n WHERE c = 0
+  UNION ALL SELECT 'cd', 5 * n FROM n WHERE c = 1
+  UNION ALL SELECT 'ef', 3 * n FROM n WHERE c = 2
+  UNION ALL SELECT 'pq', 4 * n FROM n WHERE c = 3
+  UNION ALL SELECT 'p', 2 * n FROM n WHERE c = 3
+  UNION ALL SELECT 'z', 1 * n FROM n WHERE c = 4
+) ORDER BY token
+""",
+    tags=("llm", "text", "tokenizer", "scale"),
+)
+def text_bpe_merges_planted(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py) with a
+    CLOSED-FORM oracle: the word-frequency table is planted so the
+    greedy merge sequence is forced — pair counts 9n₀ > 5n₁ > 4n₃ >
+    3n₂ give merges (a,b), (c,d), (p,q), (e,f) in that order, where
+    (p,q) wins its 4n₃ TIE against (q,p) only through the
+    deterministic lexicographic tie-break, and (e,f) wins round 4 only
+    because merging (p,q) consumed every (q,p) occurrence — so the
+    final token counts DuckDB computes in closed form are sensitive to
+    merge ORDER, tie-breaking, AND the left-to-right non-overlapping
+    rewrite ([p,q,p,q,p] must become [pq,pq,p], counted 4n₃ + 2n₃).
+    The merge list itself is asserted internally.  Scale shape per
+    iteration: one freq-weighted pair-count shuffle + a 1-row argmax
+    collect + a fold-based rewrite that rides the next scan (zero
+    extra shuffles); learning k merges is k bounded passes — exactly
+    what HF-tokenizers/SentencePiece parallelize."""
+    from exosql_spark.operators.bpe import learn_bpe
+
+    t = Tables(spark, sf_dir)
+    c = F.col("doc_id") % 5
+    words = t.documents.select(
+        F.when(c == 0, F.array(F.lit("a"), F.lit("b")))
+        .when(c == 1, F.array(F.lit("c"), F.lit("d")))
+        .when(c == 2, F.array(F.lit("e"), F.lit("f")))
+        .when(c == 3, F.array(F.lit("p"), F.lit("q"), F.lit("p"), F.lit("q"), F.lit("p")))
+        .otherwise(F.array(F.lit("z")))
+        .alias("tokens"),
+        F.when(c == 0, 9)
+        .when(c == 1, 5)
+        .when(c == 2, 3)
+        .when(c == 3, 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("freq"),
+    )
+    merges, rewritten = learn_bpe(words, n_merges=4)
+    got = [(l, r) for l, r, _ in merges]
+    assert got == [("a", "b"), ("c", "d"), ("p", "q"), ("e", "f")], got
+    return (
+        rewritten.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy("token")
+    )

@@ -2907,3 +2907,86 @@ class TestCountMinSketch:
         got = {(r.d, r.bucket): r.n for r in merged.collect()}
         want = {(r.d, r.bucket): r.n for r in rows}
         assert got == want
+
+
+class TestBpe:
+    def test_merge_pair_left_to_right_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.bpe import merge_pair
+
+        rows = [
+            (1, ["a", "b", "a", "b"]),   # -> [ab, ab]
+            (2, ["a", "a", "b"]),        # -> [a, ab]  (non-overlap, L->R)
+            (3, ["b", "a"]),             # -> [b, a]   (order matters)
+            (4, ["a"]),                  # -> [a]
+            (5, []),                     # -> []
+        ]
+        df = spark.createDataFrame(rows, "id long, t array<string>")
+        got = {
+            r.id: r.m
+            for r in df.select(
+                "id", merge_pair(F.col("t"), "a", "b").alias("m")
+            ).collect()
+        }
+        assert got == {
+            1: ["ab", "ab"],
+            2: ["a", "ab"],
+            3: ["b", "a"],
+            4: ["a"],
+            5: [],
+        }
+        # self-pair: [a,a,a] merges the FIRST two only
+        df2 = spark.createDataFrame([(1, ["a", "a", "a"])], "id long, t array<string>")
+        assert df2.select(
+            merge_pair(F.col("t"), "a", "a").alias("m")
+        ).collect()[0].m == ["aa", "a"]
+
+    def test_learn_bpe_matches_serial_reference(self, spark):
+        """Cross-check against a straightforward serial BPE on the
+        same word-frequency table (independent implementation — dict
+        loops, no Spark)."""
+        from exosql_spark.operators.bpe import learn_bpe
+
+        words = {("l", "o", "w"): 5, ("l", "o", "w", "e", "r"): 2,
+                 ("n", "e", "w", "e", "s", "t"): 6, ("w", "i", "d", "e", "s", "t"): 3}
+
+        def serial(words, k):
+            words = {tuple(w): f for w, f in words.items()}
+            merges = []
+            for _ in range(k):
+                counts = {}
+                for w, f in words.items():
+                    for i in range(len(w) - 1):
+                        counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + f
+                if not counts:
+                    break
+                (l, r), n = min(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+                )
+                merges.append((l, r, n))
+                new = {}
+                for w, f in words.items():
+                    out, i = [], 0
+                    while i < len(w):
+                        if i + 1 < len(w) and w[i] == l and w[i + 1] == r:
+                            out.append(w[i] + w[i + 1]); i += 2
+                        else:
+                            out.append(w[i]); i += 1
+                    new[tuple(out)] = new.get(tuple(out), 0) + f
+                words = new
+            return merges, words
+
+        want_merges, want_words = serial(words, 6)
+        df = spark.createDataFrame(
+            [(list(w), f) for w, f in words.items()], "tokens array<string>, freq long"
+        )
+        got_merges, got_df = learn_bpe(df, n_merges=6)
+        assert got_merges == want_merges
+        got_words = {
+            tuple(r.tokens): r.freq
+            for r in got_df.groupBy("tokens").agg(
+                __import__("pyspark.sql.functions", fromlist=["sum"]).sum("freq").alias("freq")
+            ).collect()
+        }
+        assert got_words == want_words
