@@ -36,13 +36,15 @@ def cms_counts(
     row r increments bucket ``hash_d(key(r)) mod width`` in each of
     the ``depth`` rows.  Empty buckets are absent (implicit 0).
     ``hash60`` is non-negative (60-bit), so ``% width`` needs no pmod;
-    NULL keys hash to NULL and are excluded, matching the SQL twin's
-    ``x || ':salt'`` NULL propagation."""
+    NULL keys hash to NULL buckets, which are dropped explicitly below
+    (posexplode of an all-NULL array still emits rows), matching the
+    SQL twin's ``x || ':salt'`` NULL propagation + inner-join drop."""
     buckets = F.array(
         *[(hash60(key, salt=f"{salt}{d}") % width) for d in range(depth)]
     )
     return (
         df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .where(F.col("bucket").isNotNull())
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -4226,6 +4226,7 @@ FROM base, m
 GROUP BY bucket ORDER BY bucket
 """,
     tags=("llm", "embedding", "scale"),
+    bench=True,  # plan-novel: Arrow two-phase moment partials, tracked since r12
 )
 def embedding_pca_planted(spark, sf_dir):
     """Distributed PCA with a CLOSED-FORM oracle — the planted-proof
@@ -4291,6 +4292,7 @@ SELECT token, CAST(cnt AS BIGINT) AS cnt FROM (
 ) ORDER BY token
 """,
     tags=("llm", "text", "tokenizer", "scale"),
+    bench=True,  # plan-novel: iterative merge loop, tracked since r12
 )
 def text_bpe_merges_planted(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py) with a

@@ -228,3 +228,70 @@ def test_rewrite_preserves_literal_dots(a, b):
     sql = f"SELECT '{lit}' AS note FROM tbl"
     out = dialect.rewrite(sql)
     assert lit in out
+
+
+class TestRound12Properties:
+    def test_merge_pair_matches_serial_on_random_arrays(self, spark):
+        """200 random token arrays x random target pair, one Spark job:
+        the fold rewrite must equal the serial left-to-right
+        non-overlapping rewrite on every case."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.bpe import merge_pair
+
+        rng = random.Random(42)
+        alpha = ["a", "b", "c"]
+        cases = []
+        for i in range(200):
+            arr = [rng.choice(alpha) for _ in range(rng.randrange(0, 12))]
+            l, r = rng.choice(alpha), rng.choice(alpha)
+            cases.append((i, arr, l, r))
+
+        def serial(w, l, r):
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == l and w[i + 1] == r:
+                    out.append(w[i] + w[i + 1]); i += 2
+                else:
+                    out.append(w[i]); i += 1
+            return out
+
+        df = spark.createDataFrame(
+            [(i, arr, l, r) for i, arr, l, r in cases],
+            "id long, t array<string>, l string, r string",
+        )
+        # pair differs per row: group cases by (l, r) and apply per group
+        got = {}
+        for (l, r) in {(c[2], c[3]) for c in cases}:
+            part = df.filter((F.col("l") == l) & (F.col("r") == r))
+            for row in part.select("id", merge_pair(F.col("t"), l, r).alias("m")).collect():
+                got[row.id] = row.m
+        for i, arr, l, r in cases:
+            assert got[i] == serial(arr, l, r), (arr, l, r, got[i])
+
+    def test_zorder_key_bits_roundtrip(self, spark):
+        """The interleaved key must decode back to exactly (x, y) for
+        every grid point — a single wrong bit position cannot survive
+        this."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.sinks import zorder_key
+
+        df = spark.range(4096).select(
+            (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+        )
+        k = zorder_key([F.col("x"), F.col("y")], bits=6)
+        xdec = sum(
+            F.shiftleft(F.shiftright(k, 2 * b).bitwiseAND(F.lit(1)), b)
+            for b in range(6)
+        )
+        ydec = sum(
+            F.shiftleft(F.shiftright(k, 2 * b + 1).bitwiseAND(F.lit(1)), b)
+            for b in range(6)
+        )
+        bad = df.select(
+            ((xdec != F.col("x")) | (ydec != F.col("y"))).alias("bad")
+        ).filter("bad").count()
+        assert bad == 0
