@@ -91,10 +91,97 @@ def _run_point(label: str, sf_dir: str, runs: int) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
+def _recompute_row(row: dict) -> None:
+    row.pop("ratio_10x", None)
+    row.pop("ratio_100x", None)
+    row.pop("exponent_top_decade", None)
+    if "sf1_sec" in row and row.get("sf0.1_sec"):
+        row["ratio_10x"] = round(row["sf1_sec"] / row["sf0.1_sec"], 2)
+    if "sf10_sec" in row and row.get("sf0.1_sec"):
+        row["ratio_100x"] = round(row["sf10_sec"] / row["sf0.1_sec"], 2)
+    if "sf10_sec" in row and row.get("sf1_sec"):
+        row["exponent_top_decade"] = round(
+            math.log10(row["sf10_sec"] / row["sf1_sec"]), 2
+        )
+
+
+def _remeasure(spec: str) -> None:
+    """``--remeasure name:point:runs`` — re-run ONE query at ONE scale
+    point with a higher run count and rewrite the artifact mechanically
+    (row seconds, derived ratios/exponent, totals, dependent notes).
+    For when a min-of-2 point lands in one of this box's documented
+    CPU-steal windows (SCALE.md "environment drift"): the re-measure is
+    recorded in the row's ``remeasured`` map so the mixed estimator is
+    visible, never silent."""
+    name, label, runs_s = spec.split(":")
+    runs = int(runs_s)
+    points = {p[0]: p for p in POINTS}
+    if label not in points:
+        raise SystemExit(f"unknown point {label!r} (have {sorted(points)})")
+    _, sf_dir, _, factor = points[label]
+    if factor:
+        _ensure_data(sf_dir, factor)
+
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    with open(path) as f:
+        art = json.load(f)
+    if name not in art["queries"]:
+        raise SystemExit(f"unknown query {name!r}")
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+    env["SPARK_GRAFT_BENCH_EXCLUDE"] = ",".join(
+        n for n in art["queries"] if n != name
+    )
+    env["SPARK_GRAFT_DETAIL_PATH"] = "/tmp/bench_detail_remeasure.json"
+    print(f"re-measuring {name} at {label} (min-of-{runs})...", flush=True)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, check=True,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    ).stdout
+    sec = json.loads(out.strip().splitlines()[-1])["queries"][name]
+
+    row = art["queries"][name]
+    row[f"{label}_sec"] = sec
+    row.setdefault("remeasured", {})[label] = f"min_of_{runs}"
+    _recompute_row(row)
+    art["totals"] = {
+        lab: round(
+            sum(r[f"{lab}_sec"] for r in art["queries"].values() if f"{lab}_sec" in r),
+            2,
+        )
+        for lab, _, _, _ in POINTS
+    }
+    note = art.get("jaccard_ppjoin_note")
+    if note and name == "dedup_jaccard_exact_pairs":
+        note["post_filter_sec"] = {
+            "sf0.1": row.get("sf0.1_sec"),
+            "sf1": row.get("sf1_sec"),
+            "sf10": row.get("sf10_sec"),
+        }
+    snote = art.get("semdedup_autok_note")
+    if snote and name == "dedup_semantic":
+        snote["table_row_sec"] = {
+            "sf0.1": row.get("sf0.1_sec"),
+            "sf1": row.get("sf1_sec"),
+            "sf10": row.get("sf10_sec"),
+        }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({name: row}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--remeasure", metavar="NAME:POINT:RUNS")
     args = ap.parse_args()
+
+    if args.remeasure:
+        _remeasure(args.remeasure)
+        return
 
     if not args.skip_generate:
         for _, path, _, factor in POINTS:
