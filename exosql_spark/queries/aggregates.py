@@ -187,3 +187,29 @@ def cube_extension(spark, sf_dir):
     return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "group_by_all",
+    oracle=_GROUP_BY_ALL_SQL,
+    tags=("agg", "dialect"),
+)
+def group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` (DuckDB-originated, adopted by Spark 3.4+):
+    the IDENTICAL text runs natively on both engines — both must infer
+    the same grouping set (every non-aggregate select item) or the
+    shape of the result diverges.  Zero rewrite needed; this entry
+    pins that the dialect stays aligned as both engines evolve."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

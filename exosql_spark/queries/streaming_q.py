@@ -604,3 +604,111 @@ def streaming_transform_state_parity(spark, sf_dir):
         .drop("_rn")
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "streaming_sketch_ingest_parity",
+    oracle="""
+WITH a AS (SELECT user_id FROM events
+           WHERE event_type = 'view' AND user_id IS NOT NULL),
+b AS (SELECT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+ad AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jc'
+                                  || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS n
+  FROM a CROSS JOIN ds GROUP BY 1, 2
+),
+bd AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':jc'
+                                  || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1024 AS bucket,
+         count(*) AS n
+  FROM b CROSS JOIN ds GROUP BY 1, 2
+),
+est AS (
+  SELECT min(s) AS est FROM (
+    SELECT ad.d, sum(ad.n * bd.n) AS s
+    FROM ad JOIN bd ON ad.d = bd.d AND ad.bucket = bd.bucket
+    GROUP BY 1
+  )
+),
+ex AS (
+  SELECT sum(x.an * y.bn) AS exact_size
+  FROM (SELECT user_id, count(*) AS an FROM a GROUP BY 1) x
+  JOIN (SELECT user_id, count(*) AS bn FROM b GROUP BY 1) y USING (user_id)
+)
+SELECT CAST(ex.exact_size AS BIGINT) AS exact_size,
+       CAST(est.est AS BIGINT) AS cms_estimate
+FROM ex, est
+""",
+    tags=("streaming", "sketch", "scale"),
+)
+def streaming_sketch_ingest_parity(spark, sf_dir):
+    """Continuous sketch maintenance under Structured Streaming,
+    exact-oracled: the VIEW events arrive as a file stream (four
+    parquet files, maxFilesPerTrigger=1 → four real micro-batches);
+    each micro-batch reduces to its own bounded CMS partial inside
+    foreachBatch and lands idempotently in a d-partitioned parts
+    layout (batch-id-keyed files); the live sketch is the entrywise
+    merge-on-read sum.  The drained, stream-built sketch then answers
+    the same join-size question as the batch entry
+    (stats_join_size_cms) against a batch-built purchase sketch — and
+    because CM merge is exact addition and the bucket hash is
+    engine-portable, the DuckDB oracle recomputing the sketch from
+    the FULL view table in one pass must land on the IDENTICAL
+    estimate: the value hash proves stream-ingested sketch ≡
+    batch-built sketch across micro-batch boundaries.  Entrywise
+    equality against the batch sketch is additionally asserted
+    (bounded: ≤ depth×width rows)."""
+    import os
+
+    from exosql_spark import streaming
+    from exosql_spark.io import Tables
+    from exosql_spark.operators import sketch
+    from exosql_spark.queries.llm_q import _ephemeral_dir
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("user_id").isNotNull())
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id")
+
+    work = _ephemeral_dir("exosql_sketch_ingest_")
+    inc_dir = os.path.join(work, "incoming")
+    views.repartition(4).write.parquet(inc_dir)
+    stream = streaming.read_events_stream(spark, inc_dir)
+    store = os.path.join(work, "sketch_parts")
+    q = streaming.sketch_ingest_stream(
+        stream, "user_id", store, os.path.join(work, "ckpt"),
+        depth=4, width=1024, salt="jc",
+    )
+    q.awaitTermination()
+
+    streamed = streaming.read_sketch(spark, store)
+    batch = sketch.cms_counts(
+        views.select("user_id"), F.col("user_id"), depth=4, width=1024, salt="jc"
+    )
+    diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert diff == 0, f"streamed sketch != batch sketch ({diff} cells differ)"
+
+    cms_b = sketch.cms_counts(
+        purchases, F.col("user_id"), depth=4, width=1024, salt="jc"
+    )
+    est = sketch.cms_join_size_estimate(streamed, cms_b)
+    exact = (
+        views.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("an"))
+        .join(
+            purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("bn")),
+            "user_id",
+        )
+        .agg(F.sum(F.col("an") * F.col("bn")).alias("exact_size"))
+    )
+    return exact.crossJoin(est).select(
+        F.col("exact_size").cast("long"),
+        F.col("est").cast("long").alias("cms_estimate"),
+    )

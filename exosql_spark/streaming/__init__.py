@@ -19,12 +19,16 @@ from exosql_spark.streaming.index_ingest import (
     EMBEDDINGS_SCHEMA,
     ivf_ingest_stream,
     read_embeddings_stream,
+    read_sketch,
+    sketch_ingest_stream,
 )
 
 __all__ = [
     "EMBEDDINGS_SCHEMA",
     "ivf_ingest_stream",
     "read_embeddings_stream",
+    "read_sketch",
+    "sketch_ingest_stream",
     "EVENTS_SCHEMA",
     "read_events_stream",
     "tumbling_counts",

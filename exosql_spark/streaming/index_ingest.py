@@ -81,3 +81,58 @@ def ivf_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_ingest_stream(
+    stream_df: DataFrame,
+    key: str,
+    path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+    salt: str = "",
+):
+    """Continuous count-min maintenance: each micro-batch reduces to
+    its own CMS PARTIAL (bounded depth×width rows regardless of batch
+    size — the reduction happens before anything is written) which
+    appends idempotently into a d-partitioned parts layout
+    (``sinks.append_batch_keyed``: batch-id-keyed files, replays
+    overwrite themselves).  The stored layout holds sketch PARTS; the
+    live sketch is their entrywise sum at read time
+    (:func:`read_sketch`) — merge-on-read, so there is no
+    read-modify-write race and no transactional table requirement,
+    exactly because CM sketches are mergeable by addition.  Compaction
+    (many small part files → one part per d) is
+    ``sinks.compact_partitioned``, same repair story as the IVF
+    layout.  Returns the running availableNow StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    from exosql_spark import sinks
+    from exosql_spark.operators.sketch import cms_counts
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        parts = cms_counts(
+            batch_df, F.col(key), depth=depth, width=width, salt=salt
+        )
+        sinks.append_batch_keyed(parts, path, "d", batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sketch(spark: SparkSession, path: str) -> DataFrame:
+    """The live sketch from a parts layout: entrywise sum over all
+    appended partials — identical (exactly, not approximately) to the
+    sketch a single batch pass over the union of the ingested data
+    would build."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -123,6 +123,7 @@ class TestNoAccidentalCartesian:
         "text_keywords_per_doc",  # 1-row corpus-size broadcast scalar
         "corpus_length_survival",  # 1-row total-mass broadcast scalar
         "stats_join_size_cms",  # 1-row exact × 1-row estimate attachment
+        "streaming_sketch_ingest_parity",  # same 1-row attachment shape
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
