@@ -4338,3 +4338,67 @@ def text_bpe_merges_planted(spark, sf_dir):
         .agg(F.sum("freq").alias("cnt"))
         .orderBy("token")
     )
+
+
+@register(
+    "dedup_semantic_pca_space_planted",
+    oracle="""
+WITH c AS (SELECT doc_id, doc_id % 91 AS cls FROM documents),
+s AS (SELECT cls, min(doc_id) AS m, count(*) AS n FROM c GROUP BY 1)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_classes,
+       (SELECT CAST(sum(n) AS BIGINT) FROM s) AS n_docs,
+       (SELECT CAST(sum(m) AS BIGINT) FROM s) AS survivor_id_sum,
+       (SELECT CAST(max(n) AS BIGINT) FROM s) AS max_class_size
+""",
+    tags=("llm", "dedup", "embedding", "scale"),
+)
+def dedup_semantic_pca_space_planted(spark, sf_dir):
+    """Composition proof: semantic dedup in a LEARNED reduced space —
+    the SemDeDup-style pipeline (reduce dimensionality, then dedup
+    where reduced representations coincide) run end-to-end through
+    operators/linalg.py.  The planted rank-2 vectors (same
+    construction as embedding_pca_planted: integer loadings a =
+    doc_id%13-6, b = doc_id%7-3 on exact-quarter bases) make the
+    correct answer closed-form: two docs project identically iff they
+    share (a, b), i.e. iff doc_id ≡ (mod 91) by CRT — so the class
+    inventory, survivor ids (min per class), and the largest class are
+    all computable directly from doc_id in DuckDB.  Grouping on the
+    ROUNDED projection pair is sound both ways: identical loadings
+    produce bit-identical doubles (exact input arithmetic + one shared
+    deterministic eig), and distinct integer loading pairs stay ≥1/√2
+    apart in some rotated coordinate — six decimals cannot collide
+    them.  Scale shape: the moment pass is the O(batches·d²)
+    mapInPandas partial-agg, the projection is codegen arithmetic, and
+    the dedup is ONE groupBy on a 2-double key — never an all-pairs
+    comparison."""
+    from exosql_spark.operators import linalg
+
+    t = Tables(spark, sf_dir)
+    a = (F.col("doc_id") % 13 - 6).cast("double")
+    b = (F.col("doc_id") % 7 - 3).cast("double")
+    vec = F.array(
+        *[((a * (1 if i % 2 == 0 else -1)) + b) / 4 for i in range(16)]
+    )
+    data = t.documents.select("doc_id", vec.alias("x"))
+    _vals, comps, mean = linalg.pca_topk(data, "x", d=16, k=2)
+    proj = linalg.project(data, "x", comps, mean)
+    classes = (
+        proj.select(
+            "doc_id",
+            F.round(F.col("proj")[0], 6).alias("p0"),
+            F.round(F.col("proj")[1], 6).alias("p1"),
+        )
+        .groupBy("p0", "p1")
+        .agg(F.min("doc_id").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("n").alias("n_docs"),
+        F.sum("m").alias("survivor_id_sum"),
+        F.max("n").alias("max_class_size"),
+    ).select(
+        F.col("n_classes").cast("long"),
+        F.col("n_docs").cast("long"),
+        F.col("survivor_id_sum").cast("long"),
+        F.col("max_class_size").cast("long"),
+    )

@@ -194,3 +194,34 @@ def federation_orc_columnar(spark, sf_dir):
         "FROM pq.part p JOIN odb.part_class m ON p.p_partkey = m.k "
         "GROUP BY m.class ORDER BY m.class"
     )
+
+
+@register(
+    "source_env_pinned",
+    oracle="""
+SELECT 'EXOSQL_PROBE_A' AS key, 'alpha-7' AS value
+UNION ALL SELECT 'EXOSQL_PROBE_B', 'beta-11'
+ORDER BY key
+""",
+    tags=("source", "env"),
+)
+def source_env_pinned(spark, sf_dir):
+    """S3 env extractor with a DRIVER-checkable oracle (previously
+    tests-only, because the environment is nondeterministic): the
+    entry PINS two probe variables before reading, filters the env
+    table to exactly those keys, and the oracle states their values as
+    literals — so the extractor's actual mechanics (process env → (key,
+    value) table through Context, filter pushdown on the key column)
+    are what the value hash checks.  The rest of the environment never
+    enters the result, keeping the entry deterministic on any host."""
+    import os
+
+    from exosql_spark.context import Context
+
+    os.environ["EXOSQL_PROBE_A"] = "alpha-7"
+    os.environ["EXOSQL_PROBE_B"] = "beta-11"
+    ctx = Context(spark, {"sys": {"env": True}})
+    return ctx.sql(
+        "SELECT key, value FROM sys.env "
+        "WHERE key IN ('EXOSQL_PROBE_A', 'EXOSQL_PROBE_B') ORDER BY key"
+    )
