@@ -94,16 +94,39 @@ def learn_bpe(
     Ties break on (left, right) ascending — deterministic across
     engines, runs, and partitionings."""
     merges: list[tuple[str, str, int]] = []
+    pending_unpersist = None
     for _ in range(n_merges):
+        # This collect is the action that populates the newest
+        # generation's cache — only THEN is its predecessor safe to
+        # drop (unpersisting earlier would force the fold lineage to
+        # recompute from the raw corpus, the exact O(k²) this avoids).
         top = (
             _pair_counts(df, tokens, freq)
             .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
             .limit(1)
             .collect()
         )
+        if pending_unpersist is not None:
+            pending_unpersist.unpersist()
+            pending_unpersist = None
         if not top:
             break
         l, r, n = top[0].l, top[0].r, top[0].n
         merges.append((l, r, int(n)))
-        df = df.withColumn(tokens, merge_pair(F.col(tokens), l, r))
+        # Bound lineage: without the persist, iteration k's pair count
+        # re-applies all k-1 earlier merge folds to the raw corpus
+        # (O(k²) fold work by the last merge, and an ever-deeper plan).
+        # Each rewrite is cached so every iteration is one pass over
+        # the previous iteration's materialized output; at most two
+        # generations are ever held (the newest + its predecessor
+        # until the next action fills the newest).
+        prev = df
+        df = df.withColumn(tokens, merge_pair(F.col(tokens), l, r)).persist()
+        pending_unpersist = prev
+    if pending_unpersist is not None:
+        # materialize the final generation so its predecessor can be
+        # released now rather than leaking until the caller's first
+        # action (one extra pass over the final, smallest corpus)
+        df.count()
+        pending_unpersist.unpersist()
     return merges, df
