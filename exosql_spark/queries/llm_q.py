@@ -4402,3 +4402,73 @@ def dedup_semantic_pca_space_planted(spark, sf_dir):
         F.col("survivor_id_sum").cast("long"),
         F.col("max_class_size").cast("long"),
     )
+
+
+def _entropy_cnt_sql(ch: str) -> str:
+    return f"(length(lt) - length(replace(lt, '{ch}', '')))"
+
+
+_ENTROPY_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+_ENTROPY_TOTAL_SQL = " + ".join(_entropy_cnt_sql(c) for c in _ENTROPY_LETTERS)
+_ENTROPY_TERMS_SQL = " + ".join(
+    f"(CASE WHEN {_entropy_cnt_sql(c)} > 0 THEN "
+    f"-(CAST({_entropy_cnt_sql(c)} AS DOUBLE) / total) "
+    f"* ln(CAST({_entropy_cnt_sql(c)} AS DOUBLE) / total) ELSE 0 END)"
+    for c in _ENTROPY_LETTERS
+)
+
+
+@register(
+    "text_char_entropy_by_lang",
+    oracle=f"""
+WITH base AS (SELECT lang, lower(text) AS lt FROM documents),
+tot AS (SELECT lang, lt, ({_ENTROPY_TOTAL_SQL}) AS total FROM base),
+ent AS (SELECT lang, ({_ENTROPY_TERMS_SQL}) AS h FROM tot WHERE total > 0)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       floor(avg(h) * 10000.0 + 0.5) / 10000.0 AS avg_entropy,
+       floor(max(h) * 10000.0 + 0.5) / 10000.0 AS max_entropy
+FROM ent GROUP BY lang ORDER BY lang
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy_by_lang(spark, sf_dir):
+    """Per-document character-distribution entropy — the classic cheap
+    gibberish/boilerplate detector (low entropy = repeated characters/
+    padding, high = encrypted/random blobs; used alongside the
+    length/punct ratios in text_quality_score).  The per-letter counts
+    use the replace-length trick — ``len(t) - len(replace(t, ch, ''))``
+    — 26 pure string expressions inside ONE whole-stage-codegen
+    projection: no explode to characters (which would shuffle n·len
+    rows), no UDF, and the identical arithmetic runs in DuckDB (both
+    sides generated from the same Python letter loop, so the engines
+    cannot disagree by transcription).  Entropy in nats; per-lang
+    rollup with the repo's standard floor-round."""
+    t = Tables(spark, sf_dir)
+
+    def cnt(ch):
+        lt = F.col("lt")
+        return F.length(lt) - F.length(F.replace(lt, F.lit(ch)))
+
+    total = None
+    for ch in _ENTROPY_LETTERS:
+        total = cnt(ch) if total is None else total + cnt(ch)
+    h = None
+    for ch in _ENTROPY_LETTERS:
+        p = cnt(ch).cast("double") / F.col("total")
+        term = F.when(cnt(ch) > 0, -p * F.log(p)).otherwise(F.lit(0.0))
+        h = term if h is None else h + term
+    ent = (
+        t.documents.select("lang", F.lower(F.col("text")).alias("lt"))
+        .select("lang", "lt", total.alias("total"))
+        .filter(F.col("total") > 0)
+        .select("lang", h.alias("h"))
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.floor(F.avg("h") * 10000.0 + 0.5) / 10000.0).alias("avg_entropy"),
+            (F.floor(F.max("h") * 10000.0 + 0.5) / 10000.0).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
