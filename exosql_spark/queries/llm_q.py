@@ -4472,3 +4472,83 @@ def text_char_entropy_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "embedding_mahalanobis_planted",
+    oracle="""
+WITH base AS (
+  SELECT doc_id % 5 AS bucket,
+         CAST(doc_id % 13 - 6 AS DOUBLE) AS a,
+         CAST(doc_id % 7 - 3 AS DOUBLE) AS b
+  FROM documents
+), m AS (
+  SELECT avg(a) AS ma, avg(b) AS mb,
+         avg(a * a) - avg(a) * avg(a) AS va,
+         avg(b * b) - avg(b) * avg(b) AS vb,
+         avg(a * b) - avg(a) * avg(b) AS cab
+  FROM base
+), d AS (
+  SELECT bucket,
+         (vb * (a - ma) * (a - ma)
+          - 2 * cab * (a - ma) * (b - mb)
+          + va * (b - mb) * (b - mb)) / (va * vb - cab * cab) AS d2
+  FROM base, m
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       floor(sum(d2) * 10000.0 + 0.5) / 10000.0 AS sum_d2,
+       floor(max(d2) * 10000.0 + 0.5) / 10000.0 AS max_d2
+FROM d GROUP BY bucket ORDER BY bucket
+""",
+    tags=("llm", "embedding", "stats", "scale"),
+)
+def embedding_mahalanobis_planted(spark, sf_dir):
+    """Mahalanobis outlier scoring through the DISTRIBUTED covariance
+    — the embedding-space anomaly detector (centered x ↦ xᵀC⁺x) run
+    end-to-end on operators/linalg.py and pinned by linear algebra
+    identities rather than tolerance hand-waving.  The full d=16
+    covariance of the planted rank-2 data is SINGULAR, so the score
+    uses the eigen-decomposed pseudo-inverse: Σᵢ projᵢ²/λᵢ over the
+    top-2 components.  Two independent exactness anchors: (1) the
+    nonzero eigenvalues of the d×d covariance equal those of the 2×2
+    loading covariance [[var a, cov],[cov, var b]] exactly (u, v
+    orthonormal ⇒ similarity transform), so DuckDB gets the identical
+    quadratic form in CLOSED FORM via the 2×2 inverse — note cov(a,b)
+    ≠ 0 at any doc count not divisible by 91, so the cross term is
+    load-bearing, not decorative; (2) the trace identity
+    mean(d²) = rank = 2 holds for ANY covariance and is asserted
+    internally to 1e-6 — a wrong mean, a dropped moment partial, or a
+    mis-scaled eigenvalue all break it.  Scale shape: one
+    O(batches·d²) moment pass, driver eig, then scoring is pure
+    codegen projection — the same plan as embedding_pca_planted plus
+    two divisions."""
+    from exosql_spark.operators import linalg
+
+    t = Tables(spark, sf_dir)
+    a = (F.col("doc_id") % 13 - 6).cast("double")
+    b = (F.col("doc_id") % 7 - 3).cast("double")
+    vec = F.array(
+        *[((a * (1 if i % 2 == 0 else -1)) + b) / 4 for i in range(16)]
+    )
+    data = t.documents.select(
+        "doc_id", (F.col("doc_id") % 5).alias("bucket"), vec.alias("x")
+    )
+    vals, comps, mean = linalg.pca_topk(data, "x", d=16, k=2)
+    proj = linalg.project(data, "x", comps, mean)
+    d2 = (
+        F.col("proj")[0] * F.col("proj")[0] / F.lit(float(vals[0]))
+        + F.col("proj")[1] * F.col("proj")[1] / F.lit(float(vals[1]))
+    )
+    scored = proj.select(F.col("bucket").cast("long"), d2.alias("d2"))
+    mean_d2 = scored.agg(F.avg("d2")).collect()[0][0]
+    assert abs(mean_d2 - 2.0) < 1e-6, f"trace identity broken: mean d2 = {mean_d2}"
+    return (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.floor(F.sum("d2") * 10000.0 + 0.5) / 10000.0).alias("sum_d2"),
+            (F.floor(F.max("d2") * 10000.0 + 0.5) / 10000.0).alias("max_d2"),
+        )
+        .orderBy("bucket")
+    )
