@@ -398,22 +398,29 @@ def parse_jpeg_sof(payload, max_segments: int = 8) -> tuple:
 
 
 def probe_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Append parsed header metadata (png_width, png_height, wav_channels,
-    wav_sample_rate, detected kind) to a media frame — the REAL metadata
-    probe over opaque binary columns; every expression is
-    whole-stage-codegen column arithmetic."""
+    """Append parsed header metadata (png_width/png_height,
+    wav_channels/wav_sample_rate, jpeg_width/jpeg_height, detected
+    kind) to a media frame — the REAL metadata probe over opaque
+    binary columns; every expression is JVM-side column arithmetic
+    (fixed offsets for PNG; the canonical fast path for WAV — use
+    :func:`parse_wav_chunks` for non-canonical chunk order; the
+    variable-offset marker walk for JPEG)."""
     p = F.col(payload_col)
     w, h, is_png = parse_png_dims(p)
     ch, rate, is_wav = parse_wav_meta(p)
+    jw, jh, _sof_off, is_jpeg = parse_jpeg_sof(p)
     return (
         df.withColumn("png_width", w)
         .withColumn("png_height", h)
         .withColumn("wav_channels", ch)
         .withColumn("wav_sample_rate", rate)
+        .withColumn("jpeg_width", jw)
+        .withColumn("jpeg_height", jh)
         .withColumn(
             "detected",
             F.when(is_png == 1, F.lit("png"))
             .when(is_wav == 1, F.lit("wav"))
+            .when(is_jpeg == 1, F.lit("jpeg"))
             .otherwise(F.lit("unknown")),
         )
     )

@@ -4552,3 +4552,96 @@ def embedding_mahalanobis_planted(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "multimodal_triage_mixed",
+    oracle="""
+WITH cls AS (
+  SELECT doc_id, doc_id % 4 AS c,
+         doc_id % 500 + 1 AS pw, doc_id % 300 + 1 AS ph,
+         doc_id % 8 + 1 AS wch, (doc_id % 4 + 1) * 8000 AS wrate,
+         doc_id % 600 + 16 AS jw, doc_id % 400 + 9 AS jh
+  FROM documents
+)
+SELECT CASE c WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+              WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS detected,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE c WHEN 0 THEN pw * ph
+                       WHEN 1 THEN wch * wrate
+                       WHEN 2 THEN jw * jh
+                       ELSE 0 END) AS BIGINT) AS dim_checksum
+FROM cls GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "multimodal", "scale"),
+)
+def multimodal_triage_mixed(spark, sf_dir):
+    """The production triage query: ONE pass of probe_media_metadata
+    over a corpus MIXING all three formats plus garbage — the
+    discrimination surface the per-format entries can't cover (a WAV
+    must not satisfy the PNG parser, garbage must satisfy none, and
+    each kind's dims must come from ITS parser, proven by the
+    kind-specific checksum).  Payloads are built byte-identically in
+    both engines' heads: Spark constructs real headers per class from
+    doc_id and parses them back with the combined probe (fixed-offset
+    PNG/WAV + the JPEG marker walk, all JVM-side column arithmetic);
+    DuckDB computes the expected inventory closed-form.  100 TB shape:
+    triage is a projection + one rollup on a ≤4-value key."""
+    from exosql_spark.operators.multimodal import probe_media_metadata
+
+    t = Tables(spark, sf_dir)
+    c = F.col("doc_id") % 4
+    pw = (F.col("doc_id") % 500 + 1).cast("bigint")
+    ph = (F.col("doc_id") % 300 + 1).cast("bigint")
+    wch = (F.col("doc_id") % 8 + 1).cast("bigint")
+    wrate = ((F.col("doc_id") % 4 + 1) * 8000).cast("bigint")
+    jw = (F.col("doc_id") % 600 + 16).cast("bigint")
+    jh = (F.col("doc_id") % 400 + 9).cast("bigint")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"), F.lit("0000000D"), F.lit("49484452"),
+        F.lpad(F.hex(pw), 8, "0"), F.lpad(F.hex(ph), 8, "0"),
+        F.lit("0802000000"),
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"), F.lit("24000000"), F.lit("57415645"),
+        F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
+        F.lpad(F.hex(wch), 2, "0"), F.lit("00"),
+        F.lpad(F.hex(wrate.bitwiseAND(F.lit(255))), 2, "0"),
+        F.lpad(F.hex(F.shiftright(wrate, 8).bitwiseAND(F.lit(255))), 2, "0"),
+        F.lit("0000"), F.lit("00000000"), F.lit("0000"), F.lit("1000"),
+        F.lit("64617461"), F.lit("00000000"),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),
+        F.lit("FFFE"),
+        F.lpad(F.hex((F.col("doc_id") % 11 + 3).cast("bigint")), 4, "0"),
+        F.repeat(F.lit("41"), (F.col("doc_id") % 11 + 1).cast("int")),
+        F.lit("FFC0"), F.lit("0011"), F.lit("08"),
+        F.lpad(F.hex(jh), 4, "0"), F.lpad(F.hex(jw), 4, "0"),
+        F.lit("03"), F.lit("011100021101031101"),
+    )
+    media = t.documents.select(
+        "doc_id",
+        F.unhex(
+            F.when(c == 0, png_hex)
+            .when(c == 1, wav_hex)
+            .when(c == 2, jpeg_hex)
+            .otherwise(F.lit("DEADBEEF"))
+        ).alias("payload"),
+    )
+    probed = probe_media_metadata(media)
+    checksum = (
+        F.coalesce(F.col("png_width").cast("long") * F.col("png_height"), F.lit(0))
+        + F.coalesce(
+            F.col("wav_channels").cast("long") * F.col("wav_sample_rate"), F.lit(0)
+        )
+        + F.coalesce(F.col("jpeg_width").cast("long") * F.col("jpeg_height"), F.lit(0))
+    )
+    return (
+        probed.groupBy("detected")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(checksum).alias("dim_checksum"),
+        )
+        .orderBy("detected")
+    )

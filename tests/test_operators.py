@@ -2990,3 +2990,29 @@ class TestBpe:
             ).collect()
         }
         assert got_words == want_words
+
+    def test_probe_detects_jpeg_with_dims(self, spark):
+        import struct
+
+        from exosql_spark.operators.multimodal import probe_media_metadata
+
+        def seg(marker, payload):
+            return marker + struct.pack(">H", len(payload) + 2) + payload
+
+        jpeg = (
+            b"\xff\xd8"
+            + seg(b"\xff\xe0", b"JFIF\x00" * 2)
+            + seg(
+                b"\xff\xc0",
+                struct.pack(">BHHB", 8, 240, 320, 3)
+                + bytes.fromhex("011100021101031101"),
+            )
+        )
+        df = spark.createDataFrame(
+            [(1, jpeg), (2, b"not media")], "media_id long, payload binary"
+        )
+        got = {r.media_id: r for r in probe_media_metadata(df).collect()}
+        assert got[1].detected == "jpeg"
+        assert (got[1].jpeg_width, got[1].jpeg_height) == (320, 240)
+        assert got[1].png_width is None
+        assert got[2].detected == "unknown" and got[2].jpeg_width is None
