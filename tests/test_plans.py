@@ -615,3 +615,15 @@ class TestRound12Plans:
         s = plan(df)
         assert "EvalPython" not in s, s
         assert "Exchange" not in s, s
+
+    def test_entropy_and_triage_are_single_rollup_no_python(self, spark, sf_dir):
+        """The quality/triage scans must stay one JVM projection + one
+        bounded-key rollup: no Python stage, no join, one exchange."""
+        from exosql_spark.catalog import all_queries
+
+        for name in ("text_char_entropy_by_lang", "multimodal_triage_mixed"):
+            df = all_queries()[name].fn(spark, sf_dir)
+            s = plan(df)
+            assert "EvalPython" not in s, (name, s)
+            assert "Join" not in s, (name, s)
+            assert s.count("Exchange hashpartitioning") == 1, (name, s)
