@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 
 
 def _pair_counts(df: DataFrame, tokens: str, freq: str) -> DataFrame:
+    # greatest(.., 0): F.slice raises on a negative length, which an
+    # EMPTY tokens array would otherwise produce (size - 1 = -1)
+    n_pairs = F.greatest(F.size(tokens) - 1, F.lit(0))
     pairs = F.zip_with(
-        F.slice(F.col(tokens), 1, F.size(tokens) - 1),
-        F.slice(F.col(tokens), 2, F.size(tokens) - 1),
+        F.slice(F.col(tokens), 1, n_pairs),
+        F.slice(F.col(tokens), 2, n_pairs),
         lambda a, b: F.struct(a.alias("l"), b.alias("r")),
     )
     return (

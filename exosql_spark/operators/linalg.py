@@ -45,6 +45,14 @@ def partial_moments(df: DataFrame, col: str, d: int) -> DataFrame:
             if not len(pdf):
                 continue
             x = np.stack(pdf[col].to_numpy()).astype(np.float64)
+            if x.shape[1] != d:
+                # fail loudly at the first batch: a silent mismatch
+                # would produce a covariance of the wrong shape only
+                # after the collect, far from the cause
+                raise ValueError(
+                    f"partial_moments: declared d={d} but vectors have "
+                    f"{x.shape[1]} components"
+                )
             yield pd.DataFrame(
                 {
                     "n": [len(x)],

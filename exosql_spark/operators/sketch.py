@@ -53,9 +53,18 @@ def cms_counts(
 def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     """CM inner-product estimate of |A ⋈ B| from two sketches built
     with the SAME depth/width/salt: one row, column ``est``.  Only
-    buckets present on both sides contribute (absent = 0)."""
+    buckets present on both sides contribute (absent = 0) — and a
+    depth row with NO shared bucket contributes an inner product of
+    ZERO, which must survive into the min: dropping it (the naive
+    inner-join-then-min) would report the minimum of the *colliding*
+    depths for disjoint key sets instead of the correct 0."""
     j = cms_a.alias("a").join(cms_b.alias("b"), ["d", "bucket"])
     per_d = j.groupBy("d").agg(
         F.sum(F.col("a.n") * F.col("b.n")).alias("s")
     )
-    return per_d.agg(F.min("s").alias("est"))
+    depths = cms_a.select("d").union(cms_b.select("d")).distinct()
+    full = depths.join(per_d, "d", "left").select(
+        F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    )
+    # empty sketch (no input rows at all) ⇒ no depths ⇒ estimate 0
+    return full.agg(F.coalesce(F.min("s"), F.lit(0)).alias("est"))

@@ -2909,6 +2909,26 @@ class TestCountMinSketch:
         assert got == want
 
 
+
+    def test_disjoint_and_empty_sides_estimate_zero(self, spark):
+        """A depth with no shared bucket has inner product 0, which
+        must win the min (disjoint key sets -> estimate 0, not the
+        minimum of whatever depths happened to collide); an entirely
+        empty side estimates 0 too."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        a = spark.range(5).select(F.col("id").alias("k"))           # keys 0..4
+        b = spark.range(5).select((F.col("id") + 1000000).alias("k"))
+        ca = sketch.cms_counts(a, F.col("k"), depth=4, width=1 << 18, salt="z")
+        cb = sketch.cms_counts(b, F.col("k"), depth=4, width=1 << 18, salt="z")
+        # 10 keys in 2^18 buckets: collisions are absent by construction
+        assert sketch.cms_join_size_estimate(ca, cb).collect()[0].est == 0
+        empty = sketch.cms_counts(a.filter("k < 0"), F.col("k"), 4, 64, salt="z")
+        assert sketch.cms_join_size_estimate(ca, empty).collect()[0].est == 0
+
+
 class TestBpe:
     def test_merge_pair_left_to_right_semantics(self, spark):
         from pyspark.sql import functions as F
@@ -3016,3 +3036,16 @@ class TestBpe:
         assert (got[1].jpeg_width, got[1].jpeg_height) == (320, 240)
         assert got[1].png_width is None
         assert got[2].detected == "unknown" and got[2].jpeg_width is None
+
+
+    def test_learn_bpe_tolerates_empty_token_arrays(self, spark):
+        from exosql_spark.operators.bpe import learn_bpe
+
+        df = spark.createDataFrame(
+            [([], 5), (["a", "b"], 3), (["a"], 2)],
+            "tokens array<string>, freq long",
+        )
+        merges, out = learn_bpe(df, n_merges=2)
+        assert merges[0][:2] == ("a", "b")
+        got = sorted((tuple(r.tokens), r.freq) for r in out.collect())
+        assert ((), 5) in got and (("ab",), 3) in got
