@@ -4645,3 +4645,128 @@ def multimodal_triage_mixed(spark, sf_dir):
         )
         .orderBy("detected")
     )
+
+
+@register(
+    "similarity_ndcg_eval",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.q_vec AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+),
+rel AS (
+  SELECT query_id, q_label, vec_id, sim,
+         CASE WHEN label = q_label THEN 2
+              WHEN abs(label - q_label) = 1 THEN 1
+              ELSE 0 END AS rel
+  FROM scored
+),
+run AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM rel
+),
+dcg AS (
+  SELECT query_id,
+         sum((pow(2, rel) - 1) / (ln(rank + 1) / ln(2))) AS dcg
+  FROM run WHERE rank <= 10 GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rel DESC, vec_id) AS rank
+  FROM rel
+),
+idcg AS (
+  SELECT query_id,
+         sum((pow(2, rel) - 1) / (ln(rank + 1) / ln(2))) AS idcg
+  FROM ideal WHERE rank <= 10 GROUP BY query_id
+)
+SELECT dcg.query_id,
+       floor(dcg.dcg * 10000.0 + 0.5) / 10000.0 AS dcg_at_10,
+       floor((dcg.dcg / idcg.idcg) * 10000.0 + 0.5) / 10000.0 AS ndcg_at_10
+FROM dcg JOIN idcg USING (query_id)
+ORDER BY query_id
+""",
+    tags=("llm", "similarity", "eval"),
+)
+def similarity_ndcg_eval(spark, sf_dir):
+    """Retrieval-quality evaluation as a first-class operator: NDCG@10
+    of the brute-force cosine run against label-graded relevance
+    (same cluster = 2, adjacent cluster = 1, else 0) — the metric
+    every retrieval pipeline reports, computed identically by both
+    engines over the SAME ranking the similarity entries already pin
+    (sim DESC, vec_id tie-break).  The ideal-DCG denominator is
+    tie-INSENSITIVE by construction — it depends only on the sorted
+    relevance multiset, not on which equal-relevance doc takes which
+    slot — so no hidden ordering assumption leaks into the score.
+    Scale shape: the run is the broadcast-queries cosine scan; the
+    grading join is to a broadcast label table; DCG/IDCG are two
+    bounded windows over |Q|·k and |Q|·corpus rows respectively (the
+    IDCG side prunes to top-10 relevance per query via the same rank
+    filter)."""
+    from exosql_spark.operators import similarity
+
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding",
+        F.col("label").alias("q_label"),
+    )
+    labels = t.embeddings.select("vec_id", "label")
+    run = similarity.cosine_topk(
+        t.embeddings, queries.select("query_id", "embedding"), k=10
+    )
+    graded = (
+        run.join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(queries.select("query_id", "q_label")), "query_id")
+        .withColumn(
+            "rel",
+            F.when(F.col("label") == F.col("q_label"), 2)
+            .when(F.abs(F.col("label") - F.col("q_label")) == 1, 1)
+            .otherwise(0),
+        )
+    )
+    dcg = graded.groupBy("query_id").agg(
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1)
+            / (F.log(F.col("rank") + 1) / F.log(F.lit(2.0)))
+        ).alias("dcg")
+    )
+    all_rel = (
+        t.embeddings.select("vec_id", "label")
+        .crossJoin(F.broadcast(queries.select("query_id", "q_label")))
+        .withColumn(
+            "rel",
+            F.when(F.col("label") == F.col("q_label"), 2)
+            .when(F.abs(F.col("label") - F.col("q_label")) == 1, 1)
+            .otherwise(0),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("vec_id"))
+    idcg = (
+        all_rel.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1)
+                / (F.log(F.col("rank") + 1) / F.log(F.lit(2.0)))
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            "query_id",
+            (F.floor(F.col("dcg") * 10000.0 + 0.5) / 10000.0).alias("dcg_at_10"),
+            (F.floor(F.col("dcg") / F.col("idcg") * 10000.0 + 0.5) / 10000.0).alias(
+                "ndcg_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
