@@ -4770,3 +4770,133 @@ def similarity_ndcg_eval(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "similarity_mrr_recall_eval",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.q_label, e.vec_id, e.label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.q_vec AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+),
+run AS (
+  SELECT query_id, vec_id, (label = q_label) AS is_rel,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+),
+nrel AS (
+  SELECT query_id, count(*) AS n_relevant
+  FROM run WHERE is_rel GROUP BY query_id
+)
+SELECT r.query_id,
+       CAST(min(CASE WHEN r.is_rel THEN r.rank END) AS BIGINT)
+         AS first_rel_rank,
+       floor(1.0 / min(CASE WHEN r.is_rel THEN r.rank END)
+             * 10000.0 + 0.5) / 10000.0 AS reciprocal_rank,
+       CAST(sum(CASE WHEN r.is_rel AND r.rank <= 10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rel_in_top10,
+       floor(sum(CASE WHEN r.is_rel AND r.rank <= 10 THEN 1.0 ELSE 0 END)
+             / min(n.n_relevant) * 10000.0 + 0.5) / 10000.0 AS recall_at_10
+FROM run r JOIN nrel n USING (query_id)
+GROUP BY r.query_id
+ORDER BY r.query_id
+""",
+    tags=("llm", "similarity", "eval"),
+)
+def similarity_mrr_recall_eval(spark, sf_dir):
+    """MRR and Recall@10 — the other two numbers on every retrieval
+    eval sheet, exact on both engines over the full ranking (MRR needs
+    the FIRST relevant rank wherever it falls, recall needs the total
+    relevant count, so this ranks the whole corpus per query rather
+    than top-k — |Q|·corpus window rows, the honest cost of the
+    metric; per-query relevant counts join back broadcast-small).
+    Relevance is binary same-cluster here (the graded variant is
+    similarity_ndcg_eval's job)."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        t.embeddings.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("is_rel"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.col("q_vec").cast("array<double>"),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("embedding").cast("array<double>"), lambda a: a * a
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("nd"),
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("q_vec").cast("array<double>"), lambda a: a * a
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("nq"),
+        )
+        .withColumn("sim", F.col("dot") / (F.col("nd") * F.col("nq")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    run = scored.withColumn("rank", F.row_number().over(w))
+    nrel = run.filter("is_rel").groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_relevant")
+    )
+    return (
+        run.join(F.broadcast(nrel), "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("is_rel"), F.col("rank")))
+            .cast("long")
+            .alias("first_rel_rank"),
+            (
+                F.floor(
+                    1.0 / F.min(F.when(F.col("is_rel"), F.col("rank"))) * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("reciprocal_rank"),
+            F.sum(
+                F.when(F.col("is_rel") & (F.col("rank") <= 10), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("rel_in_top10"),
+            (
+                F.floor(
+                    F.sum(
+                        F.when(
+                            F.col("is_rel") & (F.col("rank") <= 10), F.lit(1.0)
+                        ).otherwise(0.0)
+                    )
+                    / F.min("n_relevant")
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
