@@ -1,21 +1,31 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the catalog's bench-tagged queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line — the LAST
-line of stdout — with the headline metric:
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines: first the full
+record including the per-query map, then — as the FINAL line of
+stdout — a COMPACT summary (everything except the per-query map):
 
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "estimator": "min_of_5", "n_queries": K, "query_set_sha1": "...",
-   "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "estimator":
+   "min_of_5", "n_queries": K, "query_set_sha1": "...",
+   "calibration_sec": ..., "calibration_shuffle_sec": ...,
+   "queries_detail": "BENCH_DETAIL.json", "sf": ...}
 
-Per-query median/stddev maps (useful for round-over-round diffing but
-too bulky for the driver's tail capture — BENCH_r05.json recorded
-``parsed: null`` when the single line outgrew it) are written to
-``BENCH_DETAIL.json`` next to this script instead; git history keeps the
-per-round record.  ``query_set_sha1`` pins the headline's basis: "value"
-sums over exactly the listed queries, so a round-over-round diff of
-"value" is only meaningful when the hash matches — compare per-query
-numbers over the set intersection otherwise.
+Two lines because the driver records only a bounded TAIL of stdout
+and parses the last line: a single line carrying the per-query map
+outgrew that window twice (BENCH_r05.json and — after the set reached
+62 queries — BENCH_r12.json both recorded ``parsed: null``, truncating
+away the head scalars and breaking tools/compare_bench.py).  The
+compact summary stays ≲400 chars regardless of catalog growth
+(tests/test_tools.py pins this), so the driver artifact always parses
+and always carries both calibration scalars; the per-query map lives
+in the first stdout line and, durably, in ``BENCH_DETAIL.json`` next
+to this script — snapshotted per round as ``BENCH_DETAIL_r{N}.json``
+(tools/gen_freshness.py does this at round start), which is also the
+comparator's fallback for artifacts whose tail did overflow.
+``query_set_sha1`` pins the headline's basis: "value" sums over
+exactly the listed queries, so a round-over-round diff of "value" is
+only meaningful when the hash matches — compare per-query numbers
+over the set intersection otherwise.
 
 value = sum of per-query wall seconds (post-warmup, MIN of 5 runs).
 Min-of-N rather than median: this box is a VM whose host shows
@@ -41,6 +51,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -128,13 +139,47 @@ def _calibrate_shuffle(spark) -> float:
 def _count_shuffles(df) -> int:
     """Shuffle-exchange count of the (possibly un-finalized AQE) plan
     — classification input only: ≥1 → the query is normalized by the
-    shuffle probe, 0 → by the CPU probe.  Broadcast exchanges are
-    excluded; they don't pay the shuffle write/read path."""
+    shuffle probe, 0 → by the CPU probe.  Counts only genuine shuffle
+    exchange operators ("Exchange hashpartitioning/rangepartitioning/
+    SinglePartition…"): broadcast exchanges don't pay the shuffle
+    write/read path, and a ``ReusedExchange [...BroadcastExchange...]``
+    node must not be counted either (ADVICE r12: the old
+    substring-difference arithmetic misclassified broadcast-only plans
+    with exchange reuse into the shuffle probe class)."""
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return 0
-    return plan.count("Exchange") - plan.count("BroadcastExchange")
+    return len(_SHUFFLE_EXCHANGE_RE.findall(plan))
+
+
+# A shuffle exchange's operator name is exactly "Exchange", printed at
+# the start of its tree line right after the drawing glyphs
+# (":- ", "+- ", "*(n) ").  Anchoring there excludes BroadcastExchange
+# (different operator name) AND ReusedExchange lines — whose
+# simpleString embeds the reused child after a comma ("ReusedExchange
+# [k#1], Exchange hashpartitioning(...)"), which a bare substring count
+# picked up (ADVICE r12).
+_SHUFFLE_EXCHANGE_RE = re.compile(
+    r"^[\s:+*()\d-]*Exchange (hashpartitioning|rangepartitioning|"
+    r"SinglePartition|RoundRobinPartitioning)",
+    re.MULTILINE,
+)
+
+
+def summary_line(out: dict) -> str:
+    """The compact FINAL-stdout-line JSON: ``out`` minus the bulky
+    per-query map, plus a pointer at where the map lives.  Split out
+    of main() so tests can pin the contract (parses standalone, keeps
+    both calibration scalars, stays well under the driver's
+    tail-capture budget no matter how large the catalog grows)."""
+    compact = {k: v for k, v in out.items() if k not in ("queries", "excluded")}
+    # the exclusion LIST can be arbitrarily long (auxiliary scale
+    # sweeps exclude most of the set) — the summary carries the count,
+    # the full line and the detail file carry the names
+    compact["n_excluded"] = len(out.get("excluded", []))
+    compact["queries_detail"] = os.path.basename(DETAIL_PATH)
+    return json.dumps(compact, separators=(",", ":"))
 
 
 def main() -> None:
@@ -216,10 +261,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     spark.stop()
-    # Headline is the FINAL stdout line, printed after spark.stop() so no
-    # executor/JVM shutdown chatter can land beneath it.
+    # Both lines print after spark.stop() so no executor/JVM shutdown
+    # chatter can land beneath them: the full record (with the
+    # per-query map) first, then the compact summary as the FINAL
+    # line — the only one the driver's bounded tail capture is
+    # guaranteed to hold intact.
     sys.stdout.flush()
     print(json.dumps(out, separators=(",", ":")))
+    print(summary_line(out))
     sys.stdout.flush()
 
 

@@ -311,19 +311,34 @@ class TestBenchArtifacts:
     def _repo(self, *parts):
         return os.path.join(os.path.dirname(os.path.dirname(__file__)), *parts)
 
+    def _load_compare_bench(self):
+        spec = importlib.util.spec_from_file_location(
+            "compare_bench", self._repo("tools", "compare_bench.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
     def test_bench_artifacts_carry_calibration(self):
+        """Every round-9+ bench record must be RESOLVABLE to both
+        calibration scalars — through tools/compare_bench's loader,
+        which falls back to the committed BENCH_DETAIL_r{N}.json when
+        the driver's tail capture overflowed (parsed: null, which
+        BENCH_r12.json's 62-query single line actually hit — r12
+        verdict Next #1).  From round 13 on the two-line stdout
+        contract makes the driver artifact itself parse, so the
+        PARSED record must carry the scalars directly."""
         import glob
         import json
         import re
 
+        cb = self._load_compare_bench()
         seen = 0
         for path in sorted(glob.glob(self._repo("BENCH_r*.json"))):
             rnd = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
             if rnd < 9:
                 continue
-            with open(path) as f:
-                d = json.load(f)
-            parsed = d.get("parsed") if isinstance(d.get("parsed"), dict) else d
+            parsed = cb._load(path)  # detail-snapshot fallback inside
             assert isinstance(parsed.get("calibration_sec"), (int, float)) and \
                 parsed["calibration_sec"] > 0, path
             if rnd >= 12:
@@ -332,5 +347,94 @@ class TestBenchArtifacts:
                 assert isinstance(
                     parsed.get("calibration_shuffle_sec"), (int, float)
                 ) and parsed["calibration_shuffle_sec"] > 0, path
+            assert parsed.get("queries"), path  # per-query map resolved
+            if rnd >= 13:
+                with open(path) as f:
+                    raw = json.load(f)
+                assert isinstance(raw.get("parsed"), dict), (
+                    f"{path}: parsed is null — the compact final-line "
+                    f"contract (bench.summary_line) should have fit the "
+                    f"driver's tail window"
+                )
             seen += 1
         assert seen >= 1  # BENCH_r09.json exists
+
+    def test_r12_artifact_resolves_via_detail_snapshot(self):
+        """BENCH_r12.json is the artifact that broke (parsed: null);
+        the committed BENCH_DETAIL_r12.json must reconstruct it —
+        same query set as the tail fragment's sha1, full 62-entry
+        map, both calibration scalars."""
+        cb = self._load_compare_bench()
+        parsed = cb._load(self._repo("BENCH_r12.json"))
+        assert parsed["query_set_sha1"] == "4a6c8042204c"
+        assert parsed["n_queries"] == 62 and len(parsed["queries"]) == 62
+        assert parsed["calibration_sec"] == 0.245
+        assert parsed["calibration_shuffle_sec"] == 0.869
+
+    def test_compact_artifact_merges_live_detail(self, tmp_path):
+        """Same-round comparison path: a round-13-style compact parsed
+        record has no per-round snapshot yet (that lands at the NEXT
+        round's start) — the loader must merge the per-query map from
+        the live BENCH_DETAIL.json next to the artifact, gated on
+        query_set_sha1; a mismatched live file must be a loud exit,
+        never a silent wrong-map merge."""
+        import json
+
+        import pytest
+
+        cb = self._load_compare_bench()
+        compact = {
+            "metric": "headline_queries_total_wall",
+            "value": 2.0,
+            "calibration_sec": 0.2,
+            "calibration_shuffle_sec": 0.8,
+            "n_queries": 2,
+            "query_set_sha1": "abc123",
+            "sf": 0.1,
+        }
+        (tmp_path / "BENCH_r99.json").write_text(json.dumps({"parsed": compact}))
+        detail = {"query_set_sha1": "abc123", "min": {"a": 0.5, "b": 1.5}}
+        (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+        loaded = cb._load(str(tmp_path / "BENCH_r99.json"))
+        assert loaded["queries"] == {"a": 0.5, "b": 1.5}
+        # sha1 mismatch → loud exit
+        detail["query_set_sha1"] = "zzz999"
+        (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(detail))
+        with pytest.raises(SystemExit):
+            cb._load(str(tmp_path / "BENCH_r99.json"))
+
+    def test_summary_line_is_compact_and_complete(self):
+        """The FINAL stdout line must parse standalone, carry every
+        scalar the comparator and the artifact guard need, and stay
+        far under the driver's ~2000-char tail window even for a
+        catalog 10× today's — the exact failure mode of r05/r12 was
+        the per-query map blowing this budget."""
+        import importlib.util as ilu
+        import json
+
+        spec = ilu.spec_from_file_location("bench", self._repo("bench.py"))
+        bench = ilu.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        out = {
+            "metric": "headline_queries_total_wall",
+            "excluded": [f"a_long_excluded_entry_name_{i:03d}" for i in range(600)],
+            "value": 123.456,
+            "unit": "sec",
+            "calibration_sec": 0.245,
+            "calibration_shuffle_sec": 0.869,
+            "estimator": "min_of_5",
+            "n_queries": 640,
+            "query_set_sha1": "4a6c8042204c",
+            "queries": {f"query_with_a_long_name_{i:03d}": 1.234 for i in range(640)},
+            "sf": 0.1,
+        }
+        line = bench.summary_line(out)
+        parsed = json.loads(line)
+        assert "queries" not in parsed
+        assert parsed["calibration_sec"] == 0.245
+        assert parsed["calibration_shuffle_sec"] == 0.869
+        assert parsed["value"] == 123.456
+        assert parsed["query_set_sha1"] == "4a6c8042204c"
+        assert parsed["queries_detail"] == "BENCH_DETAIL.json"
+        assert "excluded" not in parsed and parsed["n_excluded"] == 600
+        assert len(line) < 500

@@ -87,6 +87,33 @@ def fingerprints(repo: str = REPO) -> dict[str, str]:
     return dict(sorted(catalog.current_fingerprints(catalog.all_queries()).items()))
 
 
+def snapshot_bench_detail(repo: str = REPO) -> str | None:
+    """Copy BENCH_DETAIL.json → BENCH_DETAIL_r{N}.json for the latest
+    round with a BENCH_r{N}.json driver artifact (r12 verdict Next #1:
+    the live detail file is overwritten every bench run, so without a
+    per-round snapshot there is no durable per-query record for
+    tools/compare_bench.py to fall back on when a driver artifact's
+    tail capture overflows).  Run at round start — the detail on disk
+    then IS the previous round's sf0.1 sweep.  Never overwrites an
+    existing snapshot (a mid-round local bench run would clobber the
+    round record otherwise)."""
+    import shutil
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    src = os.path.join(repo, "BENCH_DETAIL.json")
+    if not rounds or not os.path.exists(src):
+        return None
+    dest = os.path.join(repo, f"BENCH_DETAIL_r{max(rounds):02d}.json")
+    if os.path.exists(dest):
+        return None
+    shutil.copyfile(src, dest)
+    return dest
+
+
 def main() -> None:
     out = fold()
     out["fingerprints"] = fingerprints()
@@ -99,6 +126,9 @@ def main() -> None:
         f"{len(out['last_green'])} entries with a green row, "
         f"{len(out['fingerprints'])} fingerprints"
     )
+    snap = snapshot_bench_detail()
+    if snap:
+        print(f"snapshotted {snap}")
 
 
 if __name__ == "__main__":
