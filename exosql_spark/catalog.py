@@ -170,8 +170,10 @@ def _entry_source_and_deps(q: Query) -> tuple[str, dict[str, object]]:
     modules the fn references — the fingerprint's closure set, split
     out so tests can pin that e.g. join_asof closes over
     operators/asof.py."""
+    import ast
     import inspect
     import re
+    import textwrap
 
     try:
         src = inspect.getsource(q.fn)
@@ -195,10 +197,34 @@ def _entry_source_and_deps(q: Query) -> tuple[str, dict[str, object]]:
         for gname, gval in vars(own).items():
             if gname in tokens:
                 consider(inspect.getmodule(gval))
-    for pkg, names in re.findall(
-        r"from\s+(exosql_spark[\w.]*)\s+import\s+([\w, ]+)", src
-    ):
-        for cand in [pkg] + [f"{pkg}.{n.strip()}" for n in names.split(",") if n.strip()]:
+    # Function-local imports, found by AST walk rather than regex
+    # (ADVICE r12: parenthesized multi-line ``from x import (...)``
+    # never matched the regex, so edits to those deps silently failed
+    # to re-front the entry).  The decorated-function source parses
+    # standalone after dedent; fall back to the regex only if it
+    # doesn't (e.g. a source fragment inspect can't round-trip).
+    found: list[tuple[str, list[str]]] = []
+    try:
+        tree = ast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        found = [
+            (pkg, [n.strip() for n in names.split(",") if n.strip()])
+            for pkg, names in re.findall(
+                r"from\s+(exosql_spark[\w.]*)\s+import\s+([\w, ]+)", src
+            )
+        ]
+    else:
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(
+                "exosql_spark"
+            ):
+                found.append((node.module, [a.name for a in node.names]))
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith("exosql_spark"):
+                        found.append((a.name, []))
+    for pkg, names in found:
+        for cand in [pkg] + [f"{pkg}.{n}" for n in names]:
             try:
                 consider(importlib.import_module(cand))
             except ImportError:

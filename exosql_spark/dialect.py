@@ -425,6 +425,19 @@ def _desugar_qualify(masked: str) -> str:
     body, qual = _split_top_level(body, "qualify")
     if qual is None:
         return masked
+    # ``qualify`` is a NON-reserved word: ``... WHERE qualify = 1``
+    # uses it as a column and must not desugar (ADVICE r12 — the
+    # token-only trigger rewrote such queries into malformed SQL).  A
+    # real QUALIFY clause is followed by a predicate EXPRESSION; a
+    # column usage is followed by an operator / RHS keyword or ends
+    # the statement.  (``QUALIFY NOT pred`` still desugars — NOT is
+    # deliberately absent from the operator list.)
+    if not qual.strip() or re.match(
+        r"(?i)^(?:[=<>!+\-*/%|,)\]]|is\b|in\b|like\b|ilike\b"
+        r"|rlike\b|between\b|and\b|or\b|asc\b|desc\b)",
+        qual.strip(),
+    ):
+        return masked
     # first top-level FROM (paren-depth aware, case-insensitive)
     depth, from_pos = 0, None
     low = body.lower()

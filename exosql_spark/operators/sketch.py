@@ -50,21 +50,78 @@ def cms_counts(
     )
 
 
-def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+def cms_join_size_estimate(
+    cms_a: DataFrame, cms_b: DataFrame, width: int | None = None
+) -> DataFrame:
     """CM inner-product estimate of |A ⋈ B| from two sketches built
     with the SAME depth/width/salt: one row, column ``est``.  Only
     buckets present on both sides contribute (absent = 0) — and a
     depth row with NO shared bucket contributes an inner product of
     ZERO, which must survive into the min: dropping it (the naive
     inner-join-then-min) would report the minimum of the *colliding*
-    depths for disjoint key sets instead of the correct 0."""
+    depths for disjoint key sets instead of the correct 0.
+
+    Shape guards (ADVICE r12 — two sketches of mismatched build
+    parameters previously joined into a meaningless estimate with no
+    error): the two sides' observed DEPTH sets must be equal (always
+    checked — the sketch table carries ``d`` so this is data-visible),
+    and when the caller passes the build ``width``, any bucket ≥ width
+    on either side errors the query (a wider-built sketch mixed in is
+    caught with near-certainty, since its buckets populate the full
+    range).  Width is a parameter rather than inferred: the table
+    stores only occupied buckets, so the build width is not data-
+    recoverable."""
+    if width is not None:
+        guard = F.when(
+            F.col("bucket") >= width,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"cms_join_size_estimate: bucket >= width={width} "
+                        f"- sketch built with a different width? bucket="
+                    ),
+                    F.col("bucket").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("bucket"))
+        cms_a = cms_a.withColumn("bucket", guard)
+        cms_b = cms_b.withColumn("bucket", guard)
     j = cms_a.alias("a").join(cms_b.alias("b"), ["d", "bucket"])
     per_d = j.groupBy("d").agg(
         F.sum(F.col("a.n") * F.col("b.n")).alias("s")
     )
-    depths = cms_a.select("d").union(cms_b.select("d")).distinct()
-    full = depths.join(per_d, "d", "left").select(
-        F.coalesce(F.col("s"), F.lit(0)).alias("s")
+    # depth-set mismatch (e.g. depth-4 vs depth-8 builds) must error,
+    # not silently min() over depths one side never populated.  An
+    # EMPTY side (no input rows at all → no depths) stays legitimate:
+    # the guard fires only when both sides are populated AND their
+    # depth sets differ.
+    da, db = cms_a.select("d").distinct(), cms_b.select("d").distinct()
+    mismatch = (
+        da.join(db, "d", "left_anti")
+        .union(db.join(da, "d", "left_anti"))
+        .agg(F.count(F.lit(1)).alias("n_mismatch"))
+        .crossJoin(da.agg(F.count(F.lit(1)).alias("n_da")))
+        .crossJoin(db.agg(F.count(F.lit(1)).alias("n_db")))
+    )
+    depths = da.union(db).distinct()
+    full = (
+        depths.join(per_d, "d", "left")
+        .crossJoin(mismatch)  # 1-row broadcast attachment
+        .select(
+            F.when(
+                (F.col("n_mismatch") > 0)
+                & (F.col("n_da") > 0)
+                & (F.col("n_db") > 0),
+                F.raise_error(
+                    F.lit(
+                        "cms_join_size_estimate: the two sketches' depth "
+                        "sets differ - built with different depth?"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.coalesce(F.col("s"), F.lit(0)))
+            .alias("s")
+        )
     )
     # empty sketch (no input rows at all) ⇒ no depths ⇒ estimate 0
     return full.agg(F.coalesce(F.min("s"), F.lit(0)).alias("est"))

@@ -961,7 +961,7 @@ def stats_join_size_cms(spark, sf_dir):
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     cms_a = sketch.cms_counts(a, F.col("user_id"), depth=4, width=1024, salt="jc")
     cms_b = sketch.cms_counts(b, F.col("user_id"), depth=4, width=1024, salt="jc")
-    est = sketch.cms_join_size_estimate(cms_a, cms_b)
+    est = sketch.cms_join_size_estimate(cms_a, cms_b, width=1024)
     exact = (
         a.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("an"))

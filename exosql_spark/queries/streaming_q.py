@@ -698,7 +698,7 @@ def streaming_sketch_ingest_parity(spark, sf_dir):
     cms_b = sketch.cms_counts(
         purchases, F.col("user_id"), depth=4, width=1024, salt="jc"
     )
-    est = sketch.cms_join_size_estimate(streamed, cms_b)
+    est = sketch.cms_join_size_estimate(streamed, cms_b, width=1024)
     exact = (
         views.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("an"))

@@ -89,7 +89,7 @@ def sketch_ingest_stream(
     path: str,
     checkpoint: str,
     depth: int = 4,
-    width: int = 1024,
+    width: int = 256,
     salt: str = "",
 ):
     """Continuous count-min maintenance: each micro-batch reduces to
@@ -104,7 +104,12 @@ def sketch_ingest_stream(
     exactly because CM sketches are mergeable by addition.  Compaction
     (many small part files → one part per d) is
     ``sinks.compact_partitioned``, same repair story as the IVF
-    layout.  Returns the running availableNow StreamingQuery."""
+    layout.  Returns the running availableNow StreamingQuery.
+
+    ``depth``/``width`` defaults MATCH ``operators.sketch.cms_counts``
+    (ADVICE r12: they diverged — 1024 here vs 256 there — so two
+    default-built sketches silently produced a meaningless join-size
+    estimate; tests/test_operators.py pins the equality)."""
     from pyspark.sql import functions as F
 
     from exosql_spark import sinks

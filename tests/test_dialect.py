@@ -251,6 +251,49 @@ class TestQualifyDesugar:
         sql = "SELECT a FROM t WHERE b = 'does not qualify for this'"
         assert rewrite_qualify(sql) == sql
 
+    def test_qualify_as_column_name_untouched(self):
+        """ADVICE r12: ``qualify`` is non-reserved — a column named
+        qualify followed by an operator / RHS keyword / end-of-query
+        must NOT trigger the desugar (the old token-only trigger
+        produced malformed SQL); a real QUALIFY clause (predicate
+        expression after the token, including NOT) still does."""
+        from exosql_spark.dialect import rewrite_qualify
+
+        for sql in (
+            "SELECT a FROM t WHERE qualify = 1",
+            "SELECT a FROM t WHERE qualify IS NULL",
+            "SELECT a FROM t WHERE qualify IN (1, 2)",
+            "SELECT a FROM t WHERE qualify BETWEEN 1 AND 2",
+            "SELECT a FROM t WHERE qualify > 5 AND b = 2",
+            "SELECT a, qualify FROM t ORDER BY qualify",
+            "SELECT qualify + 1 AS q1 FROM t WHERE qualify - 3 < 0",
+        ):
+            assert rewrite_qualify(sql) == sql, sql
+        # real clauses still desugar
+        for sql in (
+            "SELECT a FROM t QUALIFY rank() OVER (ORDER BY z) = 1",
+            "SELECT a FROM t QUALIFY NOT (rank() OVER (ORDER BY z) > 2)",
+        ):
+            assert "__exo_q" in rewrite_qualify(sql), sql
+
+    def test_qualify_column_executes(self, spark, sf_dir):
+        """End-to-end: a table with a column literally named qualify
+        still filters on it through Context.sql."""
+        from exosql_spark.context import Context
+
+        ctx = Context(spark, {"tpch": {"parquet": sf_dir}})
+        rows = ctx.sql(
+            "SELECT r_name, r_regionkey AS qualify FROM tpch.region "
+            "WHERE r_regionkey >= 0 AND r_regionkey = 2"
+        ).collect()
+        assert [r.r_name for r in rows] == ["ASIA"]
+        # and filtering BY the aliased column in an outer query
+        rows = ctx.sql(
+            "SELECT * FROM (SELECT r_name, r_regionkey AS qualify "
+            "FROM tpch.region) WHERE qualify = 2"
+        ).collect()
+        assert [r.r_name for r in rows] == ["ASIA"]
+
     def test_executes_with_single_window_node(self, spark, sf_dir):
         """The repeated window expression (select list + QUALIFY) must
         collapse to ONE Window operator — the desugar may not double

@@ -2928,6 +2928,44 @@ class TestCountMinSketch:
         empty = sketch.cms_counts(a.filter("k < 0"), F.col("k"), 4, 64, salt="z")
         assert sketch.cms_join_size_estimate(ca, empty).collect()[0].est == 0
 
+    def test_mismatched_build_params_error_not_garbage(self, spark):
+        """ADVICE r12: two sketches of different depth (or, via the
+        opt-in width tripwire, different width) must ERROR, not join
+        into a meaningless estimate."""
+        import pytest as _pt
+        from pyspark.sql import functions as F
+        from pyspark.sql.utils import AnalysisException
+
+        from exosql_spark.operators import sketch
+
+        a = spark.range(100).select((F.col("id") % 10).alias("k"))
+        c4 = sketch.cms_counts(a, F.col("k"), depth=4, width=64, salt="g")
+        c8 = sketch.cms_counts(a, F.col("k"), depth=8, width=64, salt="g")
+        with _pt.raises(Exception, match="depth sets differ"):
+            sketch.cms_join_size_estimate(c4, c8).collect()
+        wide = sketch.cms_counts(a, F.col("k"), depth=4, width=4096, salt="g")
+        # 10 keys in 4096 buckets: some bucket >= 64 with near-certainty
+        with _pt.raises(Exception, match="bucket >= width"):
+            sketch.cms_join_size_estimate(c4, wide, width=64).collect()
+        # matched builds still estimate under both guards
+        c4b = sketch.cms_counts(a, F.col("k"), depth=4, width=64, salt="g")
+        est = sketch.cms_join_size_estimate(c4, c4b, width=64).collect()[0].est
+        assert est >= 100 * 10  # self-join lower bound
+
+    def test_stream_and_batch_width_defaults_agree(self):
+        """ADVICE r12: sketch_ingest_stream defaulted width=1024 while
+        cms_counts defaulted 256 — default-built stream and batch
+        sketches could never be compared.  Pin the signatures equal."""
+        import inspect
+
+        from exosql_spark.operators.sketch import cms_counts
+        from exosql_spark.streaming.index_ingest import sketch_ingest_stream
+
+        bat = inspect.signature(cms_counts).parameters
+        stm = inspect.signature(sketch_ingest_stream).parameters
+        assert bat["width"].default == stm["width"].default
+        assert bat["depth"].default == stm["depth"].default
+
 
 class TestBpe:
     def test_merge_pair_left_to_right_semantics(self, spark):

@@ -281,6 +281,19 @@ class TestVerifyWindow:
         _, ddeps = catalog._entry_source_and_deps(qs["dedup_jaccard_exact_pairs"])
         assert "exosql_spark.operators.dedup" in ddeps
 
+    def test_fingerprint_sees_parenthesized_multiline_import(self):
+        """ADVICE r12: streaming_ivf_ingest_parity imports llm_q
+        helpers via a parenthesized MULTI-LINE ``from ... import
+        (...)`` which the old regex never matched — an llm_q edit
+        silently failed to re-front the entry.  The AST-based
+        extraction must see it."""
+        from exosql_spark import catalog
+
+        qs = catalog.all_queries()
+        _, deps = catalog._entry_source_and_deps(qs["streaming_ivf_ingest_parity"])
+        assert "exosql_spark.queries.llm_q" in deps
+        assert "exosql_spark.sinks" in deps  # plain from-import still seen
+
     def test_window_fronts_r10_named_entries(self):
         """The r9 capacity note names the nine entries that MUST front
         the r10 window (three 4-round-stale rows + six rested

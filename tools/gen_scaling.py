@@ -88,7 +88,24 @@ def _run_point(label: str, sf_dir: str, runs: int) -> dict:
         env=env, cwd=REPO, check=True,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     ).stdout
-    return json.loads(out.strip().splitlines()[-1])
+    # last JSON line WITH the per-query map (bench.py's final line is
+    # the compact no-map summary since round 13)
+    return next(
+        parsed
+        for line in reversed(out.strip().splitlines())
+        if (parsed := json.loads(line)).get("queries")
+    )
+
+
+def _live_bench_names() -> set[str]:
+    """The current catalog's bench-tagged entry names — the remeasure
+    exclude list must come from HERE, not from the artifact's recorded
+    set (which lags behind newly bench-tagged entries)."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    from exosql_spark.catalog import all_queries
+
+    return {n for n, q in all_queries().items() if q.bench}
 
 
 def _recompute_row(row: dict) -> None:
@@ -131,9 +148,11 @@ def _remeasure(spec: str) -> None:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
-    env["SPARK_GRAFT_BENCH_EXCLUDE"] = ",".join(
-        n for n in art["queries"] if n != name
-    )
+    # exclude = the LIVE catalog's bench set minus the target (ADVICE
+    # r12: building it from the artifact's recorded set silently RAN —
+    # and discarded the timings of — any bench entry added since the
+    # artifact was generated, multiplying remeasure cost at sf10)
+    env["SPARK_GRAFT_BENCH_EXCLUDE"] = ",".join(_live_bench_names() - {name})
     env["SPARK_GRAFT_DETAIL_PATH"] = "/tmp/bench_detail_remeasure.json"
     print(f"re-measuring {name} at {label} (min-of-{runs})...", flush=True)
     out = subprocess.run(
@@ -141,7 +160,14 @@ def _remeasure(spec: str) -> None:
         env=env, cwd=REPO, check=True,
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
     ).stdout
-    sec = json.loads(out.strip().splitlines()[-1])["queries"][name]
+    # bench.py prints two JSON lines (r13 contract): the LAST is the
+    # compact summary without the per-query map — take the last line
+    # that carries one
+    sec = next(
+        parsed["queries"][name]
+        for line in reversed(out.strip().splitlines())
+        if (parsed := json.loads(line)).get("queries")
+    )
 
     row = art["queries"][name]
     row[f"{label}_sec"] = sec
