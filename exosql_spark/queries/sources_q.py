@@ -225,3 +225,50 @@ def source_env_pinned(spark, sf_dir):
         "SELECT key, value FROM sys.env "
         "WHERE key IN ('EXOSQL_PROBE_A', 'EXOSQL_PROBE_B') ORDER BY key"
     )
+
+
+@register(
+    "source_node_pinned",
+    oracle="""
+SELECT * FROM (
+  SELECT 'MemAvailable' AS key, CAST(98304000 AS BIGINT) AS kb,
+         CAST(32 AS INTEGER) AS n_cpus, CAST(4242 AS BIGINT) AS pid
+  UNION ALL
+  SELECT 'MemTotal', CAST(131072000 AS BIGINT),
+         CAST(32 AS INTEGER), CAST(4242 AS BIGINT)
+) ORDER BY key
+""",
+    tags=("source", "node"),
+)
+def source_node_pinned(spark, sf_dir):
+    """S4 node extractor with a DRIVER-checkable oracle (r12 verdict
+    Next #7 — the last §2 row that could carry one and didn't): host
+    stats are nondeterministic, so the entry injects a PINNED snapshot
+    provider behind the same three table surfaces (``{"node":
+    {...}}`` spec → :func:`exosql_spark.sources.node_source`) and the
+    oracle states the snapshot as literals.  What the value hash then
+    proves is the extractor's MECHANICS: spec resolution and
+    registration through Context, the cpu/memory/process schemas, a
+    key-filter + cross-table projection running over them — everything
+    except the ``/proc`` read itself, exactly the source_env_pinned
+    trick (reference parity: exosql's node extractor surfaces Erlang
+    VM stat tables; SURVEY.md §2 S4)."""
+    from exosql_spark.context import Context
+
+    snapshot = {
+        "cpu": (32, 1.5, 1.25, 1.0),
+        "meminfo": {
+            "MemTotal": 131072000,
+            "MemFree": 65536000,
+            "MemAvailable": 98304000,
+            "Buffers": 2048000,
+            "Cached": 16384000,
+        },
+        "process": (4242, 12.5, 3.25, 524288),
+    }
+    ctx = Context(spark, {"sys": {"node": snapshot}})
+    return ctx.sql(
+        "SELECT m.key AS key, m.kb AS kb, c.n_cpus AS n_cpus, p.pid AS pid "
+        "FROM sys.memory m CROSS JOIN sys.cpu c CROSS JOIN sys.process p "
+        "WHERE m.key IN ('MemTotal', 'MemAvailable') ORDER BY m.key"
+    )

@@ -121,28 +121,44 @@ def http_source(spark: SparkSession, spec: dict[str, Any]) -> dict[str, DataFram
     }
 
 
-def node_source(spark: SparkSession) -> dict[str, DataFrame]:
+def node_source(
+    spark: SparkSession, snapshot: dict[str, Any] | None = None
+) -> dict[str, DataFrame]:
     """Node/VM introspection tables (S4 — the reference exposes Erlang
-    VM stats; here: host cpu/memory/process views, driver-side tiny)."""
-    import resource
+    VM stats; here: host cpu/memory/process views, driver-side tiny).
 
-    la1, la5, la15 = os.getloadavg()
-    cpu = [(os.cpu_count() or 0, la1, la5, la15)]
-    meminfo: dict[str, int] = {}
-    try:
-        with open("/proc/meminfo") as fh:
-            for line in fh:
-                k, _, rest = line.partition(":")
-                meminfo[k.strip()] = int(rest.strip().split()[0])
-    except OSError:
-        pass
+    ``snapshot`` injects a PINNED stats provider behind the same three
+    table surfaces (r12 verdict Next #7 — the source_env_pinned
+    pattern): ``{"cpu": (n_cpus, load1, load5, load15), "meminfo":
+    {key: kb}, "process": (pid, utime_s, stime_s, maxrss_kb)}``.  With
+    it, the extractor's MECHANICS (registration through Context,
+    schemas, filter pushdown on the key column) become hash-checkable
+    against a literal oracle; without it the tables read the live
+    host, which no oracle can state."""
+    if snapshot is not None:
+        cpu = [tuple(snapshot["cpu"])]
+        meminfo = dict(snapshot["meminfo"])
+        proc = [tuple(snapshot["process"])]
+    else:
+        import resource
+
+        la1, la5, la15 = os.getloadavg()
+        cpu = [(os.cpu_count() or 0, la1, la5, la15)]
+        meminfo = {}
+        try:
+            with open("/proc/meminfo") as fh:
+                for line in fh:
+                    k, _, rest = line.partition(":")
+                    meminfo[k.strip()] = int(rest.strip().split()[0])
+        except OSError:
+            pass
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        proc = [(os.getpid(), ru.ru_utime, ru.ru_stime, ru.ru_maxrss)]
     mem = [
         (k, v)
         for k, v in meminfo.items()
         if k in ("MemTotal", "MemFree", "MemAvailable", "Buffers", "Cached")
     ]
-    ru = resource.getrusage(resource.RUSAGE_SELF)
-    proc = [(os.getpid(), ru.ru_utime, ru.ru_stime, ru.ru_maxrss)]
     return {
         "cpu": spark.createDataFrame(
             cpu, "n_cpus int, load1 double, load5 double, load15 double"
@@ -173,7 +189,10 @@ def resolve_source(spark: SparkSession, spec: Any) -> dict[str, DataFrame]:
         if spec.get("env"):
             return env_table(spark)
         if spec.get("node"):
-            return node_source(spark)
+            # {"node": True} = live host; {"node": {...}} = pinned
+            # snapshot (see node_source)
+            node = spec["node"]
+            return node_source(spark, node if isinstance(node, dict) else None)
         if "http" in spec:
             return http_source(spark, spec["http"])
         if "tables" in spec:

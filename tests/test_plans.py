@@ -124,6 +124,9 @@ class TestNoAccidentalCartesian:
         "corpus_length_survival",  # 1-row total-mass broadcast scalar
         "stats_join_size_cms",  # 1-row exact × 1-row estimate attachment
         "streaming_sketch_ingest_parity",  # same 1-row attachment shape
+        # pinned-snapshot introspection tables: 2-row × 1-row × 1-row
+        # local relations — intentional cross join by construction
+        "source_node_pinned",
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):

@@ -54,6 +54,31 @@ class TestNodeSource:
         proc = ctx.sql("SELECT pid FROM sys.process").collect()
         assert proc[0].pid > 0
 
+    def test_pinned_snapshot_injection(self, spark):
+        """{"node": {...}} routes a fixed stats provider behind the
+        same table surface — deterministic values, same schemas as
+        the live tables (the source_node_pinned driver entry's
+        mechanism)."""
+        snap = {
+            "cpu": (8, 0.5, 0.25, 0.125),
+            "meminfo": {"MemTotal": 1000, "MemFree": 400, "Ignored": 7},
+            "process": (99, 1.0, 2.0, 300),
+        }
+        ctx = Context(spark, {"sys": {"node": snap}})
+        assert ctx.sql("SELECT n_cpus FROM sys.cpu").collect()[0].n_cpus == 8
+        mem = {
+            r.key: r.kb
+            for r in ctx.sql("SELECT key, kb FROM sys.memory").collect()
+        }
+        assert mem == {"MemTotal": 1000, "MemFree": 400}  # whitelist applies
+        assert ctx.sql("SELECT pid FROM sys.process").collect()[0].pid == 99
+        # live and pinned expose identical schemas
+        live = Context(spark, {"sys": {"node": True}})
+        for tbl in ("cpu", "memory", "process"):
+            a = ctx.sql(f"SELECT * FROM sys.{tbl}").schema
+            b = live.sql(f"SELECT * FROM sys.{tbl}").schema
+            assert a == b, tbl
+
 
 class TestJsonlDir:
     def test_jsonl_tables_and_nested_schema(self, spark, tmp_path):
