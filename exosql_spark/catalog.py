@@ -310,6 +310,51 @@ def verify_window() -> tuple[str, ...]:
     return compute_verify_window(_REGISTRY, fresh, current_fps=fps)
 
 
+def staleness_accounting() -> dict:
+    """Window-capacity arithmetic, computed not prose (r12 verdict
+    Next #5: at 215+ exact oracles against the driver's FIXED 50-row
+    truncation the worst-case staleness bound grows every round —
+    state it mechanically and state why it is acceptable).
+
+    The plain (non-streaming) exact pool cycles through the slots the
+    streaming tier doesn't occupy, so with zero displacement by
+    new/changed entries the rotation revisits every entry within
+    ``rounds_to_cycle = ceil(plain_pool / fill_slots)`` rounds; each
+    slot spent on tier-1 (new) or tier-2 (changed) entries in a round
+    extends the tail by exactly that many entry-rounds.  WHY a long
+    tail is acceptable: tier 2 is change-aware — an entry can only go
+    stale while its recorded source fingerprint still matches the code
+    on disk, i.e. while the driver's last green row verified byte-
+    identical implementation source; any edit re-fronts it ahead of
+    the rotation.  Stale-and-unchanged is therefore bounded risk by
+    construction (environment regressions are caught by the local
+    full-oracle gate, which runs every entry every round); stale-and-
+    CHANGED cannot persist a single round.  The window size itself is
+    the driver's truncation, not this repo's choice — raising
+    _WINDOW_SIZE would not change what the driver verifies."""
+    import math
+
+    _load()
+    fresh = load_freshness() or {"last_green": {}, "latest_round": 0}
+    exact = [n for n, q in _REGISTRY.items() if q.oracle]
+    streaming = [n for n in exact if "streaming" in _REGISTRY[n].tags]
+    plain = len(exact) - len(streaming)
+    fill = max(_WINDOW_SIZE - len(streaming), 1)
+    last = fresh["last_green"]
+    greens = [last[n] for n in exact if n in last]
+    return {
+        "n_exact": len(exact),
+        "window": _WINDOW_SIZE,
+        "streaming_tier": len(streaming),
+        "fill_slots": fill,
+        "plain_pool": plain,
+        "rounds_to_cycle": math.ceil(plain / fill),
+        "latest_round": fresh["latest_round"],
+        "oldest_green_round": min(greens) if greens else None,
+        "never_verified": sorted(n for n in exact if n not in last),
+    }
+
+
 def all_queries() -> dict[str, Query]:
     _load()
     ordered: dict[str, Query] = {}

@@ -196,7 +196,18 @@ def curate_corpus(
     # no broadcast hint: keep is one id per distinct document —
     # corpus-proportional, so forcing a broadcast would OOM at scale;
     # AQE still broadcasts it when the runtime size allows
-    exact = filtered.join(keep, id_col, "left_semi")
+    exact = filtered.join(keep, id_col, "left_semi").transform(managed_persist)
+    # persist: exact-dedup survivors feed FOUR consumers (the optional
+    # signature pass, the candidate-id semi-join and shingle verify
+    # inside minhash_dedup_pairs, and the final anti-join) — without
+    # the barrier each consumer re-embeds (and re-executes) the
+    # content-hash groupBy + semi-join subtree above. Measured at
+    # sf0.1 (alternated min-of-5): 2.63 → 2.50 s natural corpus,
+    # 3.28 → 2.96 s planted — modest locally, but the avoided work is
+    # a full-corpus shuffle per branch, which is what matters at
+    # 100 TB. This is the second materialization point after the
+    # feature frame, and the frame is already quality-gated and
+    # deduped — the smallest the corpus gets.
 
     # 4. near-dup removal (LSH banding; optionally transitive clusters).
     # sig_after=False: signatures ride along from the persisted

@@ -385,3 +385,119 @@ WHERE {any_term}
 ORDER BY bm25 DESC, doc_id
 LIMIT {k}
 """
+
+
+# --------------------------------------------------------------------
+# Cross-encoder-shaped rerank (retrieval tier 3)
+# --------------------------------------------------------------------
+
+
+def overlap_scorer(terms: list[str]):
+    """Deterministic stand-in for a cross-encoder forward pass: the
+    pair score of (query, doc) is the count of distinct query terms
+    contained in the lowercased doc text (substring containment —
+    states identically as SQL ``LIKE '%t%'`` sums, which is what makes
+    the rerank entry exact-oracle-able).  Same Arrow batch signature a
+    real model scorer has: two pandas Series in, one float64 Series
+    out."""
+    lowered = [t.lower() for t in terms]
+
+    def score(query_text, doc_text):
+        import pandas as pd
+
+        return pd.Series(
+            [
+                float(sum(1 for t in lowered if t in (d or "").lower()))
+                for d in doc_text
+            ],
+            dtype="float64",
+        )
+
+    return score
+
+
+def cross_encoder_rerank(
+    candidates: DataFrame,
+    docs: DataFrame,
+    query_text: str,
+    scorer=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_col: str = "rrf",
+    k: int | None = None,
+) -> DataFrame:
+    """Tier-3 pointwise reranker over a k-bounded candidate list — the
+    stage that completes the production retrieval stack
+    (retrieve-each-arm → RRF-fuse → cross-encoder rerank; e.g.
+    Nogueira & Cho 2019's monoBERT shape).  ``candidates`` is a fused
+    top-k frame (``id_col``, ``prior_col``, ...), ``docs`` the corpus
+    table carrying ``text_col``.
+
+    Scale shape — the part this operator owns regardless of which
+    model scores the pairs:
+
+    - the candidate list is k-bounded, so it BROADCASTS into the
+      corpus scan: one broadcast hash join fetches the k texts, the
+      100 TB table is touched exactly once, no shuffle;
+    - (query, doc) pairs flow through an Arrow-batched ``pandas_udf``
+      — the model-inference seam.  A real cross-encoder swaps into
+      ``scorer`` unchanged (two Series in, float64 Series out, one
+      forward pass per Arrow batch); the default
+      :func:`overlap_scorer` is a deterministic stand-in whose scores
+      are SQL-expressible, keeping the driver oracle exact;
+    - the final rank is a window over ≤ k rows (score desc, prior
+      desc, id) — never corpus-wide.
+
+    Returns (``id_col``, ``ce_score``, ``prior_col``, ``rank``),
+    rank ≤ k if given."""
+    from pyspark.sql.functions import pandas_udf
+
+    score_fn = scorer or overlap_scorer(query_text.split())
+    score_udf = pandas_udf(score_fn, "double")
+    pairs = docs.select(id_col, text_col).join(
+        F.broadcast(candidates.select(id_col, prior_col)), id_col
+    )
+    scored = pairs.withColumn(
+        "ce_score", score_udf(F.lit(query_text), F.col(text_col))
+    )
+    w = Window.orderBy(
+        F.col("ce_score").desc(), F.col(prior_col).desc(), F.col(id_col)
+    )
+    out = scored.select(
+        id_col, "ce_score", prior_col
+    ).withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        out = out.filter(F.col("rank") <= k)
+    return out
+
+
+def rrf_rerank_ce_sql(
+    query_terms: list[str],
+    query_vec_id: int = 0,
+    k_each: int = 20,
+    k0: int = 60,
+    k: int = 15,
+    k_out: int = 10,
+) -> str:
+    """DuckDB oracle for hybrid-RRF → cross-encoder rerank with the
+    deterministic :func:`overlap_scorer`: the fused list is
+    :func:`rrf_hybrid_sql`, the pair score the same LIKE-containment
+    sum, the rerank the same (score desc, rrf desc, id) window."""
+    fused = rrf_hybrid_sql(query_terms, query_vec_id=query_vec_id,
+                           k_each=k_each, k0=k0, k=k)
+    overlap = " + ".join(
+        f"CASE WHEN lower(d.text) LIKE '%{t.lower()}%' THEN 1 ELSE 0 END"
+        for t in query_terms
+    )
+    return f"""
+WITH fused AS ({fused}),
+scored AS (
+  SELECT f.doc_id, CAST({overlap} AS DOUBLE) AS ce_score, f.rrf
+  FROM fused f JOIN documents d ON d.doc_id = f.doc_id
+)
+SELECT doc_id, ce_score, rrf,
+       row_number() OVER (ORDER BY ce_score DESC, rrf DESC, doc_id) AS rank
+FROM scored
+QUALIFY rank <= {k_out}
+ORDER BY rank
+"""

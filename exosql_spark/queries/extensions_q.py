@@ -861,6 +861,7 @@ FROM keyed
 GROUP BY 1 ORDER BY 1
 """,
     tags=("extension", "layout", "scale"),
+    bench=True,  # plan-novel: projection+write+pruned-read lifecycle, tracked since r13
 )
 def layout_zorder_key(spark, sf_dir):
     """Morton/Z-order interleave key cross-checked bit-for-bit against
@@ -937,6 +938,7 @@ SELECT CAST(ex.exact_size AS BIGINT) AS exact_size,
 FROM ex, est
 """,
     tags=("extension", "stats", "sketch", "scale"),
+    bench=True,  # plan-novel: bounded sketch build + tiny broadcast compare, tracked since r13
 )
 def stats_join_size_cms(spark, sf_dir):
     """Join-cardinality estimation WITHOUT executing the join — the

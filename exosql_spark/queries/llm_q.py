@@ -2023,6 +2023,46 @@ def search_hybrid_rrf_ann_planted(spark, sf_dir):
     return ranking.rrf_fuse([bm25_ranked, ann_list], k0=60, k=15)
 
 
+@register(
+    "search_hybrid_rrf_rerank_ce",
+    oracle=ranking.rrf_rerank_ce_sql(_BM25_TERMS, query_vec_id=0, k_out=10),
+    tags=("llm", "text", "ranking", "similarity"),
+    bench=True,  # plan-novel: pandas_udf scorer over a broadcast candidate join, tracked since r13
+)
+def search_hybrid_rrf_rerank_ce(spark, sf_dir):
+    """Retrieval tier 3 (r12 verdict Next #9): hybrid RRF top-15 →
+    cross-encoder-SHAPED pointwise rerank → top-10.  This completes
+    the production stack's tiering — each stage cheaper per candidate
+    and smaller in candidates than the last (arm retrieval over the
+    corpus → rank-fusion over Σ top-k → model scoring over k pairs).
+
+    ``ranking.cross_encoder_rerank`` owns the Spark plumbing a REAL
+    reranker needs unchanged: the k-bounded candidate list broadcasts
+    into the single corpus-text join (one touch of the 100 TB table,
+    no shuffle), (query, doc) pairs batch through an Arrow
+    ``pandas_udf`` — the model-inference seam — and the final window
+    orders ≤ k rows.  The scorer here is the deterministic
+    ``overlap_scorer`` stand-in (distinct query terms contained in the
+    doc text), chosen because its scores are SQL-expressible: the
+    driver hash-checks the ENTIRE three-tier composition end-to-end,
+    not a rows-only smoke.  Swapping in a transformer forward pass
+    changes one callable and nothing in the plan."""
+    t = Tables(spark, sf_dir)
+    bm25 = ranking.bm25_topk(t.documents, _BM25_TERMS, k=20)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    bm25_ranked = bm25.withColumn("rank", F.row_number().over(wb))
+    queries = t.embeddings.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cos = similarity.cosine_topk(t.embeddings, queries, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = ranking.rrf_fuse([bm25_ranked, cos], k0=60, k=15)
+    return ranking.cross_encoder_rerank(
+        fused, t.documents, " ".join(_BM25_TERMS), k=10
+    ).orderBy("rank")
+
+
 # --------------------------------------------------------------------
 # Training-data export: sharding, packing, mixtures, exact Jaccard
 # (operators/packing.py, dedup.jaccard_index_pairs)

@@ -523,6 +523,69 @@ class TestRrfFuse:
             ranking.rrf_fuse([])
 
 
+class TestCrossEncoderRerank:
+    def test_default_overlap_scorer_and_ranking(self, spark):
+        from exosql_spark.operators import ranking
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark shuffles a hash table"),
+                (2, "nothing relevant here"),
+                (3, "hash hash hash"),
+                (4, "spark table"),
+            ],
+            "doc_id long, text string",
+        )
+        cands = spark.createDataFrame(
+            [(1, 0.5), (2, 0.4), (3, 0.3), (4, 0.2)], "doc_id long, rrf double"
+        )
+        out = ranking.cross_encoder_rerank(
+            cands, docs, "spark table hash", k=3
+        ).orderBy("rank").collect()
+        # doc 1 contains all 3 terms; doc 4 two; doc 3 one (distinct)
+        assert [(r.doc_id, r.ce_score, r.rank) for r in out] == [
+            (1, 3.0, 1), (4, 2.0, 2), (3, 1.0, 3)
+        ]
+
+    def test_injected_scorer_is_the_model_seam(self, spark):
+        """A custom scorer (the real-cross-encoder seam) swaps in
+        without touching the plan: same signature, same columns."""
+        from exosql_spark.operators import ranking
+
+        def length_scorer(query_text, doc_text):
+            import pandas as pd
+
+            return pd.Series([float(len(d)) for d in doc_text], dtype="float64")
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "aa")], "doc_id long, text string"
+        )
+        cands = spark.createDataFrame(
+            [(1, 0.1), (2, 0.9)], "doc_id long, rrf double"
+        )
+        out = ranking.cross_encoder_rerank(
+            cands, docs, "q", scorer=length_scorer
+        ).orderBy("rank").collect()
+        assert [(r.doc_id, r.ce_score) for r in out] == [(1, 4.0), (2, 2.0)]
+
+    def test_candidates_broadcast_into_corpus_join(self, spark):
+        """The k-bounded candidate list must broadcast (one corpus
+        touch, no shuffle join) and the scorer must run as an Arrow
+        pandas_udf stage — the 10^9-doc plan shape."""
+        from exosql_spark.operators import ranking
+
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+        )
+        cands = spark.createDataFrame(
+            [(i, float(i)) for i in range(5)], "doc_id long, rrf double"
+        )
+        df = ranking.cross_encoder_rerank(cands, docs, "text")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "ArrowEvalPython" in plan
+
+
 class TestSelection:
     @pytest.fixture(scope="class")
     def docs(self, spark):

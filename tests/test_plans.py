@@ -114,6 +114,7 @@ class TestNoAccidentalCartesian:
         "text_tfidf_topk",  # 1-row corpus-size broadcast scalar
         "text_bm25_topk",  # 1-row corpus-stats broadcast scalar
         "search_hybrid_rrf",  # composes the bm25 scalar + cosine query broadcasts
+        "search_hybrid_rrf_rerank_ce",  # same arms + k-bounded candidate broadcast
         # composes the bm25 scalar broadcast + the PQ ADC literal-table
         # broadcast (both 1-row/k-bounded sides, same as its arms)
         "search_hybrid_rrf_ann_planted",

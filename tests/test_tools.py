@@ -294,6 +294,28 @@ class TestVerifyWindow:
         assert "exosql_spark.queries.llm_q" in deps
         assert "exosql_spark.sinks" in deps  # plain from-import still seen
 
+    def test_staleness_accounting_consistent(self):
+        """The capacity story is computed, not prose (r12 verdict Next
+        #5): the accounting's fields must agree with the registry and
+        FRESHNESS.json, and rounds_to_cycle must be the exact ceil
+        arithmetic it claims."""
+        import math
+
+        from exosql_spark import catalog
+
+        acc = catalog.staleness_accounting()
+        qs = catalog.all_queries()
+        exact = [n for n, q in qs.items() if q.oracle]
+        assert acc["n_exact"] == len(exact)
+        assert acc["window"] == catalog._WINDOW_SIZE
+        assert acc["plain_pool"] + acc["streaming_tier"] == acc["n_exact"]
+        assert acc["fill_slots"] == max(acc["window"] - acc["streaming_tier"], 1)
+        assert acc["rounds_to_cycle"] == math.ceil(
+            acc["plain_pool"] / acc["fill_slots"]
+        )
+        # every never-verified entry fronts in the computed window
+        assert set(acc["never_verified"]) <= set(catalog.verify_window())
+
     def test_window_fronts_r10_named_entries(self):
         """The r9 capacity note names the nine entries that MUST front
         the r10 window (three 4-round-stale rows + six rested

@@ -199,14 +199,72 @@ def _remeasure(spec: str) -> None:
     print(json.dumps({name: row}))
 
 
+def _add(names_csv: str) -> None:
+    """Measure ONLY the named (newly bench-tagged) queries at every
+    scale point and merge their rows into BENCH_SCALING.json — totals
+    and per-row ratios/exponents recomputed, everything else left
+    alone.  The full three-point sweep costs ~an hour at 62 entries;
+    adding two entries must not."""
+    names = {n.strip() for n in names_csv.split(",") if n.strip()}
+    live = _live_bench_names()
+    unknown = names - live
+    if unknown:
+        raise SystemExit(f"not bench-tagged in the live catalog: {sorted(unknown)}")
+
+    path = os.path.join(REPO, "BENCH_SCALING.json")
+    with open(path) as f:
+        art = json.load(f)
+
+    for label, sf_dir, runs, factor in POINTS:
+        if factor:
+            _ensure_data(sf_dir, factor)
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = sf_dir
+        env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
+        env["SPARK_GRAFT_BENCH_EXCLUDE"] = ",".join(sorted(live - names))
+        env["SPARK_GRAFT_DETAIL_PATH"] = "/tmp/bench_detail_add.json"
+        print(f"measuring {sorted(names)} at {label} (min-of-{runs})...", flush=True)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, check=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        ).stdout
+        measured = next(
+            parsed["queries"]
+            for line in reversed(out.strip().splitlines())
+            if (parsed := json.loads(line)).get("queries")
+        )
+        for name in names:
+            row = art["queries"].setdefault(name, {})
+            row[f"{label}_sec"] = measured[name]
+            row.setdefault("remeasured", {})[label] = f"min_of_{runs}"
+
+    for name in names:
+        _recompute_row(art["queries"][name])
+    art["totals"] = {
+        lab: round(
+            sum(r[f"{lab}_sec"] for r in art["queries"].values() if f"{lab}_sec" in r),
+            2,
+        )
+        for lab, _, _, _ in POINTS
+    }
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1, sort_keys=True)
+    print(json.dumps({n: art["queries"][n] for n in sorted(names)}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--remeasure", metavar="NAME:POINT:RUNS")
+    ap.add_argument("--add", metavar="NAME[,NAME...]")
     args = ap.parse_args()
 
     if args.remeasure:
         _remeasure(args.remeasure)
+        return
+    if args.add:
+        _add(args.add)
         return
 
     if not args.skip_generate:
