@@ -84,6 +84,34 @@ def merge_pair(tokens: Column, left: str, right: str, joined: str | None = None)
     return folded
 
 
+def word_symbols(word: Column, eow: str | None = None) -> Column:
+    """A word's initial BPE symbol sequence: its characters, plus an
+    optional end-of-word marker symbol (Sennrich 2016 uses ``</w>`` so
+    merges can distinguish word-final contexts)."""
+    # split("", "") yields [""] — an empty word must yield NO symbols
+    chars = F.when(word == "", F.array().cast("array<string>")).otherwise(
+        F.split(word, "")
+    )
+    if eow is None:
+        return chars
+    return F.concat(chars, F.array(F.lit(eow)))
+
+
+def apply_bpe(tokens: Column, merges: list[tuple[str, str]]) -> Column:
+    """ENCODE: apply an ordered learned merge list to a symbol array —
+    the inference half of the tokenizer (training learns the list,
+    encoding replays it on new text in the SAME order, each merge a
+    left-to-right non-overlapping rewrite).  Composes
+    :func:`merge_pair` sequentially, so the whole encode is one column
+    expression of depth O(k): pure per-row computation — no shuffle,
+    no UDF, rides whatever scan produces the words.  Accepts the
+    (l, r) prefix of ``learn_bpe``'s (l, r, count) tuples too."""
+    out = tokens
+    for m in merges:
+        out = merge_pair(out, m[0], m[1])
+    return out
+
+
 def learn_bpe(
     df: DataFrame,
     tokens: str = "tokens",

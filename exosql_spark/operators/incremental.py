@@ -31,7 +31,7 @@ candidate-id semi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist_disk
@@ -145,3 +145,39 @@ def incremental_dedup(
         .drop("_exact_rid", "_near_rid")
     )
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    fingerprint: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-version diff — which documents were ADDED, REMOVED,
+    CHANGED, or UNCHANGED between two snapshots of the same table:
+    the audit step between crawl/curation releases (what moved
+    between corpus v3 and v3.1?), and the input to incremental
+    reprocessing (only added+changed rows need re-scoring/re-embedding
+    downstream).
+
+    Mechanics: each side reduces to (id, fingerprint) — by default
+    ``md5(text_col)``, the same content hash the dedup/export paths
+    use — then ONE full outer join on the id classifies every row.
+    The shuffle carries 16-byte digests, never document bodies, so the
+    diff costs two digest projections + one join regardless of
+    document size.  Output: (``id_col``, ``status``) with status in
+    {added, removed, changed, unchanged}."""
+    from exosql_spark.operators.text import fingerprint_md5
+
+    fp = fingerprint if fingerprint is not None else fingerprint_md5(F.col(text_col))
+    o = old.select(F.col(id_col), fp.alias("_fp_old"))
+    n = new.select(F.col(id_col), fp.alias("_fp_new"))
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -974,3 +974,67 @@ def stats_join_size_cms(spark, sf_dir):
         F.col("exact_size").cast("long"),
         F.col("est").cast("long").alias("cms_estimate"),
     )
+
+
+@register(
+    "stats_table_profile",
+    oracle="""
+SELECT col, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+       CAST(ndv AS BIGINT) AS ndv, min_s, max_s
+FROM (
+  SELECT 'o_custkey' AS col, count(*) AS n,
+         count(*) - count(o_custkey) AS n_null,
+         count(DISTINCT o_custkey) AS ndv,
+         CAST(min(o_custkey) AS VARCHAR) AS min_s,
+         CAST(max(o_custkey) AS VARCHAR) AS max_s
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         CAST(min(o_orderpriority) AS VARCHAR),
+         CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice),
+         CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+  FROM orders
+)
+ORDER BY col
+""",
+    tags=("extension", "stats"),
+)
+def stats_table_profile(spark, sf_dir):
+    """ANALYZE-style per-column table profile — (rows, nulls, exact
+    NDV, min, max) for a column list in ONE job: the statistics pass
+    every warehouse runs before choosing join orders, and the shape
+    cost-based optimization at 100 TB depends on.  Plan shape: one
+    aggregate per profiled column over a single scan (Catalyst plans
+    multi-count-distinct via Expand — rows × |cols| intermediate, each
+    slice map-side-combined; exact NDV is the deliberate choice here,
+    the sketched variant is ``approx_count_distinct`` /
+    ``events_hll_sketch_rollup``), then a tiny union of 1-row frames.
+    min/max stringify so heterogeneous column types share one output
+    schema — same convention as DuckDB's SUMMARIZE.
+
+    Reference parity: exosql exposes table statistics through its
+    planner hooks (SURVEY.md §2 S1's pushdown metadata); this is the
+    user-facing statistics surface."""
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    parts = []
+    for c in ("o_custkey", "o_orderpriority", "o_totalprice"):
+        parts.append(
+            o.agg(
+                F.lit(c).alias("col"),
+                F.count(F.lit(1)).alias("n"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+                F.count_distinct(F.col(c)).alias("ndv"),
+                F.min(c).cast("string").alias("min_s"),
+                F.max(c).cast("string").alias("max_s"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col")

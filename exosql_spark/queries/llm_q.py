@@ -4381,6 +4381,203 @@ def text_bpe_merges_planted(spark, sf_dir):
 
 
 @register(
+    "corpus_diff_snapshots",
+    oracle="""
+WITH n AS (SELECT count(*) AS total FROM documents),
+cls AS (SELECT total,
+               CAST(CEIL((total - 0) / 10.0) AS BIGINT) AS r0,
+               CAST(CEIL((total - 1) / 10.0) AS BIGINT) AS r1,
+               CAST(CEIL((total - 2) / 10.0) AS BIGINT) AS r2
+        FROM n)
+SELECT status, n FROM (
+  SELECT 'added' AS status, r2 AS n FROM cls
+  UNION ALL SELECT 'changed', r0 FROM cls
+  UNION ALL SELECT 'removed', r1 FROM cls
+  UNION ALL SELECT 'unchanged', total - r0 - r1 FROM cls
+)
+ORDER BY status
+""",
+    tags=("llm", "corpus", "incremental"),
+)
+def corpus_diff_snapshots(spark, sf_dir):
+    """Corpus-release diff (operators/incremental.snapshot_diff): the
+    audit between two versions of the same corpus — added / removed /
+    changed / unchanged by content hash, the step that tells an
+    incremental pipeline which rows need re-scoring/re-embedding.  One
+    full outer join over (id, 16-byte digest) projections; bodies
+    never shuffle.
+
+    Planted so the answer is CLOSED FORM: v_new modifies every
+    doc_id ≡ 0 (mod 10) (appends a token → changed), drops every
+    doc_id ≡ 1 (removed), and adds a fresh doc per doc_id ≡ 2 (ids
+    shifted by 10⁶ → added); everything else is carried over
+    byte-identical (unchanged).  The oracle counts each residue class
+    with the same ceil arithmetic for any corpus size."""
+    from exosql_spark.operators.incremental import snapshot_diff
+
+    t = Tables(spark, sf_dir)
+    old = t.documents.select("doc_id", "text")
+    r = F.col("doc_id") % 10
+    carried = old.filter(r != 1).select(
+        "doc_id",
+        F.when(r == 0, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    added = old.filter(r == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    new = carried.unionByName(added)
+    return (
+        snapshot_diff(old, new, id_col="doc_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "graph_pagerank_star_planted",
+    oracle="""
+WITH RECURSIVE
+nodes AS (SELECT DISTINCT doc_id % 201 AS id FROM documents),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS nn, CAST(count(*) - 1 AS DOUBLE) AS m
+      FROM nodes),
+it(i, rc, rl) AS (
+  SELECT 0, 1.0 / nn, 1.0 / nn FROM p
+  UNION ALL
+  SELECT i + 1,
+         (1.0 - 0.85) / nn + 0.85 * (m * rl),
+         (1.0 - 0.85) / nn + 0.85 * (rc / m)
+  FROM it, p WHERE i < 10
+)
+SELECT role, n_nodes, rank, CAST(0.0 AS DOUBLE) AS rank_spread
+FROM (
+  SELECT 'center' AS role, CAST(1 AS BIGINT) AS n_nodes,
+         round(rc, 8) AS rank FROM it, p WHERE i = 10
+  UNION ALL
+  SELECT 'leaf', CAST(m AS BIGINT), round(rl, 8) FROM it, p WHERE i = 10
+)
+ORDER BY role
+""",
+    tags=("llm", "graph", "scale"),
+    bench=True,  # plan-novel: iterative checkpointed join loop, tracked since r13
+)
+def graph_pagerank_star_planted(spark, sf_dir):
+    """PageRank link-graph centrality (operators/graph.py) with a
+    CLOSED-FORM oracle — the document-quality prior web-scale curation
+    pipelines filter by (Common Crawl publishes exactly such rankings;
+    Brin & Page 1998).  The graph is a planted star over the corpus's
+    201 doc_id residues (hub 0 ↔ every leaf, both directions), whose
+    symmetry collapses the power iteration to a TWO-variable linear
+    recurrence — which the oracle replays as a DuckDB recursive CTE
+    with the SAME arithmetic ((1.0−0.85)/N, not the literal 0.15/N:
+    they differ in the last ulp and 8-decimal rounding is the only
+    slack consumed).  What the value hash proves: contribution
+    join+agg per iteration, dangling-mass handling (none here — mass
+    conservation is unit-pinned instead), teleport arithmetic, and the
+    10-iteration loop's lineage discipline (each generation
+    localCheckpoint-ed — persist alone leaves a 3-references-per-
+    iteration logical plan that OOMs the driver's plan stringification
+    by iteration ~8; measured, see graph.py docstring).  rank_spread
+    pins leaf symmetry: max−min over the 200 leaf ranks must round to
+    exactly 0."""
+    from exosql_spark.operators.graph import pagerank
+    from exosql_spark.queries._util import fround
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.select((F.col("doc_id") % 201).alias("id")).distinct()
+    leaves = nodes.filter(F.col("id") != 0)
+    edges = leaves.select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")).unionByName(
+        leaves.select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    ranks = pagerank(edges, n_iter=10, damping=0.85)
+    return (
+        ranks.select(
+            F.when(F.col("id") == 0, "center").otherwise("leaf").alias("role"),
+            "rank",
+        )
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            fround(F.min("rank"), 8).alias("rank"),
+            fround(F.max("rank") - F.min("rank"), 8).alias("rank_spread"),
+        )
+        .orderBy("role")
+    )
+
+
+@register(
+    "text_bpe_encode_planted",
+    oracle="""
+WITH n AS (SELECT doc_id % 5 AS c, count(*) AS n_words FROM documents GROUP BY 1)
+SELECT CAST(e.c AS BIGINT) AS c, e.encoded, CAST(e.n_tokens AS INTEGER) AS n_tokens,
+       CAST(n.n_words AS BIGINT) AS n_words
+FROM (VALUES (0, 'ab cd z', 3),
+             (1, 'pq p ab', 3),
+             (2, 'ef q', 2),
+             (3, 'q p ef', 3),
+             (4, 'z z', 2)) e(c, encoded, n_tokens)
+JOIN n ON n.c = e.c
+ORDER BY e.c
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_encode_planted(spark, sf_dir):
+    """BPE ENCODING — the inference half that completes the tokenizer
+    story (train → apply → count): merges learned distributedly by
+    operators/bpe.learn_bpe are replayed on NEW words as one pure
+    column expression (``apply_bpe`` composes k left-to-right
+    non-overlapping rewrites — no shuffle, no UDF, rides the word
+    scan; at 100 TB encoding is embarrassingly parallel while training
+    was k bounded passes).
+
+    Exact-oracled end to end: training reuses text_bpe_merges_planted's
+    forced-order corpus (merges (a,b),(c,d),(p,q),(e,f) — asserted),
+    and the evaluation words are planted per doc_id class so their
+    encodings are closed-form AND order-sensitive — 'qpef' must encode
+    to [q, p, ef], NOT [qp, ef] (no (q,p) merge was ever learned), and
+    'pqpab' to [pq, p, ab] (left-to-right non-overlap).  The oracle
+    states the encodings as literals and takes per-class word counts
+    from the corpus."""
+    from exosql_spark.operators.bpe import apply_bpe, learn_bpe, word_symbols
+
+    t = Tables(spark, sf_dir)
+    c = F.col("doc_id") % 5
+    train = t.documents.select(
+        F.when(c == 0, F.array(F.lit("a"), F.lit("b")))
+        .when(c == 1, F.array(F.lit("c"), F.lit("d")))
+        .when(c == 2, F.array(F.lit("e"), F.lit("f")))
+        .when(c == 3, F.array(F.lit("p"), F.lit("q"), F.lit("p"), F.lit("q"), F.lit("p")))
+        .otherwise(F.array(F.lit("z")))
+        .alias("tokens"),
+        F.when(c == 0, 9).when(c == 1, 5).when(c == 2, 3).when(c == 3, 2)
+        .otherwise(1).cast("long").alias("freq"),
+    )
+    merges, _ = learn_bpe(train, n_merges=4)
+    got = [(l, r) for l, r, _n in merges]
+    assert got == [("a", "b"), ("c", "d"), ("p", "q"), ("e", "f")], got
+    words = t.documents.select(
+        c.alias("c"),
+        F.when(c == 0, "abcdz").when(c == 1, "pqpab").when(c == 2, "efq")
+        .when(c == 3, "qpef").otherwise("zz").alias("word"),
+    )
+    enc = words.select(
+        "c", apply_bpe(word_symbols(F.col("word")), merges).alias("toks")
+    )
+    return (
+        enc.groupBy("c")
+        .agg(
+            F.first(F.concat_ws(" ", F.col("toks"))).alias("encoded"),
+            F.first(F.size("toks")).alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy("c")
+    )
+
+
+@register(
     "dedup_semantic_pca_space_planted",
     oracle="""
 WITH c AS (SELECT doc_id, doc_id % 91 AS cls FROM documents),

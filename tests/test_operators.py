@@ -3150,3 +3150,158 @@ class TestBpe:
         assert merges[0][:2] == ("a", "b")
         got = sorted((tuple(r.tokens), r.freq) for r in out.collect())
         assert ((), 5) in got and (("ab",), 3) in got
+
+    def test_word_symbols_and_apply_bpe_encode(self, spark):
+        """Encoding replays learned merges in order: 'qpef' must stay
+        [q, p, ef] (no (q,p) merge learned), 'pqpab' must rewrite
+        left-to-right non-overlapping; empty words yield no symbols;
+        the optional </w> marker rides as its own symbol."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.bpe import apply_bpe, word_symbols
+
+        merges = [("a", "b"), ("c", "d"), ("p", "q"), ("e", "f")]
+        df = spark.createDataFrame(
+            [("abcdz",), ("pqpab",), ("qpef",), ("",)], "w string"
+        )
+        got = {
+            r.w: r.e
+            for r in df.select(
+                "w", apply_bpe(word_symbols(F.col("w")), merges).alias("e")
+            ).collect()
+        }
+        assert got == {
+            "abcdz": ["ab", "cd", "z"],
+            "pqpab": ["pq", "p", "ab"],
+            "qpef": ["q", "p", "ef"],
+            "": [],
+        }
+        out = spark.createDataFrame([("zz",)], "w string").select(
+            apply_bpe(word_symbols(F.col("w"), eow="</w>"), [("z", "</w>")]).alias("e")
+        ).collect()[0].e
+        assert out == ["z", "z</w>"]
+
+    def test_apply_bpe_accepts_learn_bpe_output(self, spark):
+        """The (l, r, count) triples learn_bpe returns feed apply_bpe
+        directly — train→encode round trip reproduces the trainer's
+        own rewrite of the training words."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.bpe import apply_bpe, learn_bpe, word_symbols
+
+        words = spark.createDataFrame(
+            [(["l", "o", "w"], 5), (["l", "o", "w", "e", "r"], 2)],
+            "tokens array<string>, freq long",
+        )
+        merges, rewritten = learn_bpe(words, n_merges=2)
+        enc = spark.createDataFrame([("low",), ("lower",)], "w string").select(
+            "w", apply_bpe(word_symbols(F.col("w")), merges).alias("e")
+        )
+        got = {r.w: r.e for r in enc.collect()}
+        want = {"".join(r.tokens): r.tokens for r in rewritten.collect()}
+        assert got == {"low": want["low"], "lower": want["lower"]}
+
+
+class TestPageRank:
+    def test_ring_is_uniform_exactly(self, spark):
+        """Out-degree-1 cycle: uniform 1/N is the exact fixed point of
+        the implementation's own arithmetic from the uniform start —
+        every iteration returns (1-d)/N + d*(1/N) with single-term
+        contribution sums, so the result is bit-exact, not approx."""
+        from exosql_spark.operators.graph import pagerank
+
+        ring = spark.createDataFrame(
+            [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+        )
+        ranks = {r.id: r.rank for r in pagerank(ring, n_iter=3).collect()}
+        assert ranks == {i: (1 - 0.85) / 5 + 0.85 * (1 / 5) for i in range(5)}
+        assert all(v == 0.2 for v in ranks.values())
+
+    def test_star_matches_scalar_recurrence_bitwise(self, spark):
+        from exosql_spark.operators.graph import pagerank
+
+        edges = [(i, 0) for i in (1, 2, 3)] + [(0, i) for i in (1, 2, 3)]
+        star = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(star, n_iter=4).collect()}
+        rc = rl = 1 / 4
+        for _ in range(4):
+            rc, rl = (
+                (1 - 0.85) / 4 + 0.85 * (3 * rl),
+                (1 - 0.85) / 4 + 0.85 * (rc / 3),
+            )
+        assert got[0] == rc and got[1] == got[2] == got[3] == rl
+
+    def test_dangling_mass_conserved(self, spark):
+        """A sink vertex redistributes its rank uniformly: total mass
+        stays 1 (up to float sums) instead of leaking to 0."""
+        from exosql_spark.operators.graph import pagerank
+
+        dang = spark.createDataFrame([(0, 1)], "src long, dst long")
+        ranks = {r.id: r.rank for r in pagerank(dang, n_iter=8).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-12
+        assert ranks[1] > ranks[0] > 0  # the sink accumulates
+
+    def test_isolated_vertices_via_vertices_param(self, spark):
+        from exosql_spark.operators.graph import pagerank
+
+        edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+        verts = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+        ranks = {
+            r.id: r.rank
+            for r in pagerank(edges, n_iter=2, vertices=verts).collect()
+        }
+        assert set(ranks) == {0, 1, 9}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-12
+        assert ranks[9] < ranks[0]  # isolated node holds only teleport+share
+
+    def test_zero_iterations_and_empty(self, spark):
+        from exosql_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([(0, 1)], "src long, dst long")
+        got = {r.id: r.rank for r in pagerank(e, n_iter=0).collect()}
+        assert got == {0: 0.5, 1: 0.5}
+        empty = spark.createDataFrame([], "src long, dst long")
+        assert pagerank(empty, n_iter=3).count() == 0
+
+
+class TestSnapshotDiff:
+    def test_four_statuses(self, spark):
+        from exosql_spark.operators.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    def test_custom_fingerprint_column(self, spark):
+        """A caller-supplied fingerprint (e.g. a precomputed hash or a
+        normalized-text digest) replaces the default md5(text)."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.incremental import snapshot_diff
+
+        old = spark.createDataFrame([(1, "A"), (2, "x")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "a"), (2, "y")], "doc_id long, text string")
+        got = {
+            r.doc_id: r.status
+            for r in snapshot_diff(
+                old, new, fingerprint=F.md5(F.lower(F.col("text")))
+            ).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed"}  # case-folded digest
+
+    def test_digest_only_shuffle(self, spark):
+        """The join input projects (id, 16-byte digest) — document
+        bodies must not survive into the join columns."""
+        from exosql_spark.operators.incremental import snapshot_diff
+
+        old = spark.createDataFrame([(1, "a" * 10000)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "a" * 10000)], "doc_id long, text string")
+        df = snapshot_diff(old, new)
+        assert set(df.columns) == {"doc_id", "status"}
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "md5" in plan and "SortMergeJoin" in plan or "Join" in plan

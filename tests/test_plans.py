@@ -128,6 +128,8 @@ class TestNoAccidentalCartesian:
         # pinned-snapshot introspection tables: 2-row × 1-row × 1-row
         # local relations — intentional cross join by construction
         "source_node_pinned",
+        # per-iteration 1-row dangling-mass broadcast attachment
+        "graph_pagerank_star_planted",
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
