@@ -424,3 +424,69 @@ def probe_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFra
             .otherwise(F.lit("unknown")),
         )
     )
+
+
+def parse_mp4_mvhd(payload, max_boxes: int = 8, max_children: int = 8) -> tuple:
+    """(timescale, duration_units, mvhd_byte_offset, moov_byte_offset,
+    is_mp4) from an ISO-BMFF (MP4/MOV, ISO 14496-12) payload by
+    walking the box chain TWICE — the two-level variant of the
+    JPEG/WAV walks: top-level boxes (ftyp, free, skip, mdat, …) until
+    ``moov``, then moov's children (udta, trak, …) until ``mvhd``,
+    both positions legitimately variable because box order is not
+    mandated.  Same machinery as :func:`parse_jpeg_sof`: two
+    ``F.aggregate`` folds over ``sequence(...)`` with ``struct<pos,
+    found>`` accumulators — O(1) expression tree, runtime loops, one
+    JVM-side projection, zero UDFs.
+
+    Box grammar: [u32 BE size incl. 8-byte header][4-byte type]
+    [payload].  A size < 8 (includes the size==0 "to EOF" and size==1
+    "64-bit largesize" escapes) aborts the walk — NULL, never a wrong
+    parse; a payload not starting with an ``ftyp`` box at byte 4 is
+    not MP4.  mvhd payload (version 0): version+flags u32, creation
+    u32, modification u32, timescale u32 @12, duration u32 @16 — all
+    big-endian, so no byte reversal (unlike RIFF's little-endian
+    fields)."""
+    h = F.hex(payload)
+    is_mp4 = F.substring(h, 9, 8) == F.lit("66747970")  # 'ftyp' at byte 4
+
+    def be_u32(pos):
+        return F.conv(F.substring(h, pos.cast("int"), F.lit(8)), 16, 10).cast(
+            "long"
+        )
+
+    def walker(start_pos, target_hex, n_steps):
+        def _step(acc, _i):
+            pos, found = acc["pos"], acc["found"]
+            typ = F.substring(h, (pos + 8).cast("int"), F.lit(8))
+            size = be_u32(pos)
+            new_found = (
+                F.when(found >= 0, found)
+                .when(typ == F.lit(target_hex), pos)
+                .otherwise(F.lit(-1).cast("long"))
+            )
+            new_pos = (
+                F.when(new_found >= 0, pos)
+                # size escapes (0 = to-EOF, 1 = largesize) and garbage
+                # abort the walk: jump past the hex string's end so no
+                # later step can false-positive
+                .when(size < 8, F.length(h).cast("long") + 1)
+                .otherwise(pos + 2 * size)
+            )
+            return F.struct(new_pos.alias("pos"), new_found.alias("found"))
+
+        init = F.struct(
+            start_pos.cast("long").alias("pos"),
+            F.lit(-1).cast("long").alias("found"),
+        )
+        return F.aggregate(F.sequence(F.lit(1), F.lit(n_steps)), init, _step)
+
+    top = walker(F.lit(1), "6D6F6F76", max_boxes)  # 'moov'
+    moov = F.when(is_mp4 & (top["found"] >= 0), top["found"])
+    inner = walker(moov + 16, "6D766864", max_children)  # 'mvhd'
+    mvhd = F.when(inner["found"] >= 0, inner["found"])
+    payload_at = mvhd + 16
+    timescale = be_u32(payload_at + 24).cast("int")
+    duration = be_u32(payload_at + 32).cast("long")
+    mvhd_off = ((mvhd - 1) / 2).cast("int")
+    moov_off = ((moov - 1) / 2).cast("int")
+    return timescale, duration, mvhd_off, moov_off, is_mp4.cast("int")

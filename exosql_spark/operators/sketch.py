@@ -23,7 +23,7 @@ story as the HLL rollup (events_hll_sketch_rollup).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from exosql_spark.operators.ordering import hash60
@@ -125,3 +125,57 @@ def cms_join_size_estimate(
     )
     # empty sketch (no input rows at all) ⇒ no depths ⇒ estimate 0
     return full.agg(F.coalesce(F.min("s"), F.lit(0)).alias("est"))
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key: Column,
+    k: int = 512,
+    salt: str = "",
+    value_col: str = "x",
+) -> DataFrame:
+    """Bottom-k sketch (Cohen & Kaplan 2007): the ``k`` rows whose
+    seeded engine-portable hash of ``key`` is smallest — a fixed-size
+    uniform sample WITHOUT an RNG.  Determinism is the point twice
+    over: the sketch is exact-oracle-able (DuckDB computes the same
+    md5-derived order), and it is MERGEABLE — bottom-k of a union is
+    the bottom-k of the parts' bottom-ks, so per-partition /
+    per-day / per-corpus sketches combine without revisiting data
+    (the same pre-aggregation story as the CMS and HLL sketches
+    above).  Hash ties are broken by the hash itself being (md5-)
+    collision-free at 60 bits for practical inputs; NULL keys hash
+    NULL and are excluded (they cannot be ordered).  Output:
+    (``_hk``, ``value_col``), the k smallest hash keys.
+
+    Scale: TakeOrderedAndProject — per-partition heaps of size k, one
+    k-row merge at the driver side of the exchange; nothing
+    corpus-sized moves."""
+    return (
+        df.select(hash60(key, salt=salt).alias("_hk"), F.col(value_col))
+        .where(F.col("_hk").isNotNull())
+        .orderBy(F.col("_hk").asc())
+        .limit(k)
+    )
+
+
+def quantiles_from_sample(
+    sample: DataFrame, qs: list[float], value_col: str = "x"
+) -> DataFrame:
+    """Rank-based quantile estimates from a (bottom-k) sample: for
+    each q, the value at 1-indexed rank ``ceil(q*n)`` of the sample
+    sorted by value — percentile_disc semantics, chosen because both
+    engines state it identically with integer arithmetic (no
+    interpolation doubles to drift).  Output: (q, est), one row per
+    requested quantile."""
+    ranked = sample.select(
+        F.col(value_col),
+        F.row_number().over(Window.orderBy(F.col(value_col).asc())).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
+    spec = F.array(*[F.lit(float(q)) for q in qs])
+    return (
+        ranked.select(F.explode(spec).alias("q"), "_r", "_n", value_col)
+        .where(F.col("_r") == F.ceil(F.col("q") * F.col("_n")).cast("int"))
+        .select("q", F.col(value_col).alias("est"))
+        .orderBy("q")
+    )

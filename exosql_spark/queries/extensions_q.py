@@ -1038,3 +1038,56 @@ def stats_table_profile(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col")
+
+
+@register(
+    "stats_quantile_bottomk",
+    oracle="""
+WITH s AS (
+  SELECT CAST(('0x' || substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           || ':qk'), 1, 15)) AS BIGINT) AS hk,
+         l_extendedprice AS x
+  FROM lineitem
+  ORDER BY hk LIMIT 512
+),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x) AS rk, count(*) OVER () AS n
+  FROM s
+)
+SELECT v.q AS q, r.x AS est, CAST(r.n AS BIGINT) AS sample_n
+FROM r JOIN (VALUES (0.5), (0.9), (0.99)) v(q)
+  ON r.rk = CAST(CEIL(v.q * r.n) AS INT)
+ORDER BY q
+""",
+    tags=("extension", "stats", "sketch", "scale"),
+)
+def stats_quantile_bottomk(spark, sf_dir):
+    """Mergeable quantile sketch — the percentile member of the sketch
+    family (CMS join-size, HLL distinct-count, and now bottom-k
+    quantiles): a fixed-k uniform sample by smallest seeded hash
+    (operators/sketch.bottomk_sample, Cohen & Kaplan 2007), quantiles
+    read off the sorted sample at rank ceil(q·n).  Because the sample
+    is hash-determined rather than RNG-drawn, the ESTIMATES themselves
+    are exact-oracled — DuckDB draws the identical 512 rows — and the
+    sketch is mergeable (bottom-k of unions = bottom-k of parts'
+    bottom-ks; asserted exactly in tests/test_operators.py).  At
+    100 TB this is the one-pass bounded-memory percentile answer:
+    per-partition k-heaps, a k-row merge, no full sort — the exact
+    twin (stats_equidepth_histogram) pays a corpus-wide range
+    exchange instead."""
+    from exosql_spark.operators import sketch
+
+    t = Tables(spark, sf_dir)
+    li = t.lineitem.select(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    s = sketch.bottomk_sample(li, F.col("rid"), k=512, salt="qk")
+    est = sketch.quantiles_from_sample(s, [0.5, 0.9, 0.99])
+    n = s.agg(F.count(F.lit(1)).alias("sample_n"))
+    return est.crossJoin(F.broadcast(n)).orderBy("q")

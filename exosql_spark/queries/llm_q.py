@@ -4381,6 +4381,89 @@ def text_bpe_merges_planted(spark, sf_dir):
 
 
 @register(
+    "multimodal_mp4_mvhd_probe",
+    oracle="""
+WITH d AS (
+  SELECT doc_id % 23 + 1 AS p1, doc_id % 11 + 1 AS p2, doc_id % 13 + 1 AS pu,
+         600 * (doc_id % 4 + 1) AS ts, doc_id % 30 + 1 AS dsec
+  FROM documents
+), o AS (
+  SELECT ts, dsec,
+         16 + 8 + p1 + 8 + p2 + 8 + 8 + pu AS mvhd_off
+  FROM d
+)
+SELECT CAST(ts AS INT) AS timescale,
+       CAST(count(*) AS BIGINT) AS n_videos,
+       CAST(min(dsec) AS INT) AS min_dur_sec,
+       CAST(max(dsec) AS INT) AS max_dur_sec,
+       CAST(min(mvhd_off) AS INT) AS min_mvhd_off,
+       CAST(max(mvhd_off) AS INT) AS max_mvhd_off
+FROM o GROUP BY 1 ORDER BY 1
+""",
+    tags=("llm", "multimodal", "scale"),
+)
+def multimodal_mp4_mvhd_probe(spark, sf_dir):
+    """ISO-BMFF (MP4) metadata triage — the fourth container format
+    (after PNG/JPEG/WAV) and the first requiring a TWO-LEVEL walk:
+    ``moov`` sits after doc_id-derived free/skip boxes at the top
+    level, and ``mvhd`` after a doc_id-derived udta box INSIDE moov,
+    so both positions genuinely vary per row and must be discovered
+    (multimodal.parse_mp4_mvhd: two F.aggregate folds, zero UDFs,
+    header-bytes-only projection — the 100 TB video-corpus triage
+    shape).  The entry builds byte-exact synthetic MP4s in pure
+    column arithmetic, extracts (timescale, duration) from the walked
+    mvhd, and the oracle states every value CLOSED FORM from the same
+    construction — the walk must land on the algebraically-known
+    offsets or the hash breaks.  duration_sec = duration/timescale
+    is exact by construction (duration = timescale × seconds)."""
+    from exosql_spark.operators.multimodal import parse_mp4_mvhd
+
+    t = Tables(spark, sf_dir)
+    p1 = (F.col("doc_id") % 23 + 1).cast("int")
+    p2 = (F.col("doc_id") % 11 + 1).cast("int")
+    pu = (F.col("doc_id") % 13 + 1).cast("int")
+    ts = (F.col("doc_id") % 4 + 1) * 600
+    dur = ts * (F.col("doc_id") % 30 + 1)
+
+    def u32(col):
+        return F.lpad(F.hex(col.cast("bigint")), 8, "0")
+
+    mvhd = F.concat(
+        F.lit("000000206D76686400000000"),  # size 0x20, 'mvhd', ver+flags
+        u32(F.lit(1111)), u32(F.lit(2222)),  # creation, modification
+        u32(ts), u32(dur),
+    )
+    udta = F.concat(u32(pu + 8), F.lit("75647461"), F.repeat(F.lit("55"), pu))
+    moov = F.concat(u32(pu + 8 + 32 + 8), F.lit("6D6F6F76"), udta, mvhd)
+    hexstr = F.concat(
+        F.lit("0000001066747970" + "69736F6D" + "00000000"),  # ftyp isom
+        u32(p1 + 8), F.lit("66726565"), F.repeat(F.lit("41"), p1),  # free
+        u32(p2 + 8), F.lit("736B6970"), F.repeat(F.lit("42"), p2),  # skip
+        moov,
+    )
+    payload = F.unhex(hexstr)
+    tscale, duration, mvhd_off, moov_off, ok = parse_mp4_mvhd(payload)
+    parsed = t.documents.select(
+        tscale.alias("timescale"),
+        (duration / tscale).cast("int").alias("dur_sec"),
+        mvhd_off.alias("mvhd_off"),
+        ok.alias("ok"),
+    )
+    return (
+        parsed.where(F.col("ok") == 1)
+        .groupBy("timescale")
+        .agg(
+            F.count(F.lit(1)).alias("n_videos"),
+            F.min("dur_sec").alias("min_dur_sec"),
+            F.max("dur_sec").alias("max_dur_sec"),
+            F.min("mvhd_off").alias("min_mvhd_off"),
+            F.max("mvhd_off").alias("max_mvhd_off"),
+        )
+        .orderBy("timescale")
+    )
+
+
+@register(
     "corpus_diff_snapshots",
     oracle="""
 WITH n AS (SELECT count(*) AS total FROM documents),

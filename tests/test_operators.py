@@ -3305,3 +3305,133 @@ class TestSnapshotDiff:
         assert set(df.columns) == {"doc_id", "status"}
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "md5" in plan and "SortMergeJoin" in plan or "Join" in plan
+
+
+class TestBottomkQuantiles:
+    def test_mergeable_exactly(self, spark):
+        """bottom-k of a union == bottom-k of the parts' bottom-ks —
+        the mergeability that makes per-partition/per-day sketches
+        combinable without revisiting data, asserted EXACTLY."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        df = spark.range(10000).select(
+            F.col("id").cast("string").alias("rid"), (F.col("id") % 977).alias("x")
+        )
+        whole = sketch.bottomk_sample(df, F.col("rid"), k=64, salt="m")
+        h1 = sketch.bottomk_sample(df.filter("id < 5000"), F.col("rid"), 64, "m")
+        h2 = sketch.bottomk_sample(df.filter("id >= 5000"), F.col("rid"), 64, "m")
+        merged = h1.unionByName(h2).orderBy(F.col("_hk").asc()).limit(64)
+        a = [(r._hk, r.x) for r in whole.orderBy("_hk").collect()]
+        b = [(r._hk, r.x) for r in merged.orderBy("_hk").collect()]
+        assert a == b and len(a) == 64
+
+    def test_quantile_estimates_converge(self, spark):
+        """On uniform data the sampled median lands near the true one
+        (k=512 → standard error ~ sqrt(0.25/512) ≈ 2.2 percentiles)."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        df = spark.range(100000).select(
+            F.col("id").cast("string").alias("rid"), F.col("id").alias("x")
+        )
+        s = sketch.bottomk_sample(df, F.col("rid"), k=512, salt="c")
+        est = {
+            r.q: r.est
+            for r in sketch.quantiles_from_sample(s, [0.5, 0.9]).collect()
+        }
+        assert abs(est[0.5] - 50000) < 10000
+        assert abs(est[0.9] - 90000) < 6000
+
+    def test_small_input_and_null_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators import sketch
+
+        df = spark.createDataFrame(
+            [("a", 1.0), (None, 2.0), ("b", 3.0)], "rid string, x double"
+        )
+        s = sketch.bottomk_sample(df, F.col("rid"), k=10, salt="z")
+        assert s.count() == 2  # NULL key excluded, k larger than input ok
+        est = {r.q: r.est for r in sketch.quantiles_from_sample(s, [0.5, 1.0]).collect()}
+        assert est[1.0] == 3.0  # max of sample
+        assert est[0.5] in (1.0, 3.0)
+
+
+class TestMp4BoxWalk:
+    @staticmethod
+    def _box(typ: bytes, payload: bytes) -> bytes:
+        import struct
+
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _mp4(self, pre_pads=(5, 3), udta_pad=4, timescale=600, duration=1800):
+        import struct
+
+        mvhd_payload = (
+            b"\x00\x00\x00\x00"            # version+flags
+            + struct.pack(">I", 1111)       # creation
+            + struct.pack(">I", 2222)       # modification
+            + struct.pack(">I", timescale)
+            + struct.pack(">I", duration)
+        )
+        moov_children = (
+            self._box(b"udta", b"U" * udta_pad) + self._box(b"mvhd", mvhd_payload)
+        )
+        data = self._box(b"ftyp", b"isom\x00\x00\x00\x00")
+        for i, pad in enumerate(pre_pads):
+            data += self._box(b"free" if i % 2 == 0 else b"skip", b"A" * pad)
+        data += self._box(b"moov", moov_children)
+        return data
+
+    def test_two_level_walk_finds_mvhd(self, spark):
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.multimodal import parse_mp4_mvhd
+
+        raw = self._mp4(pre_pads=(5, 3), udta_pad=4, timescale=600, duration=1800)
+        df = spark.createDataFrame([(bytearray(raw),)], "payload binary")
+        ts, dur, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+        r = df.select(
+            ts.alias("ts"), dur.alias("dur"), mvhd_off.alias("mo"),
+            moov_off.alias("vo"), ok.alias("ok"),
+        ).collect()[0]
+        # offsets computed from construction: ftyp 16 + free 13 + skip 11
+        assert (r.ts, r.dur, r.ok) == (600, 1800, 1)
+        assert r.vo == 16 + 13 + 11
+        assert r.mo == r.vo + 8 + 12  # past moov header + udta box
+
+    def test_box_order_is_discovered_not_assumed(self, spark):
+        """moov first (no free/skip) and mvhd first (no udta) must
+        parse identically — the walk discovers positions."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.multimodal import parse_mp4_mvhd
+
+        raw = self._mp4(pre_pads=(), udta_pad=0, timescale=1000, duration=30000)
+        df = spark.createDataFrame([(bytearray(raw),)], "payload binary")
+        ts, dur, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+        r = df.select(ts.alias("ts"), dur.alias("dur"), moov_off.alias("vo")).collect()[0]
+        assert (r.ts, r.dur, r.vo) == (1000, 30000, 16)
+
+    def test_non_mp4_and_escape_sizes_yield_null(self, spark):
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.multimodal import parse_mp4_mvhd
+
+        not_mp4 = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+        # valid ftyp but second box uses the size==0 to-EOF escape
+        escape = self._box(b"ftyp", b"isom\x00\x00\x00\x00") + struct.pack(
+            ">I", 0
+        ) + b"mdatXXXXXXXX"
+        df = spark.createDataFrame(
+            [(bytearray(not_mp4),), (bytearray(escape),)], "payload binary"
+        )
+        ts, dur, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+        rows = df.select(ts.alias("ts"), ok.alias("ok")).collect()
+        assert [r.ts for r in rows] == [None, None]
+        assert [r.ok for r in rows] == [0, 1]  # escape IS mp4, just unparsable

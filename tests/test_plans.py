@@ -130,6 +130,7 @@ class TestNoAccidentalCartesian:
         "source_node_pinned",
         # per-iteration 1-row dangling-mass broadcast attachment
         "graph_pagerank_star_planted",
+        "stats_quantile_bottomk",  # 1-row sample-size broadcast attachment
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
