@@ -3435,3 +3435,79 @@ class TestMp4BoxWalk:
         rows = df.select(ts.alias("ts"), ok.alias("ok")).collect()
         assert [r.ts for r in rows] == [None, None]
         assert [r.ok for r in rows] == [0, 1]  # escape IS mp4, just unparsable
+
+
+def test_apply_bpe_differential_vs_python_reference(spark):
+    """300 random words × a 4-merge cascade (including a merge
+    consuming an earlier merge's output token) must match a plain
+    Python left-to-right non-overlapping reference exactly —
+    one Spark job, row-wise comparison."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from exosql_spark.operators.bpe import apply_bpe, word_symbols
+
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("c", "a")]
+
+    def ref(word):
+        toks = list(word)
+        for left, right in merges:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == left and toks[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+        return toks
+
+    rng = random.Random(13)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(0, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, w) for i, w in enumerate(words)], "i int, w string")
+    got = {
+        r.i: r.e
+        for r in df.select(
+            "i", apply_bpe(word_symbols(F.col("w")), merges).alias("e")
+        ).collect()
+    }
+    for i, w in enumerate(words):
+        assert got[i] == ref(w), (w, got[i], ref(w))
+
+def test_pagerank_differential_vs_python_reference(spark):
+    """Random 12-node multigraph with dangling nodes vs a plain
+    Python implementation of the same synchronous iteration —
+    agreement to 1e-9 (float sum order differs, values don't)."""
+    import random
+    from collections import defaultdict
+
+    from exosql_spark.operators.graph import pagerank
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randint(0, 11), rng.randint(0, 11)) for _ in range(30)
+    ]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n, d = len(nodes), 0.85
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        dm = sum(r for v, r in ranks.items() if deg[v] == 0)
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += ranks[s] / deg[s]
+        ranks = {
+            v: (1 - d) / n + d * (contrib[v] + dm / n) for v in nodes
+        }
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, n_iter=6).collect()}
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
