@@ -494,5 +494,23 @@ def rewrite_qualify(sql: str) -> str:
     return unmask_literals(_rewrite_qualify_masked(masked), lits)
 
 
+# --------------------------------------------------------------------
+# star EXCLUDE desugar
+# --------------------------------------------------------------------
+
+# DuckDB/Snowflake spell column subtraction ``* EXCLUDE (c, ...)``;
+# Spark spells the same thing ``* EXCEPT (c, ...)``.  The token is
+# only rewritten DIRECTLY after a star (``*`` or ``t.*``), so a column
+# or alias literally named exclude is untouched.
+_STAR_EXCLUDE_RE = re.compile(r"(?i)(\*\s*)exclude(\s*\()")
+
+
+def rewrite_star_exclude(sql: str) -> str:
+    masked, lits = mask_literals(sql)
+    return unmask_literals(_STAR_EXCLUDE_RE.sub(r"\1EXCEPT\2", masked), lits)
+
+
 def rewrite(sql: str) -> str:
-    return rewrite_distinct_on(rewrite_qualify(rewrite_functions(sql)))
+    return rewrite_distinct_on(
+        rewrite_qualify(rewrite_star_exclude(rewrite_functions(sql)))
+    )

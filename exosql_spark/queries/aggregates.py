@@ -213,3 +213,30 @@ def group_by_all(spark, sf_dir):
     t = Tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_ORDER_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "order_by_all",
+    oracle=_ORDER_BY_ALL_SQL,
+    tags=("sort", "dialect"),
+)
+def order_by_all(spark, sf_dir):
+    """``ORDER BY ALL`` (DuckDB-originated, adopted by Spark 4): sort
+    by every select item left to right.  Like group_by_all, the
+    IDENTICAL text runs natively on both engines and both must infer
+    the same sort key list — the entry pins the dialect alignment
+    (a divergence in which columns ALL expands to, or their order,
+    breaks the value hash)."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(_ORDER_BY_ALL_SQL)

@@ -321,3 +321,34 @@ def params_var_binding(spark, sf_dir):
         prio_like="$prio_like",
     )
     return ctx.sql(sql, vars=_PARAM_VARS)
+
+
+@register(
+    "dialect_star_exclude",
+    oracle="""
+SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+""",
+    tags=("project", "dialect"),
+)
+def dialect_star_exclude(spark, sf_dir):
+    """``SELECT * EXCLUDE (cols)`` — DuckDB/Snowflake's column
+    subtraction, desugared by the dialect layer to Spark's spelling
+    ``* EXCEPT (cols)`` (``dialect.rewrite_star_exclude``; rewritten
+    only DIRECTLY after a star, so a column literally named exclude
+    is untouched — same non-reserved-word discipline as the QUALIFY
+    guard).  The oracle runs EXCLUDE natively in DuckDB, so the hash
+    proves both engines subtract the same columns and keep the rest
+    in the same order.  Column subtraction is projection pruning's
+    user-facing face: the scan must read everything BUT the excluded
+    columns — at 100 TB dropping wide columns from the read
+    schema is the difference between I/O-bound and not."""
+    from exosql_spark.context import Context
+
+    ctx = Context(spark, {"db": {"parquet": sf_dir}})
+    return ctx.sql(
+        "SELECT * EXCLUDE (o_orderdate, o_orderpriority) FROM db.orders "
+        "WHERE o_orderkey < 200 ORDER BY o_orderkey"
+    )

@@ -320,3 +320,37 @@ class TestQualifyDesugar:
             per_cust.setdefault(r.o_custkey, []).append(r.rn)
         assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
                    for v in per_cust.values())
+
+
+class TestStarExclude:
+    def test_rewrite_only_after_star(self):
+        from exosql_spark.dialect import rewrite_star_exclude
+
+        assert (
+            rewrite_star_exclude("SELECT * EXCLUDE (a, b) FROM t")
+            == "SELECT * EXCEPT (a, b) FROM t"
+        )
+        assert (
+            rewrite_star_exclude("SELECT t.* exclude(x) FROM t")
+            == "SELECT t.* EXCEPT(x) FROM t"
+        )
+        # a column/alias literally named exclude is untouched
+        for sql in (
+            "SELECT exclude FROM t",
+            "SELECT a AS exclude FROM t WHERE exclude (1) IS NOT NULL",
+            "SELECT 'keep * EXCLUDE (a)' FROM t",
+        ):
+            assert rewrite_star_exclude(sql) == sql
+
+    def test_executes_and_prunes_schema(self, spark, sf_dir):
+        """The desugared projection must reach the parquet scan's
+        ReadSchema — column subtraction IS projection pruning."""
+        from exosql_spark.context import Context
+
+        ctx = Context(spark, {"db": {"parquet": sf_dir}})
+        df = ctx.sql(
+            "SELECT * EXCLUDE (o_orderdate, o_orderpriority) FROM db.orders"
+        )
+        assert "o_orderdate" not in df.columns and "o_orderkey" in df.columns
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "o_orderdate" not in plan.split("ReadSchema")[-1]
