@@ -52,14 +52,24 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     vertices: DataFrame | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
-    """``n_iter`` synchronous PageRank iterations over an edge table.
-    Returns (``id``, ``rank``); ranks sum to 1 (dangling mass is
-    redistributed uniformly).  ``vertices`` (one ``id`` column) widens
-    the vertex set beyond edge endpoints — isolated vertices then
-    participate as pure dangling nodes.  Parallel edges are counted as
-    distinct edges (contribution proportional to multiplicity), the
-    usual multigraph convention."""
+    """Up to ``n_iter`` synchronous PageRank iterations over an edge
+    table.  Returns (``id``, ``rank``); ranks sum to 1 (dangling mass
+    is redistributed uniformly).  ``vertices`` (one ``id`` column)
+    widens the vertex set beyond edge endpoints — isolated vertices
+    then participate as pure dangling nodes.  Parallel edges are
+    counted as distinct edges (contribution proportional to
+    multiplicity), the usual multigraph convention.
+
+    ``tol`` enables convergence early-stop: iteration ends once
+    ``max_v |rank_v - prev_rank_v| < tol`` — one extra 1-row aggregate
+    + driver scalar per iteration (the same bounded-collect budget as
+    bpe.learn_bpe's per-merge argmax), worth it when n_iter is a
+    generous cap and the graph mixes fast.  Entries that need
+    engine-reproducible output use a FIXED n_iter and no tol (the
+    stopping iteration is float-comparison-dependent and therefore
+    not oracle-stable)."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
@@ -88,6 +98,7 @@ def pagerank(
 
     teleport = (1.0 - damping) / n
     for _ in range(n_iter):
+        prev_ranks = ranks
         dangling = ranks.filter(F.col("_deg").isNull()).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
         )
@@ -120,4 +131,16 @@ def pagerank(
             )
             .localCheckpoint()  # eager: truncates the 3-ref lineage
         )
+        if tol is not None:
+            delta = (
+                ranks.select("id", "rank")
+                .join(
+                    prev_ranks.select("id", F.col("rank").alias("_pr")), "id"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
+                .first()
+                .d
+            )
+            if delta is not None and delta < tol:
+                break
     return ranks.select("id", "rank")

@@ -3511,3 +3511,17 @@ def test_pagerank_differential_vs_python_reference(spark):
     assert set(got) == set(ranks)
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+
+
+def test_pagerank_tol_early_stop(spark):
+    """A ring is at its fixed point from iteration 1 (uniform stays
+    uniform exactly), so tol must stop the loop early and return the
+    same ranks as the full run; tol=None preserves fixed-n semantics."""
+    from exosql_spark.operators.graph import pagerank
+
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    fixed = {r.id: r.rank for r in pagerank(ring, n_iter=9).collect()}
+    early = {r.id: r.rank for r in pagerank(ring, n_iter=9, tol=1e-12).collect()}
+    assert early == fixed == {i: 0.25 for i in range(4)}
