@@ -997,7 +997,8 @@ FROM (
   UNION ALL
   SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
          count(DISTINCT o_totalprice),
-         CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+         CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
   FROM orders
 )
 ORDER BY col
@@ -1022,6 +1023,16 @@ def stats_table_profile(spark, sf_dir):
     user-facing statistics surface."""
     t = Tables(spark, sf_dir)
     o = t.orders
+
+    def _s(col):
+        # doubles route through DECIMAL(18,2) before stringifying:
+        # double→string FORMATTING is engine-specific (scientific
+        # notation thresholds differ), decimal→string is not
+        c = F.col(col)
+        if dict(o.dtypes)[col] == "double":
+            c = c.cast("decimal(18,2)")
+        return c
+
     parts = []
     for c in ("o_custkey", "o_orderpriority", "o_totalprice"):
         parts.append(
@@ -1030,8 +1041,8 @@ def stats_table_profile(spark, sf_dir):
                 F.count(F.lit(1)).alias("n"),
                 (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
                 F.count_distinct(F.col(c)).alias("ndv"),
-                F.min(c).cast("string").alias("min_s"),
-                F.max(c).cast("string").alias("max_s"),
+                F.min(_s(c)).cast("string").alias("min_s"),
+                F.max(_s(c)).cast("string").alias("max_s"),
             )
         )
     out = parts[0]
