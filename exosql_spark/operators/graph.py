@@ -72,7 +72,16 @@ def pagerank(
     not oracle-stable)."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # The edge table feeds EVERY iteration's contribution join: hash-
+    # partition it by source once and persist, so iterations re-read a
+    # materialized, already-partitioned frame instead of re-scanning
+    # and re-shuffling the (at scale, corpus-sized) edge input n_iter
+    # times — the ranks side is what legitimately moves each round.
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .repartition(F.col("_s"))
+        .persist()
+    )
     verts = e.select(F.col("_s").alias("id")).unionByName(
         e.select(F.col("_d").alias("id"))
     )
@@ -82,6 +91,7 @@ def pagerank(
     n = verts.count()  # the one driver scalar; also materializes verts
     if n == 0:
         verts.unpersist()
+        e.unpersist()
         return verts.withColumn("rank", F.lit(0.0))
 
     out_deg = e.groupBy(F.col("_s").alias("id")).agg(
@@ -143,4 +153,5 @@ def pagerank(
             )
             if delta is not None and delta < tol:
                 break
+    e.unpersist()
     return ranks.select("id", "rank")
