@@ -53,6 +53,7 @@ def pagerank(
     dst: str = "dst",
     vertices: DataFrame | None = None,
     tol: float | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Up to ``n_iter`` synchronous PageRank iterations over an edge
     table.  Returns (``id``, ``rank``); ranks sum to 1 (dangling mass
@@ -69,7 +70,15 @@ def pagerank(
     generous cap and the graph mixes fast.  Entries that need
     engine-reproducible output use a FIXED n_iter and no tol (the
     stopping iteration is float-comparison-dependent and therefore
-    not oracle-stable)."""
+    not oracle-stable).
+
+    ``weight`` names an edge-weight column: each source then splits
+    its rank over out-edges PROPORTIONALLY to weight (out-strength
+    normalization, the weighted-PageRank convention) instead of
+    uniformly — the form link-graph quality priors actually use
+    (e.g. crawl graphs weighting by link count between domains).
+    Non-positive and NULL weights are dropped with their edges; an
+    unweighted call is exactly the weighted call with weight ≡ 1."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     # The edge table feeds EVERY iteration's contribution join: hash-
@@ -77,11 +86,15 @@ def pagerank(
     # materialized, already-partitioned frame instead of re-scanning
     # and re-shuffling the (at scale, corpus-sized) edge input n_iter
     # times — the ranks side is what legitimately moves each round.
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .repartition(F.col("_s"))
-        .persist()
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
     )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
+    if weight is not None:
+        e = e.where(F.col("_w") > 0)
+    e = e.repartition(F.col("_s")).persist()
     verts = e.select(F.col("_s").alias("id")).unionByName(
         e.select(F.col("_d").alias("id"))
     )
@@ -94,8 +107,10 @@ def pagerank(
         e.unpersist()
         return verts.withColumn("rank", F.lit(0.0))
 
+    # out-strength: Σ weights per source (== out-degree when
+    # unweighted, since every _w is 1.0)
     out_deg = e.groupBy(F.col("_s").alias("id")).agg(
-        F.count(F.lit(1)).alias("_deg")
+        F.sum("_w").alias("_deg")
     )
     # (id, deg, rank): deg NULL marks dangling vertices; checkpointed
     # so every iteration starts from a lineage-free frame
@@ -121,7 +136,7 @@ def pagerank(
                 "_s",
             )
             .groupBy(F.col("_d").alias("id"))
-            .agg(F.sum("_c").alias("_in"))
+            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
         )
         ranks = (
             ranks.select("id", "_deg")

@@ -3525,3 +3525,42 @@ def test_pagerank_tol_early_stop(spark):
     fixed = {r.id: r.rank for r in pagerank(ring, n_iter=9).collect()}
     early = {r.id: r.rank for r in pagerank(ring, n_iter=9, tol=1e-12).collect()}
     assert early == fixed == {i: 0.25 for i in range(4)}
+
+
+def test_pagerank_weighted_out_strength_split(spark):
+    """weight= splits a source's rank proportionally to edge weight
+    (out-strength normalization): exact match to a Python reference,
+    and the 3:1-weighted target outranks the 1:3 one; weight<=0 edges
+    drop; unweighted == weight-of-ones."""
+    from collections import defaultdict
+
+    from exosql_spark.operators.graph import pagerank
+
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0), (2, 1, 0.0)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    got = {r.id: r.rank for r in pagerank(df, n_iter=5, weight="w").collect()}
+
+    live = [(s, t, w) for s, t, w in edges if w > 0]
+    strength = defaultdict(float)
+    for s, _, w in live:
+        strength[s] += w
+    nodes, n, d = [0, 1, 2], 3, 0.85
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        contrib = defaultdict(float)
+        for s, t, w in live:
+            contrib[t] += ranks[s] / strength[s] * w
+        ranks = {v: (1 - d) / n + d * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
+    assert got[1] > got[2]
+    # unweighted call == all-ones weights
+    ones = spark.createDataFrame(
+        [(s, t, 1.0) for s, t, w in live], "src long, dst long, w double"
+    )
+    a = {r.id: r.rank for r in pagerank(ones, n_iter=3, weight="w").collect()}
+    b = {
+        r.id: r.rank
+        for r in pagerank(ones.select("src", "dst"), n_iter=3).collect()
+    }
+    assert a == b
