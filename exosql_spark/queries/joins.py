@@ -337,3 +337,50 @@ def join_fuzzy_qgram_k3(spark, sf_dir):
     return fuzzy_self_pairs_qgram(vocab, "s", "id", max_dist=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH a AS (
+  SELECT NULLIF(o_custkey % 50, 0) AS k, count(*) AS n_even
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(o_custkey % 50, 0) AS k, count(*) AS n_odd
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+)
+SELECT a.k AS k, CAST(a.n_even AS BIGINT) AS n_even,
+       CAST(b.n_odd AS BIGINT) AS n_odd
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY k NULLS FIRST
+""",
+    tags=("join", "null"),
+)
+def join_null_safe_eq(spark, sf_dir):
+    """Null-safe equality join (``IS NOT DISTINCT FROM`` / Spark's
+    ``eqNullSafe``/``<=>``): NULL keys MATCH each other instead of
+    vanishing — the semantics every slowly-changing-dimension merge
+    and nullable-foreign-key reconciliation needs, and a real physical
+    difference: Catalyst plans null-safe equality as a HASH join key
+    (null-safe keys hash like values), so it shuffles/broadcasts
+    normally rather than degenerating to a nested-loop theta join.
+    The planted NULLIF key guarantees a NULL group on both sides, so
+    the hash proves the NULL↔NULL row actually joins (a plain
+    equi-join would silently drop it — 1 row of 50 here, and exactly
+    the row a wrong engine loses)."""
+    t = Tables(spark, sf_dir)
+    k = F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k")
+    a = (
+        t.orders.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(k).agg(F.count(F.lit(1)).alias("n_even"))
+    )
+    b = (
+        t.orders.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy(k).agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_even", "n_odd")
+        .orderBy(F.col("k").asc_nulls_first())
+    )
