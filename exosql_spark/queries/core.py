@@ -352,3 +352,46 @@ def dialect_star_exclude(spark, sf_dir):
         "SELECT * EXCLUDE (o_orderdate, o_orderpriority) FROM db.orders "
         "WHERE o_orderkey < 200 ORDER BY o_orderkey"
     )
+
+
+_RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS id,
+         CASE WHEN c_custkey = 1 THEN NULL
+              ELSE CAST(floor(c_custkey / 2) AS BIGINT) END AS parent
+  FROM customer WHERE c_custkey BETWEEN 1 AND 127
+),
+anc(id, anc_id, depth) AS (
+  SELECT id, parent, 1 FROM nodes WHERE parent IS NOT NULL
+  UNION ALL
+  SELECT a.id, n.parent, a.depth + 1
+  FROM anc a JOIN nodes n ON a.anc_id = n.id AND n.parent IS NOT NULL
+)
+SELECT depth, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(id) AS BIGINT) AS min_id,
+       CAST(max(id) AS BIGINT) AS max_id
+FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+@register(
+    "recursive_cte_hierarchy",
+    oracle=_RECURSIVE_HIERARCHY_SQL,
+    tags=("sql", "recursive", "dialect"),
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    """``WITH RECURSIVE`` hierarchy traversal (Spark 4's recursive CTE
+    — org charts, BOM explosions, category trees: the workload class
+    that previously forced a driver-side loop of joins).  IDENTICAL
+    text runs natively on both engines: a planted binary tree over
+    customer keys 1–127 (parent = floor(id/2)) expands to every
+    (node, ancestor) pair via the recursive join-form; the per-depth
+    counts are sensitive to the full fixpoint (6 levels, 642 ancestor
+    pairs), so a wrong recursion depth or join semantics breaks the
+    hash.  Distributed shape: each recursion step is one join+filter
+    over the previous step's delta — bounded by tree depth, the same
+    bounded-iteration discipline as pagerank/learn_bpe, but expressed
+    entirely in SQL with the engine managing the loop."""
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_HIERARCHY_SQL)
