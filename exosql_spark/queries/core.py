@@ -378,6 +378,7 @@ FROM anc GROUP BY depth ORDER BY depth
     "recursive_cte_hierarchy",
     oracle=_RECURSIVE_HIERARCHY_SQL,
     tags=("sql", "recursive", "dialect"),
+    bench=True,  # plan-novel: engine-managed recursion execution, tracked since r13
 )
 def recursive_cte_hierarchy(spark, sf_dir):
     """``WITH RECURSIVE`` hierarchy traversal (Spark 4's recursive CTE
