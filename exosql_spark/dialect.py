@@ -430,11 +430,14 @@ def _desugar_qualify(masked: str) -> str:
     # token-only trigger rewrote such queries into malformed SQL).  A
     # real QUALIFY clause is followed by a predicate EXPRESSION; a
     # column usage is followed by an operator / RHS keyword or ends
-    # the statement.  (``QUALIFY NOT pred`` still desugars — NOT is
-    # deliberately absent from the operator list.)
+    # the statement.  Bare ``QUALIFY NOT pred`` still desugars, but
+    # ``NOT`` immediately followed by an RHS keyword (``qualify NOT IN
+    # (...)``, ``NOT LIKE ...``) is a negated predicate over a column
+    # named qualify, not a clause (ADVICE r13).
     if not qual.strip() or re.match(
         r"(?i)^(?:[=<>!+\-*/%|,)\]]|is\b|in\b|like\b|ilike\b"
-        r"|rlike\b|between\b|and\b|or\b|asc\b|desc\b)",
+        r"|rlike\b|between\b|and\b|or\b|asc\b|desc\b"
+        r"|not\s+(?:in|like|ilike|rlike|between)\b)",
         qual.strip(),
     ):
         return masked
@@ -500,9 +503,15 @@ def rewrite_qualify(sql: str) -> str:
 
 # DuckDB/Snowflake spell column subtraction ``* EXCLUDE (c, ...)``;
 # Spark spells the same thing ``* EXCEPT (c, ...)``.  The token is
-# only rewritten DIRECTLY after a star (``*`` or ``t.*``), so a column
-# or alias literally named exclude is untouched.
-_STAR_EXCLUDE_RE = re.compile(r"(?i)(\*\s*)exclude(\s*\()")
+# only rewritten after a star IN PROJECTION POSITION — ``*`` preceded
+# by SELECT [DISTINCT|ALL], a comma, or ``ident.`` (the ``t.*`` form) —
+# so a column or alias literally named exclude is untouched, and so is
+# a MULTIPLICATION followed by a function named exclude
+# (``price * exclude(x)``: that ``*`` is an operator, not a star
+# projection — ADVICE r13).
+_STAR_EXCLUDE_RE = re.compile(
+    r"(?i)((?:\bselect\s+(?:distinct\s+|all\s+)?|,\s*|\w\.)\*\s*)exclude(\s*\()"
+)
 
 
 def rewrite_star_exclude(sql: str) -> str:

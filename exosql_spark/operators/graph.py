@@ -77,8 +77,12 @@ def pagerank(
     normalization, the weighted-PageRank convention) instead of
     uniformly — the form link-graph quality priors actually use
     (e.g. crawl graphs weighting by link count between domains).
-    Non-positive and NULL weights are dropped with their edges; an
-    unweighted call is exactly the weighted call with weight ≡ 1."""
+    Non-positive and NULL weights are dropped with their edges — but
+    the VERTEX set is derived from the unfiltered endpoints, so a
+    vertex whose every incident edge is dropped still participates as
+    a dangling node rather than silently vanishing and renormalizing
+    rank mass over the survivors (ADVICE r13); an unweighted call is
+    exactly the weighted call with weight ≡ 1."""
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     # The edge table feeds EVERY iteration's contribution join: hash-
@@ -91,12 +95,15 @@ def pagerank(
         if weight is not None
         else F.lit(1.0)
     )
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w"))
-    if weight is not None:
-        e = e.where(F.col("_w") > 0)
+    e_all = edges.select(
+        F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
+    )
+    e = e_all.where(F.col("_w") > 0) if weight is not None else e_all
     e = e.repartition(F.col("_s")).persist()
-    verts = e.select(F.col("_s").alias("id")).unionByName(
-        e.select(F.col("_d").alias("id"))
+    # endpoints from the UNFILTERED frame: zero-weight-only vertices
+    # stay in the graph as dangling nodes
+    verts = e_all.select(F.col("_s").alias("id")).unionByName(
+        e_all.select(F.col("_d").alias("id"))
     )
     if vertices is not None:
         verts = verts.unionByName(vertices.select(F.col("id")))

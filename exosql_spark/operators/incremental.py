@@ -167,17 +167,25 @@ def snapshot_diff(
     The shuffle carries 16-byte digests, never document bodies, so the
     diff costs two digest projections + one join regardless of
     document size.  Output: (``id_col``, ``status``) with status in
-    {added, removed, changed, unchanged}."""
+    {added, removed, changed, unchanged}.
+
+    Side presence is carried by explicit marker columns, NOT by
+    fingerprint NULL-ness: a NULL ``text_col`` fingerprints to NULL
+    (md5 propagates NULL), so classifying on the fingerprint alone
+    would report a NULL-text doc present in both snapshots as
+    "added".  With the markers, NULL fingerprints compare via
+    null-safe equality — two NULL-text versions of a doc are
+    "unchanged", NULL↔non-NULL is "changed"."""
     from exosql_spark.operators.text import fingerprint_md5
 
     fp = fingerprint if fingerprint is not None else fingerprint_md5(F.col(text_col))
-    o = old.select(F.col(id_col), fp.alias("_fp_old"))
-    n = new.select(F.col(id_col), fp.alias("_fp_new"))
+    o = old.select(F.col(id_col), fp.alias("_fp_old"), F.lit(True).alias("_in_old"))
+    n = new.select(F.col(id_col), fp.alias("_fp_new"), F.lit(True).alias("_in_new"))
     return o.join(n, id_col, "full_outer").select(
         id_col,
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
-        .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old").eqNullSafe(F.col("_fp_new")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
     )

@@ -445,7 +445,12 @@ def parse_mp4_mvhd(payload, max_boxes: int = 8, max_children: int = 8) -> tuple:
     not MP4.  mvhd payload (version 0): version+flags u32, creation
     u32, modification u32, timescale u32 @12, duration u32 @16 — all
     big-endian, so no byte reversal (unlike RIFF's little-endian
-    fields)."""
+    fields).  The version byte is checked: a version-1 mvhd (64-bit
+    creation/modification times, used for post-2038 dates) has
+    timescale @20 / duration @24, so reading the version-0 offsets
+    there would return creation-time bytes as the timescale — a wrong
+    parse.  Version != 0 yields NULL timescale/duration (abort-to-NULL
+    discipline), while the mvhd/moov offsets and is_mp4 stay valid."""
     h = F.hex(payload)
     is_mp4 = F.substring(h, 9, 8) == F.lit("66747970")  # 'ftyp' at byte 4
 
@@ -485,8 +490,9 @@ def parse_mp4_mvhd(payload, max_boxes: int = 8, max_children: int = 8) -> tuple:
     inner = walker(moov + 16, "6D766864", max_children)  # 'mvhd'
     mvhd = F.when(inner["found"] >= 0, inner["found"])
     payload_at = mvhd + 16
-    timescale = be_u32(payload_at + 24).cast("int")
-    duration = be_u32(payload_at + 32).cast("long")
+    is_v0 = F.substring(h, payload_at.cast("int"), F.lit(2)) == F.lit("00")
+    timescale = F.when(is_v0, be_u32(payload_at + 24)).cast("int")
+    duration = F.when(is_v0, be_u32(payload_at + 32)).cast("long")
     mvhd_off = ((mvhd - 1) / 2).cast("int")
     moov_off = ((moov - 1) / 2).cast("int")
     return timescale, duration, mvhd_off, moov_off, is_mp4.cast("int")

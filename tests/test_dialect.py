@@ -267,9 +267,15 @@ class TestQualifyDesugar:
             "SELECT a FROM t WHERE qualify > 5 AND b = 2",
             "SELECT a, qualify FROM t ORDER BY qualify",
             "SELECT qualify + 1 AS q1 FROM t WHERE qualify - 3 < 0",
+            # ADVICE r13: negated predicates over the column — NOT
+            # immediately followed by an RHS keyword is column usage
+            "SELECT a FROM t WHERE qualify NOT IN (1, 2)",
+            "SELECT a FROM t WHERE qualify NOT LIKE 'x%'",
+            "SELECT a FROM t WHERE qualify NOT BETWEEN 1 AND 2",
+            "SELECT a FROM t WHERE qualify NOT RLIKE '^x'",
         ):
             assert rewrite_qualify(sql) == sql, sql
-        # real clauses still desugar
+        # real clauses still desugar — including bare QUALIFY NOT <pred>
         for sql in (
             "SELECT a FROM t QUALIFY rank() OVER (ORDER BY z) = 1",
             "SELECT a FROM t QUALIFY NOT (rank() OVER (ORDER BY z) > 2)",
@@ -334,11 +340,25 @@ class TestStarExclude:
             rewrite_star_exclude("SELECT t.* exclude(x) FROM t")
             == "SELECT t.* EXCEPT(x) FROM t"
         )
+        # DISTINCT/ALL between SELECT and the star still rewrite,
+        # and a comma-separated later star does too
+        assert (
+            rewrite_star_exclude("SELECT DISTINCT * EXCLUDE (a) FROM t")
+            == "SELECT DISTINCT * EXCEPT (a) FROM t"
+        )
+        assert (
+            rewrite_star_exclude("SELECT a, * EXCLUDE (b) FROM t")
+            == "SELECT a, * EXCEPT (b) FROM t"
+        )
         # a column/alias literally named exclude is untouched
         for sql in (
             "SELECT exclude FROM t",
             "SELECT a AS exclude FROM t WHERE exclude (1) IS NOT NULL",
             "SELECT 'keep * EXCLUDE (a)' FROM t",
+            # ADVICE r13: '*' as MULTIPLICATION before a function named
+            # exclude is an operator, not a star projection
+            "SELECT price * exclude(x) FROM t",
+            "SELECT a FROM t WHERE b * exclude(c) > 0",
         ):
             assert rewrite_star_exclude(sql) == sql
 

@@ -3294,6 +3294,31 @@ class TestSnapshotDiff:
         }
         assert got == {1: "unchanged", 2: "changed"}  # case-folded digest
 
+    def test_null_text_classifies_by_presence(self, spark):
+        """ADVICE r13: presence is carried by marker columns, not
+        fingerprint NULL-ness — md5(NULL) is NULL, so a NULL-text doc
+        present on both sides must be 'unchanged' (null-safe digest
+        compare), only-old must be 'removed', and a NULL↔non-NULL
+        flip is 'changed'."""
+        from exosql_spark.operators.incremental import snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, None), (3, None), (4, "d")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(1, None), (3, "now set"), (4, None), (5, None)],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+        assert got == {
+            1: "unchanged",
+            2: "removed",
+            3: "changed",
+            4: "changed",
+            5: "added",
+        }
+
     def test_digest_only_shuffle(self, spark):
         """The join input projects (id, 16-byte digest) — document
         bodies must not survive into the join columns."""
@@ -3437,6 +3462,37 @@ class TestMp4BoxWalk:
         assert [r.ok for r in rows] == [0, 1]  # escape IS mp4, just unparsable
 
 
+def test_mp4_version1_mvhd_yields_null_not_wrong_parse(spark):
+    """ADVICE r13: a version-1 mvhd has 64-bit creation/modification
+    times, so the version-0 field offsets land inside the timestamps —
+    reading them would return creation-time bytes as the timescale.
+    The version byte must gate: NULL timescale/duration, while the
+    mvhd/moov offsets and is_mp4 stay valid."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from exosql_spark.operators.multimodal import parse_mp4_mvhd
+
+    box = TestMp4BoxWalk._box
+    mvhd_v1 = (
+        b"\x01\x00\x00\x00"          # version=1 + flags
+        + struct.pack(">Q", 1111)     # creation (64-bit)
+        + struct.pack(">Q", 2222)     # modification (64-bit)
+        + struct.pack(">I", 600)      # timescale (@20 in v1)
+        + struct.pack(">Q", 1800)     # duration (64-bit in v1)
+    )
+    raw = box(b"ftyp", b"isom\x00\x00\x00\x00") + box(b"moov", box(b"mvhd", mvhd_v1))
+    df = spark.createDataFrame([(bytearray(raw),)], "payload binary")
+    ts, dur, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+    r = df.select(
+        ts.alias("ts"), dur.alias("dur"), mvhd_off.alias("mo"),
+        moov_off.alias("vo"), ok.alias("ok"),
+    ).collect()[0]
+    assert (r.ts, r.dur) == (None, None)  # never 1111/2222-derived garbage
+    assert r.ok == 1 and r.vo == 16 and r.mo == 24
+
+
 def test_apply_bpe_differential_vs_python_reference(spark):
     """300 random words × a 4-merge cascade (including a merge
     consuming an earlier merge's output token) must match a plain
@@ -3554,6 +3610,18 @@ def test_pagerank_weighted_out_strength_split(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
     assert got[1] > got[2]
+    # ADVICE r13: a vertex whose EVERY incident edge is dropped by the
+    # weight filter must still participate (as dangling), not vanish
+    # and renormalize mass over the survivors
+    iso = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 0.0), (3, 2, None)],
+        "src long, dst long, w double",
+    )
+    got_iso = {r.id: r.rank for r in pagerank(iso, n_iter=4, weight="w").collect()}
+    assert set(got_iso) == {0, 1, 2, 3}
+    assert abs(sum(got_iso.values()) - 1.0) < 1e-12
+    # 2 and 3 are pure dangling — symmetric, equal rank
+    assert abs(got_iso[2] - got_iso[3]) < 1e-15
     # unweighted call == all-ones weights
     ones = spark.createDataFrame(
         [(s, t, 1.0) for s, t, w in live], "src long, dst long, w double"
