@@ -316,6 +316,30 @@ class TestVerifyWindow:
         # every never-verified entry fronts in the computed window
         assert set(acc["never_verified"]) <= set(catalog.verify_window())
 
+    def test_window_capacity_policy(self):
+        """Round-14 policy (r13 verdict Next #3): the worst-case
+        oldest-first revisit cycle is CAPPED at
+        STALENESS_CYCLE_CEILING rounds.  This test is the enforcement:
+        when registration growth would push ceil(plain_pool /
+        fill_slots) past the ceiling, it goes red and the remedy is
+        consolidating related entries into one callable+oracle — NOT
+        demoting exact oracles to rows-only, and NOT raising the
+        ceiling without a verdict-level decision.  headroom_entries
+        says how many more plain exact-oracle registrations fit."""
+        from exosql_spark import catalog
+
+        acc = catalog.staleness_accounting()
+        assert acc["cycle_ceiling"] == catalog.STALENESS_CYCLE_CEILING == 6
+        assert acc["rounds_to_cycle"] <= acc["cycle_ceiling"], (
+            f"catalog over capacity: {acc['plain_pool']} plain exact oracles "
+            f"cycle in {acc['rounds_to_cycle']} > {acc['cycle_ceiling']} rounds "
+            f"(headroom {acc['headroom_entries']}); consolidate entries"
+        )
+        assert acc["headroom_entries"] == (
+            acc["cycle_ceiling"] * acc["fill_slots"] - acc["plain_pool"]
+        )
+        assert acc["headroom_entries"] >= 0
+
     def test_window_fronts_r10_named_entries(self):
         """The r9 capacity note names the nine entries that MUST front
         the r10 window (three 4-round-stale rows + six rested
