@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from exosql_spark.catalog import register
+from exosql_spark.queries import _util as _u
 
 
 @register(
@@ -271,4 +272,74 @@ def source_node_pinned(spark, sf_dir):
         "SELECT m.key AS key, m.kb AS kb, c.n_cpus AS n_cpus, p.pid AS pid "
         "FROM sys.memory m CROSS JOIN sys.cpu c CROSS JOIN sys.process p "
         "WHERE m.key IN ('MemTotal', 'MemAvailable') ORDER BY m.key"
+    )
+
+
+@register(
+    "sink_write_read_back",
+    oracle=f"""
+SELECT o_orderpriority AS priority,
+       count(*) AS n_orders,
+       {_u.dsum_sql('o_totalprice')} AS total_price,
+       CAST(CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS BIGINT) AS prio_rank
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+""",
+    tags=("sink", "lifecycle"),
+)
+def sink_write_read_back(spark, sf_dir):
+    """S9 PLAIN-sink lifecycle with a driver-checkable oracle (r13
+    verdict Next #4 — the last §2 row without one; reference parity:
+    exosql's result surface is ``lib/exosql.ex :: format_result`` plus
+    CSV-style export, SURVEY.md §2 S9).  The driver can only verify
+    SELECTs, so the entry proves the WRITE paths the way the
+    IVF-stored layout entries do — write → re-register → read back →
+    aggregate, with the oracle recomputing the same answer from the
+    ORIGINAL table: any corruption anywhere in either round-trip
+    changes the value hash.
+
+    Two sinks in one lifecycle: (1) :func:`exosql_spark.sinks.
+    write_table` writes an orders projection as a parquet dataset
+    PARTITIONED BY o_orderpriority — whose values contain spaces
+    (``4-NOT SPECIFIED``), so partition-directory escaping round-trips
+    — with sortWithinPartitions applied; (2) :func:`exosql_spark.
+    sinks.write_csv` exports a 5-row priority→rank mapping (the
+    reference's CSV export shape).  Both re-enter through Context
+    (parquet-db + csv-db with schema inference) and ONE SQL joins
+    them.  Writes land in tempdir once per sf_dir (idempotent
+    overwrite, same documented edge as the ORC/CSV federation
+    entries)."""
+    import os
+    import tempfile
+
+    from exosql_spark import sinks
+    from exosql_spark.context import Context
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    pq_root = os.path.join(tempfile.gettempdir(), f"exoquery_sinkdb_{base}")
+    csv_root = os.path.join(tempfile.gettempdir(), f"exoquery_sinkcsv_{base}")
+    os.makedirs(pq_root, exist_ok=True)
+    os.makedirs(csv_root, exist_ok=True)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    sinks.write_table(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        os.path.join(pq_root, "orders_slim.parquet"),
+        partition_by=["o_orderpriority"],
+        sorted_within=["o_orderkey"],
+    )
+    ranks = (
+        orders.select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+        .withColumn("prio_rank", F.substring("priority", 1, 1).cast("int"))
+    )
+    sinks.write_csv(ranks, os.path.join(csv_root, "prio_rank.csv"))
+    ctx = Context(spark, {"snk": {"parquet": pq_root}, "rcsv": {"csv": csv_root}})
+    return ctx.sql(
+        "SELECT s.o_orderpriority AS priority, count(*) AS n_orders, "
+        f"{_u.dsum_sql('s.o_totalprice')} AS total_price, "
+        "CAST(max(r.prio_rank) AS BIGINT) AS prio_rank "
+        "FROM snk.orders_slim s "
+        "JOIN rcsv.prio_rank r ON s.o_orderpriority = r.priority "
+        "GROUP BY s.o_orderpriority ORDER BY priority"
     )
