@@ -3462,6 +3462,30 @@ class TestMp4BoxWalk:
         assert [r.ok for r in rows] == [0, 1]  # escape IS mp4, just unparsable
 
 
+def test_three_cc_implementations_agree(spark, sf_dir):
+    """Min-label propagation, large-star/small-star, and the
+    WITH RECURSIVE reachability entry must produce IDENTICAL
+    (id, component) sets over the same chain construction — three
+    algorithms, two of them this repo's loops, one the engine's
+    recursion operator, cross-validating each other."""
+    from exosql_spark.catalog import all_queries
+
+    qs = all_queries()
+    rows = {}
+    for name in (
+        "dedup_components_planted",
+        "dedup_components_star_planted",
+        "dedup_components_recursive_cte",
+    ):
+        rows[name] = sorted(
+            (int(r.id), int(r.component))
+            for r in qs[name].fn(spark, sf_dir).collect()
+        )
+    assert rows["dedup_components_planted"] == rows["dedup_components_star_planted"]
+    assert rows["dedup_components_planted"] == rows["dedup_components_recursive_cte"]
+    assert len(rows["dedup_components_planted"]) > 0
+
+
 def test_mp4_version1_mvhd_yields_null_not_wrong_parse(spark):
     """ADVICE r13: a version-1 mvhd has 64-bit creation/modification
     times, so the version-0 field offsets land inside the timestamps —
