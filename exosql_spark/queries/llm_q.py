@@ -4712,6 +4712,108 @@ def text_bpe_encode_planted(spark, sf_dir):
 
 
 @register(
+    "text_tokenizer_efficiency_eval",
+    oracle=f"""
+WITH n AS (SELECT doc_id % 5 AS c, count(*) AS k FROM documents GROUP BY 1),
+l AS (
+  SELECT CASE WHEN c IN (0, 1) THEN 'alpha'
+              WHEN c IN (2, 3) THEN 'beta'
+              ELSE 'gamma' END AS lang,
+         sum(k) AS n_words,
+         sum(k * CASE c WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 3
+                        WHEN 3 THEN 4 ELSE 2 END) AS n_bytes,
+         sum(k * CASE c WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 2
+                        WHEN 3 THEN 3 ELSE 2 END) AS n_tokens,
+         sum(k * CASE c WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 1
+                        WHEN 3 THEN 1 ELSE 0 END) AS n_merged
+  FROM n GROUP BY 1)
+SELECT lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {_u.fround_sql('CAST(n_bytes AS DOUBLE) / n_tokens', 6)} AS bytes_per_token,
+       {_u.fround_sql('CAST(n_merged AS DOUBLE) / n_tokens', 6)} AS merged_token_share
+FROM l ORDER BY lang
+""",
+    tags=("llm", "text", "tokenizer", "eval"),
+)
+def text_tokenizer_efficiency_eval(spark, sf_dir):
+    """Tokenizer-efficiency evaluation — BYTES PER TOKEN and
+    merged-vocab coverage BY LANGUAGE over the distributed BPE
+    train→encode pair: the metric every tokenizer ablation reports
+    (Sennrich et al. 2016 §5 evaluate subword segmentations by
+    units-per-sentence; bytes/token and continuation share are the
+    modern fertility forms), and the go/no-go gate before committing
+    a vocab to a 100 TB tokenization run — a language whose
+    bytes-per-token is near 1 is being character-shattered by the
+    vocab.
+
+    Exact-oracled end to end: training reuses
+    text_bpe_merges_planted's forced-order corpus (merges
+    (a,b),(c,d),(p,q),(e,f) — asserted), evaluation words are planted
+    per doc_id class with closed-form encodings (same plant as
+    text_bpe_encode_planted), and classes group into three planted
+    'languages' — alpha (merge-friendly: 5 bytes → 3 tokens), beta
+    (partial coverage), gamma (pure fallback 'zz': 0 merged tokens,
+    bytes/token = 1) — so every per-language sum and both ratios are
+    integer arithmetic the oracle states from class counts.  The
+    ratios go through the shared fround discipline (_util): pure
+    IEEE-double ops, bit-identical on both engines.  Distributed
+    shape: encode rides the word scan (no shuffle), then ONE
+    3-group aggregate."""
+    from exosql_spark.operators.bpe import apply_bpe, learn_bpe, word_symbols
+
+    t = Tables(spark, sf_dir)
+    c = F.col("doc_id") % 5
+    train = t.documents.select(
+        F.when(c == 0, F.array(F.lit("a"), F.lit("b")))
+        .when(c == 1, F.array(F.lit("c"), F.lit("d")))
+        .when(c == 2, F.array(F.lit("e"), F.lit("f")))
+        .when(c == 3, F.array(F.lit("p"), F.lit("q"), F.lit("p"), F.lit("q"), F.lit("p")))
+        .otherwise(F.array(F.lit("z")))
+        .alias("tokens"),
+        F.when(c == 0, 9).when(c == 1, 5).when(c == 2, 3).when(c == 3, 2)
+        .otherwise(1).cast("long").alias("freq"),
+    )
+    merges, _ = learn_bpe(train, n_merges=4)
+    got = [(l, r) for l, r, _n in merges]
+    assert got == [("a", "b"), ("c", "d"), ("p", "q"), ("e", "f")], got
+    words = t.documents.select(
+        F.when(c <= 1, "alpha").when(c <= 3, "beta").otherwise("gamma").alias("lang"),
+        F.when(c == 0, "abcdz").when(c == 1, "pqpab").when(c == 2, "efq")
+        .when(c == 3, "qpef").otherwise("zz").alias("word"),
+    )
+    enc = words.select(
+        "lang",
+        F.octet_length("word").cast("long").alias("b"),
+        apply_bpe(word_symbols(F.col("word")), merges).alias("toks"),
+    ).select(
+        "lang",
+        "b",
+        F.size("toks").cast("long").alias("t"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 2)).cast("long").alias("m"),
+    )
+    agg = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("b").alias("n_bytes"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("m").alias("n_merged"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_bytes",
+        "n_tokens",
+        _u.fround(
+            F.col("n_bytes").cast("double") / F.col("n_tokens"), 6
+        ).alias("bytes_per_token"),
+        _u.fround(
+            F.col("n_merged").cast("double") / F.col("n_tokens"), 6
+        ).alias("merged_token_share"),
+    ).orderBy("lang")
+
+
+@register(
     "dedup_semantic_pca_space_planted",
     oracle="""
 WITH c AS (SELECT doc_id, doc_id % 91 AS cls FROM documents),
