@@ -15,6 +15,13 @@ from exosql_spark.streaming.events import (
     attribution_join,
     enrich_with_dimension,
 )
+from exosql_spark.streaming.graph_ingest import (
+    EDGES_SCHEMA,
+    edge_ingest_stream,
+    read_edges,
+    read_edges_stream,
+    read_out_strength,
+)
 from exosql_spark.streaming.index_ingest import (
     EMBEDDINGS_SCHEMA,
     ivf_ingest_stream,
@@ -24,6 +31,11 @@ from exosql_spark.streaming.index_ingest import (
 )
 
 __all__ = [
+    "EDGES_SCHEMA",
+    "edge_ingest_stream",
+    "read_edges",
+    "read_edges_stream",
+    "read_out_strength",
     "EMBEDDINGS_SCHEMA",
     "ivf_ingest_stream",
     "read_embeddings_stream",

@@ -545,3 +545,43 @@ class TestEventTypeProfile:
             mode="update",
         )
         assert got.count() > 0
+
+
+class TestGraphIngestStream:
+    def test_out_strength_merge_and_replay_idempotent(self, spark, tmp_path):
+        """The edge store and the out-degree parts layout must both be
+        replay-idempotent (same batch id re-appended → byte-identical
+        state, the crash-between-append-and-offset-commit case), and
+        read_out_strength's merge-on-read sum must equal a batch
+        groupBy over everything ingested."""
+        from exosql_spark import sinks, streaming
+
+        edges = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1)], "src long, dst long"
+        )
+        b0, b1 = edges.filter("dst <= 1"), edges.filter("dst > 1")
+        estore, dstore = str(tmp_path / "e"), str(tmp_path / "d")
+        # batch 1 appended TWICE with the same id — the replay case
+        for bid, b in ((0, b0), (1, b1), (1, b1)):
+            eb = b.select(
+                "src", "dst", F.pmod(F.hash("src"), F.lit(8)).alias("bucket")
+            )
+            sinks.append_batch_keyed(eb, estore, "bucket", bid)
+            deg = b.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).cast("long").alias("deg")
+            )
+            sinks.append_batch_keyed(
+                deg.select(
+                    "id", "deg", F.pmod(F.hash("id"), F.lit(8)).alias("bucket")
+                ),
+                dstore,
+                "bucket",
+                bid,
+            )
+        got_e = sorted(map(tuple, streaming.read_edges(spark, estore).collect()))
+        assert got_e == sorted(map(tuple, edges.collect()))
+        got_d = {
+            r.id: r.deg
+            for r in streaming.read_out_strength(spark, dstore).collect()
+        }
+        assert got_d == {0: 2, 1: 1, 2: 2}
