@@ -77,7 +77,14 @@ _QUERY_MODULES = (
 #   3. RESTED streaming-parity entries (tag "streaming", last green
 #      before the latest round), oldest first -- the parity block
 #      guards the round-4 timestamp-unit bug class, so its members
-#      never rest more than one round;
+#      never rest more than one round.  Since round 14 this guarantee
+#      is HARD: streaming entries due a row (rested OR changed) are
+#      reserved AHEAD of the changed bulk, because the transitive
+#      fingerprint closure (also round 14) lets one shared-module
+#      edit mark more entries changed than the window holds -- the
+#      changed overflow carries to the next round (still-different
+#      fingerprints keep re-fronting it), the streaming block never
+#      waits;
 #   4. every other exact-oracle entry, oldest-green first
 #      (registration order within the same round).
 # The steady-state freshness bound is therefore
@@ -250,7 +257,61 @@ def _entry_source_and_deps(q: Query) -> tuple[str, dict[str, object]]:
                 consider(importlib.import_module(cand))
             except ImportError:
                 pass
+    # TRANSITIVE closure over the module import graph (round 14): the
+    # one-level closure missed code the entry EXECUTES through an
+    # intermediary — the r14 dialect.py edits did not re-front the
+    # dialect entries because they reference context.py, which imports
+    # dialect.  Each dep module's own exosql_spark imports join the
+    # closure to fixpoint (per-module import lists cached — source
+    # can't change within a process).  The fn's own module and catalog
+    # stay excluded for the level-0 reasons, even if re-reachable.
+    queue = list(deps.values())
+    while queue:
+        for m in _module_imports(queue.pop()):
+            name = getattr(m, "__name__", "")
+            if name not in deps:
+                consider(inspect.getmodule(m) or m)
+                if name in deps:
+                    queue.append(m)
     return src, deps
+
+
+_MODULE_IMPORTS_CACHE: dict[str, list] = {}
+
+
+def _module_imports(mod) -> list:
+    """The exosql_spark modules ``mod``'s own source imports (module
+    granularity; ``from pkg import name`` resolves ``pkg.name`` as a
+    submodule when it is one, else the package)."""
+    import ast
+    import importlib
+    import inspect
+
+    key = getattr(mod, "__name__", "")
+    if key in _MODULE_IMPORTS_CACHE:
+        return _MODULE_IMPORTS_CACHE[key]
+    out: dict[str, object] = {}
+    try:
+        tree = ast.parse(inspect.getsource(mod))
+    except (OSError, TypeError, SyntaxError):
+        _MODULE_IMPORTS_CACHE[key] = []
+        return []
+    for node in ast.walk(tree):
+        cands: list[str] = []
+        if isinstance(node, ast.ImportFrom) and (node.module or "").startswith(
+            "exosql_spark"
+        ):
+            cands = [node.module] + [f"{node.module}.{a.name}" for a in node.names]
+        elif isinstance(node, ast.Import):
+            cands = [a.name for a in node.names if a.name.startswith("exosql_spark")]
+        for cand in cands:
+            try:
+                m = importlib.import_module(cand)
+            except ImportError:
+                continue
+            out.setdefault(getattr(m, "__name__", cand), m)
+    _MODULE_IMPORTS_CACHE[key] = list(out.values())
+    return _MODULE_IMPORTS_CACHE[key]
 
 
 def current_fingerprints(registry: dict[str, Query]) -> dict[str, str]:
@@ -283,43 +344,59 @@ def compute_verify_window(
     rotation documented above, computed over the exact-oracle entries
     in ``registry`` (registration order), the last-green rounds in
     ``freshness``, and — when both the freshness file and the caller
-    carry fingerprints — the changed-since-last-green set."""
+    carry fingerprints — the changed-since-last-green set.
+
+    Tier interaction under MASS fingerprint invalidation (round 14:
+    the transitive closure means one shared-module edit — context.py,
+    dialect.py — can mark 70+ entries changed, more than the window
+    holds): the streaming-parity block's ≤1-round-rest guarantee is
+    HARD — its due entries are reserved ahead of the changed bulk —
+    while changed entries take the remaining slots oldest-green first
+    and any overflow carries to the next round automatically (their
+    fingerprints still differ, so they keep fronting until greened).
+    In normal rounds (changed fits) every changed entry is in the
+    window, as before."""
     last = freshness["last_green"]
     latest = freshness["latest_round"]
     recorded_fps = freshness.get("fingerprints", {})
     exact = [n for n, q in registry.items() if q.oracle]
     order = {n: i for i, n in enumerate(exact)}
+    key = lambda n: (last[n], order[n])  # noqa: E731
     new = [n for n in exact if n not in last]
-    changed = sorted(
-        (
-            n
-            for n in exact
-            if n in last
+
+    def is_changed(n: str) -> bool:
+        return (
+            n in last
             and current_fps is not None
             and n in recorded_fps
-            and current_fps.get(n)
+            and bool(current_fps.get(n))
             and current_fps[n] != recorded_fps[n]
-        ),
-        key=lambda n: (last[n], order[n]),
-    )
-    taken = set(new) | set(changed)
-    rested_streaming = sorted(
+        )
+
+    # streaming entries DUE a row this round (rested or changed) are
+    # reserved ahead of the changed bulk — the hard tier
+    streaming_due = sorted(
         (
             n
             for n in exact
             if n in last
-            and n not in taken
             and "streaming" in registry[n].tags
-            and last[n] < latest
+            and (last[n] < latest or is_changed(n))
         ),
-        key=lambda n: (last[n], order[n]),
+        key=key,
     )
-    taken |= set(rested_streaming)
+    taken = set(new) | set(streaming_due)
+    changed = sorted(
+        (n for n in exact if n not in taken and is_changed(n)), key=key
+    )
+    remaining = max(0, size - len(taken))
+    changed_take = changed[:remaining]
+    taken |= set(changed_take)
     oldest_first = sorted(
-        (n for n in exact if n in last and n not in taken),
-        key=lambda n: (last[n], order[n]),
+        (n for n in exact if n in last and n not in taken and n not in set(changed)),
+        key=key,
     )
-    return tuple((new + changed + rested_streaming + oldest_first)[:size])
+    return tuple((new + streaming_due + changed_take + oldest_first)[:size])
 
 
 def verify_window() -> tuple[str, ...]:

@@ -198,7 +198,6 @@ class TestVerifyWindow:
         # tier 1: every exact entry without a driver row is in the window
         new = [n for n in exact if n not in last]
         assert set(new) <= in_window
-        # tier 2: every changed-since-last-green entry is in the window
         fps = catalog.current_fingerprints(qs)
         recorded = fresh.get("fingerprints", {})
         changed = [
@@ -206,21 +205,35 @@ class TestVerifyWindow:
             for n in exact
             if n in last and n in recorded and fps.get(n) and fps[n] != recorded[n]
         ]
-        assert set(changed) <= in_window
-        # tier 3: every rested streaming-parity entry is in the window
-        rested = [
+        # HARD streaming guarantee (r14): every streaming entry due a
+        # row — rested or changed — is in the window, even under mass
+        # fingerprint invalidation
+        streaming_due = [
             n
             for n in exact
             if n in last
-            and n not in set(changed)
             and "streaming" in qs[n].tags
-            and last[n] < latest
+            and (last[n] < latest or n in set(changed))
         ]
-        assert set(rested) <= in_window
+        assert set(streaming_due) <= in_window
+        # tier 3: changed entries fill the remaining slots oldest-green
+        # first; when they all fit, every one is in the window, and any
+        # overflow is exactly the newest-green tail (it re-fronts next
+        # round — fingerprints still differ)
+        changed_plain = sorted(
+            (n for n in changed if n not in set(streaming_due)),
+            key=lambda n: (last[n], list(qs).index(n)),
+        )
+        room = catalog._WINDOW_SIZE - len(new) - len(streaming_due)
+        assert set(changed_plain[: max(0, room)]) <= in_window
+        if len(changed_plain) <= room:
+            assert set(changed_plain) <= in_window
         # tier 4 fill is oldest-green first: nothing excluded is older
         # than anything included from the plain pool
         pool = [
-            n for n in exact if n in last and n not in set(rested) | set(changed)
+            n
+            for n in exact
+            if n in last and n not in set(streaming_due) | set(changed)
         ]
         included = [last[n] for n in pool if n in in_window]
         excluded = [last[n] for n in pool if n not in in_window]
@@ -280,6 +293,22 @@ class TestVerifyWindow:
         # a dedup entry closes over operators/dedup.py the same way
         _, ddeps = catalog._entry_source_and_deps(qs["dedup_jaccard_exact_pairs"])
         assert "exosql_spark.operators.dedup" in ddeps
+
+    def test_fingerprint_closure_is_transitive(self):
+        """Round-14 gap close: the one-level closure missed code an
+        entry executes through an intermediary — the r14 dialect.py
+        edits did not re-front the dialect entries, whose fns
+        reference context.py, which imports dialect.  The closure now
+        follows the module import graph to fixpoint; own-module and
+        catalog exclusions hold even via transitive paths."""
+        from exosql_spark import catalog
+
+        qs = catalog.all_queries()
+        _, deps = catalog._entry_source_and_deps(qs["dialect_star_exclude"])
+        assert "exosql_spark.context" in deps  # level 0
+        assert "exosql_spark.dialect" in deps  # transitive via context
+        assert "exosql_spark.catalog" not in deps
+        assert "exosql_spark.queries.core" not in deps  # own module
 
     def test_fingerprint_sees_parenthesized_multiline_import(self):
         """ADVICE r12: streaming_ivf_ingest_parity imports llm_q
