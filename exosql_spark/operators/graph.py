@@ -177,3 +177,254 @@ def pagerank(
                 break
     e.unpersist()
     return ranks.select("id", "rank")
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Enumerate the triangles of the UNDIRECTED simple graph induced
+    by ``edges`` (direction, self-loops and parallel edges are erased
+    by canonicalization).  Returns one row per triangle, columns
+    ``(x, y, z)`` — each triangle exactly once.
+
+    Distributed shape — degree-ordered orientation (Cohen 2009,
+    "Graph twiddling in a MapReduce world"; Suri & Vassilvitskii
+    WWW'11): orient every edge from its lower endpoint to its higher
+    endpoint under the total order (degree, id).  Every wedge is then
+    built at its LOWEST-degree vertex, which bounds the intermediate
+    wedge count by O(m^{3/2}) regardless of skew — the celebrity
+    vertex of a web/social graph generates no wedges at all because
+    all its edges point INTO it.  Without the orientation, a single
+    degree-10^6 hub alone would emit 5·10^11 wedges; with it, the
+    hub's wedges are charged to its (low-degree) neighbours.  The
+    plan is three hash joins (orient = 2 degree attachments, wedge =
+    self-join on the common low vertex, close = semi-shape join
+    against the oriented edge set) — all key-partitioned, no
+    broadcast needed at any scale, AQE free to pick strategies.
+
+    Triangle (u,v,w) with u<v<w in the (deg,id) order appears exactly
+    once: as wedge (v,w) at u closed by oriented edge v→w."""
+    e, deg = _canonical_edges_deg(edges, src, dst)
+    return _triangles_from(e, deg)
+
+
+def _canonical_edges_deg(
+    edges: DataFrame, src: str, dst: str
+) -> tuple[DataFrame, DataFrame]:
+    """Canonical undirected simple edge set (a < b, self-loops and
+    parallel/reversed duplicates erased; persisted — it feeds both the
+    degree aggregation and the orientation join) plus per-vertex
+    degrees."""
+    e = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("a"),
+            F.greatest("_u", "_v").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return e, deg
+
+
+def _triangles_from(e: DataFrame, deg: DataFrame) -> DataFrame:
+    # attach both endpoint degrees, then orient by (deg, id)
+    with_deg = e.join(
+        deg.select(F.col("id").alias("a"), F.col("deg").alias("_da")), "a"
+    ).join(deg.select(F.col("id").alias("b"), F.col("deg").alias("_db")), "b")
+    a_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge lo→hi, carrying hi's order key (deg, id) so the
+    # wedge self-join can state "v before w" without re-joining degrees
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("hd"),
+    ).persist()  # fed to the wedge self-join (2×) and the closing join
+    o1 = oriented.select("lo", F.col("hi").alias("v"), F.col("hd").alias("dv"))
+    o2 = oriented.select("lo", F.col("hi").alias("w"), F.col("hd").alias("dw"))
+    wedges = o1.join(o2, "lo").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("v"), F.col("hi").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("lo").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
+    )
+    return tri
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row global triangle statistics of the undirected simple
+    graph: ``n_triangles``, ``n_wedges`` (paths of length 2 =
+    Σ_v deg·(deg−1)/2), ``transitivity`` (= 3·triangles/wedges, the
+    global clustering coefficient — a standard structure prior for
+    crawl-graph quality: link farms and boilerplate nav meshes show
+    pathological transitivity), plus ``sum_vertex_tri`` and
+    ``max_vertex_tri`` from the per-vertex attribution (each triangle
+    charged to all three corners, so sum_vertex_tri = 3·n_triangles —
+    the identity pins the explode attribution, not just the count).
+
+    The canonical edge set and degree table are computed ONCE and
+    shared between the wedge denominator and the triangle enumeration
+    (they'd otherwise be two full passes over the input)."""
+    e, deg = _canonical_edges_deg(edges, src, dst)
+    wedges = deg.agg(
+        F.coalesce(
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / F.lit(2)).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_wedges")
+    )
+    tri = _triangles_from(e, deg).persist()
+    per_vertex = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    totals = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    pv = per_vertex.agg(
+        F.coalesce(F.sum("n_tri"), F.lit(0)).alias("sum_vertex_tri"),
+        F.coalesce(F.max("n_tri"), F.lit(0)).alias("max_vertex_tri"),
+    )
+    # three 1-row frames — broadcast crossJoin attachment, no collect
+    return (
+        totals.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(pv))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            # floor-based half-up rounding on the binary double — the
+            # repo-wide engine-portable convention (queries/_util.fround)
+            F.when(
+                F.col("n_wedges") > 0,
+                F.floor(
+                    (3.0 * F.col("n_triangles") / F.col("n_wedges")) * 1.0e8
+                    + 0.5
+                )
+                / 1.0e8,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+            F.col("sum_vertex_tri").cast("long").alias("sum_vertex_tri"),
+            F.col("max_vertex_tri").cast("long").alias("max_vertex_tri"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment") over a DIRECTED edge table.
+    Returns (``id``, ``hub``, ``auth``), each vector L1-normalized
+    (sums to 1) — the mutually-recursive companion to
+    :func:`pagerank`: a page is a good authority if good hubs link TO
+    it, a good hub if it links to good authorities.  Link-graph
+    curation uses the authority side as a quality prior orthogonal to
+    PageRank (navigational hubs score high on hub-ness, content pages
+    on authority).
+
+    Per iteration, two key-partitioned shuffles (the exact shape of
+    pagerank's contribution step, once per direction):
+
+    - auth ← edges ⋈ hubs on src → groupBy dst Σ hub, then L1
+      normalization via a 1-row broadcast crossJoin (in-plan);
+    - hub  ← edges ⋈ auths on dst → groupBy src Σ auth, same
+      normalization.
+
+    Parallel edges count with multiplicity (multigraph convention,
+    same as pagerank).  Each generation is ``localCheckpoint``-ed —
+    the (id, hub, auth) frame is referenced by both joins and both
+    normalizations, so persist alone would grow the logical plan
+    multiplicatively per iteration (the pagerank lesson, see module
+    docstring).  L1 (not the paper's L2) normalization keeps the
+    oracle arithmetic rational so planted-graph recurrences replay
+    exactly in a SQL recursive CTE; the ranking is identical under
+    any p-norm."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.repartition(F.col("_s")).persist()
+    verts = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    n = verts.count()  # the one driver scalar
+    if n == 0:
+        e.unpersist()
+        return verts.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+    scores = verts.select(
+        "id",
+        F.lit(1.0 / n).alias("hub"),
+        F.lit(1.0 / n).alias("auth"),
+    ).localCheckpoint()
+
+    for _ in range(n_iter):
+        # authority half-step: pull hub mass along edges, normalize
+        a_in = (
+            e.join(
+                scores.select(F.col("id").alias("_s"), "hub"), "_s"
+            )
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        auth = scores.select("id", "hub").join(a_in, "id", "left").select(
+            "id", "hub", F.coalesce(F.col("_a"), F.lit(0.0)).alias("_a")
+        )
+        a_norm = auth.agg(F.sum("_a").alias("_na"))
+        auth = (
+            auth.crossJoin(F.broadcast(a_norm))
+            .select(
+                "id",
+                "hub",
+                F.when(F.col("_na") > 0, F.col("_a") / F.col("_na"))
+                .otherwise(F.lit(0.0))
+                .alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        # hub half-step: pull the NEW authority mass back, normalize
+        h_in = (
+            e.join(
+                auth.select(F.col("id").alias("_d"), "auth"), "_d"
+            )
+            .groupBy(F.col("_s").alias("id"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        hub = auth.select("id", "auth").join(h_in, "id", "left").select(
+            "id", "auth", F.coalesce(F.col("_h"), F.lit(0.0)).alias("_h")
+        )
+        h_norm = hub.agg(F.sum("_h").alias("_nh"))
+        scores = (
+            hub.crossJoin(F.broadcast(h_norm))
+            .select(
+                "id",
+                F.when(F.col("_nh") > 0, F.col("_h") / F.col("_nh"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+                "auth",
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return scores.select("id", "hub", "auth")

@@ -351,3 +351,80 @@ def weighted_sample_topk(
         .orderBy(F.col(key_col).desc(), F.col(id_col))
         .limit(n)
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    nd: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its hashed-unigram bag is
+    under the TARGET distribution (the rows where ``is_target``) than
+    under the raw-corpus distribution,
+
+        log w(doc) = Σ_tokens [ log p_t(bucket) − log p_r(bucket) ],
+
+    with feature hashing into ``n_buckets`` buckets and add-1
+    smoothing — the standard cheap proxy for "select web data that
+    looks like my high-quality seed set".  Returns (``id_col``,
+    ``n_tokens``, ``log_weight``); downstream selection is top-k by
+    weight (the paper resamples with Gumbel noise; deterministic
+    top-k keeps the operator oracle-exact — noise belongs to the
+    caller, e.g. via ordering.epoch_shuffle's seeded keys).
+
+    100 TB shape: two token passes (one aggregates the two bucket
+    histograms — ``n_buckets`` rows, map-side combined; one scores),
+    the per-bucket log-ratio table is ≤ ``n_buckets`` rows and rides a
+    broadcast join into the scoring scan; the per-doc sum is one
+    hash aggregation keyed by ``id_col``.  Nothing global ever
+    materializes beyond two 1-row totals attached in-plan.
+
+    Per-token log-ratios pass through DECIMAL(25,6) before summing
+    (the repo's dsum convention) so the per-doc sum is
+    order-independent and engine-exact."""
+    from exosql_spark.operators.packing import portable_hash60
+    from exosql_spark.operators.text import tokens
+    from exosql_spark.queries._util import dsum
+
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_t"),
+        F.explode(tokens(text_col)).alias("_tok"),
+    ).select(
+        id_col,
+        "_t",
+        F.pmod(portable_hash60(F.col("_tok")), F.lit(n_buckets).cast("long")).alias(
+            "_b"
+        ),
+    )
+    hist = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = hist.agg(
+        F.sum("_cr").alias("_tr"), F.sum("_ct").alias("_tt")
+    )
+    bdbl = float(n_buckets)
+    lr = (
+        hist.crossJoin(F.broadcast(totals))  # 1-row totals, in-plan
+        .select(
+            "_b",
+            (
+                F.log((F.col("_ct") + 1.0) / (F.col("_tt") + F.lit(bdbl)))
+                - F.log((F.col("_cr") + 1.0) / (F.col("_tr") + F.lit(bdbl)))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dsum("_lr", nd).alias("log_weight"),
+        )
+    )

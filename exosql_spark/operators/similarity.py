@@ -841,3 +841,100 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
         ).alias("centroid"),
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (the in-batch-negatives upgrade of DPR, Karpukhin et al. 2020;
+    ANCE, Xiong et al. 2021): for every query (anchor) vector, the
+    ``k`` MOST-similar corpus vectors whose ``label_col`` differs
+    from the anchor's — the near-miss examples that make a metric
+    learner actually move, where random negatives are already
+    trivially separated.
+
+    Columns out: (query_id, query_label, vec_id, neg_label,
+    cosine_sim, rank).
+
+    Shape = :func:`cosine_topk` with a label-mismatch predicate
+    pushed BELOW the top-k (the filter must see every candidate — a
+    same-label vector must not occupy a top-k slot): broadcast
+    anchors into the corpus scan, score, filter, then the same
+    lossless two-level top-k (partition-local slice bounded by k,
+    global rank over ≤ k·P survivors).  At 100 TB the corpus is
+    touched once and nothing larger than k·P rows per anchor ever
+    reaches an exchange.  In production the anchor set is a batch
+    (10²–10⁵ rows) — comfortably broadcastable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(label_col).alias("query_label"),
+            F.col(vec_col).alias("q_vec"),
+        )
+    )
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("neg_label"),
+            F.col(vec_col).alias("c_vec"),
+        )
+        .crossJoin(q)
+        .where(F.col("neg_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim"),
+        )
+    )
+    partial = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid", "query_id", "query_label")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("_sim")).alias("ns"),
+                            F.col("vec_id").alias("v"),
+                            F.col("_sim").alias("s"),
+                            F.col("neg_label").alias("nl"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("_top")
+        )
+        .select("query_id", "query_label", F.explode("_top").alias("_t"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("_t.v").alias("vec_id"),
+            F.col("_t.nl").alias("neg_label"),
+            F.col("_t.s").alias("_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("vec_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            "neg_label",
+            F.round("_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )

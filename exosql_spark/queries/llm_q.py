@@ -5370,3 +5370,409 @@ def _similarity_mrr_recall_part(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "graph_triangle_stats",
+    oracle="""
+WITH v AS (SELECT DISTINCT doc_id % 101 AS v FROM documents),
+raw AS (
+  SELECT v AS u, (v + 1) % 101 AS w FROM v
+  UNION ALL SELECT v, (v + 2) % 101 FROM v
+  UNION ALL SELECT v, (v + 50) % 101 FROM v WHERE v % 10 = 0
+),
+e AS (SELECT DISTINCT least(u, w) AS a, greatest(u, w) AS b
+      FROM raw WHERE u <> w),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (SELECT id, count(*) AS d
+        FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+pv AS (SELECT id, count(*) AS n FROM (
+         SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+         UNION ALL SELECT z FROM tri) GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
+wg AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+pva AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_vertex_tri,
+               CAST(coalesce(max(n), 0) AS BIGINT) AS max_vertex_tri FROM pv)
+SELECT n_triangles, n_wedges,
+       floor((3.0 * n_triangles / n_wedges) * CAST(100000000.0 AS DOUBLE) + 0.5)
+         / CAST(100000000.0 AS DOUBLE) AS transitivity,
+       sum_vertex_tri, max_vertex_tri
+FROM agg, wg, pva
+""",
+    tags=("llm", "graph", "scale"),
+)
+def graph_triangle_stats(spark, sf_dir):
+    """Distributed triangle counting + global clustering coefficient
+    (transitivity) via DEGREE-ORDERED edge orientation (Cohen 2009;
+    Suri & Vassilvitskii WWW'11) — the structure prior crawl-graph
+    curation uses to spot link farms and nav-mesh boilerplate (both
+    show pathological transitivity).  The orientation builds every
+    wedge at its lowest-degree corner, bounding intermediate rows by
+    O(m^1.5) REGARDLESS of hub skew — the property that makes the op
+    survive a web graph, where the naive wedge join dies on the first
+    celebrity vertex (see operators/graph.py::triangles).
+
+    Graph: a deterministic circulant-plus-hubs graph over the corpus's
+    101 doc_id residues — ring chords +1/+2 plant exactly one triangle
+    per vertex shift, and +50 chords from every 10th vertex add skewed
+    hub degrees so the orientation actually matters.  The oracle
+    replays the identical construction and counts triangles by the
+    textbook 3-way self-join (a<b<c) — a DIFFERENT algorithm computing
+    the same invariant, so the value hash cross-validates the
+    orientation trick against the brute-force definition.
+    sum_vertex_tri = 3·n_triangles pins the per-corner attribution."""
+    from exosql_spark.operators.graph import triangle_stats
+
+    t = Tables(spark, sf_dir)
+    v = t.documents.select((F.col("doc_id") % 101).alias("v")).distinct()
+    e1 = v.select(F.col("v").alias("src"), ((F.col("v") + 1) % 101).alias("dst"))
+    e2 = v.select(F.col("v").alias("src"), ((F.col("v") + 2) % 101).alias("dst"))
+    e3 = v.filter(F.col("v") % 10 == 0).select(
+        F.col("v").alias("src"), ((F.col("v") + 50) % 101).alias("dst")
+    )
+    return triangle_stats(e1.unionByName(e2).unionByName(e3))
+
+
+@register(
+    "graph_hits_star_planted",
+    oracle="""
+WITH RECURSIVE
+nodes AS (SELECT DISTINCT doc_id % 201 AS id FROM documents),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS nn, CAST(count(*) - 1 AS DOUBLE) AS m
+      FROM nodes),
+it(i, hc, hl, ac, al) AS (
+  -- anchor ac/al MUST be DOUBLE: bare 0.0 is DECIMAL(2,1) in DuckDB
+  -- and would silently round every later al to one decimal place
+  SELECT 0, 1.0 / nn, 1.0 / nn,
+         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM p
+  UNION ALL
+  SELECT i + 1,
+         (m * al2) / ((m * al2) + m * ac2),
+         ac2 / ((m * al2) + m * ac2),
+         ac2, al2
+  FROM (
+    SELECT i, m,
+           (m * hl) / ((m * hl) + m * hc) AS ac2,
+           hc / ((m * hl) + m * hc) AS al2
+    FROM it, p WHERE i < 8
+  )
+)
+SELECT role, n_nodes, hub, auth,
+       CAST(0.0 AS DOUBLE) AS hub_spread, CAST(0.0 AS DOUBLE) AS auth_spread
+FROM (
+  SELECT 'center' AS role, CAST(1 AS BIGINT) AS n_nodes,
+         floor(hc * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE) AS hub,
+         floor(ac * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE) AS auth
+  FROM it WHERE i = 8
+  UNION ALL
+  SELECT 'leaf', CAST(m AS BIGINT),
+         floor(hl * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE),
+         floor(al * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE)
+  FROM it, p WHERE i = 8
+)
+ORDER BY role
+""",
+    tags=("llm", "graph", "scale"),
+)
+def graph_hits_star_planted(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) — the second
+    link-graph centrality, mutually recursive where PageRank is a
+    single fixpoint; curation pipelines read the authority side as a
+    quality prior orthogonal to PageRank (operators/graph.py::hits
+    for the per-iteration two-shuffle shape and the L1-normalization
+    choice that keeps the arithmetic oracle-replayable).
+
+    Same planted bidirectional star as graph_pagerank_star_planted
+    (hub 0 ↔ each of the 200 leaf residues): symmetry collapses the
+    coupled power iteration to a FOUR-variable recurrence (hc, hl,
+    ac, al) that the oracle replays as a DuckDB recursive CTE with
+    the same arithmetic — each half-step normalizes by the same raw
+    sums Spark aggregates, and 8-decimal rounding absorbs the
+    float-sum-order last-ulp.  hub_spread / auth_spread pin leaf
+    symmetry (max−min over 200 leaves must round to exactly 0)."""
+    from exosql_spark.operators.graph import hits
+    from exosql_spark.queries._util import fround
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.select((F.col("doc_id") % 201).alias("id")).distinct()
+    leaves = nodes.filter(F.col("id") != 0)
+    edges = leaves.select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    ).unionByName(
+        leaves.select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+    )
+    scores = hits(edges, n_iter=8)
+    return (
+        scores.select(
+            F.when(F.col("id") == 0, "center").otherwise("leaf").alias("role"),
+            "hub",
+            "auth",
+        )
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            fround(F.min("hub"), 8).alias("hub"),
+            fround(F.min("auth"), 8).alias("auth"),
+            fround(F.max("hub") - F.min("hub"), 8).alias("hub_spread"),
+            fround(F.max("auth") - F.min("auth"), 8).alias("auth_spread"),
+        )
+        .orderBy("role")
+    )
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS t, unnest({_SQL_TOKS}) AS tok
+  FROM documents
+),
+bk AS (SELECT doc_id, t, {_sql_h60("tok")} % 512 AS b FROM toks),
+hist AS (SELECT b, count(*) AS cr,
+                sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct
+         FROM bk GROUP BY 1),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM hist),
+lr AS (SELECT b, ln((ct + 1.0) / (tt + 512.0))
+               - ln((cr + 1.0) / (tr + 512.0)) AS lr
+       FROM hist, tot),
+doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         {_u.fround_sql("CAST(sum(CAST(lr AS DECIMAL(25,6))) AS DOUBLE)", 6)}
+           AS log_weight
+  FROM bk JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, log_weight
+FROM doc ORDER BY log_weight DESC, doc_id LIMIT 20
+""",
+    tags=("llm", "selection", "quality"),
+)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): hashed-unigram
+    importance log-weights log p_target/p_raw per document, target =
+    the English subcorpus — "pick web pages that look like the seed
+    set", the importance-resampling step modern pretraining mixtures
+    run before quality filtering.  Top-20 by weight (deterministic
+    tie-break by doc_id; the paper's Gumbel resampling is left to the
+    caller — determinism keeps the oracle exact).  See
+    operators/selection.py::dsir_importance for the two-pass +
+    broadcast-histogram 100 TB shape; the oracle replays the same
+    hashing (portable md5-60bit % 512), the same add-1 smoothing
+    arithmetic, and the same DECIMAL(25,6) order-independent sum."""
+    from exosql_spark.operators.selection import dsir_importance
+
+    t = Tables(spark, sf_dir)
+    w = dsir_importance(t.documents, F.col("lang") == "en")
+    return w.orderBy(F.col("log_weight").desc(), "doc_id").limit(20)
+
+
+@register(
+    "text_collocation_pmi",
+    oracle=rf"""
+WITH toks AS (SELECT {_SQL_TOKS} AS l FROM documents),
+bg AS (SELECT l[i] AS a, l[i + 1] AS b2
+       FROM toks, unnest(range(1, len(l))) AS u(i) WHERE len(l) >= 2),
+uni AS (SELECT unnest(l) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+bc AS (SELECT a, b2, count(*) AS c FROM bg GROUP BY 1, 2),
+n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n1 FROM uni),
+n2 AS (SELECT CAST(count(*) AS DOUBLE) AS n2 FROM bg)
+SELECT a || ' ' || b2 AS bigram, CAST(bc.c AS BIGINT) AS n,
+       {_u.fround_sql("ln((bc.c / n2) / ((ua.c / n1) * (ub.c / n1)))", 6)} AS pmi
+FROM bc JOIN uc ua ON ua.w = bc.a JOIN uc ub ON ub.w = bc.b2, n1, n2
+WHERE bc.c >= 5
+ORDER BY pmi DESC, bigram LIMIT 15
+""",
+    tags=("llm", "text"),
+)
+def text_collocation_pmi(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information (Church
+    & Hanks 1990): PMI(a,b) = ln P(ab)/(P(a)P(b)) over adjacent token
+    pairs, min count 5, top-15 — the statistic that separates true
+    multiword units from merely-frequent bigrams (raw counts rank
+    'the of'-style pairs; PMI ranks pairs that co-occur FAR above
+    chance), used for boilerplate-phrase mining and tokenizer-merge
+    diagnostics.  Shape: the bigram construction rides the token scan
+    (zip_with over two array slices — no join, no UDF, same as
+    text_bigram_topk); unigram and bigram counts are two map-side-
+    combined hash aggregations; the PMI join keys on token (vocab-
+    sized, AQE picks the strategy); corpus totals attach as broadcast
+    1-row frames; TakeOrderedAndProject caps the result."""
+    t = Tables(spark, sf_dir)
+    from exosql_spark.operators.text import tokens
+    from exosql_spark.queries._util import fround
+
+    l = tokens("text")
+    n_pairs = F.greatest(F.size(l) - 1, F.lit(0))
+    pairs = t.documents.select(
+        F.explode(
+            F.zip_with(
+                F.slice(l, 1, n_pairs),
+                F.slice(l, 2, n_pairs),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b2")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b2")
+    unis = t.documents.select(F.explode(l).alias("w"))
+    uc = unis.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bc = pairs.groupBy("a", "b2").agg(F.count(F.lit(1)).alias("c"))
+    n1 = unis.agg(F.count(F.lit(1)).cast("double").alias("n1"))
+    n2 = pairs.agg(F.count(F.lit(1)).cast("double").alias("n2"))
+    return (
+        bc.filter(F.col("c") >= 5)
+        .join(uc.select(F.col("w").alias("a"), F.col("c").alias("ca")), "a")
+        .join(uc.select(F.col("w").alias("b2"), F.col("c").alias("cb")), "b2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.concat_ws(" ", "a", "b2").alias("bigram"),
+            F.col("c").alias("n"),
+            fround(
+                F.log(
+                    (F.col("c") / F.col("n2"))
+                    / ((F.col("ca") / F.col("n1")) * (F.col("cb") / F.col("n1")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(15)
+    )
+
+
+@register(
+    "eval_quality_calibration_ece",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id,
+         ({_sql_h60("CAST(doc_id AS VARCHAR)")} % 1000 + 0.5) / 1000.0 AS conf,
+         CASE WHEN ({_sql_h60("CAST(doc_id AS VARCHAR) || '#y'")} % 1000 + 0.5)
+                   / 1000.0 < ({_sql_h60("CAST(doc_id AS VARCHAR)")} % 1000 + 0.5)
+                   / 1000.0
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+b AS (
+  SELECT CAST(floor(conf * 10.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         {_u.fround_sql("CAST(sum(CAST(conf AS DECIMAL(25,6))) AS DOUBLE) / count(*)", 6)} AS avg_conf,
+         {_u.fround_sql("CAST(sum(CAST(label AS DECIMAL(25,6))) AS DOUBLE) / count(*)", 6)} AS accuracy
+  FROM d GROUP BY 1
+),
+tot AS (
+  SELECT {_u.fround_sql(
+      "CAST(sum(CAST((n * abs(accuracy - avg_conf)) AS DECIMAL(25,6))) AS DOUBLE)"
+      " / sum(n)", 6)} AS ece
+  FROM b
+)
+SELECT bin, n, avg_conf, accuracy, ece FROM b, tot ORDER BY bin
+""",
+    tags=("llm", "eval", "quality"),
+)
+def eval_quality_calibration_ece(spark, sf_dir):
+    """Expected Calibration Error of a quality classifier
+    (Naeini et al. 2015; Guo et al. 2017) — the standard check before
+    a model-scored quality column is trusted as a sampling weight:
+    bucket predictions into 10 equal-width confidence bins, compare
+    each bin's mean confidence against its empirical accuracy, and
+    weight the gaps by bin mass.  Scores and labels are PLANTED from
+    the portable hash (confidence = a uniform grid point; label drawn
+    by a second independent hash channel at exactly that rate), so
+    per-bin accuracy is deterministic and the oracle replays the
+    identical arithmetic — a real pipeline feeds its classifier
+    scores through the same two aggregations.  Shape: one scan →
+    10-row hash aggregate; the scalar ECE re-attaches by broadcast
+    crossJoin (in-plan, no collect); all means go through the
+    DECIMAL(25,6) order-independent sum convention."""
+    from exosql_spark.operators.packing import portable_hash60
+    from exosql_spark.queries._util import dsum, fround
+
+    t = Tables(spark, sf_dir)
+    h1 = (portable_hash60(F.col("doc_id")) % 1000 + 0.5) / 1000.0
+    h2 = (
+        portable_hash60(F.concat(F.col("doc_id").cast("string"), F.lit("#y")))
+        % 1000
+        + 0.5
+    ) / 1000.0
+    d = t.documents.select(
+        h1.alias("conf"),
+        F.when(h2 < h1, 1).otherwise(0).alias("label"),
+    )
+    b = d.groupBy(
+        F.floor(F.col("conf") * 10.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        fround(
+            F.sum(F.col("conf").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_conf"),
+        fround(
+            F.sum(F.col("label").cast("decimal(25,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
+    )
+    tot = b.agg(
+        fround(
+            F.sum(
+                (F.col("n") * F.abs(F.col("accuracy") - F.col("avg_conf")))
+                .cast("decimal(25,6)")
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select("bin", "n", "avg_conf", "accuracy", "ece")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle="""
+WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                  embedding AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label AS neg_label,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+  WHERE e.label <> q.query_label
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, query_label, vec_id, neg_label,
+       round(sim, 4) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+""",
+    tags=("llm", "similarity", "training"),
+)
+def contrastive_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR/ANCE-style) over the natural corpus:
+    for 5 anchor vectors, the 3 most-cosine-similar vectors carrying a
+    DIFFERENT label — the training-pair construction step of every
+    contrastive embedding pipeline.  Exact-oracled because the mining
+    is brute-force top-k (the ANN variants cover the approximate
+    path); the label-mismatch predicate is below the top-k, so a
+    same-label near-duplicate can never occupy a negative slot.  See
+    operators/similarity.py::mine_hard_negatives for the broadcast +
+    two-level-top-k 100 TB shape."""
+    t = Tables(spark, sf_dir)
+    queries = t.embeddings.filter(F.col("vec_id") < 5)
+    return similarity.mine_hard_negatives(
+        t.embeddings, queries, k=3, query_id_col="vec_id"
+    ).orderBy("query_id", "rank")

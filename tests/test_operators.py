@@ -3656,3 +3656,181 @@ def test_pagerank_weighted_out_strength_split(spark):
         for r in pagerank(ones.select("src", "dst"), n_iter=3).collect()
     }
     assert a == b
+
+
+def test_triangles_matches_bruteforce(spark):
+    """Degree-ordered orientation finds exactly the brute-force
+    triangle set (each once), on a skewed graph where the hub vertex
+    would dominate a naive wedge join; self-loops, duplicate and
+    reversed edges are erased by canonicalization."""
+    import itertools
+    from collections import defaultdict
+
+    from exosql_spark.operators.graph import triangles
+
+    # ring(8) + +2 chords + hub 0 connected to everyone + noise
+    edges = (
+        [(i, (i + 1) % 8) for i in range(8)]
+        + [(i, (i + 2) % 8) for i in range(8)]
+        + [(0, i) for i in range(2, 8)]
+        + [(3, 3), (1, 0), (0, 1)]  # self-loop + reversed dup + dup
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        tuple(sorted((r.x, r.y, r.z))) for r in triangles(df).collect()
+    )
+    assert len(got) == len(set(got)), "triangle emitted twice"
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    want = sorted(
+        (a, b, c)
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    assert got == want
+
+
+def test_triangle_stats_identities(spark):
+    """K4: 4 triangles, 12 wedges, transitivity exactly 1;
+    sum_vertex_tri = 3*n_triangles; triangle-free star: zero
+    triangles but nonzero wedges -> transitivity 0."""
+    import itertools
+
+    from exosql_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)],
+        "src long, dst long",
+    )
+    r = triangle_stats(k4).collect()[0]
+    assert (r.n_triangles, r.n_wedges, r.transitivity) == (4, 12, 1.0)
+    assert r.sum_vertex_tri == 3 * r.n_triangles and r.max_vertex_tri == 3
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    s = triangle_stats(star).collect()[0]
+    assert (s.n_triangles, s.n_wedges, s.transitivity) == (0, 10, 0.0)
+    assert (s.sum_vertex_tri, s.max_vertex_tri) == (0, 0)
+
+
+def test_hits_matches_power_iteration(spark):
+    """hits() equals an L1-normalized NumPy-free power-iteration
+    replay on an asymmetric directed graph, to 1e-12; scores are
+    L1-normalized (each sums to 1)."""
+    from collections import defaultdict
+
+    from exosql_spark.operators.graph import hits
+
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (1, 3)]
+    g = spark.createDataFrame(E, "src long, dst long")
+    got = {r.id: (r.hub, r.auth) for r in hits(g, n_iter=6).collect()}
+
+    n = 4
+    h = {v: 1.0 / n for v in range(n)}
+    a = {v: 1.0 / n for v in range(n)}
+    for _ in range(6):
+        a_raw = defaultdict(float)
+        for u, v in E:
+            a_raw[v] += h[u]
+        s = sum(a_raw.values())
+        a = {v: (a_raw[v] / s if s > 0 else 0.0) for v in range(n)}
+        h_raw = defaultdict(float)
+        for u, v in E:
+            h_raw[u] += a[v]
+        s = sum(h_raw.values())
+        h = {v: (h_raw[v] / s if s > 0 else 0.0) for v in range(n)}
+    for v in range(n):
+        assert abs(got[v][0] - h[v]) < 1e-12, (v, got[v], h[v])
+        assert abs(got[v][1] - a[v]) < 1e-12, (v, got[v], a[v])
+    assert abs(sum(x for x, _ in got.values()) - 1.0) < 1e-12
+    assert abs(sum(y for _, y in got.values()) - 1.0) < 1e-12
+
+
+def test_dsir_importance_python_replay(spark):
+    """dsir_importance equals an exact Python replay (same md5-60bit
+    bucketing, add-1 smoothing, decimal-6 per-token rounding), and a
+    doc made of target-only vocabulary outweighs a raw-only one."""
+    import hashlib
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from exosql_spark.operators.selection import dsir_importance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "alpha beta alpha", True),
+        (1, "alpha gamma", True),
+        (2, "delta delta epsilon", False),
+        (3, "alpha delta", False),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: (r.n_tokens, r.log_weight)
+        for r in dsir_importance(docs, F.col("is_t"), n_buckets=64).collect()
+    }
+
+    B = 64
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    import math
+    from collections import Counter
+    cr, ct = Counter(), Counter()
+    for _, text, is_t in rows:
+        for tok in text.split():
+            b = bucket(tok)
+            cr[b] += 1
+            if is_t:
+                ct[b] += 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    lr = {
+        b: math.log((ct[b] + 1.0) / (tt + float(B)))
+        - math.log((cr[b] + 1.0) / (tr + float(B)))
+        for b in cr
+    }
+    for doc_id, text, _ in rows:
+        toks = text.split()
+        s = sum(
+            Decimal(repr(lr[bucket(t)])).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            for t in toks
+        )
+        want = math.floor(float(s) * 1e6 + 0.5) / 1e6
+        n, w = got[doc_id]
+        assert n == len(toks)
+        assert abs(w - want) < 1e-9, (doc_id, w, want)
+    # target-vocabulary doc beats raw-vocabulary doc
+    assert got[0][1] > got[2][1]
+
+
+def test_mine_hard_negatives_excludes_same_label(spark):
+    """Same-label vectors never occupy a negative slot even when they
+    are the nearest neighbors; ranks follow cosine desc with id
+    tie-break; k bounds the result."""
+    from exosql_spark.operators.similarity import mine_hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),   # anchor
+        (1, [1.0, 0.01], 0),  # same-label near-dup: must be excluded
+        (2, [1.0, 0.2], 1),   # best negative
+        (3, [0.9, 0.5], 1),   # second negative
+        (4, [0.0, 1.0], 2),   # orthogonal negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    q = df.filter("vec_id = 0")
+    got = (
+        mine_hard_negatives(df, q, k=2, query_id_col="vec_id")
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [2, 3]
+    assert all(r.neg_label != r.query_label for r in got)
+    assert [r.rank for r in got] == [1, 2]
+    assert got[0].cosine_sim > got[1].cosine_sim

@@ -295,3 +295,95 @@ class TestRound12Properties:
             ((xdec != F.col("x")) | (ydec != F.col("y"))).alias("bad")
         ).filter("bad").count()
         assert bad == 0
+
+
+class TestRound14Properties:
+    def test_triangles_match_bruteforce_on_random_graphs(self, spark):
+        """Erdős–Rényi-ish random graphs (several densities, with
+        self-loops and duplicate/reversed edges injected): the
+        degree-ordered-orientation triangle set must equal the O(n^3)
+        brute-force set on every graph."""
+        import itertools
+        import random
+        from collections import defaultdict
+
+        from exosql_spark.operators.graph import triangles
+
+        rng = random.Random(1914)
+        for trial, (n, p) in enumerate(
+            [(8, 0.3), (10, 0.5), (12, 0.25), (7, 0.9)]
+        ):
+            edges = []
+            for u, v in itertools.combinations(range(n), 2):
+                if rng.random() < p:
+                    edges.append((u, v))
+                    if rng.random() < 0.3:
+                        edges.append((v, u))  # reversed duplicate
+            edges += [(i, i) for i in range(0, n, 3)]  # self-loops
+            if not edges:
+                continue
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = sorted(
+                tuple(sorted((r.x, r.y, r.z)))
+                for r in triangles(df).collect()
+            )
+            assert len(got) == len(set(got)), f"trial {trial}: dup triangle"
+            adj = defaultdict(set)
+            for u, v in edges:
+                if u != v:
+                    adj[u].add(v)
+                    adj[v].add(u)
+            want = sorted(
+                (a, b, c)
+                for a, b, c in itertools.combinations(sorted(adj), 3)
+                if b in adj[a] and c in adj[a] and c in adj[b]
+            )
+            assert got == want, f"trial {trial}"
+
+    def test_hits_matches_replay_on_random_digraph(self, spark):
+        """Random directed graph: hits() equals the pure-Python
+        L1-normalized power iteration to 1e-12 at several iteration
+        counts (including 0 = uniform init)."""
+        import random
+        from collections import defaultdict
+
+        from exosql_spark.operators.graph import hits
+
+        rng = random.Random(77)
+        n = 9
+        E = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(30)
+            }
+        )
+        E = [(u, v) for u, v in E if u != v]
+        g = spark.createDataFrame(E, "src long, dst long")
+        verts = sorted({u for u, _ in E} | {v for _, v in E})
+
+        def replay(iters):
+            h = {v: 1.0 / len(verts) for v in verts}
+            a = dict(h)
+            for _ in range(iters):
+                a_raw = defaultdict(float)
+                for u, v in E:
+                    a_raw[v] += h[u]
+                s = sum(a_raw.values())
+                a = {v: (a_raw[v] / s if s else 0.0) for v in verts}
+                h_raw = defaultdict(float)
+                for u, v in E:
+                    h_raw[u] += a[v]
+                s = sum(h_raw.values())
+                h = {v: (h_raw[v] / s if s else 0.0) for v in verts}
+            return h, a
+
+        for iters in (0, 1, 5):
+            got = {
+                r.id: (r.hub, r.auth)
+                for r in hits(g, n_iter=iters).collect()
+            }
+            h, a = replay(iters)
+            assert set(got) == set(verts)
+            for v in verts:
+                assert abs(got[v][0] - h[v]) < 1e-12, (iters, v)
+                assert abs(got[v][1] - a[v]) < 1e-12, (iters, v)
