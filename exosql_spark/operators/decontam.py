@@ -58,6 +58,35 @@ def decontaminate_hits(
     )
 
 
+def hits_against_gram_set(
+    docs: DataFrame,
+    gram_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate_hits` against an EXTERNALLY MAINTAINED
+    distinct n-gram set (first column = the gram strings) instead of
+    benchmark documents — the probe side of an incrementally built
+    contamination index (e.g. the stream-ingested parts store in
+    ``streaming/decontam_ingest.py``, where new evaluation suites
+    register over time and the gram set is the set-union-mergeable
+    state).  Same join shape and same superset-free exactness as the
+    document-input form."""
+    grams = docs.select(
+        F.col(id_col), F.explode(ngrams(text_col, n)).alias("_g")
+    )
+    bench = gram_set.select(F.col(gram_set.columns[0]).alias("_g")).distinct()
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        grams.join(bench, "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -291,21 +291,39 @@ def agg_approx_percentile(spark, sf_dir):
 
 
 @register(
-    "agg_min_max_by",
+    "agg_extremes_bitwise",
     oracle="""
-SELECT l_returnflag,
-       arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
-       arg_max(l_orderkey, l_extendedprice) AS priciest_order
-FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) t
-GROUP BY l_returnflag
+SELECT m.l_returnflag,
+       m.cheapest_order, m.priciest_order,
+       b.lines_and, b.lines_or, b.lines_xor
+FROM (
+  SELECT l_returnflag,
+         arg_min(l_orderkey, l_extendedprice) AS cheapest_order,
+         arg_max(l_orderkey, l_extendedprice) AS priciest_order
+  FROM (SELECT * FROM lineitem WHERE l_linenumber = 1) t
+  GROUP BY l_returnflag
+) m
+JOIN (
+  SELECT l_returnflag,
+         bit_and(l_linenumber) AS lines_and,
+         bit_or(l_linenumber)  AS lines_or,
+         bit_xor(l_linenumber) AS lines_xor
+  FROM lineitem
+  GROUP BY l_returnflag
+) b USING (l_returnflag)
 """,
     tags=("agg", "extension"),
 )
-def agg_min_max_by(spark, sf_dir):
-    """min_by/max_by (DuckDB arg_min/arg_max). Restricted to
-    l_linenumber=1 so the extremum is unique → deterministic."""
+def agg_extremes_bitwise(spark, sf_dir):
+    """min_by/max_by (DuckDB arg_min/arg_max) + bitwise aggregates
+    (bit_and/or/xor — set-membership compaction tricks) as ONE driver
+    row, joined on the shared l_returnflag grouping key (window-
+    capacity consolidation of the former agg_min_max_by + agg_bitwise
+    entries; every original column preserved).  The extremes side is
+    restricted to l_linenumber=1 so the extremum is unique →
+    deterministic."""
     t = Tables(spark, sf_dir)
-    return (
+    extremes = (
         t.lineitem.filter(F.col("l_linenumber") == 1)
         .groupBy("l_returnflag")
         .agg(
@@ -313,6 +331,12 @@ def agg_min_max_by(spark, sf_dir):
             F.max_by("l_orderkey", "l_extendedprice").alias("priciest_order"),
         )
     )
+    bitwise = t.lineitem.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor("l_linenumber").alias("lines_xor"),
+    )
+    return extremes.join(bitwise, "l_returnflag")
 
 
 @register(
@@ -373,33 +397,8 @@ def pivot_status_priority(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
-@register(
-    "window_frame_values",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       first_value(o_orderkey) OVER w AS first_order,
-       last_value(o_orderkey)  OVER w AS latest_order,
-       nth_value(o_orderkey, 2) OVER w AS second_order
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-""",
-    tags=("window", "extension"),
-)
-def window_frame_values(spark, sf_dir):
-    t = Tables(spark, sf_dir)
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    return t.orders.select(
-        "o_custkey",
-        "o_orderkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w).alias("latest_order"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
-    )
+# first/last/nth_value moved into windows.py::window_analytic_suite
+# (round-14 window-capacity consolidation).
 
 
 @register(
@@ -536,21 +535,68 @@ def fn_maps(spark, sf_dir):
 @register(
     "setops_all_variants",
     oracle="""
-SELECT nationkey, count(*) AS n FROM (
+SELECT 'except' AS variant, nationkey, CAST(1 AS BIGINT) AS n FROM (
+  SELECT n_nationkey AS nationkey FROM nation
+  EXCEPT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect', nationkey, CAST(1 AS BIGINT) FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT 'intersect_all', nationkey, count(*) FROM (
   SELECT c_nationkey AS nationkey FROM customer
   INTERSECT ALL
   SELECT s_nationkey AS nationkey FROM supplier
 ) GROUP BY nationkey
+UNION ALL
+SELECT 'union', nationkey, CAST(1 AS BIGINT) FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey AS nationkey FROM supplier
+)
+ORDER BY variant, nationkey
 """,
     tags=("setop", "extension"),
 )
 def setops_all_variants(spark, sf_dir):
-    """INTERSECT ALL (multiplicity-preserving, U4 extension)."""
+    """All four dedup/multiplicity set-operation semantics as ONE
+    driver row (U1 UNION-distinct + U4 INTERSECT / INTERSECT ALL /
+    EXCEPT — window-capacity consolidation of the former
+    union_distinct / intersect_extension / except_extension entries):
+    each variant's rows are tagged and separately value-hashed, n
+    carries INTERSECT ALL's multiplicity (1 for the distinct
+    variants).  UNION ALL (the reference's plain-UNION semantics,
+    SURVEY §2.7 U1 note) keeps its own entry in setops.py."""
     t = Tables(spark, sf_dir)
     c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
     s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersectAll(s).groupBy("nationkey").agg(
-        F.count(F.lit(1)).alias("n")
+    nn = t.nation.select(F.col("n_nationkey").alias("nationkey"))
+    one = F.lit(1).cast("long")
+
+    def tag(df, v, n):
+        return df.select(
+            F.lit(v).alias("variant"), "nationkey", n.alias("n")
+        )
+
+    exc = tag(nn.exceptAll(s).distinct(), "except", one)
+    itc = tag(c.intersect(s), "intersect", one)
+    ita = c.intersectAll(s).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ita = ita.select(
+        F.lit("intersect_all").alias("variant"), "nationkey",
+        F.col("_n").alias("n"),
+    )
+    uni = tag(c.union(s).distinct(), "union", one)
+    return (
+        exc.unionByName(itc)
+        .unionByName(ita)
+        .unionByName(uni)
+        .orderBy("variant", "nationkey")
     )
 
 
@@ -604,26 +650,8 @@ def fn_fuzzy_strings(spark, sf_dir):
     )
 
 
-@register(
-    "agg_bitwise",
-    oracle="""
-SELECT l_returnflag,
-       bit_and(l_linenumber) AS lines_and,
-       bit_or(l_linenumber)  AS lines_or,
-       bit_xor(l_linenumber) AS lines_xor
-FROM lineitem
-GROUP BY l_returnflag
-""",
-    tags=("agg", "extension"),
-)
-def agg_bitwise(spark, sf_dir):
-    """Bitwise aggregates (set-membership compaction tricks)."""
-    t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.bit_and("l_linenumber").alias("lines_and"),
-        F.bit_or("l_linenumber").alias("lines_or"),
-        F.bit_xor("l_linenumber").alias("lines_xor"),
-    )
+# bitwise aggregates merged into agg_extremes_bitwise above
+# (round-14 window-capacity consolidation).
 
 
 @register(

@@ -253,22 +253,12 @@ def join_fuzzy_names(spark, sf_dir):
     )
 
 
-@register(
-    "join_fuzzy_vocab_k2",
-    oracle="""
-WITH v AS (
-  SELECT p_name, min(p_partkey) AS id
-  FROM part GROUP BY p_name
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-FROM v a JOIN v b ON a.id < b.id
-WHERE levenshtein(a.p_name, b.p_name) <= 2
-ORDER BY id_a, id_b
-""",
-    tags=("join", "fuzzy", "extension", "scale"),
-)
-def join_fuzzy_vocab_k2(spark, sf_dir):
+# join_fuzzy_vocab_k2 and join_fuzzy_qgram_k3 are registered as the
+# single join_fuzzy_radius_suite entry below (round-14 window-capacity
+# consolidation); the per-radius callables and their rationale remain.
+
+
+def _join_fuzzy_vocab_k2(spark, sf_dir):
     """Edit-distance ≤ 2 fuzzy self-join — drives the 2-deletion
     neighborhood RECURSION (operators/fuzzy.py deletion_neighborhood's
     frontier loop), which join_fuzzy_names (k=1) never enters; it was
@@ -295,22 +285,7 @@ def join_fuzzy_vocab_k2(spark, sf_dir):
     )
 
 
-@register(
-    "join_fuzzy_qgram_k3",
-    oracle="""
-WITH v AS (
-  SELECT p_name || ' ' || p_brand AS s, min(p_partkey) AS id
-  FROM part GROUP BY 1
-)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist
-FROM v a JOIN v b ON a.id < b.id
-WHERE levenshtein(a.s, b.s) <= 3
-ORDER BY id_a, id_b
-""",
-    tags=("join", "fuzzy", "extension", "scale"),
-)
-def join_fuzzy_qgram_k3(spark, sf_dir):
+def _join_fuzzy_qgram_k3(spark, sf_dir):
     """Edit-distance ≤ 3 fuzzy self-join via the Q-GRAM COUNT FILTER
     (operators/fuzzy.py fuzzy_self_pairs_qgram, Gravano et al.
     VLDB'01) — the radius the deletion-neighborhood join deliberately
@@ -337,6 +312,49 @@ def join_fuzzy_qgram_k3(spark, sf_dir):
     return fuzzy_self_pairs_qgram(vocab, "s", "id", max_dist=3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "join_fuzzy_radius_suite",
+    oracle="""
+WITH v2 AS (
+  SELECT p_name, min(p_partkey) AS id
+  FROM part GROUP BY p_name
+),
+v3 AS (
+  SELECT p_name || ' ' || p_brand AS s, min(p_partkey) AS id
+  FROM part GROUP BY 1
+)
+SELECT 'deletion_k2' AS variant, a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM v2 a JOIN v2 b ON a.id < b.id
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+UNION ALL
+SELECT 'qgram_k3', a.id, b.id,
+       CAST(levenshtein(a.s, b.s) AS INT)
+FROM v3 a JOIN v3 b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 3
+ORDER BY variant, id_a, id_b
+""",
+    tags=("join", "fuzzy", "extension", "scale"),
+)
+def join_fuzzy_radius_suite(spark, sf_dir):
+    """Both beyond-k=1 fuzzy self-join algorithms as ONE driver row
+    (window-capacity consolidation of join_fuzzy_vocab_k2 +
+    join_fuzzy_qgram_k3, every pair preserved and variant-tagged):
+    the 2-deletion-neighborhood recursion at radius 2 over the
+    part-name vocabulary, and the q-gram count-filter join at radius
+    3 over the longer name+brand vocabulary — each checked
+    pair-for-pair against the naive DuckDB levenshtein cross product.
+    The per-variant scale rationale lives on the private callables
+    above; join_fuzzy_names (k=1, bench-tracked) is unchanged."""
+    a = _join_fuzzy_vocab_k2(spark, sf_dir).select(
+        F.lit("deletion_k2").alias("variant"), "id_a", "id_b", "edit_dist"
+    )
+    b = _join_fuzzy_qgram_k3(spark, sf_dir).select(
+        F.lit("qgram_k3").alias("variant"), "id_a", "id_b", "edit_dist"
+    )
+    return a.unionByName(b).orderBy("variant", "id_a", "id_b")
 
 
 @register(

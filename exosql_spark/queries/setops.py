@@ -36,22 +36,11 @@ def union_all(spark, sf_dir):
     return c.unionAll(s)
 
 
-@register(
-    "union_distinct",
-    oracle="""
-SELECT c_nationkey AS nationkey FROM customer
-UNION
-SELECT s_nationkey AS nationkey FROM supplier
-""",
-    tags=("setop",),
-)
-def union_distinct(spark, sf_dir):
-    """ANSI UNION (dedup). The reference's plain UNION behaves as UNION
-    ALL (SURVEY §2.7 U1 verify-note); we implement both, ANSI named."""
-    t = Tables(spark, sf_dir)
-    c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
-    s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
+# ANSI UNION (dedup), INTERSECT and EXCEPT moved into the single
+# consolidated setops_all_variants entry (extensions_q.py) under the
+# round-14 window-capacity policy — the reference's plain UNION
+# behaves as UNION ALL (SURVEY §2.7 U1 verify-note), which union_all
+# above still covers standalone.
 
 
 @register(
@@ -87,35 +76,3 @@ def distinct_on(spark, sf_dir):
     )
 
 
-@register(
-    "intersect_extension",
-    oracle="""
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT
-SELECT s_nationkey AS nationkey FROM supplier
-""",
-    tags=("setop", "extension"),
-)
-def intersect_extension(spark, sf_dir):
-    """INTERSECT (U4 — absent in reference, free in Spark)."""
-    t = Tables(spark, sf_dir)
-    return t.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
-        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    )
-
-
-@register(
-    "except_extension",
-    oracle="""
-SELECT n_nationkey AS nationkey FROM nation
-EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
-""",
-    tags=("setop", "extension"),
-)
-def except_extension(spark, sf_dir):
-    """EXCEPT (U4 extension): nations with no suppliers."""
-    t = Tables(spark, sf_dir)
-    return t.nation.select(F.col("n_nationkey").alias("nationkey")).exceptAll(
-        t.supplier.select(F.col("s_nationkey").alias("nationkey"))
-    ).distinct()

@@ -812,3 +812,80 @@ def streaming_pagerank_parity(spark, sf_dir):
         )
         .orderBy("role")
     )
+
+
+@register(
+    "streaming_decontam_parity",
+    oracle=r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^\w\s]', '', 'g'),
+                                          '\s+', ' ', 'g')), ' ') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 4
+                     THEN list_distinct(list_transform(range(1, len(toks) - 2),
+                                                       i -> array_to_string(toks[i:i+3], ' ')))
+                     ELSE [array_to_string(toks, ' ')] END) AS g
+  FROM norm
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id <= 20)
+SELECT doc_id, count(*) AS n_hits
+FROM grams JOIN bench USING (g)
+GROUP BY doc_id
+""",
+    tags=("streaming", "decontam", "scale"),
+)
+def streaming_decontam_parity(spark, sf_dir):
+    """Continuously maintained contamination index, exact-oracled —
+    the decontamination tier's batch↔streaming story (the same
+    completion CMS/IVF/PageRank already have): the benchmark suite
+    (docs ≤ 20, identical to text_decontaminate) arrives as a file
+    stream in four real micro-batches; each batch appends its
+    batch-distinct n-grams idempotently into a bucket-partitioned
+    parts store (streaming/decontam_ingest.py — batch-id-keyed files;
+    the gram set is SET-UNION-mergeable, so replays and cross-batch
+    duplicates are absorbed by the read-side distinct).  After the
+    drain, (a) the merged gram set is asserted exactly equal to the
+    batch construction over the same suite, and (b) decontaminating
+    the full corpus against the STREAM-BUILT index
+    (operators/decontam.hits_against_gram_set — broadcast join, zero
+    corpus shuffle) must reproduce text_decontaminate's oracle
+    row-for-row: micro-batch boundaries are invisible to the flag
+    set."""
+    import os
+
+    from exosql_spark import streaming
+    from exosql_spark.io import Tables
+    from exosql_spark.operators import decontam
+    from exosql_spark.queries.llm_q import _ephemeral_dir
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.withColumn("text", F.coalesce("text", F.lit("")))
+    bench_docs = docs.filter(F.col("doc_id") <= 20).select("doc_id", "text")
+
+    work = _ephemeral_dir("exosql_decontam_ingest_")
+    inc_dir = os.path.join(work, "incoming")
+    bench_docs.repartition(4).write.parquet(inc_dir)
+    stream = streaming.read_benchmark_stream(spark, inc_dir)
+    gstore = os.path.join(work, "gram_store")
+    q = streaming.benchmark_ingest_stream(
+        stream, gstore, os.path.join(work, "ckpt"), n=4
+    )
+    q.awaitTermination()
+
+    streamed = streaming.read_benchmark_grams(spark, gstore)
+    batch_set = bench_docs.select(
+        F.explode(decontam.ngrams("text", 4)).alias("g")
+    ).distinct()
+    diff = (
+        streamed.exceptAll(batch_set).count()
+        + batch_set.exceptAll(streamed).count()
+    )
+    assert diff == 0, f"streamed gram set != batch ({diff} rows differ)"
+
+    return decontam.hits_against_gram_set(
+        docs, streamed, "text", "doc_id", n=4
+    )

@@ -19,52 +19,55 @@ from exosql_spark.io import Tables
 
 
 @register(
-    "window_ranking",
+    "window_analytic_suite",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       row_number() OVER w AS rn,
-       rank()       OVER w AS rnk,
-       dense_rank() OVER w AS drnk
+       row_number() OVER w1 AS rn,
+       rank()       OVER w1 AS rnk,
+       dense_rank() OVER w1 AS drnk,
+       round(o_totalprice, 4) AS price,
+       round(lag(o_totalprice)  OVER w2, 4) AS prev_price,
+       round(lead(o_totalprice) OVER w2, 4) AS next_price,
+       first_value(o_orderkey) OVER w3 AS first_order,
+       last_value(o_orderkey)  OVER w3 AS latest_order,
+       nth_value(o_orderkey, 2) OVER w3 AS second_order
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+WINDOW w1 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
     tags=("window", "extension"),
 )
-def window_ranking(spark, sf_dir):
+def window_analytic_suite(spark, sf_dir):
+    """Ranking (row_number/rank/dense_rank), analytic (lag/lead) and
+    frame-value (first/last/nth_value over an unbounded frame) window
+    functions as ONE driver row — the window-capacity consolidation
+    of the former window_ranking / window_lag_lead /
+    window_frame_values entries, every original column preserved and
+    value-hashed.  Three window specs over the same o_custkey
+    partition key: Catalyst plans ONE hash exchange (all specs share
+    the partition key; the two sort orders add sorts, not shuffles),
+    so consolidation also SAVES two shuffles over the three separate
+    entries."""
     t = Tables(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy(
+    w1 = W.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w2.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-    )
-
-
-@register(
-    "window_lag_lead",
-    oracle="""
-SELECT o_custkey, o_orderkey,
-       round(o_totalprice, 4) AS price,
-       round(lag(o_totalprice)  OVER w, 4) AS prev_price,
-       round(lead(o_totalprice) OVER w, 4) AS next_price
-FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-""",
-    tags=("window", "extension"),
-)
-def window_lag_lead(spark, sf_dir):
-    t = Tables(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return t.orders.select(
-        "o_custkey",
-        "o_orderkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w1).alias("rnk"),
+        F.dense_rank().over(w1).alias("drnk"),
         F.round("o_totalprice", 4).alias("price"),
-        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_price"),
-        F.round(F.lead("o_totalprice").over(w), 4).alias("next_price"),
+        F.round(F.lag("o_totalprice").over(w2), 4).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w2), 4).alias("next_price"),
+        F.first("o_orderkey").over(w3).alias("first_order"),
+        F.last("o_orderkey").over(w3).alias("latest_order"),
+        F.nth_value("o_orderkey", 2).over(w3).alias("second_order"),
     )
 
 

@@ -22,6 +22,12 @@ from exosql_spark.streaming.graph_ingest import (
     read_edges_stream,
     read_out_strength,
 )
+from exosql_spark.streaming.decontam_ingest import (
+    BENCH_DOCS_SCHEMA,
+    benchmark_ingest_stream,
+    read_benchmark_grams,
+    read_benchmark_stream,
+)
 from exosql_spark.streaming.index_ingest import (
     EMBEDDINGS_SCHEMA,
     ivf_ingest_stream,
@@ -36,6 +42,10 @@ __all__ = [
     "read_edges",
     "read_edges_stream",
     "read_out_strength",
+    "BENCH_DOCS_SCHEMA",
+    "benchmark_ingest_stream",
+    "read_benchmark_grams",
+    "read_benchmark_stream",
     "EMBEDDINGS_SCHEMA",
     "ivf_ingest_stream",
     "read_embeddings_stream",

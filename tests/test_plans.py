@@ -131,6 +131,18 @@ class TestNoAccidentalCartesian:
         # per-iteration 1-row dangling-mass broadcast attachment
         "graph_pagerank_star_planted",
         "stats_quantile_bottomk",  # 1-row sample-size broadcast attachment
+        # round-14 additions — all 1-row scalar or k-bounded broadcast
+        # attachments, audited:
+        "graph_triangle_stats",  # 1-row wedge/per-vertex totals attach
+        "graph_hits_star_planted",  # per-half-step 1-row L1-norm attach
+        "streaming_pagerank_parity",  # same dangling attach via stream store
+        "corpus_dsir_importance",  # 1-row corpus-totals broadcast scalar
+        "corpus_domain_kl",  # 1-row corpus-total broadcast scalar
+        "text_collocation_pmi",  # two 1-row unigram/bigram totals
+        "eval_quality_calibration_ece",  # 1-row ECE scalar re-attach
+        # intentional broadcast(anchors)×corpus scan, the
+        # similarity_topk_cosine shape with a label predicate
+        "contrastive_hard_negatives",
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):

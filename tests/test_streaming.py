@@ -585,3 +585,43 @@ class TestGraphIngestStream:
             for r in streaming.read_out_strength(spark, dstore).collect()
         }
         assert got_d == {0: 2, 1: 1, 2: 2}
+
+
+class TestDecontamIngest:
+    def test_gram_set_merge_and_replay_idempotent(self, spark, tmp_path):
+        """The contamination gram store must be replay-idempotent
+        (same batch id re-appended → same merged set) and the
+        read-side distinct must absorb cross-batch duplicates —
+        yielding exactly the batch-built gram set."""
+        from exosql_spark import sinks, streaming
+        from exosql_spark.operators.decontam import ngrams
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "beta gamma delta epsilon"),  # overlapping grams
+                (3, "zeta eta theta iota"),
+            ],
+            "doc_id long, text string",
+        )
+        b0 = docs.filter("doc_id <= 2")
+        b1 = docs.filter("doc_id = 3")
+        gstore = str(tmp_path / "g")
+        # batch 0 appended TWICE with the same id — the replay case
+        for bid, b in ((0, b0), (0, b0), (1, b1)):
+            grams = (
+                b.select(F.explode(ngrams("text", 3)).alias("g"))
+                .distinct()
+                .select("g", F.pmod(F.hash("g"), F.lit(8)).alias("bucket"))
+            )
+            sinks.append_batch_keyed(grams, gstore, "bucket", bid)
+        streamed = sorted(
+            r.g for r in streaming.read_benchmark_grams(spark, gstore).collect()
+        )
+        batch = sorted(
+            r.g
+            for r in docs.select(F.explode(ngrams("text", 3)).alias("g"))
+            .distinct()
+            .collect()
+        )
+        assert streamed == batch
