@@ -5369,6 +5369,7 @@ SELECT n_triangles, n_wedges,
 FROM agg, wg, pva
 """,
     tags=("llm", "graph", "scale"),
+    bench=True,  # plan-novel: degree-ordered orientation joins (r14)
 )
 def graph_triangle_stats(spark, sf_dir):
     """Distributed triangle counting + global clustering coefficient
@@ -5519,6 +5520,7 @@ SELECT doc_id, n_tokens, log_weight
 FROM doc ORDER BY log_weight DESC, doc_id LIMIT 20
 """,
     tags=("llm", "selection", "quality"),
+    bench=True,  # two-token-pass + broadcast-histogram shape (r14)
 )
 def corpus_dsir_importance(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023): hashed-unigram
