@@ -5900,3 +5900,110 @@ def similarity_topk_adc_planted_suite(spark, sf_dir):
         )
         out = d if out is None else out.unionByName(d)
     return out.orderBy("variant", "query_id", "vec_id")
+
+
+@register(
+    "eval_split_leakage",
+    oracle=rf"""
+WITH planted AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20
+),
+alld AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM planted
+),
+sid AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_h60("CAST(doc_id AS VARCHAR) || ':7'")} % 100 < 80
+              THEN 'train'
+              WHEN {_sql_h60("CAST(doc_id AS VARCHAR) || ':7'")} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM alld
+),
+scn AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_h60(_SQL_NORM_TEXT + " || ':7'")} % 100 < 80
+              THEN 'train'
+              WHEN {_sql_h60(_SQL_NORM_TEXT + " || ':7'")} % 100 < 90
+              THEN 'val' ELSE 'test' END AS split
+  FROM alld
+),
+px AS (
+  SELECT 'by_content' AS strategy, a.split AS sa, b.split AS sb
+  FROM scn a JOIN scn b ON b.doc_id = a.doc_id + 1000000
+  WHERE a.doc_id < 20
+  UNION ALL
+  SELECT 'by_doc_id', a.split, b.split
+  FROM sid a JOIN sid b ON b.doc_id = a.doc_id + 1000000
+  WHERE a.doc_id < 20
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+       {_u.fround_sql(
+           "CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / count(*)", 6)} AS leakage_rate
+FROM px GROUP BY strategy ORDER BY strategy
+""",
+    tags=("llm", "eval", "curation"),
+)
+def eval_split_leakage(spark, sf_dir):
+    """Train/eval split-leakage audit — the integrity check run before
+    any held-out score is trusted (Lee et al. 2022 showed eval dupes
+    inflate benchmark numbers): plant 20 exact duplicates, assign
+    splits two ways, and COUNT duplicate pairs that straddle a split
+    boundary.  Splitting by document ID leaks (a dup and its copy
+    have unrelated ids → independent buckets → ~1−(0.8²+0.1²+0.1²) of
+    pairs cross — the hash arithmetic is replayed exactly, so the
+    count is deterministic, not a rate assertion); splitting by
+    NORMALIZED-CONTENT hash (ordering.split_assign's documented
+    contract, used by corpus_split_assign) yields structurally ZERO
+    cross-split pairs — identical content ⇒ identical bucket.  Shape:
+    split assignment is a pure projection; the pair check is one
+    planted-id equijoin (20 rows); per-strategy counts are a 2-row
+    aggregate.  At 100 TB the same audit runs over MinHash-component
+    ids instead of exact copies — same join, component table from
+    dedup_minhash_components."""
+    from exosql_spark.operators import ordering
+
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    alld = base.unionByName(planted)
+
+    def leakage(strategy, content_col):
+        s = ordering.split_assign(alld, content_col, seed=7).select(
+            "doc_id", "split"
+        )
+        a = s.filter(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("_id"), F.col("split").alias("_sa")
+        )
+        b = s.filter(F.col("doc_id") >= 1000000).select(
+            (F.col("doc_id") - 1000000).alias("_id"),
+            F.col("split").alias("_sb"),
+        )
+        return (
+            a.join(b, "_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_cross_split"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "n_pairs",
+                "n_cross_split",
+                _u.fround(
+                    F.col("n_cross_split").cast("double") / F.col("n_pairs"), 6
+                ).alias("leakage_rate"),
+            )
+        )
+
+    return (
+        leakage("by_content", text.normalize_text("text"))
+        .unionByName(leakage("by_doc_id", F.col("doc_id").cast("string")))
+        .orderBy("strategy")
+    )
