@@ -646,3 +646,47 @@ class TestRound12Plans:
             assert "EvalPython" not in s, (name, s)
             assert "Join" not in s, (name, s)
             assert s.count("Exchange hashpartitioning") == 1, (name, s)
+
+
+class TestRound14Plans:
+    def test_window_suite_shares_one_exchange(self, spark, sf_dir):
+        """The consolidated window_analytic_suite (three window specs,
+        one o_custkey partition key) must compile to ONE hash exchange
+        — the consolidation's plan claim: Catalyst merges the specs'
+        partitioning, the differing sort orders add Sorts, not
+        shuffles."""
+        from exosql_spark.catalog import all_queries
+
+        df = all_queries()["window_analytic_suite"].fn(spark, sf_dir)
+        s = plan(df)
+        assert s.count("Exchange hashpartitioning") == 1, s
+        assert "EvalPython" not in s, s
+
+    def test_triangles_no_broadcast_needed_and_no_python(self, spark):
+        """triangles() on a generic edge table: key-partitioned joins
+        only — no Python stage and no cartesian; the orientation must
+        not smuggle in a nested-loop join."""
+        from exosql_spark.operators.graph import triangles
+
+        edges = spark.range(0, 2000).selectExpr(
+            "id AS src", "(id * 7) % 997 AS dst"
+        )
+        s = plan(triangles(edges))
+        assert "EvalPython" not in s, s
+        assert "CartesianProduct" not in s, s
+        assert "BroadcastNestedLoopJoin" not in s, s
+
+    def test_dsir_scoring_join_is_broadcast(self, spark, sf_dir):
+        """dsir_importance's per-token scoring join against the
+        <=n_buckets log-ratio table must be a broadcast hash join —
+        the 100 TB contract is that only the bucket table ships."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.selection import dsir_importance
+        from exosql_spark.io import Tables
+
+        t = Tables(spark, sf_dir)
+        df = dsir_importance(t.documents, F.col("lang") == "en")
+        s = plan(df)
+        assert "BroadcastHashJoin" in s, s
+        assert "EvalPython" not in s, s
