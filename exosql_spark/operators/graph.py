@@ -361,15 +361,24 @@ def hits(
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    e = e.repartition(F.col("_s")).persist()
+    # TWO persisted partitionings of the edge table — by src for the
+    # auth half-step's join and by dst for the hub half-step's: each
+    # iteration then re-shuffles only the |V|-sized score frame, never
+    # the (at web scale, corpus-sized) edge table.  PageRank needs only
+    # the src copy (its one join keys src); HITS joins on both ends, so
+    # a single partitioning would re-shuffle the edges every iteration
+    # on the other key.
+    e_src = e.repartition(F.col("_s")).persist()
+    e_dst = e.repartition(F.col("_d")).persist()
     verts = (
-        e.select(F.col("_s").alias("id"))
-        .unionByName(e.select(F.col("_d").alias("id")))
+        e_src.select(F.col("_s").alias("id"))
+        .unionByName(e_src.select(F.col("_d").alias("id")))
         .distinct()
     )
     n = verts.count()  # the one driver scalar
     if n == 0:
-        e.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
         return verts.select(
             "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
         )
@@ -382,7 +391,7 @@ def hits(
     for _ in range(n_iter):
         # authority half-step: pull hub mass along edges, normalize
         a_in = (
-            e.join(
+            e_src.join(
                 scores.select(F.col("id").alias("_s"), "hub"), "_s"
             )
             .groupBy(F.col("_d").alias("id"))
@@ -405,7 +414,7 @@ def hits(
         )
         # hub half-step: pull the NEW authority mass back, normalize
         h_in = (
-            e.join(
+            e_dst.join(
                 auth.select(F.col("id").alias("_d"), "auth"), "_d"
             )
             .groupBy(F.col("_s").alias("id"))
@@ -426,5 +435,6 @@ def hits(
             )
             .localCheckpoint()
         )
-    e.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
     return scores.select("id", "hub", "auth")

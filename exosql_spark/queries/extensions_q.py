@@ -434,37 +434,8 @@ def window_range_frame(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
-@register(
-    "fn_strings2",
-    oracle="""
-SELECT c_custkey,
-       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
-       lpad(CAST(c_custkey AS VARCHAR), 8, '0')   AS padded_key,
-       rpad(c_mktsegment, 12, '.')                AS padded_seg,
-       left(c_name, 8)                            AS name_left,
-       right(c_name, 3)                           AS name_right,
-       repeat('ab', 3)                            AS repeated,
-       CAST(strpos(c_name, '#') AS INT)           AS hash_pos,
-       translate(c_mktsegment, 'AEIOU', 'aeiou')  AS seg_translated
-FROM customer
-""",
-    tags=("functions", "extension"),
-)
-def fn_strings2(spark, sf_dir):
-    t = Tables(spark, sf_dir)
-    return t.customer.select(
-        "c_custkey",
-        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
-            "seg_nation"
-        ),
-        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
-        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
-        F.substring("c_name", 1, 8).alias("name_left"),
-        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
-        F.repeat(F.lit("ab"), 3).alias("repeated"),
-        F.instr("c_name", "#").cast("int").alias("hash_pos"),
-        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
-    )
+# fn_strings2 absorbed into functions_q.py::fn_strings
+# (round-14 window-capacity consolidation).
 
 
 @register(

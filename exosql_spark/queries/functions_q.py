@@ -30,13 +30,25 @@ SELECT c_custkey,
        length(c_name)                       AS name_len,
        replace(c_name, 'Customer', 'Cust')  AS name_repl,
        array_to_string(string_split(c_name, '#'), '|') AS name_split_join,
-       reverse(c_mktsegment)                AS seg_rev
+       reverse(c_mktsegment)                AS seg_rev,
+       concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+       lpad(CAST(c_custkey AS VARCHAR), 8, '0')   AS padded_key,
+       rpad(c_mktsegment, 12, '.')                AS padded_seg,
+       left(c_name, 8)                            AS name_left,
+       right(c_name, 3)                           AS name_right,
+       repeat('ab', 3)                            AS repeated,
+       CAST(strpos(c_name, '#') AS INT)           AS hash_pos,
+       translate(c_mktsegment, 'AEIOU', 'aeiou')  AS seg_translated
 FROM customer
 """,
     tags=("functions",),
 )
 def fn_strings(spark, sf_dir):
-    """upper/lower/substr/trim/length/replace/split+join/reverse."""
+    """The whole scalar string-function zoo as one customer projection
+    (upper/lower/substr/trim/length/replace/split+join/reverse +
+    concat_ws/lpad/rpad/left/right/repeat/strpos/translate — absorbed
+    the former fn_strings2 under the round-14 window-capacity
+    consolidation; same table, same key, one scan)."""
     t = Tables(spark, sf_dir)
     return t.customer.select(
         "c_custkey",
@@ -52,6 +64,16 @@ def fn_strings(spark, sf_dir):
         ),
         F.array_join(F.split("c_name", "#"), "|").alias("name_split_join"),
         F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.substring("c_name", 1, 8).alias("name_left"),
+        F.substring(F.col("c_name"), -3, 3).alias("name_right"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr("c_name", "#").cast("int").alias("hash_pos"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
     )
 
 
