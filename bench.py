@@ -137,20 +137,57 @@ def _calibrate_shuffle(spark) -> float:
 
 
 def _count_shuffles(df) -> int:
-    """Shuffle-exchange count of the (possibly un-finalized AQE) plan
-    — classification input only: ≥1 → the query is normalized by the
-    shuffle probe, 0 → by the CPU probe.  Counts only genuine shuffle
-    exchange operators ("Exchange hashpartitioning/rangepartitioning/
-    SinglePartition…"): broadcast exchanges don't pay the shuffle
-    write/read path, and a ``ReusedExchange [...BroadcastExchange...]``
-    node must not be counted either (ADVICE r12: the old
-    substring-difference arithmetic misclassified broadcast-only plans
-    with exchange reuse into the shuffle probe class)."""
+    """Distinct ShuffleExchangeExec operators in the executed plan,
+    each counted ONCE by JVM object identity — the same walk
+    tools/gen_explain.py uses (executed_nodes).  The previous
+    implementation regex-counted Exchange lines in the plan *string*,
+    where every union/crossJoin branch over a persisted relation
+    re-prints the cached subtree: graph_triangle_stats recorded 2037
+    "shuffles" against the true 8 (r14 verdict Missing #2), corrupting
+    the per-entry record.  Broadcast exchanges and Reused* wrappers
+    are excluded by construction (different node classes), which
+    preserves the ADVICE-r12 fix.  Cached relations' internal
+    exchanges DO count (once per relation): the query pays them on
+    first materialization and they define its plan class.  Falls back
+    to the old string count only if the JVM walk fails."""
     try:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        root = df._jdf.queryExecution().executedPlan()
+        jvm = df.sparkSession._jvm
+        seen = jvm.java.util.IdentityHashMap()
+        count = 0
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if seen.containsKey(node):
+                continue
+            seen.put(node, True)
+            name = node.getClass().getSimpleName()
+            if name == "ShuffleExchangeExec":
+                count += 1
+            if name == "AdaptiveSparkPlanExec":
+                stack.append(node.executedPlan())
+                continue
+            if name.endswith("QueryStageExec"):
+                stack.append(node.plan())
+                continue
+            if name == "InMemoryTableScanExec":
+                try:
+                    stack.append(node.relation().cachedPlan())
+                except Exception:
+                    pass
+            for accessor in ("children", "subqueries"):
+                try:
+                    seq = getattr(node, accessor)()
+                    stack.extend(seq.apply(i) for i in range(seq.size()))
+                except Exception:
+                    pass
+        return count
     except Exception:
-        return 0
-    return len(_SHUFFLE_EXCHANGE_RE.findall(plan))
+        try:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            return 0
+        return len(_SHUFFLE_EXCHANGE_RE.findall(plan))
 
 
 # A shuffle exchange's operator name is exactly "Exchange", printed at

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from exosql_spark.cache import managed_persist
+
 
 def pagerank(
     edges: DataFrame,
@@ -215,7 +217,14 @@ def _canonical_edges_deg(
     parallel/reversed duplicates erased; persisted — it feeds both the
     degree aggregation and the orientation join) plus per-vertex
     degrees."""
-    e = (
+    # managed_persist, not a bare .persist(): the returned frames are
+    # consumed by the CALLER's plan, so this function cannot unpersist
+    # before returning (unlike pagerank/hits, whose loops own their
+    # persists end-to-end).  Registering with the session cache registry
+    # lets bench.py / test sweeps drain them via release_caches between
+    # invocations instead of accumulating blocks until LRU eviction
+    # (ADVICE r14).
+    e = managed_persist(
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .where(F.col("_u") != F.col("_v"))
         .select(
@@ -223,7 +232,6 @@ def _canonical_edges_deg(
             F.greatest("_u", "_v").alias("b"),
         )
         .distinct()
-        .persist()
     )
     deg = (
         e.select(F.col("a").alias("id"))
@@ -244,11 +252,13 @@ def _triangles_from(e: DataFrame, deg: DataFrame) -> DataFrame:
     )
     # oriented edge lo→hi, carrying hi's order key (deg, id) so the
     # wedge self-join can state "v before w" without re-joining degrees
-    oriented = with_deg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-        F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("hd"),
-    ).persist()  # fed to the wedge self-join (2×) and the closing join
+    oriented = managed_persist(  # fed to the wedge self-join (2×) and the closing join
+        with_deg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("hd"),
+        )
+    )
     o1 = oriented.select("lo", F.col("hi").alias("v"), F.col("hd").alias("dv"))
     o2 = oriented.select("lo", F.col("hi").alias("w"), F.col("hd").alias("dw"))
     wedges = o1.join(o2, "lo").where(
@@ -287,7 +297,7 @@ def triangle_stats(
             F.lit(0).cast("long"),
         ).alias("n_wedges")
     )
-    tri = _triangles_from(e, deg).persist()
+    tri = managed_persist(_triangles_from(e, deg))
     per_vertex = (
         tri.select(F.col("x").alias("id"))
         .unionByName(tri.select(F.col("y").alias("id")))

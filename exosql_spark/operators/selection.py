@@ -428,3 +428,48 @@ def dsir_importance(
             dsum("_lr", nd).alias("log_weight"),
         )
     )
+
+
+def cluster_split_assign(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 80), ("val", 10), ("test", 10)),
+    seed: int = 0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup-cluster-coherent train/val/test assignment: MinHash-LSH
+    candidate pairs → connected components → every member of a
+    component takes the split of the component REPRESENTATIVE (the
+    minimum member id, which IS the component label), hashed through
+    :func:`ordering.split_assign`'s bucket arithmetic; documents in no
+    component hash their own id.
+
+    WHY a third strategy beyond id-hash and content-hash splitting
+    (ordering.split_assign's contract): content-hash keeps EXACT
+    duplicates together but provably cannot keep NEAR-duplicates
+    together — a one-token edit changes the normalized-content hash,
+    so the pair lands in independent buckets and leaks across the
+    eval boundary exactly like id-splitting (Lee et al. 2022's
+    near-dup train/test contamination). Only a cluster-level key
+    closes that gap: co-members share a component by construction,
+    hence a split. Exact-oracled by eval_split_leakage_neardup on
+    planted clusters (queries/llm_q.py).
+
+    Scale shape: the pair set is banded LSH (never all-pairs), the
+    component fixpoint shuffles only the |pairs| edge set, and the
+    corpus itself pays ONE keyed join against the |members|-sized
+    component table — members are the docs that appear in some
+    near-dup pair, a small fraction of a deduplicated corpus, so AQE
+    broadcasts the component table at any realistic scale.
+
+    Returns ``df``'s columns plus ``component`` (nullable),
+    ``bucket`` and ``split``."""
+    from exosql_spark.operators import dedup, ordering
+    from exosql_spark.operators.components import connected_components
+
+    pairs = dedup.minhash_dedup_pairs(df, text_col, id_col, threshold=threshold)
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    joined = df.join(comp, id_col, "left")
+    rep_key = F.coalesce(F.col("component"), F.col(id_col)).cast("string")
+    return ordering.split_assign(joined, rep_key, splits=splits, seed=seed)

@@ -926,6 +926,13 @@ def mine_hard_negatives(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("vec_id")
     )
+    # fround, not F.round (ADVICE r14): Spark's round uses
+    # shortest-decimal-repr semantics that differ from DuckDB's
+    # exact-binary round on boundary doubles — the exact cross-engine
+    # hazard _util's docstring documents; floor(x*1e4+0.5)/1e4 is
+    # bit-identical on both engines.
+    from exosql_spark.queries._util import fround
+
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -934,7 +941,7 @@ def mine_hard_negatives(
             "query_label",
             "vec_id",
             "neg_label",
-            F.round("_sim", 4).alias("cosine_sim"),
+            fround(F.col("_sim")).alias("cosine_sim"),
             "rank",
         )
     )

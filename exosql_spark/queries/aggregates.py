@@ -153,40 +153,83 @@ def array_agg_collect(spark, sf_dir):
 
 
 @register(
-    "rollup_extension",
+    "agg_grouping_multi_suite",
     oracle="""
-SELECT l_returnflag, l_linestatus,
+SELECT 'rollup' AS variant, l_returnflag AS k1, l_linestatus AS k2,
+       count(*) AS n,
        floor((CAST(sum(CAST((l_quantity) AS DECIMAL(25,6))) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
-       count(*) AS n
+       CAST(NULL AS INTEGER) AS g_k1, CAST(NULL AS INTEGER) AS g_k2
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-    tags=("agg", "extension"),
-)
-def rollup_extension(spark, sf_dir):
-    """ROLLUP subtotals (A7 — absent in reference, free in Spark)."""
-    t = Tables(spark, sf_dir)
-    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
-        _u.dsum("l_quantity").alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@register(
-    "cube_extension",
-    oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n
+UNION ALL
+SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
+       CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER)
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'grouping_sets', o_orderstatus, o_orderpriority, count(*),
+       CAST(NULL AS DOUBLE),
+       CAST(grouping(o_orderstatus) AS INTEGER),
+       CAST(grouping(o_orderpriority) AS INTEGER)
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
     tags=("agg", "extension"),
 )
-def cube_extension(spark, sf_dir):
-    """CUBE over two dims (A7 extension)."""
+def agg_grouping_multi_suite(spark, sf_dir):
+    """The whole multi-grouping surface (A7 — absent in the
+    reference, free in Spark) as tagged variants, r15 window-capacity
+    consolidation of rollup_extension / cube_extension /
+    grouping_sets with every original column preserved (``k1``/``k2``
+    are each variant's two grouping dims; ``sum_qty`` is the rollup
+    variant's decimal-exact quantity subtotal; ``g_k1``/``g_k2`` are
+    the grouping() markers of the GROUPING SETS variant):
+
+    - ``rollup``: ROLLUP subtotals over lineitem (returnflag,
+      linestatus) with the order-independent dsum convention;
+    - ``cube``: CUBE over two orders dims;
+    - ``grouping_sets``: explicit GROUPING SETS with grouping()
+      null-vs-grouped markers, via SparkSQL.
+
+    Each variant is one expand+aggregate (map-side combined); the
+    union adds no exchange."""
     t = Tables(spark, sf_dir)
-    return t.orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n")
+    rollup = t.lineitem.rollup("l_returnflag", "l_linestatus").agg(
+        _u.dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.lit("rollup").alias("variant"),
+        F.col("l_returnflag").alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        "n",
+        "sum_qty",
+        F.lit(None).cast("int").alias("g_k1"),
+        F.lit(None).cast("int").alias("g_k2"),
     )
+    cube = t.orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("cube").alias("variant"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n",
+        F.lit(None).cast("double").alias("sum_qty"),
+        F.lit(None).cast("int").alias("g_k1"),
+        F.lit(None).cast("int").alias("g_k2"),
+    )
+    t.orders.createOrReplaceTempView("orders")
+    gsets = spark.sql(
+        """
+        SELECT 'grouping_sets' AS variant,
+               o_orderstatus AS k1, o_orderpriority AS k2,
+               count(*) AS n, CAST(NULL AS DOUBLE) AS sum_qty,
+               CAST(grouping(o_orderstatus) AS INT) AS g_k1,
+               CAST(grouping(o_orderpriority) AS INT) AS g_k2
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 _GROUP_BY_ALL_SQL = """

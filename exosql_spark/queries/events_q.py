@@ -180,7 +180,7 @@ def events_duration_filter(spark, sf_dir):
 
 
 @register(
-    "events_funnel",
+    "events_engagement_suite",
     oracle="""
 WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY user_id),
 c AS (SELECT e.user_id, min(e.ts) AS tc
@@ -188,19 +188,43 @@ c AS (SELECT e.user_id, min(e.ts) AS tc
       WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY e.user_id),
 p AS (SELECT e.user_id, min(e.ts) AS tp
       FROM events e JOIN c USING (user_id)
-      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY e.user_id)
-SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
-UNION ALL SELECT 'click', (SELECT count(*) FROM c)
-UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY e.user_id),
+first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_diff('day', f.w0, date_trunc('week', e.ts)) / 7 AS INTEGER) AS wk
+  FROM events e JOIN first f USING (user_id)
+)
+SELECT 'funnel' AS variant, stage, CAST(NULL AS INTEGER) AS wk, n_users FROM (
+  SELECT 'view' AS stage, (SELECT count(*) FROM v) AS n_users
+  UNION ALL SELECT 'click', (SELECT count(*) FROM c)
+  UNION ALL SELECT 'purchase', (SELECT count(*) FROM p)
+)
+UNION ALL
+SELECT 'retention', CAST(NULL AS VARCHAR), wk, count(*)
+FROM act GROUP BY wk
 """,
     tags=("events", "extension"),
 )
-def events_funnel(spark, sf_dir):
-    """Ordered funnel (view → click → purchase): per-stage user counts
-    where each stage's first event is at-or-after the previous stage's.
-    Three aggregations all keyed on user_id — the exchanges reuse one
-    hash partitioning, and AQE broadcasts the shrinking stage frames
-    into the next join."""
+def events_engagement_suite(spark, sf_dir):
+    """Product-analytics engagement rollups as tagged variants (r15
+    window-capacity consolidation of events_funnel + events_retention
+    — every column of both originals preserved: funnel rows carry
+    ``stage``/NULL ``wk``, retention rows NULL ``stage``/``wk``):
+
+    - ``funnel``: ordered view → click → purchase per-stage user
+      counts where each stage's first event is at-or-after the
+      previous stage's — three aggregations all keyed on user_id (the
+      exchanges reuse one hash partitioning; AQE broadcasts the
+      shrinking stage frames into the next join);
+    - ``retention``: weekly cohort retention, users active k weeks
+      after their first event — two aggregations and a join on
+      user_id, then a tiny groupBy on the week offset (the per-user
+      first-week frame is |users|-sized, broadcast back by AQE).
+
+    Both variants share the events scan."""
     t = Tables(spark, sf_dir)
     ev = t.events
     v = (
@@ -223,35 +247,14 @@ def events_funnel(spark, sf_dir):
         .agg(F.min("ts").alias("tp"))
     )
     stage = lambda name, df: df.agg(F.count(F.lit(1)).alias("n_users")).select(
-        F.lit(name).alias("stage"), "n_users"
+        F.lit("funnel").alias("variant"),
+        F.lit(name).alias("stage"),
+        F.lit(None).cast("int").alias("wk"),
+        "n_users",
     )
-    return stage("view", v).unionAll(stage("click", c)).unionAll(stage("purchase", p))
-
-
-@register(
-    "events_retention",
-    oracle="""
-WITH first AS (
-  SELECT user_id, date_trunc('week', min(ts)) AS w0 FROM events GROUP BY user_id
-),
-act AS (
-  SELECT DISTINCT e.user_id,
-         CAST(date_diff('day', f.w0, date_trunc('week', e.ts)) / 7 AS INTEGER) AS wk
-  FROM events e JOIN first f USING (user_id)
-)
-SELECT wk, count(*) AS n_users
-FROM act GROUP BY wk ORDER BY wk
-""",
-    tags=("events", "extension"),
-)
-def events_retention(spark, sf_dir):
-    """Weekly cohort retention: users active k weeks after their first
-    event. Classic product-analytics rollup — two aggregations and a
-    join, all keyed on user_id (one reusable hash partitioning), then
-    a tiny groupBy on the week offset. The per-user first-week frame
-    is |users|-sized, so AQE broadcasts it back into the join."""
-    t = Tables(spark, sf_dir)
-    ev = t.events
+    funnel = (
+        stage("view", v).unionAll(stage("click", c)).unionAll(stage("purchase", p))
+    )
     first = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("w0")
     )
@@ -267,9 +270,13 @@ def events_retention(spark, sf_dir):
         )
         .distinct()
     )
-    return (
-        act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users")).orderBy("wk")
+    retention = act.groupBy("wk").agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("retention").alias("variant"),
+        F.lit(None).cast("string").alias("stage"),
+        "wk",
+        "n_users",
     )
+    return funnel.unionByName(retention)
 
 
 @register(

@@ -23,99 +23,64 @@ from exosql_spark.queries import _util as _u
 
 
 @register(
-    "join_asof",
-    oracle="""
-SELECT p.event_id, p.user_id, p.ts,
-       v.ts AS ts_right,
-       v.event_id AS view_event_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-  ON p.user_id = v.user_id AND v.ts <= p.ts
-""",
-    tags=("join", "extension", "timeseries"),
-    bench=True,
-)
-def join_asof(spark, sf_dir):
-    """As-of join: each purchase gets the user's most recent prior (or
-    same-instant) view. Union+window merge (one shuffle on user_id, one
-    sort) — DuckDB's native ASOF JOIN is the oracle."""
-    from exosql_spark.operators.asof import asof_join
-
-    t = Tables(spark, sf_dir)
-    purchases = t.events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    views = t.events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("view_event_id")
-    )
-    return asof_join(purchases, views, on="user_id").withColumnRenamed(
-        "view_event_id_right", "view_event_id"
-    )
-
-
-@register(
-    "join_asof_forward",
-    oracle="""
-SELECT p.event_id, p.user_id, p.ts,
-       v.ts AS ts_right,
-       v.event_id AS next_view_event_id
-FROM (SELECT event_id, user_id, ts, -epoch(ts) AS nts
-      FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT user_id, ts, event_id, -epoch(ts) AS nts
-                FROM events WHERE event_type = 'view') v
-  ON p.user_id = v.user_id AND v.nts <= p.nts
-""",
-    tags=("join", "extension", "timeseries"),
-)
-def join_asof_forward(spark, sf_dir):
-    """Forward as-of join: each purchase gets the user's *next*
-    at-or-after view — the same union+window merge as backward mode,
-    scanned in descending timestamp order (one shuffle + one sort; no
-    range explosion). DuckDB has no forward ASOF, so the oracle runs
-    its backward ASOF JOIN over negated epoch seconds, which picks
-    exactly the minimal ``v.ts >= p.ts`` match."""
-    from exosql_spark.operators.asof import asof_join
-
-    t = Tables(spark, sf_dir)
-    purchases = t.events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
-    views = t.events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("next_view_event_id")
-    )
-    return asof_join(
-        purchases, views, on="user_id", direction="forward"
-    ).withColumnRenamed("next_view_event_id_right", "next_view_event_id")
-
-
-@register(
-    "join_asof_nearest",
+    "join_asof_suite",
     oracle="""
 WITH p AS (SELECT event_id, user_id, ts FROM events
            WHERE event_type = 'purchase'),
-v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
-SELECT p.event_id, p.user_id, p.ts,
-       (SELECT v.ts FROM v WHERE v.user_id = p.user_id
-        ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
-        LIMIT 1) AS ts_right,
-       (SELECT v.event_id FROM v WHERE v.user_id = p.user_id
-        ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
-        LIMIT 1) AS nearest_view_event_id
-FROM p
+v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+back AS (
+  SELECT p.event_id, p.user_id, p.ts, v.ts AS ts_right,
+         v.event_id AS matched_event_id
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+fwd AS (
+  SELECT pn.event_id, pn.user_id, pn.ts, vn.ts AS ts_right,
+         vn.event_id AS matched_event_id
+  FROM (SELECT event_id, user_id, ts, -epoch(ts) AS nts FROM p) pn
+  ASOF LEFT JOIN (SELECT user_id, ts, event_id, -epoch(ts) AS nts FROM v) vn
+    ON pn.user_id = vn.user_id AND vn.nts <= pn.nts
+),
+near AS (
+  SELECT p.event_id, p.user_id, p.ts,
+         (SELECT v.ts FROM v WHERE v.user_id = p.user_id
+          ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
+          LIMIT 1) AS ts_right,
+         (SELECT v.event_id FROM v WHERE v.user_id = p.user_id
+          ORDER BY abs(epoch_ns(v.ts) - epoch_ns(p.ts)), v.ts
+          LIMIT 1) AS matched_event_id
+  FROM p
+)
+SELECT 'backward' AS mode, * FROM back
+UNION ALL SELECT 'forward', * FROM fwd
+UNION ALL SELECT 'nearest', * FROM near
 """,
     tags=("join", "extension", "timeseries"),
-    bench=True,  # tracked since round 11
+    bench=True,  # replaces the bench-tracked join_asof + join_asof_nearest
 )
-def join_asof_nearest(spark, sf_dir):
-    """Nearest-direction as-of join: each purchase gets the user's
-    view CLOSEST in time, before or after, equidistant ties taking the
-    earlier view — pandas merge_asof(direction='nearest') semantics,
-    completing the backward/forward/nearest triple.  The oracle is the
-    definitional per-row correlated subquery (quadratic — fine for
-    DuckDB at sf0.01, the exact shape asof.asof_join exists to avoid);
-    the Spark plan is the union+window merge running BOTH carries over
-    ONE shuffle on user_id (two per-partition sorts) and picking the
-    smaller delta per row."""
+def join_asof_suite(spark, sf_dir):
+    """As-of join, all three direction modes as tagged variants (r15
+    window-capacity consolidation of join_asof / join_asof_forward /
+    join_asof_nearest — same operator, three bound modes; every column
+    of the three originals is preserved, the per-mode match column
+    under the common name ``matched_event_id``):
+
+    - ``backward``: each purchase gets the user's most recent
+      at-or-before view — DuckDB's native ASOF JOIN is the oracle;
+    - ``forward``: the user's next at-or-after view — DuckDB has no
+      forward ASOF, so the oracle runs its backward ASOF over negated
+      epoch seconds, which picks exactly the minimal ``v.ts >= p.ts``
+      match;
+    - ``nearest``: the view CLOSEST in time either side, equidistant
+      ties taking the earlier view (pandas merge_asof semantics) —
+      oracled by the definitional per-row correlated subquery
+      (quadratic; fine for DuckDB at sf0.01, the exact shape
+      asof.asof_join exists to avoid).
+
+    Each variant is the union+window merge: ONE shuffle on user_id
+    plus per-partition sorts, never a range explosion (nearest runs
+    both carries over the same single shuffle).  The three variants
+    share the purchases/views scans."""
     from exosql_spark.operators.asof import asof_join
 
     t = Tables(spark, sf_dir)
@@ -123,11 +88,22 @@ def join_asof_nearest(spark, sf_dir):
         "event_id", "user_id", "ts"
     )
     views = t.events.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("event_id").alias("nearest_view_event_id")
+        "user_id", "ts", F.col("event_id").alias("matched_event_id")
     )
-    return asof_join(
-        purchases, views, on="user_id", direction="nearest"
-    ).withColumnRenamed("nearest_view_event_id_right", "nearest_view_event_id")
+    parts = [
+        asof_join(purchases, views, on="user_id", direction=mode)
+        .withColumnRenamed("matched_event_id_right", "matched_event_id")
+        .select(
+            F.lit(mode).alias("mode"),
+            "event_id",
+            "user_id",
+            "ts",
+            "ts_right",
+            "matched_event_id",
+        )
+        for mode in ("backward", "forward", "nearest")
+    ]
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
 
 
 @register(
@@ -339,29 +315,8 @@ def agg_extremes_bitwise(spark, sf_dir):
     return extremes.join(bitwise, "l_returnflag")
 
 
-@register(
-    "grouping_sets",
-    oracle="""
-SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-""",
-    tags=("agg", "extension"),
-)
-def grouping_sets(spark, sf_dir):
-    """GROUPING SETS with grouping() markers (A7)."""
-    t = Tables(spark, sf_dir)
-    t.orders.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               grouping(o_orderstatus) AS g_status,
-               grouping(o_orderpriority) AS g_prio
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
+# GROUPING SETS moved into aggregates.agg_grouping_multi_suite
+# (r15 window-capacity consolidation with rollup/cube)
 
 
 @register(
@@ -541,7 +496,12 @@ def setops_all_variants(spark, sf_dir):
     each variant's rows are tagged and separately value-hashed, n
     carries INTERSECT ALL's multiplicity (1 for the distinct
     variants).  UNION ALL (the reference's plain-UNION semantics,
-    SURVEY §2.7 U1 note) keeps its own entry in setops.py."""
+    SURVEY §2.7 U1 note) keeps its own entry in setops.py.
+
+    Fronted for driver re-verification in the r15 window (ADVICE r14:
+    the r14 rewrite absorbing the three variant entries shipped after
+    this entry's last driver row, so its driver evidence predated the
+    rewrite — this edit re-fronts it through the change-aware tier)."""
     t = Tables(spark, sf_dir)
     c = t.customer.select(F.col("c_nationkey").alias("nationkey"))
     s = t.supplier.select(F.col("s_nationkey").alias("nationkey"))

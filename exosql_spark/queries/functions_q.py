@@ -48,7 +48,11 @@ def fn_strings(spark, sf_dir):
     (upper/lower/substr/trim/length/replace/split+join/reverse +
     concat_ws/lpad/rpad/left/right/repeat/strpos/translate — absorbed
     the former fn_strings2 under the round-14 window-capacity
-    consolidation; same table, same key, one scan)."""
+    consolidation; same table, same key, one scan).
+
+    Fronted for driver re-verification in the r15 window (ADVICE r14:
+    the fn_strings2 absorption shipped after this entry's last driver
+    row — this edit re-fronts it through the change-aware tier)."""
     t = Tables(spark, sf_dir)
     return t.customer.select(
         "c_custkey",

@@ -1334,34 +1334,48 @@ def dedup_minhash_clusters_planted(spark, sf_dir):
 
 
 @register(
-    "dedup_components_planted",
+    "dedup_components_algos_planted",
     oracle="""
-SELECT doc_id AS id, (doc_id // 5) * 5 AS component
-FROM documents
+SELECT algo, doc_id AS id, (doc_id // 5) * 5 AS component
+FROM documents, (SELECT unnest(['min_label', 'star']) AS algo)
 WHERE NOT (doc_id % 5 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))
-ORDER BY id
+ORDER BY algo, id
 """,
     tags=("llm", "dedup"),
 )
-def dedup_components_planted(spark, sf_dir):
-    """Connected components (operators/components.py min-label
-    propagation) exact-oracled on closed-form CHAINS — the transitive
-    case the clique-planted oracle (dedup_minhash_clusters_planted)
-    cannot exercise: in a clique every member is one hop from the min
-    label, so convergence is trivial; here the min label must travel
-    the full chain diameter.
+def dedup_components_algos_planted(spark, sf_dir):
+    """BOTH connected-components algorithms exact-oracled on the same
+    closed-form CHAIN construction, as tagged variants (r15
+    window-capacity consolidation of dedup_components_planted +
+    dedup_components_star_planted — identical input and oracle rows,
+    one entry; every column preserved plus the ``algo`` tag):
+
+    - ``min_label``: iterative min-label propagation — the transitive
+      case the clique-planted oracle (dedup_minhash_clusters_planted)
+      cannot exercise: in a clique every member is one hop from the
+      min label, so convergence is trivial; on a chain the min label
+      must travel the full diameter;
+    - ``star``: the large-star/small-star alternation
+      (connected_components_star — Kiveris et al. 2014, O(log² n)
+      rounds independent of diameter) — the chains force real
+      pointer-halving work (a depth-4 path must collapse to a depth-1
+      star through the edge-fixpoint loop), pinning the star rounds +
+      fixpoint + star-forest read-out end to end.
 
     Edge rule over the REAL documents id space (contiguous 0..N-1):
     link doc_id → doc_id+1 except across multiples of 5, giving pure
-    paths A—B—C—D—E where only CONSECUTIVE ids are adjacent (A~B and
-    B~C with no A~C edge). The transitive closure is closed-form —
-    component(id) = 5·⌊id/5⌋ — and reaching it takes diameter-many
-    (4) propagation rounds, so the oracle pins the iteration/fixpoint
-    machinery, not just single-hop relabeling. Scales with SF (5000
-    nodes at sf0.1). The guard drops the one isolated node a non-÷5
-    corpus size would leave (no edges ⇒ not in the output by
-    contract)."""
-    from exosql_spark.operators.components import connected_components
+    paths A—B—C—D—E where only CONSECUTIVE ids are adjacent. The
+    transitive closure is closed-form — component(id) = 5·⌊id/5⌋ —
+    and reaching it takes diameter-many propagation rounds for
+    min_label, so the oracle pins the iteration/fixpoint machinery of
+    both algorithms over identical input, not just single-hop
+    relabeling. Scales with SF (5000 nodes at sf0.1). The guard drops
+    the one isolated node a non-÷5 corpus size would leave (no edges
+    ⇒ not in the output by contract)."""
+    from exosql_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
 
     d = Tables(spark, sf_dir).documents.select("doc_id")
     edges = (
@@ -1370,42 +1384,13 @@ def dedup_components_planted(spark, sf_dir):
         .filter(F.col("a.doc_id") % 5 != 4)
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    return connected_components(edges).orderBy("id")
-
-
-@register(
-    "dedup_components_star_planted",
-    oracle="""
-SELECT doc_id AS id, (doc_id // 5) * 5 AS component
-FROM documents
-WHERE NOT (doc_id % 5 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))
-ORDER BY id
-""",
-    tags=("llm", "dedup"),
-)
-def dedup_components_star_planted(spark, sf_dir):
-    """The large-star/small-star connected-components variant
-    (connected_components_star — Kiveris et al. 2014 alternation,
-    O(log² n) rounds independent of diameter) driver-gated on the SAME
-    closed-form chain construction and oracle as
-    dedup_components_planted: doc_id → doc_id+1 edges broken at
-    multiples of 5, transitive closure component(id) = 5·⌊id/5⌋.
-    The chains force real pointer-halving work (a depth-4 path must
-    collapse to a depth-1 star through the edge-fixpoint loop), so
-    this pins the star rounds + fixpoint + final star-forest read-out
-    end to end under the driver — previously the variant was local-
-    equivalence-tested only (round-7 verdict). Both CC algorithms now
-    carry an independent driver oracle over identical input."""
-    from exosql_spark.operators.components import connected_components_star
-
-    d = Tables(spark, sf_dir).documents.select("doc_id")
-    edges = (
-        d.alias("a")
-        .join(d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .filter(F.col("a.doc_id") % 5 != 4)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    min_label = connected_components(edges).select(
+        F.lit("min_label").alias("algo"), "id", "component"
     )
-    return connected_components_star(edges).orderBy("id")
+    star = connected_components_star(edges).select(
+        F.lit("star").alias("algo"), "id", "component"
+    )
+    return min_label.unionByName(star).orderBy("algo", "id")
 
 
 _REACHABILITY_RECURSIVE_SQL = """
@@ -3620,9 +3605,7 @@ def sample_weighted_es(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_png_header_probe",
-    oracle="""
+_MM_PNG_SQL = """
 WITH media AS (
   SELECT doc_id,
          from_hex('89504E470D0A1A0A' || '0000000D' || '49484452'
@@ -3645,11 +3628,11 @@ SELECT CAST(floor(w / 100.0) AS INT) AS width_bucket,
        CAST(max(ht) AS INT) AS max_height,
        CAST(sum(w * ht) AS BIGINT) AS total_pixels
 FROM dims WHERE is_png
-GROUP BY 1 ORDER BY 1
-""",
-    tags=("llm", "multimodal", "scale"),
-)
-def multimodal_png_header_probe(spark, sf_dir):
+GROUP BY 1
+"""
+
+
+def _mm_png_probe(spark, sf_dir):
     """REAL binary header parsing, exact-oracled end-to-end: both
     engines construct byte-identical synthetic PNG payloads (true
     signature + IHDR layout, dims derived from doc_id) and PARSE the
@@ -3692,13 +3675,10 @@ def multimodal_png_header_probe(spark, sf_dir):
             F.max("ht").alias("max_height"),
             F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
         )
-        .orderBy("width_bucket")
     )
 
 
-@register(
-    "multimodal_jpeg_sof_probe",
-    oracle="""
+_MM_JPEG_SQL = """
 WITH RECURSIVE hx AS (
   SELECT doc_id,
          'FFD8'
@@ -3740,12 +3720,11 @@ SELECT CAST(floor(w / 100.0) AS INT) AS width_bucket,
        CAST(max(sof_off) AS INT) AS max_sof_off,
        CAST(sum(w * ht) AS BIGINT) AS total_pixels
 FROM dims
-GROUP BY 1 ORDER BY 1
-""",
-    tags=("llm", "multimodal", "scale"),
-    bench=True,  # plan-novel: unrolled marker walk, tracked since r12
-)
-def multimodal_jpeg_sof_probe(spark, sf_dir):
+GROUP BY 1
+"""
+
+
+def _mm_jpeg_probe(spark, sf_dir):
     """VARIABLE-offset header parsing (r11 verdict Next #6): the
     PNG/WAV probes read fixed offsets, but a JPEG's SOF frame header
     sits after arbitrary-length APP0/COM/DQT segments — its position
@@ -3805,13 +3784,10 @@ def multimodal_jpeg_sof_probe(spark, sf_dir):
             F.max("sof_off").alias("max_sof_off"),
             F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
         )
-        .orderBy("width_bucket")
     )
 
 
-@register(
-    "multimodal_wav_chunk_walk",
-    oracle="""
+_MM_WAV_SQL = """
 WITH RECURSIVE hx AS (
   SELECT doc_id,
          '52494646' || '64000000' || '57415645'
@@ -3866,11 +3842,11 @@ SELECT CAST(ch AS INT) AS n_channels,
        CAST(max(fmt_off) AS INT) AS max_fmt_off,
        CAST(sum(rate) AS BIGINT) AS rate_sum
 FROM meta
-GROUP BY 1 ORDER BY 1
-""",
-    tags=("llm", "multimodal", "scale"),
-)
-def multimodal_wav_chunk_walk(spark, sf_dir):
+GROUP BY 1
+"""
+
+
+def _mm_wav_probe(spark, sf_dir):
     """Non-canonical RIFF chunk order (the r11 verdict's other
     variable-offset case): parse_wav_meta's fixed offsets assume
     ``fmt `` comes first, but RIFF permits LIST/JUNK/bext chunks ahead
@@ -3924,7 +3900,6 @@ def multimodal_wav_chunk_walk(spark, sf_dir):
             F.max("fmt_off").alias("max_fmt_off"),
             F.sum(F.col("rate").cast("long")).alias("rate_sum"),
         )
-        .orderBy("n_channels")
     )
 
 
@@ -4395,9 +4370,7 @@ def text_bpe_merges_planted(spark, sf_dir):
     )
 
 
-@register(
-    "multimodal_mp4_mvhd_probe",
-    oracle="""
+_MM_MP4_SQL = """
 WITH d AS (
   SELECT doc_id % 23 + 1 AS p1, doc_id % 11 + 1 AS p2, doc_id % 13 + 1 AS pu,
          600 * (doc_id % 4 + 1) AS ts, doc_id % 30 + 1 AS dsec
@@ -4413,11 +4386,11 @@ SELECT CAST(ts AS INT) AS timescale,
        CAST(max(dsec) AS INT) AS max_dur_sec,
        CAST(min(mvhd_off) AS INT) AS min_mvhd_off,
        CAST(max(mvhd_off) AS INT) AS max_mvhd_off
-FROM o GROUP BY 1 ORDER BY 1
-""",
-    tags=("llm", "multimodal", "scale"),
-)
-def multimodal_mp4_mvhd_probe(spark, sf_dir):
+FROM o GROUP BY 1
+"""
+
+
+def _mm_mp4_probe(spark, sf_dir):
     """ISO-BMFF (MP4) metadata triage — the fourth container format
     (after PNG/JPEG/WAV) and the first requiring a TWO-LEVEL walk:
     ``moov`` sits after doc_id-derived free/skip boxes at the top
@@ -4474,8 +4447,105 @@ def multimodal_mp4_mvhd_probe(spark, sf_dir):
             F.min("mvhd_off").alias("min_mvhd_off"),
             F.max("mvhd_off").alias("max_mvhd_off"),
         )
-        .orderBy("timescale")
     )
+
+
+@register(
+    "multimodal_header_probe_suite",
+    oracle=f"""
+SELECT 'png' AS variant, width_bucket AS group_key, n_images AS n,
+       min_width AS min_a, max_height AS max_b,
+       CAST(NULL AS INTEGER) AS min_off, CAST(NULL AS INTEGER) AS max_off,
+       total_pixels AS checksum
+FROM ({_MM_PNG_SQL}) png
+UNION ALL
+SELECT 'jpeg', width_bucket, n_images, min_width, max_height,
+       min_sof_off, max_sof_off, total_pixels
+FROM ({_MM_JPEG_SQL}) jp
+UNION ALL
+SELECT 'wav', n_channels, n_files, min_rate, max_rate,
+       min_fmt_off, max_fmt_off, rate_sum
+FROM ({_MM_WAV_SQL}) wv
+UNION ALL
+SELECT 'mp4', timescale, n_videos, min_dur_sec, max_dur_sec,
+       min_mvhd_off, max_mvhd_off, CAST(NULL AS BIGINT)
+FROM ({_MM_MP4_SQL}) mp
+""",
+    tags=("llm", "multimodal", "scale"),
+    bench=True,  # replaces the bench-tracked multimodal_jpeg_sof_probe
+)
+def multimodal_header_probe_suite(spark, sf_dir):
+    """Container-header triage over all four formats as tagged
+    variants (r15 window-capacity consolidation of the PNG/JPEG/WAV/
+    MP4 probes — one entry, four byte-exact parser proofs; the mixed
+    triage entry stays separate because its discrimination surface is
+    a different property).  Every column of the four originals is
+    preserved under a harmonized legend:
+
+    ========  ===========  ========  =========  ==========  ===========  ===========  ============
+    variant   group_key    n         min_a      max_b       min_off      max_off      checksum
+    ========  ===========  ========  =========  ==========  ===========  ===========  ============
+    png       width_bucket n_images  min_width  max_height  —            —            total_pixels
+    jpeg      width_bucket n_images  min_width  max_height  min_sof_off  max_sof_off  total_pixels
+    wav       n_channels   n_files   min_rate   max_rate    min_fmt_off  max_fmt_off  rate_sum
+    mp4       timescale    n_videos  min_dur    max_dur     min_mvhd_off max_mvhd_off —
+    ========  ===========  ========  =========  ==========  ===========  ===========  ============
+
+    Each variant keeps its original plan shape (see the per-format
+    helpers ``_mm_png_probe`` etc., still individually plan-pinned in
+    tests/test_plans.py): a pure JVM-side projection parsing raw bytes
+    — fixed offsets for PNG, an unrolled 8-step marker/chunk fold for
+    JPEG SOF and RIFF, a two-level box walk for MP4 — then one
+    map-side-combined rollup on a small key.  The 100 TB contract is
+    unchanged: header triage reads tens of bytes per blob in a scan-
+    bounded projection, no decoder, no Python, no join; the union adds
+    no exchange."""
+    parts = [
+        _mm_png_probe(spark, sf_dir).select(
+            F.lit("png").alias("variant"),
+            F.col("width_bucket").alias("group_key"),
+            F.col("n_images").alias("n"),
+            F.col("min_width").alias("min_a"),
+            F.col("max_height").alias("max_b"),
+            F.lit(None).cast("int").alias("min_off"),
+            F.lit(None).cast("int").alias("max_off"),
+            F.col("total_pixels").alias("checksum"),
+        ),
+        _mm_jpeg_probe(spark, sf_dir).select(
+            F.lit("jpeg").alias("variant"),
+            F.col("width_bucket").alias("group_key"),
+            F.col("n_images").alias("n"),
+            F.col("min_width").alias("min_a"),
+            F.col("max_height").alias("max_b"),
+            F.col("min_sof_off").alias("min_off"),
+            F.col("max_sof_off").alias("max_off"),
+            F.col("total_pixels").alias("checksum"),
+        ),
+        _mm_wav_probe(spark, sf_dir).select(
+            F.lit("wav").alias("variant"),
+            F.col("n_channels").alias("group_key"),
+            F.col("n_files").alias("n"),
+            F.col("min_rate").alias("min_a"),
+            F.col("max_rate").alias("max_b"),
+            F.col("min_fmt_off").alias("min_off"),
+            F.col("max_fmt_off").alias("max_off"),
+            F.col("rate_sum").alias("checksum"),
+        ),
+        _mm_mp4_probe(spark, sf_dir).select(
+            F.lit("mp4").alias("variant"),
+            F.col("timescale").alias("group_key"),
+            F.col("n_videos").alias("n"),
+            F.col("min_dur_sec").alias("min_a"),
+            F.col("max_dur_sec").alias("max_b"),
+            F.col("min_mvhd_off").alias("min_off"),
+            F.col("max_mvhd_off").alias("max_off"),
+            F.lit(None).cast("long").alias("checksum"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("variant", "group_key")
 
 
 @register(
@@ -5359,12 +5429,18 @@ pv AS (SELECT id, count(*) AS n FROM (
          SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
          UNION ALL SELECT z FROM tri) GROUP BY 1),
 agg AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri),
-wg AS (SELECT CAST(sum(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg),
+wg AS (SELECT CAST(coalesce(sum(d * (d - 1)), 0) / 2 AS BIGINT) AS n_wedges
+       FROM deg),
 pva AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS sum_vertex_tri,
                CAST(coalesce(max(n), 0) AS BIGINT) AS max_vertex_tri FROM pv)
 SELECT n_triangles, n_wedges,
-       floor((3.0 * n_triangles / n_wedges) * CAST(100000000.0 AS DOUBLE) + 0.5)
-         / CAST(100000000.0 AS DOUBLE) AS transitivity,
+       -- wedge-free guard mirrors the Spark side's otherwise(0.0)
+       -- (ADVICE r14: unguarded 3*tri/wedges yields NaN on an
+       -- all-degree<=1 graph, a latent parity break)
+       CASE WHEN n_wedges > 0 THEN
+         floor((3.0 * n_triangles / n_wedges) * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE)
+       ELSE 0.0 END AS transitivity,
        sum_vertex_tri, max_vertex_tri
 FROM agg, wg, pva
 """,
@@ -5722,7 +5798,9 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, vec_id) AS rank
       FROM scored)
 SELECT query_id, query_label, vec_id, neg_label,
-       round(sim, 4) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+       floor(sim * CAST(10000.0 AS DOUBLE) + 0.5)
+         / CAST(10000.0 AS DOUBLE) AS cosine_sim,
+       CAST(rank AS INTEGER) AS rank
 FROM r WHERE rank <= 3 ORDER BY query_id, rank
 """,
     tags=("llm", "similarity", "training"),
@@ -6005,5 +6083,139 @@ def eval_split_leakage(spark, sf_dir):
     return (
         leakage("by_content", text.normalize_text("text"))
         .unionByName(leakage("by_doc_id", F.col("doc_id").cast("string")))
+        .orderBy("strategy")
+    )
+
+
+@register(
+    "eval_split_leakage_neardup",
+    oracle=rf"""
+WITH grp AS (
+  SELECT g, array_to_string(list_transform(range(60),
+                                           j -> 'w' || g || 'x' || j),
+                            ' ') AS base
+  FROM (SELECT unnest(range(10)) AS g)
+),
+members AS (
+  SELECT 100000 + g AS doc_id, g, base AS text FROM grp
+  UNION ALL SELECT 101000 + g, g, base || ' pza pzb pzc' FROM grp
+  UNION ALL SELECT 102000 + g, g, base || ' pzd pze pzf' FROM grp
+),
+lab AS (
+  SELECT doc_id, g,
+         {_sql_h60("CAST(doc_id AS VARCHAR) || ':7'")} % 100 AS b_id,
+         {_sql_h60("text || ':7'")} % 100 AS b_ct,
+         {_sql_h60("CAST(100000 + g AS VARCHAR) || ':7'")} % 100 AS b_cl
+  FROM members
+),
+sp AS (
+  SELECT doc_id, g,
+         CASE WHEN b_id < 80 THEN 'train' WHEN b_id < 90 THEN 'val'
+              ELSE 'test' END AS s_id,
+         CASE WHEN b_ct < 80 THEN 'train' WHEN b_ct < 90 THEN 'val'
+              ELSE 'test' END AS s_ct,
+         CASE WHEN b_cl < 80 THEN 'train' WHEN b_cl < 90 THEN 'val'
+              ELSE 'test' END AS s_cl
+  FROM lab
+),
+px AS (
+  SELECT 'by_cluster' AS strategy, a.s_cl AS sa, b.s_cl AS sb
+  FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'by_content', a.s_ct, b.s_ct
+  FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT 'by_doc_id', a.s_id, b.s_id
+  FROM sp a JOIN sp b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_split,
+       {_u.fround_sql(
+           "CAST(sum(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / count(*)", 6)} AS leakage_rate
+FROM px GROUP BY strategy ORDER BY strategy
+""",
+    tags=("llm", "eval", "curation", "dedup"),
+)
+def eval_split_leakage_neardup(spark, sf_dir):
+    """NEAR-duplicate split-leakage audit — the integrity gap
+    eval_split_leakage's exact-dup audit provably cannot see, and the
+    one content-hash splitting provably does NOT close (Lee et al.
+    2022: near-dup train/test contamination inflates held-out
+    scores).  Plant 10 near-dup cliques (shared 60-token base per
+    group, pairwise-distinct 3-token tails → J ≈ 0.91–0.95, disjoint
+    per-group vocabularies ⇒ zero cross-group/corpus similarity, the
+    dedup_minhash_clusters_planted construction), union onto the real
+    corpus, and count co-member pairs straddling a split boundary
+    under three strategies:
+
+    - ``by_doc_id``: unrelated ids → independent buckets → leaks
+      (~1−(0.8²+0.1²+0.1²) of pairs, deterministically replayed);
+    - ``by_content``: normalized-content hash — keeps EXACT dups
+      together (eval_split_leakage's result) but a 3-token tail
+      changes the hash, so near-dups land in INDEPENDENT buckets and
+      leak (4/30 pairs under this seed vs 16/30 for id-splitting —
+      nonzero is the finding: content-hash's exact-dup guarantee does
+      not extend one token past exactness);
+    - ``by_cluster``: selection.cluster_split_assign — MinHash-LSH
+      pairs → connected components → split by the component
+      representative (min member id) → structurally ZERO cross-split
+      pairs (co-members share a component by construction).
+
+    The oracle replays all three in closed form: the planted texts
+    and the md5-60bit bucket arithmetic are engine-portable, and the
+    planted components are fully determined (representative =
+    100000+g), so DuckDB never models LSH internals — if clustering
+    ever failed to connect a clique, by_cluster's zero would break
+    against the oracle.  Shape: split assignment is a projection (the
+    cluster variant adds the LSH pair set + component fixpoint over
+    |pairs| edges and ONE keyed join of the component table onto the
+    corpus); the audit joins are 30-row planted equijoins; output is
+    a 3-row aggregate."""
+    from exosql_spark.operators import ordering, text
+    from exosql_spark.operators.selection import cluster_split_assign
+
+    t = Tables(spark, sf_dir)
+    planted = _planted_docs(
+        spark,
+        members=((100000, ""), (101000, " pza pzb pzc"), (102000, " pzd pze pzf")),
+    )
+    corpus = t.documents.select("doc_id", "text").unionByName(planted)
+
+    def audit(strategy, assigned):
+        m = assigned.filter(F.col("doc_id") >= 100000).select(
+            (F.col("doc_id") % 1000).alias("_g"),
+            (F.col("doc_id") / 1000).cast("long").alias("_m"),
+            "split",
+        )
+        a = m.select("_g", F.col("_m").alias("_ma"), F.col("split").alias("_sa"))
+        b = m.select("_g", F.col("_m").alias("_mb"), F.col("split").alias("_sb"))
+        return (
+            a.join(b, "_g")
+            .where(F.col("_ma") < F.col("_mb"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(F.col("_sa") != F.col("_sb"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_cross_split"),
+            )
+            .select(
+                F.lit(strategy).alias("strategy"),
+                "n_pairs",
+                "n_cross_split",
+                _u.fround(
+                    F.col("n_cross_split").cast("double") / F.col("n_pairs"), 6
+                ).alias("leakage_rate"),
+            )
+        )
+
+    by_id = ordering.split_assign(corpus, F.col("doc_id").cast("string"), seed=7)
+    by_ct = ordering.split_assign(corpus, text.normalize_text("text"), seed=7)
+    by_cl = cluster_split_assign(corpus, "text", "doc_id", seed=7)
+    return (
+        audit("by_cluster", by_cl)
+        .unionByName(audit("by_content", by_ct))
+        .unionByName(audit("by_doc_id", by_id))
         .orderBy("strategy")
     )

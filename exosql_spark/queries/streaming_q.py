@@ -815,6 +815,80 @@ def streaming_pagerank_parity(spark, sf_dir):
 
 
 @register(
+    "streaming_triangles_parity",
+    oracle="""
+WITH nodes AS (SELECT DISTINCT doc_id % 120 AS id FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes)
+SELECT nn AS n_triangles_incremental,
+       nn AS n_triangles_batch,
+       CAST(0.5 AS DOUBLE) AS transitivity,
+       2 * nn AS n_edges
+FROM n
+""",
+    tags=("streaming", "graph", "scale"),
+)
+def streaming_triangles_parity(spark, sf_dir):
+    """Watermark-free incremental triangle maintenance under
+    Structured Streaming, exact-oracled (r14 verdict Next #7 — the
+    graph tier's second mergeable-state case after PageRank's
+    out-degree): the planted circulant graph C_n(1,2) (nodes doc_id %
+    120, edges i→i+1 and i→i+2 mod n) arrives as a file stream in
+    four real micro-batches; each batch appends its canonical edges
+    batch-id-keyed into the bucket-partitioned store AND writes a
+    TRIANGLE DELTA part — the count of triangles whose globally-last
+    edge (lexicographic ``(batch, a, b)`` order) arrived in that
+    batch, computed by broadcasting the batch's edges against the
+    store adjacency (streaming/graph_ingest.triangle_ingest_stream;
+    every triangle has exactly one maximal edge, so the batch deltas
+    PARTITION the triangle set and their sum is mergeable state).
+    After the drain the entry returns, in one row, (a) the
+    merge-on-read delta sum, (b) a full batch recompute via
+    operators/graph.triangle_stats (degree-ordered orientation — a
+    DIFFERENT algorithm) over the stream-built store, plus its
+    transitivity and the store's edge count.  The oracle states the
+    circulant's closed form: exactly n triangles ((i, i+1, i+2) only,
+    for n ≥ 7), 2n canonical edges, all degrees 4 ⇒ 6n wedges ⇒
+    transitivity 3n/6n = 0.5 — both the incremental and the batch
+    column must land on it independently."""
+    import os
+
+    from exosql_spark import streaming
+    from exosql_spark.io import Tables
+    from exosql_spark.operators.graph import triangle_stats
+    from exosql_spark.queries.llm_q import _ephemeral_dir
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.select((F.col("doc_id") % 120).alias("id")).distinct()
+    edges = nodes.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 120).alias("dst")
+    ).unionByName(
+        nodes.select(F.col("id").alias("src"), ((F.col("id") + 2) % 120).alias("dst"))
+    )
+
+    work = _ephemeral_dir("exosql_tri_ingest_")
+    inc_dir = os.path.join(work, "incoming")
+    edges.repartition(4).write.parquet(inc_dir)
+    stream = streaming.read_edges_stream(spark, inc_dir)
+    estore = os.path.join(work, "edge_store")
+    dstore = os.path.join(work, "tri_deltas")
+    q = streaming.triangle_ingest_stream(
+        stream, estore, dstore, os.path.join(work, "ckpt")
+    )
+    q.awaitTermination()
+
+    inc_count = streaming.read_triangle_count(spark, dstore).select(
+        F.col("n_triangles").alias("n_triangles_incremental")
+    )
+    stats = triangle_stats(streaming.read_canonical_edges(spark, estore)).select(
+        F.col("n_triangles").alias("n_triangles_batch"), "transitivity"
+    )
+    n_edges = streaming.read_canonical_edges(spark, estore).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return inc_count.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(n_edges))
+
+
+@register(
     "streaming_decontam_parity",
     oracle=r"""
 WITH norm AS (

@@ -18,9 +18,12 @@ from exosql_spark.streaming.events import (
 from exosql_spark.streaming.graph_ingest import (
     EDGES_SCHEMA,
     edge_ingest_stream,
+    read_canonical_edges,
     read_edges,
     read_edges_stream,
     read_out_strength,
+    read_triangle_count,
+    triangle_ingest_stream,
 )
 from exosql_spark.streaming.decontam_ingest import (
     BENCH_DOCS_SCHEMA,
@@ -39,8 +42,11 @@ from exosql_spark.streaming.index_ingest import (
 __all__ = [
     "EDGES_SCHEMA",
     "edge_ingest_stream",
+    "read_canonical_edges",
     "read_edges",
     "read_edges_stream",
+    "read_triangle_count",
+    "triangle_ingest_stream",
     "read_out_strength",
     "BENCH_DOCS_SCHEMA",
     "benchmark_ingest_stream",

@@ -115,3 +115,112 @@ def read_out_strength(spark: SparkSession, degrees_path: str) -> DataFrame:
         .groupBy("id")
         .agg(F.sum("deg").cast("long").alias("deg"))
     )
+
+
+def triangle_ingest_stream(
+    stream_df: DataFrame,
+    edges_path: str,
+    deltas_path: str,
+    checkpoint: str,
+    n_buckets: int = 8,
+):
+    """Incremental TRIANGLE maintenance over the edge stream — the
+    graph tier's second mergeable-state case (r14 verdict Next #7).
+    Per micro-batch the foreachBatch body (1) canonicalizes the
+    batch's edges (a < b, self-loops/in-batch duplicates dropped) and
+    appends them batch-id-keyed into the bucket-partitioned store,
+    and (2) writes the batch's TRIANGLE DELTA part: the number of
+    triangles whose globally-LAST edge arrived in this batch, "last"
+    under the lexicographic total order ``(batch, a, b)`` (canonical
+    edges are distinct, so the order is total and every triangle has
+    exactly one maximal edge — each triangle is counted in exactly
+    one batch).  The running count is then the SUM of delta parts:
+    associative, commutative, and replay-safe (a re-run batch
+    overwrites both its edge files and its own delta part, and the
+    prior-store read dedupes the half-landed attempt by
+    ``(a, b, batch)``).
+
+    Join shape per batch: the NEW edges (bounded by the micro-batch)
+    broadcast against the store's adjacency twice — wedge at the new
+    edge's endpoints, closing neighbor equality — so per-batch cost is
+    O(|Δ| · d̄) with ONE broadcast of the batch, never a store
+    self-join; the full O(m^1.5) degree-ordered enumeration
+    (operators/graph.triangles) remains the batch recompute path this
+    ingest is verified against (streaming_triangles_parity).
+
+    Contract: each logical edge arrives in exactly one micro-batch
+    (the same producer contract as the PageRank edge ingest above);
+    WITHIN-batch replays are idempotent by construction."""
+    from exosql_spark import sinks
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = (
+            batch_df.where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .withColumn("batch", F.lit(batch_id).cast("long"))
+        )
+        try:
+            prior = spark.read.parquet(edges_path).select("a", "b", "batch")
+        except Exception:
+            prior = spark.createDataFrame([], b.schema)
+        # dedup by full key: a replayed batch's already-landed files
+        # contribute byte-identical rows
+        cur = prior.unionByName(b).distinct()
+        keyed = cur.select("a", "b", F.struct("batch", "a", "b").alias("k"))
+        adj = keyed.select(
+            F.col("a").alias("u"), F.col("b").alias("w"), "k"
+        ).unionByName(keyed.select(F.col("b").alias("u"), F.col("a").alias("w"), "k"))
+        newe = b.select("a", "b", F.struct("batch", "a", "b").alias("nk"))
+        wedges = (
+            F.broadcast(newe)
+            .join(
+                adj.select(
+                    F.col("u").alias("a"), F.col("w").alias("_w"), F.col("k").alias("k1")
+                ),
+                "a",
+            )
+            .join(
+                adj.select(
+                    F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")
+                ),
+                ["b", "_w"],
+            )
+            .where((F.col("k1") < F.col("nk")) & (F.col("k2") < F.col("nk")))
+        )
+        delta = wedges.agg(
+            F.count(F.lit(1)).cast("long").alias("n_new_triangles")
+        ).select(F.lit(0).alias("bucket"), "n_new_triangles")
+        sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
+        store_rows = b.select(
+            "a", "b", "batch", F.pmod(F.hash("a"), F.lit(n_buckets)).alias("bucket")
+        )
+        sinks.append_batch_keyed(store_rows, edges_path, "bucket", batch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_triangle_count(spark: SparkSession, deltas_path: str) -> DataFrame:
+    """The live triangle count: 1-row sum over all delta parts —
+    equal by the maximal-edge argument to a batch triangle count over
+    everything ingested."""
+    return spark.read.parquet(deltas_path).agg(
+        F.sum("n_new_triangles").cast("long").alias("n_triangles")
+    )
+
+
+def read_canonical_edges(spark: SparkSession, edges_path: str) -> DataFrame:
+    """The live canonical edge set (src/dst naming for the batch
+    operators; layout and batch columns dropped)."""
+    return spark.read.parquet(edges_path).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )

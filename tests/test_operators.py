@@ -3472,18 +3472,20 @@ def test_three_cc_implementations_agree(spark, sf_dir):
 
     qs = all_queries()
     rows = {}
-    for name in (
-        "dedup_components_planted",
-        "dedup_components_star_planted",
-        "dedup_components_recursive_cte",
-    ):
-        rows[name] = sorted(
-            (int(r.id), int(r.component))
-            for r in qs[name].fn(spark, sf_dir).collect()
+    # the min-label and star variants live in the consolidated
+    # dedup_components_algos_planted entry (r15), tagged by `algo`
+    both = qs["dedup_components_algos_planted"].fn(spark, sf_dir).collect()
+    for algo in ("min_label", "star"):
+        rows[algo] = sorted(
+            (int(r.id), int(r.component)) for r in both if r.algo == algo
         )
-    assert rows["dedup_components_planted"] == rows["dedup_components_star_planted"]
-    assert rows["dedup_components_planted"] == rows["dedup_components_recursive_cte"]
-    assert len(rows["dedup_components_planted"]) > 0
+    rows["recursive"] = sorted(
+        (int(r.id), int(r.component))
+        for r in qs["dedup_components_recursive_cte"].fn(spark, sf_dir).collect()
+    )
+    assert rows["min_label"] == rows["star"]
+    assert rows["min_label"] == rows["recursive"]
+    assert len(rows["min_label"]) > 0
 
 
 def test_mp4_version1_mvhd_yields_null_not_wrong_parse(spark):

@@ -598,7 +598,9 @@ class TestRound12Plans:
         scan, and the only exchange is the final width-bucket rollup."""
         from exosql_spark.catalog import all_queries
 
-        df = all_queries()["multimodal_jpeg_sof_probe"].fn(spark, sf_dir)
+        from exosql_spark.queries.llm_q import _mm_jpeg_probe
+
+        df = _mm_jpeg_probe(spark, sf_dir)
         s = plan(df)
         assert "EvalPython" not in s, s  # no BatchEvalPython/ArrowEvalPython
         assert "Join" not in s, s
@@ -609,7 +611,9 @@ class TestRound12Plans:
         no Python stage, no join, one exchange for the rollup."""
         from exosql_spark.catalog import all_queries
 
-        df = all_queries()["multimodal_wav_chunk_walk"].fn(spark, sf_dir)
+        from exosql_spark.queries.llm_q import _mm_wav_probe
+
+        df = _mm_wav_probe(spark, sf_dir)
         s = plan(df)
         assert "EvalPython" not in s, s
         assert "Join" not in s, s
@@ -690,3 +694,117 @@ class TestRound14Plans:
         s = plan(df)
         assert "BroadcastHashJoin" in s, s
         assert "EvalPython" not in s, s
+
+
+class TestRound15Plans:
+    @staticmethod
+    def _load_tool(name, relpath):
+        import importlib.util
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), relpath)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_bench_shuffle_counter_identity_not_string(self, spark):
+        """bench._count_shuffles must count each ShuffleExchangeExec
+        ONCE by JVM object identity and agree with the
+        tools/gen_explain.py walk that EXPLAIN.md is generated from
+        (r14 verdict Missing #2: the old regex over the plan STRING
+        counted every re-print of a persisted subtree — 2037 recorded
+        vs the true 8 for graph_triangle_stats).  The probe plan below
+        reproduces the inflation class: a 4-branch union over a
+        persisted aggregate re-prints the cached relation's single
+        hash exchange once per branch in toString() (measured: string
+        count 8), while the true distinct-operator count is 1."""
+        import pyspark.sql.functions as F
+
+        bench = self._load_tool("bench_for_counter_test", "bench.py")
+        ge = self._load_tool("gen_explain_for_counter_test", "tools/gen_explain.py")
+        base = (
+            spark.range(4000)
+            .selectExpr("id % 13 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .persist()
+        )
+        try:
+            base.count()
+            df = base.union(base).union(base).union(base)
+            df.count()
+            n = bench._count_shuffles(df)
+            string_n = len(
+                bench._SHUFFLE_EXCHANGE_RE.findall(
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            )
+            nodes = ge.executed_nodes(
+                df._jdf.queryExecution().executedPlan(), spark._jvm
+            )
+            ge_n = sum(1 for name, _ in nodes if name == "ShuffleExchangeExec")
+            assert n == 1 == ge_n, (n, ge_n)
+            assert string_n > n, (
+                "probe plan no longer reproduces the string-count "
+                "inflation this test exists to pin against",
+                string_n,
+            )
+            # a second shape with a join: counter and EXPLAIN walk agree
+            df2 = (
+                base.join(base.selectExpr("k", "s AS s2"), "k")
+                .groupBy()
+                .agg(F.sum("s").alias("t"))
+            )
+            df2.count()
+            nodes2 = ge.executed_nodes(
+                df2._jdf.queryExecution().executedPlan(), spark._jvm
+            )
+            ge_n2 = sum(1 for name, _ in nodes2 if name == "ShuffleExchangeExec")
+            assert bench._count_shuffles(df2) == ge_n2
+        finally:
+            base.unpersist()
+
+    def test_compare_bench_flags_require_both_probes(self, capsys):
+        """The comparator must not flag a query that only ONE probe
+        normalization puts over the bar (r14: a 2.24x-vs-1.44x probe
+        divergence manufactured 12 flags on untouched code).  Synthetic
+        artifacts: probes diverge 2x vs 1x; query 'a' slowed 1.5x raw
+        (over the bar only under the unity probe), query 'b' slowed 3x
+        raw (over under both), query 'c' is a wash."""
+        import json
+        import sys
+
+        cb = self._load_tool("compare_bench_for_flag_test", "tools/compare_bench.py")
+        old = {
+            "value": 3.0,
+            "queries": {"a": 1.0, "b": 1.0, "c": 1.0},
+            "calibration_sec": 1.0,
+            "calibration_shuffle_sec": 1.0,
+            "query_set_sha1": "x",
+        }
+        new = {
+            "value": 5.5,
+            "queries": {"a": 1.5, "b": 3.0, "c": 1.0},
+            "calibration_sec": 2.0,
+            "calibration_shuffle_sec": 1.0,
+            "query_set_sha1": "x",
+        }
+        import tempfile, os
+
+        with tempfile.TemporaryDirectory() as d:
+            po, pn = os.path.join(d, "BENCH_rold.json"), os.path.join(d, "BENCH_rnew.json")
+            with open(po, "w") as f:
+                json.dump(old, f)
+            with open(pn, "w") as f:
+                json.dump(new, f)
+            argv = sys.argv
+            sys.argv = ["compare_bench.py", po, pn]
+            try:
+                cb.main()
+            finally:
+                sys.argv = argv
+        out = capsys.readouterr().out
+        assert "1 slower >1.25x under BOTH normalizations" in out, out
+        assert "flags: b (" in out, out
+        assert "a (" not in out.split("flags:")[-1], out

@@ -190,13 +190,20 @@ class TestVerifyWindow:
             fresh = json.load(f)
         last, latest = fresh["last_green"], fresh["latest_round"]
         window = catalog.verify_window()
+        # tier 1 also admits rows-only entries that have NEVER had a
+        # driver row (r15, r14 verdict Missing #4) — they join the
+        # `new` block once, then leave the rotation for good
+        rows_only_new = [
+            n for n, q in qs.items() if not q.oracle and n not in last
+        ]
         assert len(window) == min(
-            catalog._WINDOW_SIZE, sum(1 for q in qs.values() if q.oracle)
+            catalog._WINDOW_SIZE,
+            sum(1 for q in qs.values() if q.oracle) + len(rows_only_new),
         )
         in_window = set(window)
         exact = [n for n, q in qs.items() if q.oracle]
         # tier 1: every exact entry without a driver row is in the window
-        new = [n for n in exact if n not in last]
+        new = [n for n in exact if n not in last] + rows_only_new
         assert set(new) <= in_window
         fps = catalog.current_fingerprints(qs)
         recorded = fresh.get("fingerprints", {})
@@ -273,22 +280,22 @@ class TestVerifyWindow:
         """entry_fingerprint must close over the OPERATOR module an
         entry executes, not just the fn body — the failure mode that
         motivated tier 2 was an asof.py rewrite invisible to the
-        rotation.  Pin that join_asof's closure set contains
+        rotation.  Pin that join_asof_suite's closure set contains
         operators/asof.py, that the defining query module is excluded
         (a new llm_q entry must not re-front its neighbors), and that
         the hash is deterministic."""
         from exosql_spark import catalog
 
         qs = catalog.all_queries()
-        q = qs["join_asof"]
+        q = qs["join_asof_suite"]
         _, deps = catalog._entry_source_and_deps(q)
         assert "exosql_spark.operators.asof" in deps
         assert "exosql_spark.queries.extensions_q" not in deps  # own module
         assert "exosql_spark.catalog" not in deps
-        catalog._FP_CACHE.pop("join_asof", None)
+        catalog._FP_CACHE.pop("join_asof_suite", None)
         fp1 = catalog.entry_fingerprint(q)
         assert fp1 and len(fp1) == 12
-        catalog._FP_CACHE.pop("join_asof", None)
+        catalog._FP_CACHE.pop("join_asof_suite", None)
         assert catalog.entry_fingerprint(q) == fp1
         # a dedup entry closes over operators/dedup.py the same way
         _, ddeps = catalog._entry_source_and_deps(qs["dedup_jaccard_exact_pairs"])

@@ -21,10 +21,25 @@ directions, and a worktree A/B showed the two queries it flagged at
 
 Both normalizations are always printed.  When per-query plan shuffle
 counts are available (``plan_shuffles`` in the new round's
-BENCH_DETAIL.json, recorded by bench.py at warmup), a third column
-picks the probe matching the query's plan class — shuffle probe for
-≥1 shuffle exchange, CPU probe for pure-scan/codegen shapes — and the
-summary counts regressions against THAT number.
+BENCH_DETAIL.json, recorded by bench.py at warmup), a ``sel`` column
+picks the probe matching the query's plan class — CPU probe for
+0-shuffle pure-scan/codegen shapes, shuffle probe for ≥3-exchange
+shapes, and the geometric mean of the two for 1–2-exchange blends
+(sub-second catalog entries with one or two exchanges spend
+comparable wall time in codegen and in the scheduler, so neither
+probe alone predicts them).
+
+FLAGGING uses neither column alone (r14 verdict Missing #1 / What's
+wrong #1): the r14 boundary had the two probes diverge 2.24× vs
+1.44×, and because every entry carried ≥1 exchange the old ``sel``
+rule normalized the whole set by the shuffle probe, manufacturing 12
+flags on untouched code that the CPU probe called a wash (max 1.12×).
+A query is only counted as a regression when it is slow under BOTH
+probe hypotheses — ``nmin = min(ncpu, nshf) > 1.25`` — and only
+counted as faster when fast under both (``max < 0.8``).  Real code
+regressions exceed both bars (they add work of SOME kind); probe
+divergence by construction cannot.  The table sorts by nmin so the
+flag list tops it.
 
 Caveats it enforces rather than assumes:
 - totals are only compared when ``query_set_sha1`` matches (otherwise
@@ -201,13 +216,19 @@ def main() -> None:
             skipped.append(f"{name} (old 0.0 -> new {qn[name]})")
         else:
             raw = qn[name] / qo[name]
-            cls = "shf" if shuffles.get(name, 1) >= 1 else "cpu"
-            sel = raw / (shf_ratio if cls == "shf" else cpu_ratio)
+            ncpu, nshf = raw / cpu_ratio, raw / shf_ratio
+            n_shuf = shuffles.get(name, 3)
+            if n_shuf == 0:
+                cls, sel = "cpu", ncpu
+            elif n_shuf >= 3:
+                cls, sel = "shf", nshf
+            else:
+                cls, sel = "mix", (ncpu * nshf) ** 0.5
             rows.append(
-                (name, qo[name], qn[name], raw, raw / cpu_ratio, raw / shf_ratio,
-                 cls, sel)
+                (name, qo[name], qn[name], raw, ncpu, nshf, cls, sel,
+                 min(ncpu, nshf), max(ncpu, nshf))
             )
-    rows.sort(key=lambda r: -r[7])
+    rows.sort(key=lambda r: -r[8])
 
     same_set = old.get("query_set_sha1") == new.get("query_set_sha1")
     if same_set and old.get("value") and new.get("value"):
@@ -225,20 +246,22 @@ def main() -> None:
         )
     print(
         f"{'query':42s} {'old_s':>8s} {'new_s':>8s} {'raw':>6s} "
-        f"{'ncpu':>6s} {'nshf':>6s} {'cls':>4s} {'sel':>6s}"
+        f"{'ncpu':>6s} {'nshf':>6s} {'cls':>4s} {'sel':>6s} {'nmin':>6s}"
     )
-    for name, o, n, raw, ncpu, nshf, cls, sel in rows:
+    for name, o, n, raw, ncpu, nshf, cls, sel, nmin, _nmax in rows:
         print(
             f"{name:42s} {o:8.3f} {n:8.3f} {raw:6.2f} "
-            f"{ncpu:6.2f} {nshf:6.2f} {cls:>4s} {sel:6.2f}"
+            f"{ncpu:6.2f} {nshf:6.2f} {cls:>4s} {sel:6.2f} {nmin:6.2f}"
         )
-    worse = [r for r in rows if r[7] > 1.25]
-    better = [r for r in rows if r[7] < 0.8]
+    worse = [r for r in rows if r[8] > 1.25]
+    better = [r for r in rows if r[9] < 0.8]
     print(
         f"\nsummary: {len(rows)} shared queries; "
-        f"{len(worse)} slower >1.25x class-normalized, "
-        f"{len(better)} faster <0.8x"
+        f"{len(worse)} slower >1.25x under BOTH normalizations, "
+        f"{len(better)} faster <0.8x under both"
     )
+    if worse:
+        print("flags: " + ", ".join(f"{r[0]} ({r[8]:.2f})" for r in worse))
     if skipped:
         print(f"skipped (no ratio possible): {', '.join(skipped)}")
 
