@@ -448,3 +448,191 @@ def hits(
     e_src.unpersist()
     e_dst.unpersist()
     return scores.select("id", "hub", "auth")
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004
+    "Combating web spam with TrustRank"): PageRank with the teleport
+    vector restricted to a trusted SEED set — rank flows outward from
+    vetted pages, so link-farm spam that mere in-degree rewards gets
+    structurally demoted.  This is the second half of the link-graph
+    curation prior pair: :func:`pagerank` measures raw centrality,
+    trustrank measures centrality REACHABLE FROM TRUST, and the gap
+    between the two is the classic spam signal.
+
+        rank ← (1−d)·t + d·(Σ_in rank/out_deg + dangling_mass·t)
+
+    with t(v) = 1/|S| for v in ``seeds`` (one ``id`` column), else 0;
+    rank is initialized to t (the TrustRank convention).  Dangling
+    mass returns to the seeds, not uniformly — mass unreachable from
+    trust must stay zero, which is the property the planted oracle
+    pins (an isolated component's rank is exactly 0.0, not merely
+    small).  Ranks sum to 1 over the seed-reachable set.
+
+    Distributed shape per iteration: IDENTICAL to pagerank's — one
+    map-side-combined keyed aggregation for contributions against the
+    once-partitioned persisted edge table, a 1-row dangling aggregate
+    attached by broadcast crossJoin, localCheckpoint bounding the
+    3-reference lineage.  The teleport column ``_t`` rides the
+    |V|-sized rank frame (one extra double), so the seed set costs
+    nothing at any scale."""
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = e.repartition(F.col("_s")).persist()
+    verts = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .unionByName(seeds.select(F.col("id")))
+        .distinct()
+    )
+    n_seeds = seeds.select("id").distinct().count()
+    if n_seeds == 0:
+        e.unpersist()
+        return verts.select("id", F.lit(0.0).alias("rank"))
+
+    seed_t = seeds.select("id").distinct().withColumn(
+        "_t", F.lit(1.0 / n_seeds)
+    )
+    out_deg = e.groupBy(F.col("_s").alias("id")).agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    )
+    ranks = (
+        verts.join(out_deg, "id", "left")
+        .join(seed_t, "id", "left")
+        .select(
+            "id",
+            "_deg",
+            F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t"),
+            F.coalesce(F.col("_t"), F.lit(0.0)).alias("rank"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        dangling = ranks.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+        )
+        contrib = (
+            e.join(
+                ranks.select(
+                    F.col("id").alias("_s"),
+                    (F.col("rank") / F.col("_deg")).alias("_c"),
+                ),
+                "_s",
+            )
+            .groupBy(F.col("_d").alias("id"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            ranks.select("id", "_deg", "_t")
+            .join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                "_deg",
+                "_t",
+                (
+                    F.lit(1.0 - damping) * F.col("_t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") * F.col("_t")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks.select("id", "rank")
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Coreness (k-core number) per vertex of the undirected simple
+    graph, via distributed H-index propagation (Montresor, De
+    Pellegrini & Miorandi 2011, "Distributed k-core decomposition"):
+    initialize c(v) = deg(v), then iterate
+
+        c(v) ← H({c(u) : u ~ v})
+
+    where H is the H-index of the neighbor multiset (the largest h
+    such that ≥ h neighbors have value ≥ h).  The sequence is
+    monotone non-increasing and converges exactly to the coreness —
+    the largest k such that v belongs to a subgraph of minimum degree
+    k.  Returns (``id``, ``coreness``); isolated vertices are not
+    returned (no edges ⇒ not in the input's endpoint set, the CC
+    contract).
+
+    WHY in a training-data engine: k-core is the standard structural
+    spam/boilerplate prior the peeling literature built for web
+    graphs — link farms form dense high-core subgraphs while organic
+    content sits in low cores, and conversely a crawl frontier's
+    quality tail is the 1-core fringe; it complements
+    pagerank/trustrank (flow-based) with a purely combinatorial
+    density measure.
+
+    Distributed shape per iteration: ONE keyed shuffle joins the
+    |V|-sized c frame onto the persisted adjacency (partitioned by
+    neighbor once, up front), then the H-index reduces per vertex as
+    ``max(min(c_rank, rank))`` over a per-vertex descending sort —
+    window + final aggregate share one hash exchange on the vertex
+    key.  Convergence is a 1-row changed-count aggregate per
+    iteration (the same bounded driver-scalar budget as pagerank's
+    tol); generations are localCheckpoint-ed (each is referenced by
+    the join AND the convergence check — the PageRank lesson).
+    Iterations are bounded by the graph's degeneracy-ordering depth,
+    small for real crawl graphs; ``max_iter`` is a backstop."""
+    canon = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .where(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("a"),
+            F.greatest("_u", "_v").alias("b"),
+        )
+        .distinct()
+    )
+    adj = (
+        canon.select(F.col("a").alias("id"), F.col("b").alias("nb"))
+        .unionByName(canon.select(F.col("b").alias("id"), F.col("a").alias("nb")))
+        .repartition(F.col("nb"))
+        .persist()
+    )
+    c = (
+        adj.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    w_desc = Window.partitionBy("id").orderBy(F.col("_cn").desc())
+    for _ in range(max_iter):
+        neigh = adj.join(
+            c.select(F.col("id").alias("nb"), F.col("c").alias("_cn")), "nb"
+        ).select("id", "_cn")
+        new_c = (
+            neigh.withColumn("_r", F.row_number().over(w_desc))
+            .groupBy("id")
+            .agg(F.max(F.least(F.col("_cn"), F.col("_r"))).alias("c"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_c.join(c.select("id", F.col("c").alias("_prev")), "id")
+            .where(F.col("c") != F.col("_prev"))
+            .count()
+        )
+        c = new_c
+        if changed == 0:
+            break
+    adj.unpersist()
+    return c.select("id", F.col("c").cast("int").alias("coreness"))

@@ -4429,9 +4429,17 @@ def _mm_mp4_probe(spark, sf_dir):
         u32(p2 + 8), F.lit("736B6970"), F.repeat(F.lit("42"), p2),  # skip
         moov,
     )
-    payload = F.unhex(hexstr)
-    tscale, duration, mvhd_off, moov_off, ok = parse_mp4_mvhd(payload)
-    parsed = t.documents.select(
+    # project the payload into a NAMED column before parsing (the
+    # other three probes' shape): the parse outputs reference the
+    # payload many times through the interpreted F.aggregate folds,
+    # and Catalyst's CollapseProject correctly declines to inline a
+    # multi-referenced non-cheap projection — passing the raw concat
+    # expression instead re-evaluated the whole synthetic construction
+    # at every fold step (measured 7.7 s vs 1.9 s at sf0.1, the most
+    # expensive entry in the bench set for no semantic reason)
+    media = t.documents.select("doc_id", F.unhex(hexstr).alias("payload"))
+    tscale, duration, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+    parsed = media.select(
         tscale.alias("timescale"),
         (duration / tscale).cast("int").alias("dur_sec"),
         mvhd_off.alias("mvhd_off"),
@@ -4674,6 +4682,167 @@ def graph_pagerank_star_planted(spark, sf_dir):
         )
         .orderBy("role")
     )
+
+
+@register(
+    "graph_trustrank_star_planted",
+    oracle="""
+WITH RECURSIVE
+nodes AS (SELECT DISTINCT doc_id % 201 AS id FROM documents),
+p AS (SELECT CAST(count(*) - 1 AS DOUBLE) AS m FROM nodes),
+-- the init branch FIXES the CTE's column types: bare 1.0/0.0 parse
+-- as DECIMAL(2,1) in DuckDB, silently rounding every iteration to
+-- one decimal (0.15 -> 0.2, 0.00425 -> 0.0) -- the pagerank twin
+-- escapes because its init divides by a DOUBLE.  CAST the seeds.
+it(i, m, rc, rl) AS (
+  SELECT 0, m, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE) FROM p
+  UNION ALL
+  SELECT i + 1, m,
+         (1.0 - 0.85) + 0.85 * (m * rl),
+         0.85 * (rc / m)
+  FROM it WHERE i < 10
+)
+SELECT role, n_nodes, rank, CAST(0.0 AS DOUBLE) AS rank_spread
+FROM (
+  SELECT 'center' AS role, CAST(1 AS BIGINT) AS n_nodes,
+         floor(rc * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE) AS rank
+  FROM it WHERE i = 10
+  UNION ALL
+  SELECT 'leaf', CAST(m AS BIGINT),
+         floor(rl * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE)
+  FROM it WHERE i = 10
+  UNION ALL
+  SELECT 'untrusted', CAST(2 AS BIGINT), 0.0
+)
+ORDER BY role
+""",
+    tags=("llm", "graph", "scale"),
+)
+def graph_trustrank_star_planted(spark, sf_dir):
+    """TrustRank seeded centrality (operators/graph.trustrank;
+    Gyöngyi et al. 2004) with a CLOSED-FORM oracle — the
+    spam-demotion half of the link-graph curation prior pair: rank
+    flows outward from a trusted seed set, and pages unreachable from
+    trust get EXACTLY zero, which is the structural property raw
+    PageRank cannot provide (every page earns teleport mass there).
+    The graph is the same planted star as graph_pagerank_star_planted
+    (hub 0 ↔ 200 leaves, both directions) PLUS an isolated untrusted
+    pair (100000 → 100001) disconnected from the seed; seeds = {0}.
+    Symmetry collapses the seeded iteration to a two-variable
+    recurrence — rc' = (1−d) + d·m·rl, rl' = d·rc/m, replayed as a
+    DuckDB recursive CTE with the identical arithmetic — while the
+    untrusted pair's ranks must land on literal 0.0 after 10
+    iterations (the dangling vertex 100001's mass returns to the
+    SEEDS, not uniformly, so no trust ever leaks back).  Plan shape
+    is pagerank's audited loop: per iteration one keyed
+    contribution aggregate against the once-partitioned persisted
+    edge table, a 1-row broadcast dangling attachment, and
+    localCheckpoint lineage bounds; the teleport vector rides the
+    |V|-sized rank frame as one extra column."""
+    from exosql_spark.operators.graph import trustrank
+    from exosql_spark.queries._util import fround
+
+    t = Tables(spark, sf_dir)
+    nodes = t.documents.select((F.col("doc_id") % 201).alias("id")).distinct()
+    leaves = nodes.filter(F.col("id") != 0)
+    edges = (
+        leaves.select(F.col("id").alias("src"), F.lit(0).cast("long").alias("dst"))
+        .unionByName(
+            leaves.select(
+                F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+            )
+        )
+        .unionByName(
+            spark.range(1).select(
+                F.lit(100000).cast("long").alias("src"),
+                F.lit(100001).cast("long").alias("dst"),
+            )
+        )
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("id"))
+    ranks = trustrank(edges, seeds, n_iter=10, damping=0.85)
+    return (
+        ranks.select(
+            F.when(F.col("id") == 0, "center")
+            .when(F.col("id") >= 100000, "untrusted")
+            .otherwise("leaf")
+            .alias("role"),
+            "rank",
+        )
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            fround(F.min("rank"), 8).alias("rank"),
+            fround(F.max("rank") - F.min("rank"), 8).alias("rank_spread"),
+        )
+        .orderBy("role")
+    )
+
+
+@register(
+    "graph_kcore_planted",
+    oracle="""
+SELECT id, coreness FROM (
+  SELECT doc_id AS id, CAST(1 AS INTEGER) AS coreness FROM documents
+  WHERE NOT (doc_id % 5 = 0 AND doc_id = (SELECT max(doc_id) FROM documents))
+  UNION ALL SELECT 100000 + g, CAST(9 AS INTEGER) FROM range(10) t(g)
+  UNION ALL SELECT 101000 + g, CAST(2 AS INTEGER) FROM range(20) t(g)
+)
+ORDER BY id
+""",
+    tags=("llm", "graph", "scale"),
+    bench=True,  # plan-novel: iterative H-index window+join fixpoint (r15)
+)
+def graph_kcore_planted(spark, sf_dir):
+    """k-core decomposition (operators/graph.kcore — distributed
+    H-index propagation, Montresor et al. 2011) exact-oracled on a
+    closed-form THREE-REGIME graph: coreness is the purely
+    combinatorial density prior of web-graph curation (link farms
+    form dense high-core subgraphs, organic content sits in low
+    cores; the quality tail of a crawl is the 1-core fringe) —
+    orthogonal to the flow-based pagerank/trustrank pair.
+
+    The planted graph unions (a) the repo's closed-form 5-chains over
+    the real doc_id space (the CC entries' construction — every chain
+    vertex has coreness 1, but interior vertices START at degree 2,
+    so the H-index iteration must do real propagation work inward
+    from the endpoints before converging DOWN to 1: the monotone-
+    decrease machinery, not just the init); (b) a K₁₀ clique on ids
+    100000+ (coreness exactly 9, stable from the first iteration);
+    (c) a 20-cycle on ids 101000+ (coreness exactly 2 — degree-2
+    regular, distinguishing CYCLES from chains, which pure degree
+    cannot).  The oracle states all three regimes closed-form; the
+    isolated-node guard is the CC entries' contract (no edges ⇒ not
+    in the output)."""
+    from exosql_spark.operators.graph import kcore
+
+    d = Tables(spark, sf_dir).documents.select("doc_id")
+    chains = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .filter(F.col("a.doc_id") % 5 != 4)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    # K10 edge list via sequence+explode — no join, no cartesian
+    clique = (
+        spark.range(9)
+        .select(
+            F.col("id").alias("x"),
+            F.explode(F.sequence(F.col("id") + 1, F.lit(9))).alias("y"),
+        )
+        .select(
+            (F.col("x") + 100000).alias("id_a"),
+            (F.col("y") + 100000).alias("id_b"),
+        )
+    )
+    cycle = spark.range(20).select(
+        (F.col("id") + 101000).alias("id_a"),
+        ((F.col("id") + 1) % 20 + 101000).alias("id_b"),
+    )
+    edges = chains.unionByName(clique).unionByName(cycle)
+    return kcore(edges, src="id_a", dst="id_b").orderBy("id")
 
 
 @register(

@@ -3836,3 +3836,99 @@ def test_mine_hard_negatives_excludes_same_label(spark):
     assert all(r.neg_label != r.query_label for r in got)
     assert [r.rank for r in got] == [1, 2]
     assert got[0].cosine_sim > got[1].cosine_sim
+
+
+def test_kcore_matches_peeling(spark):
+    """kcore()'s H-index fixpoint equals the definitional sequential
+    peeling algorithm (repeatedly delete the min-degree vertex; its
+    coreness is the running max of min-degrees) on a random graph
+    with hubs, plus exact closed forms: K5 has coreness 4 everywhere,
+    a path coreness 1, a cycle 2."""
+    import random
+    from collections import defaultdict
+
+    from exosql_spark.operators.graph import kcore
+
+    rng = random.Random(15)
+    edges = {(min(a, b), max(a, b)) for a, b in
+             ((rng.randrange(40), rng.randrange(40)) for _ in range(160))
+             if a != b}
+    # a planted dense pocket so coreness isn't degenerate
+    edges |= {(i, j) for i in range(30, 35) for j in range(i + 1, 35)}
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r.id: r.coreness for r in kcore(df).collect()}
+
+    # sequential peeling oracle
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    want, k = {}, 0
+    live = set(deg)
+    while live:
+        v = min(live, key=lambda u: deg[u])
+        k = max(k, deg[v])
+        want[v] = k
+        live.remove(v)
+        for u in adj[v]:
+            if u in live:
+                deg[u] -= 1
+    assert got == want
+
+    k5 = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    assert {r.coreness for r in kcore(k5).collect()} == {4}
+    path = spark.createDataFrame([(i, i + 1) for i in range(6)], "src long, dst long")
+    assert {r.coreness for r in kcore(path).collect()} == {1}
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 7) for i in range(7)], "src long, dst long"
+    )
+    assert {r.coreness for r in kcore(cyc).collect()} == {2}
+
+
+def test_trustrank_matches_reference_iteration(spark):
+    """trustrank() equals a plain-Python seeded power iteration on a
+    random digraph with a dangling vertex (its mass must return to
+    the SEEDS), and assigns exactly 0.0 to vertices unreachable from
+    the seed set."""
+    import random
+
+    from exosql_spark.operators.graph import trustrank
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(12), rng.randrange(12)) for _ in range(30)
+                    if True})
+    edges = [(a, b) for a, b in edges if a != b and a != 11]  # 11 dangling
+    edges.append((3, 11))
+    # unreachable island
+    edges += [(100, 101), (101, 100)]
+    seeds = [0, 5]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r.id: r.rank for r in trustrank(df, sdf, n_iter=8, damping=0.85).collect()}
+
+    out = {}
+    nodes = set(seeds)
+    for a, b in edges:
+        out.setdefault(a, []).append(b)
+        nodes |= {a, b}
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    r = dict(t)
+    for _ in range(8):
+        nxt = {v: 0.0 for v in nodes}
+        dm = sum(rv for v, rv in r.items() if not out.get(v))
+        for a in out:
+            share = r[a] / len(out[a])
+            for b in out[a]:
+                nxt[b] += share
+        r = {
+            v: 0.15 * t[v] + 0.85 * (nxt[v] + dm * t[v])
+            for v in nodes
+        }
+    assert set(got) == set(r)
+    for v in r:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    assert got[100] == 0.0 and got[101] == 0.0

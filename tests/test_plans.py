@@ -143,6 +143,9 @@ class TestNoAccidentalCartesian:
         # intentional broadcast(anchors)×corpus scan, the
         # similarity_topk_cosine shape with a label predicate
         "contrastive_hard_negatives",
+        # r15: 1-row delta-sum × 1-row batch stats × 1-row edge count
+        # broadcast attachments, the triangle_stats shape
+        "streaming_triangles_parity",
     }
 
     def test_no_unexpected_cartesian(self, spark, sf_dir):
