@@ -23,6 +23,7 @@ from exosql_spark.streaming.graph_ingest import (
     read_edges_stream,
     read_out_strength,
     read_triangle_count,
+    triangle_ingest_batch,
     triangle_ingest_stream,
 )
 from exosql_spark.streaming.decontam_ingest import (
@@ -46,6 +47,7 @@ __all__ = [
     "read_edges",
     "read_edges_stream",
     "read_triangle_count",
+    "triangle_ingest_batch",
     "triangle_ingest_stream",
     "read_out_strength",
     "BENCH_DOCS_SCHEMA",

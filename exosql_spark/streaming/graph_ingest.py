@@ -151,55 +151,11 @@ def triangle_ingest_stream(
     Contract: each logical edge arrives in exactly one micro-batch
     (the same producer contract as the PageRank edge ingest above);
     WITHIN-batch replays are idempotent by construction."""
-    from exosql_spark import sinks
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        b = (
-            batch_df.where(F.col("src") != F.col("dst"))
-            .select(
-                F.least("src", "dst").alias("a"),
-                F.greatest("src", "dst").alias("b"),
-            )
-            .distinct()
-            .withColumn("batch", F.lit(batch_id).cast("long"))
+        triangle_ingest_batch(
+            batch_df, batch_id, edges_path, deltas_path, n_buckets
         )
-        try:
-            prior = spark.read.parquet(edges_path).select("a", "b", "batch")
-        except Exception:
-            prior = spark.createDataFrame([], b.schema)
-        # dedup by full key: a replayed batch's already-landed files
-        # contribute byte-identical rows
-        cur = prior.unionByName(b).distinct()
-        keyed = cur.select("a", "b", F.struct("batch", "a", "b").alias("k"))
-        adj = keyed.select(
-            F.col("a").alias("u"), F.col("b").alias("w"), "k"
-        ).unionByName(keyed.select(F.col("b").alias("u"), F.col("a").alias("w"), "k"))
-        newe = b.select("a", "b", F.struct("batch", "a", "b").alias("nk"))
-        wedges = (
-            F.broadcast(newe)
-            .join(
-                adj.select(
-                    F.col("u").alias("a"), F.col("w").alias("_w"), F.col("k").alias("k1")
-                ),
-                "a",
-            )
-            .join(
-                adj.select(
-                    F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")
-                ),
-                ["b", "_w"],
-            )
-            .where((F.col("k1") < F.col("nk")) & (F.col("k2") < F.col("nk")))
-        )
-        delta = wedges.agg(
-            F.count(F.lit(1)).cast("long").alias("n_new_triangles")
-        ).select(F.lit(0).alias("bucket"), "n_new_triangles")
-        sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
-        store_rows = b.select(
-            "a", "b", "batch", F.pmod(F.hash("a"), F.lit(n_buckets)).alias("bucket")
-        )
-        sinks.append_batch_keyed(store_rows, edges_path, "bucket", batch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_append)
@@ -207,6 +163,68 @@ def triangle_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def triangle_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    edges_path: str,
+    deltas_path: str,
+    n_buckets: int = 8,
+) -> None:
+    """One micro-batch of :func:`triangle_ingest_stream`, exposed at
+    module level so tests can drive the REPLAY path directly (invoke
+    twice with the same batch id — state must come out byte-identical,
+    including the delta recomputed against a store that already holds
+    this batch's rows)."""
+    from exosql_spark import sinks
+
+    spark = batch_df.sparkSession
+    b = (
+        batch_df.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .withColumn("batch", F.lit(batch_id).cast("long"))
+    )
+    try:
+        prior = spark.read.parquet(edges_path).select("a", "b", "batch")
+    except Exception:
+        prior = spark.createDataFrame([], b.schema)
+    # dedup by full key: a replayed batch's already-landed files
+    # contribute byte-identical rows
+    cur = prior.unionByName(b).distinct()
+    keyed = cur.select("a", "b", F.struct("batch", "a", "b").alias("k"))
+    adj = keyed.select(
+        F.col("a").alias("u"), F.col("b").alias("w"), "k"
+    ).unionByName(keyed.select(F.col("b").alias("u"), F.col("a").alias("w"), "k"))
+    newe = b.select("a", "b", F.struct("batch", "a", "b").alias("nk"))
+    wedges = (
+        F.broadcast(newe)
+        .join(
+            adj.select(
+                F.col("u").alias("a"), F.col("w").alias("_w"), F.col("k").alias("k1")
+            ),
+            "a",
+        )
+        .join(
+            adj.select(
+                F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")
+            ),
+            ["b", "_w"],
+        )
+        .where((F.col("k1") < F.col("nk")) & (F.col("k2") < F.col("nk")))
+    )
+    delta = wedges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_triangles")
+    ).select(F.lit(0).alias("bucket"), "n_new_triangles")
+    sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
+    store_rows = b.select(
+        "a", "b", "batch", F.pmod(F.hash("a"), F.lit(n_buckets)).alias("bucket")
+    )
+    sinks.append_batch_keyed(store_rows, edges_path, "bucket", batch_id)
 
 
 def read_triangle_count(spark: SparkSession, deltas_path: str) -> DataFrame:

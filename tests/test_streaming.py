@@ -625,3 +625,52 @@ class TestDecontamIngest:
             .collect()
         )
         assert streamed == batch
+
+
+class TestTriangleIngestStream:
+    def test_delta_partition_and_replay_idempotent(self, spark, tmp_path):
+        """The triangle delta parts must PARTITION the triangle set
+        across batches (sum == batch recompute) even when triangles
+        span batch boundaries, and a replayed batch — recomputing its
+        delta against a store that ALREADY holds its own rows — must
+        leave both layouts byte-identical (the crash-between-append-
+        and-offset-commit case)."""
+        from exosql_spark import streaming
+        from exosql_spark.operators.graph import triangle_stats
+
+        # K4 on {0..3} + a pendant: 4 triangles total.  Split so that
+        # triangle (1,2,3) is all-batch-0, (0,1,2)/(0,1,3)/(0,2,3)
+        # close only once batch 1's edges arrive — cross-batch closure.
+        b0 = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (4, 0)], "src long, dst long"
+        )
+        b1 = spark.createDataFrame(
+            [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+        )
+        estore, dstore = str(tmp_path / "e"), str(tmp_path / "d")
+        streaming.triangle_ingest_batch(b0, 0, estore, dstore)
+        streaming.triangle_ingest_batch(b1, 1, estore, dstore)
+
+        inc = streaming.read_triangle_count(spark, dstore).collect()[0]
+        assert inc.n_triangles == 4
+        batch = triangle_stats(
+            streaming.read_canonical_edges(spark, estore)
+        ).collect()[0]
+        assert batch.n_triangles == 4
+        # per-batch deltas partition the set: batch 0 contributes only
+        # the all-internal (1,2,3); batch 1 closes the other three
+        deltas = spark.read.parquet(dstore).collect()
+        assert sorted(r.n_new_triangles for r in deltas) == [1, 3]
+
+        edges_before = sorted(
+            map(tuple, streaming.read_canonical_edges(spark, estore).collect())
+        )
+        # REPLAY batch 1: the store already holds its rows; the delta
+        # must recompute to the same value and overwrite its own part
+        streaming.triangle_ingest_batch(b1, 1, estore, dstore)
+        inc2 = streaming.read_triangle_count(spark, dstore).collect()[0]
+        assert inc2.n_triangles == 4
+        edges_after = sorted(
+            map(tuple, streaming.read_canonical_edges(spark, estore).collect())
+        )
+        assert edges_after == edges_before
