@@ -811,3 +811,18 @@ class TestRound15Plans:
         assert "1 slower >1.25x under BOTH normalizations" in out, out
         assert "flags: b (" in out, out
         assert "a (" not in out.split("flags:")[-1], out
+
+    def test_mp4_probe_payload_stays_a_named_projection(self, spark, sf_dir):
+        """The mp4 probe's synthetic payload must reach the parser as
+        a NAMED projection, not a raw expression: Catalyst keeps a
+        multi-referenced non-cheap projection separate (3 payload
+        materializations in the plan), while the raw-expression shape
+        inlines the whole ~40-node construction into every interpreted
+        F.aggregate fold reference (measured: 68 occurrences and
+        7.7 s vs 2.2 s at sf0.1 — SCALE.md round-15).  The bound is
+        deliberately loose (< 10): it distinguishes the two shapes,
+        not the exact optimizer output."""
+        from exosql_spark.queries.llm_q import _mm_mp4_probe
+
+        s = plan(_mm_mp4_probe(spark, sf_dir))
+        assert s.count("unhex") < 10, s.count("unhex")
