@@ -198,64 +198,49 @@ def federation_orc_columnar(spark, sf_dir):
 
 
 @register(
-    "source_env_pinned",
+    "source_sys_pinned_suite",
     oracle="""
-SELECT 'EXOSQL_PROBE_A' AS key, 'alpha-7' AS value
-UNION ALL SELECT 'EXOSQL_PROBE_B', 'beta-11'
-ORDER BY key
+SELECT * FROM (
+  SELECT 'env' AS variant, 'EXOSQL_PROBE_A' AS key, 'alpha-7' AS value,
+         CAST(NULL AS BIGINT) AS kb, CAST(NULL AS INTEGER) AS n_cpus,
+         CAST(NULL AS BIGINT) AS pid
+  UNION ALL SELECT 'env', 'EXOSQL_PROBE_B', 'beta-11', NULL, NULL, NULL
+  UNION ALL SELECT 'node', 'MemAvailable', CAST(NULL AS VARCHAR),
+         CAST(98304000 AS BIGINT), CAST(32 AS INTEGER), CAST(4242 AS BIGINT)
+  UNION ALL SELECT 'node', 'MemTotal', NULL,
+         CAST(131072000 AS BIGINT), CAST(32 AS INTEGER), CAST(4242 AS BIGINT)
+) ORDER BY variant, key
 """,
-    tags=("source", "env"),
+    tags=("source", "env", "node"),
 )
-def source_env_pinned(spark, sf_dir):
-    """S3 env extractor with a DRIVER-checkable oracle (previously
-    tests-only, because the environment is nondeterministic): the
-    entry PINS two probe variables before reading, filters the env
-    table to exactly those keys, and the oracle states their values as
-    literals — so the extractor's actual mechanics (process env → (key,
-    value) table through Context, filter pushdown on the key column)
-    are what the value hash checks.  The rest of the environment never
-    enters the result, keeping the entry deterministic on any host."""
+def source_sys_pinned_suite(spark, sf_dir):
+    """S3 env + S4 node extractors as tagged variants, both with
+    DRIVER-checkable oracles (r15 window-capacity consolidation of
+    source_env_pinned + source_node_pinned — the r16 pre-plan's first
+    target, executed early; every column of both originals preserved:
+    env rows carry ``key``/``value``, node rows ``key``/``kb``/
+    ``n_cpus``/``pid``):
+
+    - ``env``: the process environment is nondeterministic, so the
+      entry PINS two probe variables before reading and filters the
+      env table to exactly those keys — the oracle states their
+      values as literals, and what the value hash checks is the
+      extractor's mechanics (process env → (key, value) table through
+      Context, key-filter pushdown);
+    - ``node``: host stats are nondeterministic, so the entry injects
+      a PINNED snapshot provider behind the same three table surfaces
+      (``{"node": {...}}`` spec → exosql_spark.sources.node_source)
+      and the oracle states the snapshot as literals — proving spec
+      resolution and registration through Context, the cpu/memory/
+      process schemas, and a key-filter + cross-table projection over
+      them, everything except the ``/proc`` read itself (reference
+      parity: exosql's env and node extractors, SURVEY.md S3/S4)."""
     import os
 
     from exosql_spark.context import Context
 
     os.environ["EXOSQL_PROBE_A"] = "alpha-7"
     os.environ["EXOSQL_PROBE_B"] = "beta-11"
-    ctx = Context(spark, {"sys": {"env": True}})
-    return ctx.sql(
-        "SELECT key, value FROM sys.env "
-        "WHERE key IN ('EXOSQL_PROBE_A', 'EXOSQL_PROBE_B') ORDER BY key"
-    )
-
-
-@register(
-    "source_node_pinned",
-    oracle="""
-SELECT * FROM (
-  SELECT 'MemAvailable' AS key, CAST(98304000 AS BIGINT) AS kb,
-         CAST(32 AS INTEGER) AS n_cpus, CAST(4242 AS BIGINT) AS pid
-  UNION ALL
-  SELECT 'MemTotal', CAST(131072000 AS BIGINT),
-         CAST(32 AS INTEGER), CAST(4242 AS BIGINT)
-) ORDER BY key
-""",
-    tags=("source", "node"),
-)
-def source_node_pinned(spark, sf_dir):
-    """S4 node extractor with a DRIVER-checkable oracle (r12 verdict
-    Next #7 — the last §2 row that could carry one and didn't): host
-    stats are nondeterministic, so the entry injects a PINNED snapshot
-    provider behind the same three table surfaces (``{"node":
-    {...}}`` spec → :func:`exosql_spark.sources.node_source`) and the
-    oracle states the snapshot as literals.  What the value hash then
-    proves is the extractor's MECHANICS: spec resolution and
-    registration through Context, the cpu/memory/process schemas, a
-    key-filter + cross-table projection running over them — everything
-    except the ``/proc`` read itself, exactly the source_env_pinned
-    trick (reference parity: exosql's node extractor surfaces Erlang
-    VM stat tables; SURVEY.md §2 S4)."""
-    from exosql_spark.context import Context
-
     snapshot = {
         "cpu": (32, 1.5, 1.25, 1.0),
         "meminfo": {
@@ -267,12 +252,27 @@ def source_node_pinned(spark, sf_dir):
         },
         "process": (4242, 12.5, 3.25, 524288),
     }
-    ctx = Context(spark, {"sys": {"node": snapshot}})
-    return ctx.sql(
-        "SELECT m.key AS key, m.kb AS kb, c.n_cpus AS n_cpus, p.pid AS pid "
-        "FROM sys.memory m CROSS JOIN sys.cpu c CROSS JOIN sys.process p "
-        "WHERE m.key IN ('MemTotal', 'MemAvailable') ORDER BY m.key"
+    # one federation context, two schemas (the spec resolver selects
+    # one source kind per schema)
+    ctx = Context(
+        spark, {"sysenv": {"env": True}, "sysnode": {"node": snapshot}}
     )
+    env = ctx.sql(
+        "SELECT 'env' AS variant, key, value, "
+        "CAST(NULL AS BIGINT) AS kb, CAST(NULL AS INT) AS n_cpus, "
+        "CAST(NULL AS BIGINT) AS pid "
+        "FROM sysenv.env "
+        "WHERE key IN ('EXOSQL_PROBE_A', 'EXOSQL_PROBE_B')"
+    )
+    node = ctx.sql(
+        "SELECT 'node' AS variant, m.key AS key, "
+        "CAST(NULL AS STRING) AS value, m.kb AS kb, "
+        "c.n_cpus AS n_cpus, p.pid AS pid "
+        "FROM sysnode.memory m CROSS JOIN sysnode.cpu c "
+        "CROSS JOIN sysnode.process p "
+        "WHERE m.key IN ('MemTotal', 'MemAvailable')"
+    )
+    return env.unionByName(node).orderBy("variant", "key")
 
 
 @register(

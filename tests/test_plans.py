@@ -127,7 +127,8 @@ class TestNoAccidentalCartesian:
         "streaming_sketch_ingest_parity",  # same 1-row attachment shape
         # pinned-snapshot introspection tables: 2-row × 1-row × 1-row
         # local relations — intentional cross join by construction
-        "source_node_pinned",
+        # (node variant of the r15-consolidated sys-source suite)
+        "source_sys_pinned_suite",
         # per-iteration 1-row dangling-mass broadcast attachment
         "graph_pagerank_star_planted",
         "stats_quantile_bottomk",  # 1-row sample-size broadcast attachment
