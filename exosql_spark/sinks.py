@@ -184,6 +184,20 @@ def write_stream_parquet(
     return w.start()
 
 
+def path_exists(spark, target: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — like
+    :func:`_hadoop_delete`, works identically on file://, hdfs:// and
+    s3a:// layouts.  Ingest readers use this instead of catching read
+    exceptions: a bare ``except`` around a store read treats ANY
+    failure (corrupt footer, FS hiccup, permission error) on an
+    EXISTING store as "first batch", which silently computes against
+    an empty prior (ADVICE r15)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(target)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def _hadoop_delete(spark, target: str, must_exist: bool = False) -> bool:
     """Remove a path through the Hadoop FileSystem API so the same code
     works on file://, hdfs:// and s3a:// layouts (os.* would silently

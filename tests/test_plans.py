@@ -827,3 +827,94 @@ class TestRound15Plans:
 
         s = plan(_mm_mp4_probe(spark, sf_dir))
         assert s.count("unhex") < 10, s.count("unhex")
+
+
+class TestRound16Plans:
+    def test_triangle_ingest_batch_no_store_wide_exchange(self, spark, tmp_path):
+        """The per-batch triangle delta must never shuffle the edge
+        store (r15 verdict What's-wrong #2: the old
+        `prior.unionByName(b).distinct()` re-shuffled the ENTIRE store
+        every micro-batch — at a 100 TB edge store that is a
+        per-trigger store-wide exchange that planted-scale parity
+        hides completely).  The contract after the fix: the half-landed
+        -replay dedup is a `batch != batch_id` FILTER (exact, because
+        append_batch_keyed's purge-then-move means this batch's own
+        rows are the only possible duplicates), and both triangle
+        joins keep the store adjacency on the STREAM side of a
+        broadcast hash join.  So the executed plan carries exactly ONE
+        exchange — the single-partition gather of the final count's
+        partial aggregates — zero SortMergeJoins, and two
+        BroadcastHashJoins."""
+        import importlib.util
+        import os
+
+        from exosql_spark.streaming import graph_ingest as gi
+
+        bench_path = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "bench.py"
+        )
+        spec = importlib.util.spec_from_file_location("bench_for_tri_plan", bench_path)
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        estore = str(tmp_path / "edges")
+        dstore = str(tmp_path / "deltas")
+        edges0 = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+        )
+        gi.triangle_ingest_batch(edges0, 0, estore, dstore)
+
+        # Rebuild batch 1's delta plan exactly as triangle_ingest_batch
+        # does (canonical batch + batch-filtered prior), then pin it.
+        b = (
+            spark.createDataFrame([(3, 0), (3, 1)], "src long, dst long")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .withColumn("batch", F.lit(1).cast("long"))
+        )
+        prior = (
+            spark.read.parquet(estore)
+            .select("a", "b", "batch")
+            .where(F.col("batch") != F.lit(1).cast("long"))
+        )
+        delta = gi.batch_triangle_delta(b, prior)
+        rows = delta.collect()
+        # Union is K4 (4 triangles); batch 0 alone closes only
+        # (0,1,2), so batch 1's maximal-edge delta is the other 3:
+        # (0,1,3) and (1,2,3) via edge 13, (0,2,3) via edge 03.
+        assert rows[0].n_new_triangles == 3, rows
+
+        # Exactly two exchanges by JVM identity, and BOTH are
+        # batch-derived: the batch canonicalization's own .distinct()
+        # (|Δ|-sized) and the final count's single-partition gather
+        # (n_partitions rows).  The store may only ever appear on the
+        # STREAM side of a broadcast join — no parquet scan beneath
+        # any exchange.
+        assert bench._count_shuffles(delta) == 2
+        ge_path = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "tools", "gen_explain.py"
+        )
+        spec2 = importlib.util.spec_from_file_location("ge_for_tri_plan", ge_path)
+        ge = importlib.util.module_from_spec(spec2)
+        spec2.loader.exec_module(ge)
+        nodes = ge.executed_nodes(
+            delta._jdf.queryExecution().executedPlan(), spark._jvm
+        )
+        for name, node in nodes:
+            if name == "ShuffleExchangeExec":
+                if "SinglePartition" in node.outputPartitioning().toString():
+                    # the final gather moves one partial-count row per
+                    # task, whatever sits beneath it
+                    assert "partial_count" in node.child().toString().splitlines()[0]
+                    continue
+                sub = node.toString()
+                assert "FileScan" not in sub and "parquet" not in sub, (
+                    "store scan shuffled:\n" + sub
+                )
+        s = plan(delta)
+        assert "SortMergeJoin" not in s, s
+        assert "BroadcastHashJoin" in s, s
