@@ -363,15 +363,18 @@ def compute_verify_window(
     order = {n: i for i, n in enumerate(exact)}
     key = lambda n: (last[n], order[n])  # noqa: E731
     new = [n for n in exact if n not in last]
-    # Rows-only entries that have NEVER had a driver row join tier 1
-    # once (r14 verdict Missing #4: "never driver-executed" is a
+    # Rows-only entries that have NEVER been driver-EXECUTED join tier
+    # 1 once (r14 verdict Missing #4: "never driver-executed" is a
     # different class from "stale" — two registered entries had no
-    # historical row at all).  They leave the window permanently after
-    # their first recorded round (green or not, last_green only
-    # records green — but any later rotation slot they'd occupy is
-    # wasted on a weaker check, so one shot is the right budget; the
-    # local rows>0 test gate covers them every round thereafter).
-    new += [n for n, q in registry.items() if not q.oracle and n not in last]
+    # historical row at all).  One shot means one ATTEMPT: the budget
+    # keys on last_seen (any recorded driver row, green or not —
+    # ADVICE r15: last_green records only green, so keying on it
+    # would re-front a never-green rows-only entry every round,
+    # permanently consuming a slot on a weaker check).  After its one
+    # recorded attempt the entry leaves the window for good; the
+    # local rows>0 test gate covers it every round thereafter.
+    seen = freshness.get("last_seen", last)
+    new += [n for n, q in registry.items() if not q.oracle and n not in seen]
 
     def is_changed(n: str) -> bool:
         return (

@@ -190,11 +190,14 @@ class TestVerifyWindow:
             fresh = json.load(f)
         last, latest = fresh["last_green"], fresh["latest_round"]
         window = catalog.verify_window()
-        # tier 1 also admits rows-only entries that have NEVER had a
-        # driver row (r15, r14 verdict Missing #4) — they join the
-        # `new` block once, then leave the rotation for good
+        # tier 1 also admits rows-only entries that have NEVER been
+        # driver-EXECUTED (r15, r14 verdict Missing #4) — one shot
+        # means one ATTEMPT, keyed on last_seen (ADVICE r15: keying
+        # on last_green would re-front a never-green rows-only entry
+        # every round, permanently consuming a slot)
+        seen = fresh.get("last_seen", last)
         rows_only_new = [
-            n for n, q in qs.items() if not q.oracle and n not in last
+            n for n, q in qs.items() if not q.oracle and n not in seen
         ]
         assert len(window) == min(
             catalog._WINDOW_SIZE,
@@ -275,6 +278,38 @@ class TestVerifyWindow:
         # without fingerprints the same call degrades to the r10 policy
         win = catalog.compute_verify_window(reg, fresh, size=3, current_fps=None)
         assert win == ("d_new", "a_old", "b_changed")
+
+    def test_rows_only_one_shot_is_one_attempt(self):
+        """ADVICE r15 (catalog.py): a rows-only entry's tier-1 slot is
+        budgeted on ATTEMPTS — an entry whose one driver row errored
+        (so it never entered last_green) must NOT re-front every
+        round, and one never executed at all must front exactly once.
+        Keyed on last_seen; a freshness file predating the last_seen
+        fold degrades to the old last_green rule rather than
+        re-fronting everything."""
+        from exosql_spark import catalog
+
+        def fn(spark, sf_dir):  # never called
+            raise NotImplementedError
+
+        reg = {
+            "x_exact": catalog.Query("x_exact", fn, "SELECT 1"),
+            "r_attempted": catalog.Query("r_attempted", fn, None),
+            "r_never": catalog.Query("r_never", fn, None),
+        }
+        fresh = {
+            "latest_round": 15,
+            "last_green": {"x_exact": 15},
+            # r_attempted got its one shot in r14 and it errored:
+            # seen, not green
+            "last_seen": {"x_exact": 15, "r_attempted": 14},
+        }
+        win = catalog.compute_verify_window(reg, fresh, size=3)
+        assert "r_never" in win and "r_attempted" not in win
+        # degraded mode: no last_seen map -> old rule (both front)
+        legacy = {"latest_round": 15, "last_green": {"x_exact": 15}}
+        win = catalog.compute_verify_window(reg, legacy, size=3)
+        assert "r_never" in win and "r_attempted" in win
 
     def test_real_fingerprint_sees_operator_module_source(self):
         """entry_fingerprint must close over the OPERATOR module an

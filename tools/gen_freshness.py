@@ -51,6 +51,12 @@ def row_is_green(row: dict) -> bool:
 def fold(repo: str = REPO) -> dict:
     latest = 0
     last_green: dict[str, int] = {}
+    # last_seen: latest round the driver EXECUTED the entry at all,
+    # green or not (ADVICE r15): the rows-only tier-1 "one shot" is
+    # budgeted on attempts, not successes — last_green alone would
+    # re-front a rows-only entry whose one shot errored, every round,
+    # forever.
+    last_seen: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -60,11 +66,15 @@ def fold(repo: str = REPO) -> dict:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if isinstance(row, dict) and row_is_green(row):
+            if not isinstance(row, dict):
+                continue
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+            if row_is_green(row):
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return {
         "latest_round": latest,
         "last_green": dict(sorted(last_green.items())),
+        "last_seen": dict(sorted(last_seen.items())),
     }
 
 
