@@ -327,66 +327,77 @@ def fn_to_datetime(spark, sf_dir):
 
 
 @register(
-    "fn_coercion_dynamic",
+    "fn_coercion_suite",
     oracle="""
-SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) + 2 AS qty_plus2,
-       CASE WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
-                 < CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
-            THEN -1
-            WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
-                 > CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
-            THEN 1 ELSE 0 END AS cmp_qty_price
-FROM lineitem
-WHERE l_orderkey <= 200
-""",
-    tags=("functions", "compat"),
+SELECT * FROM (
+  SELECT 'dynamic' AS variant, l_orderkey, l_linenumber,
+         CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) + 2 AS qty_plus2,
+         CASE WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                   < CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
+              THEN -1
+              WHEN CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE)
+                   > CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE)
+              THEN 1 ELSE 0 END AS cmp_qty_price,
+         CAST(NULL AS DOUBLE) AS qty_plus1,
+         CAST(NULL AS DOUBLE) AS qty_twice,
+         CAST(NULL AS INTEGER) AS big,
+         CAST(NULL AS DOUBLE) AS bad
+  FROM lineitem WHERE l_orderkey <= 200
+  UNION ALL
+  SELECT 'sql', l_orderkey, l_linenumber,
+         CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+         1 + CAST(l_quantity AS DOUBLE),
+         CAST(l_quantity AS DOUBLE) * 2,
+         CASE WHEN CAST(l_quantity AS DOUBLE) > 25 THEN 1 ELSE 0 END,
+         CAST(NULL AS DOUBLE)
+  FROM lineitem WHERE l_orderkey <= 200
 )
-def fn_coercion_dynamic(spark, sf_dir):
-    """Dynamic string↔number coercion (reference ``utils.ex ::
-    to_number`` + ``expr.ex`` arithmetic clauses — '1' + 2 → 3): math
-    and comparisons on stringified columns via try_cast chains."""
+""",
+    tags=("functions", "compat", "federation"),
+)
+def fn_coercion_suite(spark, sf_dir):
+    """Dynamic string↔number coercion on BOTH its surfaces as tagged
+    variants (r16 window-capacity consolidation of
+    fn_coercion_dynamic + fn_coercion_sql — the r15 pre-plan's second
+    target; every column of both originals preserved, null-padded
+    per variant):
+
+    - ``dynamic``: the expression API (reference ``utils.ex ::
+      to_number`` + ``expr.ex`` arithmetic clauses — '1' + 2 → 3) —
+      math and comparisons on stringified columns via try_cast
+      chains (``qty_plus2``/``cmp_qty_price``);
+    - ``sql``: the same semantics *through the federation SQL path*:
+      ``Context(..., coerce=True)`` rewrites arithmetic and
+      comparisons permissively — ``'1' + qty`` works on a string
+      column, unparseable → NULL (``qty_plus1``/``qty_twice``/
+      ``big``/``bad``) — closing the round-1 gap where
+      ``Context.sql`` was ANSI-only."""
+    from exosql_spark.context import Context
     from exosql_spark.functions.coercion import exo_add, exo_compare
 
     t = Tables(spark, sf_dir)
     qty_s = F.col("l_quantity").cast("string")
     price_s = F.col("l_extendedprice").cast("string")
-    return t.lineitem.filter(F.col("l_orderkey") <= 200).select(
+    dyn = t.lineitem.filter(F.col("l_orderkey") <= 200).select(
+        F.lit("dynamic").alias("variant"),
         "l_orderkey",
         "l_linenumber",
         exo_add(qty_s, F.lit("2")).alias("qty_plus2"),
         exo_compare(qty_s, price_s).alias("cmp_qty_price"),
+        F.lit(None).cast("double").alias("qty_plus1"),
+        F.lit(None).cast("double").alias("qty_twice"),
+        F.lit(None).cast("int").alias("big"),
+        F.lit(None).cast("double").alias("bad"),
     )
-
-
-@register(
-    "fn_coercion_sql",
-    oracle="""
-SELECT l_orderkey, l_linenumber,
-       1 + CAST(l_quantity AS DOUBLE) AS qty_plus1,
-       CAST(l_quantity AS DOUBLE) * 2 AS qty_twice,
-       CASE WHEN CAST(l_quantity AS DOUBLE) > 25 THEN 1 ELSE 0 END AS big,
-       CAST(NULL AS DOUBLE) AS bad
-FROM lineitem
-WHERE l_orderkey <= 200
-""",
-    tags=("functions", "compat", "federation"),
-)
-def fn_coercion_sql(spark, sf_dir):
-    """Dynamic typing *through the federation SQL path* (reference
-    ``expr.ex`` arithmetic clauses + ``utils.ex :: to_number``):
-    ``Context(..., coerce=True)`` runs the query with permissive
-    string↔number coercion in arithmetic and comparisons —
-    ``'1' + qty`` works on a string column, unparseable → NULL —
-    closing the round-1 gap where ``Context.sql`` was ANSI-only."""
-    from exosql_spark.context import Context
-
     ctx = Context(spark, {"db": {"parquet": sf_dir}}, coerce=True)
-    return ctx.sql(
-        "SELECT l_orderkey, l_linenumber, "
+    sql = ctx.sql(
+        "SELECT 'sql' AS variant, l_orderkey, l_linenumber, "
+        "CAST(NULL AS DOUBLE) AS qty_plus2, "
+        "CAST(NULL AS INT) AS cmp_qty_price, "
         "'1' + cast(l_quantity AS string) AS qty_plus1, "
         "cast(l_quantity AS string) * 2 AS qty_twice, "
         "CASE WHEN cast(l_quantity AS string) > 25 THEN 1 ELSE 0 END AS big, "
         "'n/a' + 0 AS bad "
         "FROM db.lineitem WHERE l_orderkey <= 200"
     )
+    return dyn.unionByName(sql)

@@ -4846,6 +4846,137 @@ def graph_kcore_planted(spark, sf_dir):
 
 
 @register(
+    "corpus_select_link_quality",
+    oracle="""
+WITH RECURSIVE
+it(i, rc, rl) AS (
+  SELECT 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+         (1.0 - 0.85) + 0.85 * (200.0 * rl),
+         0.85 * (rc / 200.0)
+  FROM it WHERE i < 10
+),
+fin AS (
+  SELECT floor(rc * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE) AS rc,
+         floor(rl * CAST(100000000.0 AS DOUBLE) + 0.5)
+           / CAST(100000000.0 AS DOUBLE) AS rl
+  FROM it WHERE i = 10
+),
+d AS (
+  SELECT CASE WHEN doc_id % 20 = 0 THEN 'farm'
+              WHEN doc_id % 20 = 1 THEN 'untrusted'
+              WHEN doc_id % 201 = 0 THEN 'center'
+              ELSE 'leaf' END AS regime
+  FROM documents
+)
+SELECT regime,
+       count(*) AS n_docs,
+       CAST(CASE WHEN regime IN ('center', 'leaf') THEN count(*)
+                 ELSE 0 END AS BIGINT) AS n_kept,
+       CASE regime WHEN 'center' THEN (SELECT rc FROM fin)
+                   WHEN 'leaf' THEN (SELECT rl FROM fin)
+                   ELSE CAST(0.0 AS DOUBLE) END AS rank,
+       CAST(CASE regime WHEN 'farm' THEN 9 ELSE 1 END AS INTEGER) AS coreness
+FROM d GROUP BY regime ORDER BY regime
+""",
+    tags=("llm", "graph", "selection", "scale"),
+)
+def corpus_select_link_quality(spark, sf_dir):
+    """The graph priors CONSUMED by a corpus selection (r15 verdict
+    Next #4: pagerank/trustrank/kcore existed but nothing used them):
+    ``selection.link_quality_select`` joins a per-site prior table —
+    trustrank rank ⊕ k-core coreness over ONE link graph — onto the
+    documents corpus and keeps docs with ``rank > 0 AND coreness ≤
+    8`` (drop what trust can't reach; drop dense-farm neighborhoods).
+
+    The planted link graph is SF-independent and three-regime, so the
+    whole pipeline is closed-form: a trusted star (hub 0 ↔ leaves
+    1..200, seeds = {0} — rank follows the same two-variable
+    recurrence as graph_trustrank_star_planted, replayed in the
+    oracle's recursive CTE; coreness 1), a K₁₀ link farm on sites
+    100000+ (unreachable from the seed ⇒ rank EXACTLY 0.0, coreness
+    9 — dropped by BOTH rules independently), and an untrusted pair
+    on 200000+ (rank 0.0, coreness 1).  Documents map to sites by a
+    deterministic doc_id rule (5% to farm sites, 5% untrusted, the
+    rest across the star), so per-regime doc counts, kept counts, and
+    the joined prior values are all exact.
+
+    Scale shape: the priors are per-SITE (|V| rows — here 213,
+    at crawl scale ~10⁶–10⁸), orders of magnitude smaller than the
+    corpus, so the selection join is ONE broadcast equi-join
+    (plan-pinned in tests/test_plans.py); the prior COMPUTATION
+    amortizes across every selection that reuses the table — the
+    iteration cost lives in the graph tier's audited loops, not in
+    the per-corpus-pass plan."""
+    from exosql_spark.operators.graph import kcore, trustrank
+    from exosql_spark.operators.selection import link_quality_select
+    from exosql_spark.queries._util import fround
+
+    leaves = spark.range(1, 201).select(F.col("id").cast("long").alias("leaf"))
+    star = leaves.select(
+        F.col("leaf").alias("src"), F.lit(0).cast("long").alias("dst")
+    ).unionByName(
+        leaves.select(F.lit(0).cast("long").alias("src"), F.col("leaf").alias("dst"))
+    )
+    farm = (
+        spark.range(9)
+        .select(
+            F.col("id").alias("x"),
+            F.explode(F.sequence(F.col("id") + 1, F.lit(9))).alias("y"),
+        )
+        .select(
+            (F.col("x") + 100000).cast("long").alias("src"),
+            (F.col("y") + 100000).cast("long").alias("dst"),
+        )
+    )
+    pair = spark.range(1).select(
+        F.lit(200000).cast("long").alias("src"),
+        F.lit(200001).cast("long").alias("dst"),
+    )
+    edges = star.unionByName(farm).unionByName(pair)
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("id"))
+    priors = trustrank(edges, seeds, n_iter=10, damping=0.85).join(
+        kcore(edges), "id", "full"
+    )
+    docs = (
+        Tables(spark, sf_dir)
+        .documents.select("doc_id")
+        .withColumn(
+            "site",
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                (F.lit(100000) + F.expr("doc_id DIV 20") % 10).cast("long"),
+            )
+            .when(
+                F.col("doc_id") % 20 == 1,
+                (F.lit(200000) + F.expr("doc_id DIV 20") % 2).cast("long"),
+            )
+            .otherwise((F.col("doc_id") % 201).cast("long")),
+        )
+    )
+    sel = link_quality_select(docs, priors, site_col="site", max_coreness=8)
+    return (
+        sel.withColumn(
+            "regime",
+            F.when(F.col("doc_id") % 20 == 0, "farm")
+            .when(F.col("doc_id") % 20 == 1, "untrusted")
+            .when(F.col("doc_id") % 201 == 0, "center")
+            .otherwise("leaf"),
+        )
+        .groupBy("regime")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            fround(F.min("rank"), 8).alias("rank"),
+            F.min("coreness").alias("coreness"),
+        )
+        .orderBy("regime")
+    )
+
+
+@register(
     "text_bpe_encode_planted",
     oracle="""
 WITH n AS (SELECT doc_id % 5 AS c, count(*) AS n_words FROM documents GROUP BY 1)

@@ -918,3 +918,19 @@ class TestRound16Plans:
         s = plan(delta)
         assert "SortMergeJoin" not in s, s
         assert "BroadcastHashJoin" in s, s
+
+    def test_link_quality_prior_join_broadcasts(self, spark, sf_dir):
+        """selection.link_quality_select joins the |V|-sized per-site
+        prior table onto the corpus — per its scale contract that must
+        be ONE broadcast equi-join of the priors (the corpus side
+        never shuffles for the join)."""
+        from exosql_spark.queries.llm_q import corpus_select_link_quality
+
+        s = plan(corpus_select_link_quality(spark, sf_dir))
+        assert "BroadcastHashJoin" in s, s
+        # the corpus scan (documents parquet) must not sit beneath a
+        # hash-partitioning exchange keyed on the join site
+        import re
+
+        for m in re.finditer(r"Exchange hashpartitioning\(site", s):
+            raise AssertionError("corpus shuffled on the prior join key:\n" + s)
