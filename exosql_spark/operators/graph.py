@@ -290,6 +290,17 @@ def triangle_stats(
     The canonical edge set and degree table are computed ONCE and
     shared between the wedge denominator and the triangle enumeration
     (they'd otherwise be two full passes over the input)."""
+    # Unlike `triangles` (whose persisted frames feed the CALLER's
+    # plan and so must outlive this function — drained only at
+    # release_caches), triangle_stats is TERMINAL: it returns a 1-row
+    # summary nothing re-reads the caches through.  So it owns its
+    # persists end-to-end: localCheckpoint the 1-row result eagerly,
+    # then release exactly the handles this invocation registered
+    # (ADVICE r15 — at a 100 TB edge set, holding the canonical edge
+    # frame until the query boundary is a real memory cost).
+    from exosql_spark.cache import registry_mark, release_since
+
+    mark = registry_mark(edges.sparkSession)
     e, deg = _canonical_edges_deg(edges, src, dst)
     wedges = deg.agg(
         F.coalesce(
@@ -311,7 +322,7 @@ def triangle_stats(
         F.coalesce(F.max("n_tri"), F.lit(0)).alias("max_vertex_tri"),
     )
     # three 1-row frames — broadcast crossJoin attachment, no collect
-    return (
+    out = (
         totals.crossJoin(F.broadcast(wedges))
         .crossJoin(F.broadcast(pv))
         .select(
@@ -333,6 +344,9 @@ def triangle_stats(
             F.col("max_vertex_tri").cast("long").alias("max_vertex_tri"),
         )
     )
+    out = out.localCheckpoint(eager=True)  # 1 row
+    release_since(edges.sparkSession, mark)
+    return out
 
 
 def hits(

@@ -735,6 +735,10 @@ FROM (
          round(rc, 8) AS rank FROM it, p WHERE i = 10
   UNION ALL
   SELECT 'leaf', CAST(m AS BIGINT), round(rl, 8) FROM it, p WHERE i = 10
+  UNION ALL
+  SELECT 'kcore_clique', CAST(10 AS BIGINT), CAST(9.0 AS DOUBLE)
+  UNION ALL
+  SELECT 'kcore_cycle', CAST(20 AS BIGINT), CAST(2.0 AS DOUBLE)
 )
 ORDER BY role
 """,
@@ -759,7 +763,24 @@ def streaming_pagerank_parity(spark, sf_dir):
     oracle replays in DuckDB — proving ingest across micro-batch
     boundaries is invisible to the fixpoint.  rank_spread pins leaf
     symmetry through the streamed store exactly as in the batch
-    entry."""
+    entry.
+
+    r16 extension (the graph tier's remaining streaming story, r15
+    verdict Next #7, kept in THIS entry so the streaming tier stays
+    16 entries — a new streaming entry costs 6 headroom under the
+    codified window arithmetic): a SECOND planted graph with
+    non-trivial coreness regimes (K₁₀ clique → coreness 9, 20-cycle
+    → coreness 2; the star's coreness is uniformly 1 so it can't
+    exercise the H-index fixpoint) streams through the same
+    edge-ingest contract into its own store, and a coreness REFRESH
+    (operators/graph.kcore) over that stream-built store must land on
+    the closed form — the same honest store-maintenance +
+    on-demand-refresh contract as the rank half (coreness, like rank,
+    is a global fixpoint: not mergeable per batch).  The kcore rows
+    ride the same output schema with the refreshed prior value in
+    ``rank`` (coreness as double) and regime spread in
+    ``rank_spread`` (exactly 0.0 — every member of a planted regime
+    has identical coreness)."""
     import os
 
     from exosql_spark import streaming
@@ -799,7 +820,7 @@ def streaming_pagerank_parity(spark, sf_dir):
     assert diff == 0, f"streamed out-strength != batch ({diff} rows differ)"
 
     ranks = pagerank(streaming.read_edges(spark, estore), n_iter=10, damping=0.85)
-    return (
+    pr_rows = (
         ranks.select(
             F.when(F.col("id") == 0, "center").otherwise("leaf").alias("role"),
             "rank",
@@ -810,8 +831,55 @@ def streaming_pagerank_parity(spark, sf_dir):
             fround(F.min("rank"), 8).alias("rank"),
             fround(F.max("rank") - F.min("rank"), 8).alias("rank_spread"),
         )
-        .orderBy("role")
     )
+
+    # second store: the coreness-regime graph (K10 clique + 20-cycle)
+    # through the identical ingest contract, then an on-demand kcore
+    # refresh over the stream-built store
+    from exosql_spark.operators.graph import kcore
+
+    clique = (
+        spark.range(9)
+        .select(
+            F.col("id").alias("x"),
+            F.explode(F.sequence(F.col("id") + 1, F.lit(9))).alias("y"),
+        )
+        .select(
+            (F.col("x") + 100000).cast("long").alias("src"),
+            (F.col("y") + 100000).cast("long").alias("dst"),
+        )
+    )
+    cycle = spark.range(20).select(
+        (F.col("id") + 101000).cast("long").alias("src"),
+        ((F.col("id") + 1) % 20 + 101000).cast("long").alias("dst"),
+    )
+    kinc_dir = os.path.join(work, "k_incoming")
+    clique.unionByName(cycle).repartition(2).write.parquet(kinc_dir)
+    kstream = streaming.read_edges_stream(spark, kinc_dir)
+    kestore = os.path.join(work, "k_edge_store")
+    kq = streaming.edge_ingest_stream(
+        kstream,
+        kestore,
+        os.path.join(work, "k_deg_parts"),
+        os.path.join(work, "k_ckpt"),
+    )
+    kq.awaitTermination()
+    cores = kcore(streaming.read_edges(spark, kestore))
+    kcore_rows = (
+        cores.select(
+            F.when(F.col("id") < 101000, "kcore_clique")
+            .otherwise("kcore_cycle")
+            .alias("role"),
+            F.col("coreness").cast("double").alias("c"),
+        )
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            fround(F.min("c"), 8).alias("rank"),
+            fround(F.max("c") - F.min("c"), 8).alias("rank_spread"),
+        )
+    )
+    return pr_rows.unionByName(kcore_rows).orderBy("role")
 
 
 @register(

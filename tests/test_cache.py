@@ -51,6 +51,28 @@ class TestCacheHygiene:
         assert cache.live_count(spark) == 0
         assert _cache_mgr_empty(spark)
 
+    def test_triangle_stats_drains_its_own_persists(self, spark):
+        """triangle_stats is terminal (1-row localCheckpoint-ed
+        summary), so it must release exactly the barriers it
+        registered before returning (ADVICE r15) — and never touch
+        frames an enclosing pipeline registered earlier."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.graph import triangle_stats
+
+        cache.release_caches(spark)
+        outer = cache.managed_persist(spark.range(10))
+        mark = cache.registry_mark(spark)
+        edges = spark.range(4).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % 4).alias("dst")
+        )
+        out = triangle_stats(edges)
+        # registry back at the mark; the outer frame untouched
+        assert cache.registry_mark(spark) == mark
+        assert out.collect()[0].n_triangles == 0  # C4 has no triangles
+        assert outer.is_cached
+        cache.release_caches(spark)
+
     def test_release_is_safe_before_materialization(self, spark, sf_dir):
         """Unpersisting a barrier a live plan still references only
         costs recompute — results are identical."""
