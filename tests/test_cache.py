@@ -51,11 +51,13 @@ class TestCacheHygiene:
         assert cache.live_count(spark) == 0
         assert _cache_mgr_empty(spark)
 
-    def test_triangle_stats_drains_its_own_persists(self, spark):
-        """triangle_stats is terminal (1-row localCheckpoint-ed
-        summary), so it must release exactly the barriers it
-        registered before returning (ADVICE r15) — and never touch
-        frames an enclosing pipeline registered earlier."""
+    def test_triangle_stats_drain_mode_scoped_release(self, spark):
+        """triangle_stats(drain=True) — the long-lived-service mode —
+        localCheckpoints its 1-row summary and releases exactly the
+        barriers it registered (ADVICE r15), never touching frames an
+        enclosing pipeline registered earlier; the DEFAULT keeps the
+        boundary-drain convention bench's steady-state timing relies
+        on (persists alive until release_caches)."""
         from pyspark.sql import functions as F
 
         from exosql_spark.operators.graph import triangle_stats
@@ -66,11 +68,15 @@ class TestCacheHygiene:
         edges = spark.range(4).select(
             F.col("id").alias("src"), ((F.col("id") + 1) % 4).alias("dst")
         )
-        out = triangle_stats(edges)
+        out = triangle_stats(edges, drain=True)
         # registry back at the mark; the outer frame untouched
         assert cache.registry_mark(spark) == mark
         assert out.collect()[0].n_triangles == 0  # C4 has no triangles
         assert outer.is_cached
+        # default mode leaves its barriers for the boundary drain
+        out2 = triangle_stats(edges)
+        assert cache.registry_mark(spark) > mark
+        assert out2.collect()[0].n_triangles == 0
         cache.release_caches(spark)
 
     def test_release_is_safe_before_materialization(self, spark, sf_dir):
