@@ -398,6 +398,27 @@ def compute_verify_window(
         key=key,
     )
     taken = set(new) | set(streaming_due)
+    # OVERDUE tier (r16): entries at or past the code-enforced
+    # staleness ceiling front AHEAD of the changed bulk, oldest first.
+    # Rationale: under mass fingerprint invalidation (one shared-
+    # module edit marks 100+ entries changed) the changed bulk would
+    # otherwise consume every fill slot for several rounds and starve
+    # exactly the entries whose staleness the ceiling exists to bound
+    # — a 7-round-stale unchanged entry is a bigger verification gap
+    # than a 1-round-stale changed one, and the ceiling is the
+    # invariant the window must enforce on itself, not merely report
+    # in staleness_accounting().
+    overdue = sorted(
+        (
+            n
+            for n in exact
+            if n in last
+            and n not in taken
+            and latest - last[n] >= STALENESS_CYCLE_CEILING
+        ),
+        key=key,
+    )
+    taken |= set(overdue)
     changed = sorted(
         (n for n in exact if n not in taken and is_changed(n)), key=key
     )
@@ -408,7 +429,9 @@ def compute_verify_window(
         (n for n in exact if n in last and n not in taken and n not in set(changed)),
         key=key,
     )
-    return tuple((new + streaming_due + changed_take + oldest_first)[:size])
+    return tuple(
+        (new + streaming_due + overdue + changed_take + oldest_first)[:size]
+    )
 
 
 def verify_window() -> tuple[str, ...]:

@@ -180,6 +180,31 @@ class TestVerifyWindow:
         # entry (a fingerprint-less file would silently disable tier 2)
         assert checked_in.get("fingerprints"), "FRESHNESS.json has no fingerprints"
 
+    def test_fingerprint_merge_records_last_green_code(self):
+        """tools/gen_freshness.merge_fingerprints (r16): a recorded
+        fingerprint is the fingerprint of the code the entry's last
+        driver-green row verified.  Refresh ONLY on a green newer than
+        the prior file's latest_round; keep the prior value otherwise
+        (so a changed entry that missed the window keeps fronting —
+        the overflow-carry the window docstring promises); take the
+        current value for entries the prior file never saw.  Mid-round
+        reruns are therefore idempotent."""
+        gf = self._gen_freshness()
+        current = {"a": "fpA2", "b": "fpB2", "n": "fpN1"}
+        prior = {
+            "latest_round": 15,
+            "fingerprints": {"a": "fpA1", "b": "fpB1", "gone": "fpG"},
+        }
+        folded = {"last_green": {"a": 16, "b": 12, "n": 16}}
+        merged = gf.merge_fingerprints(current, prior, folded)
+        assert merged == {"a": "fpA2", "b": "fpB1", "n": "fpN1"}
+        # idempotent within a round: merging again with itself as
+        # prior (same latest_round) changes nothing
+        again = gf.merge_fingerprints(
+            current, {"latest_round": 16, "fingerprints": merged}, folded
+        )
+        assert again == merged
+
     def test_window_policy_on_real_catalog(self):
         import json
 
@@ -226,15 +251,29 @@ class TestVerifyWindow:
             and (last[n] < latest or n in set(changed))
         ]
         assert set(streaming_due) <= in_window
+        # OVERDUE tier (r16): every entry at or past the staleness
+        # ceiling is in the window, changed or not — the ceiling is
+        # enforced by the window itself, so mass fingerprint
+        # invalidation can never starve the oldest entries
+        overdue = [
+            n
+            for n in exact
+            if n in last
+            and n not in set(streaming_due)
+            and latest - last[n] >= catalog.STALENESS_CYCLE_CEILING
+        ]
+        room_overdue = catalog._WINDOW_SIZE - len(new) - len(streaming_due)
+        if len(overdue) <= room_overdue:
+            assert set(overdue) <= in_window
         # tier 3: changed entries fill the remaining slots oldest-green
         # first; when they all fit, every one is in the window, and any
-        # overflow is exactly the newest-green tail (it re-fronts next
-        # round — fingerprints still differ)
+        # overflow carries (fingerprints persist until the next green —
+        # tools/gen_freshness.merge_fingerprints)
         changed_plain = sorted(
-            (n for n in changed if n not in set(streaming_due)),
+            (n for n in changed if n not in set(streaming_due) | set(overdue)),
             key=lambda n: (last[n], list(qs).index(n)),
         )
-        room = catalog._WINDOW_SIZE - len(new) - len(streaming_due)
+        room = room_overdue - len(overdue)
         assert set(changed_plain[: max(0, room)]) <= in_window
         if len(changed_plain) <= room:
             assert set(changed_plain) <= in_window
@@ -243,7 +282,8 @@ class TestVerifyWindow:
         pool = [
             n
             for n in exact
-            if n in last and n not in set(streaming_due) | set(changed)
+            if n in last
+            and n not in set(streaming_due) | set(changed) | set(overdue)
         ]
         included = [last[n] for n in pool if n in in_window]
         excluded = [last[n] for n in pool if n not in in_window]
@@ -255,7 +295,11 @@ class TestVerifyWindow:
         """r11 verdict Next #3: an entry whose implementing source
         changed since its last driver-green row fronts as tier 2,
         ahead of the oldest-first rotation — synthetic registry so the
-        pin is independent of the live catalog's rotation state."""
+        pin is independent of the live catalog's rotation state.
+        r16: an entry at the staleness CEILING outranks even a changed
+        entry (a_old at 6 rounds fronts first); a merely-stale-but-
+        under-ceiling entry does not (a_mid at 3 rounds sorts behind
+        the changed one)."""
         from exosql_spark import catalog
 
         def fn(spark, sf_dir):  # never called
@@ -263,21 +307,27 @@ class TestVerifyWindow:
 
         reg = {
             n: catalog.Query(n, fn, "SELECT 1")
-            for n in ("a_old", "b_changed", "c_fresh", "d_new")
+            for n in ("a_old", "a_mid", "b_changed", "c_fresh", "d_new")
         }
         fresh = {
             "latest_round": 11,
-            # b_changed is the FRESHEST green — only its fingerprint
-            # moves it ahead of a_old (green r5)
-            "last_green": {"a_old": 5, "b_changed": 11, "c_fresh": 11},
-            "fingerprints": {"a_old": "same", "b_changed": "OLD", "c_fresh": "same"},
+            # a_old is AT the 6-round ceiling (green r5) -> overdue
+            # tier; a_mid (green r8) is stale but under it
+            "last_green": {"a_old": 5, "a_mid": 8, "b_changed": 11, "c_fresh": 11},
+            "fingerprints": {
+                "a_old": "same",
+                "a_mid": "same",
+                "b_changed": "OLD",
+                "c_fresh": "same",
+            },
         }
-        fps = {"a_old": "same", "b_changed": "NEW", "c_fresh": "same"}
-        win = catalog.compute_verify_window(reg, fresh, size=3, current_fps=fps)
-        assert win == ("d_new", "b_changed", "a_old")
+        fps = {"a_old": "same", "a_mid": "same", "b_changed": "NEW", "c_fresh": "same"}
+        win = catalog.compute_verify_window(reg, fresh, size=4, current_fps=fps)
+        assert win == ("d_new", "a_old", "b_changed", "a_mid")
         # without fingerprints the same call degrades to the r10 policy
-        win = catalog.compute_verify_window(reg, fresh, size=3, current_fps=None)
-        assert win == ("d_new", "a_old", "b_changed")
+        # (overdue first, then oldest-green fill)
+        win = catalog.compute_verify_window(reg, fresh, size=4, current_fps=None)
+        assert win == ("d_new", "a_old", "a_mid", "b_changed")
 
     def test_rows_only_one_shot_is_one_attempt(self):
         """ADVICE r15 (catalog.py): a rows-only entry's tier-1 slot is

@@ -124,10 +124,49 @@ def snapshot_bench_detail(repo: str = REPO) -> str | None:
     return dest
 
 
+def merge_fingerprints(
+    current: dict[str, str], prior: dict, folded: dict
+) -> dict[str, str]:
+    """An entry's recorded fingerprint must be the fingerprint of the
+    code its LAST DRIVER-GREEN row verified — not whatever is on disk
+    whenever the tool happens to run (r16 lesson: the old
+    record-current-for-everything rule meant (a) a mid-round rerun
+    silently erased the changed-tier signal for every entry edited
+    that round, and (b) the window's documented overflow-carry never
+    actually worked — a changed entry that missed the window had its
+    fingerprint refreshed at the next round start and went back to
+    "unchanged" without ever being re-verified).
+
+    Rule: refresh an entry's fingerprint to the current-disk value
+    ONLY when the fold shows a green row in a round the prior file
+    had not seen yet (the driver runs after the builder's last commit,
+    so the disk at the NEXT round start is exactly the code that green
+    row verified).  Entries without a newer green keep their prior
+    recorded fingerprint; entries the prior file never recorded
+    (new registrations, first migration) take the current value.
+    Reruns within a round are therefore idempotent."""
+    prior_fps = prior.get("fingerprints", {})
+    prior_latest = prior.get("latest_round", -1)
+    last_green = folded.get("last_green", {})
+    merged = {}
+    for name, fp in current.items():
+        if name not in prior_fps:
+            merged[name] = fp  # newly registered / first migration
+        elif last_green.get(name, 0) > prior_latest:
+            merged[name] = fp  # fresh green since the prior record
+        else:
+            merged[name] = prior_fps[name]
+    return merged
+
+
 def main() -> None:
     out = fold()
-    out["fingerprints"] = fingerprints()
+    prior = {}
     dest = os.path.join(REPO, "FRESHNESS.json")
+    if os.path.exists(dest):
+        with open(dest) as f:
+            prior = json.load(f)
+    out["fingerprints"] = merge_fingerprints(fingerprints(), prior, out)
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -53,17 +53,37 @@ def newest_bench_pair() -> tuple[str, str]:
 
 def main() -> int:
     py = sys.executable
-    print("== step 1/2: gen_freshness ==", flush=True)
+    print("== step 1/3: gen_freshness ==", flush=True)
     subprocess.run([py, os.path.join(REPO, "tools", "gen_freshness.py")], check=True)
     old, new = newest_bench_pair()
     print(
-        f"== step 2/2: compare_bench on the driver's final pair "
+        f"== step 2/3: compare_bench on the driver's final pair "
         f"({os.path.basename(old)} -> {os.path.basename(new)}) ==",
         flush=True,
     )
     subprocess.run(
         [py, os.path.join(REPO, "tools", "compare_bench.py"), old, new], check=True
     )
+    # step 3: what the freshly-folded window will actually verify this
+    # round, plus the capacity arithmetic — the r15 boundary showed the
+    # fronting claim ("the stale cohort gets slots 1-N") must be READ
+    # from the computed window, not asserted from the tier policy.
+    print("== step 3/3: verify window front + capacity ==", flush=True)
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    import json
+
+    from exosql_spark import catalog
+
+    acct = catalog.staleness_accounting()
+    print(json.dumps(acct, default=str))
+    fresh = catalog.load_freshness()
+    last = fresh.get("last_green", {})
+    win = catalog.verify_window()
+    for i, name in enumerate(win[:20], 1):
+        print(f"  slot {i:2d}: {name} (last_green r{last.get(name, '-')})")
+    if len(win) > 20:
+        print(f"  ... {len(win) - 20} more slots")
     return 0
 
 
