@@ -674,3 +674,36 @@ class TestTriangleIngestStream:
             map(tuple, streaming.read_canonical_edges(spark, estore).collect())
         )
         assert edges_after == edges_before
+
+    def test_corrupt_store_fails_batch_instead_of_undercounting(
+        self, spark, tmp_path
+    ):
+        """ADVICE r15 (graph_ingest.py): a read failure on an EXISTING
+        store must FAIL the micro-batch (Structured Streaming then
+        retries it) — the old bare ``except Exception`` treated any
+        failure as 'first batch', durably writing a delta computed
+        against an EMPTY prior: a silent undercount the exactly-once
+        replay semantics would never revisit.  Only true absence may
+        mean first-batch."""
+        import pytest
+
+        from exosql_spark import streaming
+
+        estore, dstore = str(tmp_path / "e"), str(tmp_path / "d")
+        b0 = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+        streaming.triangle_ingest_batch(b0, 0, estore, dstore)
+        # corrupt the store: replace every parquet file with garbage
+        import glob as _glob
+        import os as _os
+
+        files = _glob.glob(_os.path.join(estore, "**", "*.parquet"), recursive=True)
+        assert files
+        for p in files:
+            with open(p, "wb") as f:
+                f.write(b"not a parquet footer")
+        b1 = spark.createDataFrame([(2, 0)], "src long, dst long")
+        with pytest.raises(Exception):
+            streaming.triangle_ingest_batch(b1, 1, estore, dstore)
+        # and the failed batch wrote no delta part for batch 1
+        deltas = spark.read.parquet(dstore).collect()
+        assert len(deltas) == 1
