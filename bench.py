@@ -257,6 +257,15 @@ def main() -> None:
         # stdev needs ≥2 samples; RUNS=1 smoke sweeps get 0.0
         spread[name] = round(statistics.stdev(times), 3) if len(times) > 1 else 0.0
     release_caches(spark)
+    # End-of-sweep calibration pair (r16): ONE calibration per sweep
+    # cannot see an intra-sweep steal storm — the r16 sweep had 53/69
+    # entries uniformly ~1.4× slower than the prior record while the
+    # (start-of-sweep) calibrations read FASTER.  A start/end pair
+    # bounds when the box moved; tools/compare_bench.py warns when the
+    # two ends diverge, marking the sweep's normalization columns
+    # untrustworthy.
+    calibration_end = _calibrate(spark)
+    calibration_shuffle_end = _calibrate_shuffle(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)
@@ -264,6 +273,8 @@ def main() -> None:
     detail = {
         "calibration_sec": calibration,
         "calibration_shuffle_sec": calibration_shuffle,
+        "calibration_sec_end": calibration_end,
+        "calibration_shuffle_sec_end": calibration_shuffle_end,
         "plan_shuffles": plan_shuffles,
         "estimator": f"min_of_{RUNS}",
         "excluded": sorted(EXCLUDE),
@@ -287,6 +298,8 @@ def main() -> None:
         "unit": "sec",
         "calibration_sec": calibration,
         "calibration_shuffle_sec": calibration_shuffle,
+        "calibration_sec_end": calibration_end,
+        "calibration_shuffle_sec_end": calibration_shuffle_end,
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
         "query_set_sha1": set_sha1,

@@ -934,3 +934,50 @@ class TestRound16Plans:
 
         for m in re.finditer(r"Exchange hashpartitioning\(site", s):
             raise AssertionError("corpus shuffled on the prior join key:\n" + s)
+
+    def test_compare_bench_warns_on_intra_sweep_calibration_drift(self, capsys):
+        """r16: bench records a start AND end calibration pair; the
+        comparator must warn when they diverge >25% within one sweep
+        (the r16 storm had 53/69 entries ~1.4x slower while the single
+        start-of-sweep calibration read FASTER — one scalar cannot
+        normalize a sweep the box moved under), and stay silent when
+        the pair agrees or the end value is absent (pre-r16 records)."""
+        import json
+        import os
+        import sys
+        import tempfile
+
+        cb = TestRound15Plans._load_tool(
+            "compare_bench_for_drift_test", "tools/compare_bench.py"
+        )
+        old = {
+            "value": 1.0,
+            "queries": {"a": 1.0},
+            "calibration_sec": 1.0,
+            "calibration_shuffle_sec": 1.0,
+            "query_set_sha1": "x",
+        }
+        new = {
+            "value": 1.0,
+            "queries": {"a": 1.0},
+            "calibration_sec": 1.0,
+            "calibration_sec_end": 1.6,  # moved during the sweep
+            "calibration_shuffle_sec": 1.0,
+            "calibration_shuffle_sec_end": 1.05,  # fine
+            "query_set_sha1": "x",
+        }
+        with tempfile.TemporaryDirectory() as d:
+            po, pn = os.path.join(d, "BENCH_ro.json"), os.path.join(d, "BENCH_rn.json")
+            with open(po, "w") as f:
+                json.dump(old, f)
+            with open(pn, "w") as f:
+                json.dump(new, f)
+            argv = sys.argv
+            sys.argv = ["compare_bench.py", po, pn]
+            try:
+                cb.main()
+            finally:
+                sys.argv = argv
+        out = capsys.readouterr().out
+        assert "intra-sweep steal storm" in out, out
+        assert out.count("WARNING") == 1, out  # shuffle pair + old side silent

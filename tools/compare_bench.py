@@ -89,6 +89,8 @@ def _from_detail(detail: dict) -> dict:
         "queries": detail["min"],
         "calibration_sec": detail.get("calibration_sec"),
         "calibration_shuffle_sec": detail.get("calibration_shuffle_sec"),
+        "calibration_sec_end": detail.get("calibration_sec_end"),
+        "calibration_shuffle_sec_end": detail.get("calibration_shuffle_sec_end"),
         "n_queries": detail.get("n_queries"),
         "query_set_sha1": detail.get("query_set_sha1"),
         "sf": detail.get("sf"),
@@ -198,6 +200,21 @@ def main() -> None:
         f"{new.get('calibration_shuffle_sec')} (ratio {shf_ratio:.2f})"
         + ("" if shf_ok else "  [MISSING -> norm_shf is RAW]")
     )
+    # Intra-sweep drift check (r16): bench records a start AND end
+    # calibration pair; a >25% divergence between them means the box
+    # moved DURING the sweep, so one calibration scalar cannot
+    # normalize all entries — the r16 storm had 53/69 entries ~1.4×
+    # slower while the start-of-sweep calibrations read faster.
+    for side, rec in (("old", old), ("new", new)):
+        for base in ("calibration_sec", "calibration_shuffle_sec"):
+            start, end = rec.get(base), rec.get(base + "_end")
+            if start and end and not (0.8 <= end / start <= 1.25):
+                print(
+                    f"WARNING: {side} sweep's {base} moved "
+                    f"{start} -> {end} during the run (ratio "
+                    f"{end / start:.2f}) - intra-sweep steal storm; "
+                    f"treat {side}-side normalizations as suspect"
+                )
     shuffles = _plan_shuffles(sys.argv[2])
     if not shuffles:
         print("no plan_shuffles map found - 'sel' column defaults to norm_shf")
