@@ -3932,3 +3932,39 @@ def test_trustrank_matches_reference_iteration(spark):
     for v in r:
         assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
     assert got[100] == 0.0 and got[101] == 0.0
+
+
+class TestLinkQualitySelect:
+    def test_thresholds_nulls_and_broadcast(self, spark):
+        """selection.link_quality_select (r16): keep ⇔ rank > min_rank
+        AND coreness ≤ max_coreness; docs on sites ABSENT from the
+        prior table (unlinked — no graph evidence) get NULL priors and
+        are dropped (unreachable-from-trust by definition); both
+        threshold boundaries are strict/inclusive exactly as
+        documented (rank must EXCEED min_rank; coreness may EQUAL
+        max_coreness); the prior join broadcasts."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark.operators.selection import link_quality_select
+
+        priors = spark.createDataFrame(
+            [
+                (1, 0.5, 3),    # kept
+                (2, 0.0, 1),    # rank == min_rank -> dropped (strict >)
+                (3, 0.4, 8),    # coreness == cap -> kept (inclusive <=)
+                (4, 0.4, 9),    # coreness over cap -> dropped
+            ],
+            "id long, rank double, coreness int",
+        )
+        docs = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3), (40, 4), (50, 99)],  # 99: unlinked
+            "doc_id long, site long",
+        )
+        out = link_quality_select(docs, priors, max_coreness=8)
+        kept = {r.doc_id for r in out.where("keep").collect()}
+        assert kept == {10, 30}
+        # unlinked site carries NULL priors, not a dropped row
+        row = out.where("doc_id = 50").collect()[0]
+        assert row.rank is None and row.coreness is None and not row.keep
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
