@@ -136,6 +136,53 @@ def _calibrate_shuffle(spark) -> float:
     return round(min(once() for _ in range(3)), 3)
 
 
+# Storm-repass thresholds (r16 verdict Next #2).  The calibration
+# band is SYMMETRIC — max(r, 1/r) > 1.25 — so a 21% slowdown of the
+# box (end/start = 0.79) trips it exactly like a 25% speedup would
+# (ADVICE r16 caught the asymmetric [0.8, 1.25] variant of this band
+# in compare_bench.py).  The spread gate (stddev/min > 0.25) selects
+# the entries whose 5 timed runs actually disagreed: on the r16 storm
+# sweep q1_pricing_summary recorded stddev 0.94 s on a 1.40 s min —
+# the motivating datum — while settled entries sit well under 0.1.
+CAL_DRIFT_BAND = 1.25
+REPASS_SPREAD_RATIO = 0.25
+
+
+def storm_repass_entries(
+    mins: dict,
+    stddevs: dict,
+    cal_pairs,
+    band: float = CAL_DRIFT_BAND,
+    spread_ratio: float = REPASS_SPREAD_RATIO,
+) -> list:
+    """Entries needing a settled-box second measurement pass.
+
+    ``cal_pairs`` is a sequence of (start, end) calibration scalars
+    from the same sweep (CPU probe + shuffle probe).  If NO pair moved
+    more than ``band`` in either direction, the sweep ran on a stable
+    box and the answer is [] — one pass is trustworthy.  Otherwise the
+    box moved DURING the sweep (the r16 steal storm: 53/69 entries
+    ~1.4× slower while the start-of-sweep calibrations read faster),
+    and the entries whose own 5 runs disagreed (stddev/min >
+    ``spread_ratio``) get re-measured after the sweep, when the storm
+    has typically passed.  Pure function so tests can pin the
+    selection on synthetic spread data without a SparkSession.
+    """
+    def moved(start, end) -> bool:
+        if not start or not end:
+            return False
+        r = end / start
+        return max(r, 1.0 / r) > band
+
+    if not any(moved(s, e) for s, e in cal_pairs):
+        return []
+    return sorted(
+        name
+        for name, m in mins.items()
+        if m > 0 and stddevs.get(name, 0.0) / m > spread_ratio
+    )
+
+
 def _gen_explain_module():
     """tools/gen_explain.py loaded by path (lazy, cached) — bench and
     EXPLAIN.md must count plan nodes with the SAME walk (ADVICE r15:
@@ -267,6 +314,49 @@ def main() -> None:
     calibration_end = _calibrate(spark)
     calibration_shuffle_end = _calibrate_shuffle(spark)
 
+    # Storm-RESILIENT second pass (r16 verdict Next #2): detection
+    # alone (the pair + comparator warning) still blanked the whole
+    # r16 regression signal.  When the calibration pair says the box
+    # moved during the sweep, re-measure the entries whose own runs
+    # disagreed, on the now-settled box, and take the min over BOTH
+    # passes (the min is the cost estimator; a storm only ever
+    # inflates).  Both passes land in BENCH_DETAIL so the comparator
+    # can see which pass produced each recorded number.
+    repass_names = storm_repass_entries(
+        per_query,
+        spread,
+        [
+            (calibration, calibration_end),
+            (calibration_shuffle, calibration_shuffle_end),
+        ],
+    )
+    second_pass: dict[str, dict] = {}
+    measurement_pass = {name: 1 for name in per_query}
+    repass_calibration = repass_calibration_end = None
+    if repass_names:
+        repass_calibration = _calibrate(spark)
+        for name in repass_names:
+            q = bench[name]
+            release_caches(spark)
+            q.fn(spark, SF_DIR).count()  # re-warm
+            times = [_run_once(q.fn, spark, SF_DIR) for _ in range(RUNS)]
+            rec = {
+                "min": round(min(times), 3),
+                "median": round(statistics.median(times), 3),
+                "stddev": round(statistics.stdev(times), 3)
+                if len(times) > 1
+                else 0.0,
+            }
+            second_pass[name] = rec
+            if rec["min"] < per_query[name]:
+                per_query[name] = rec["min"]
+                measurement_pass[name] = 2
+        release_caches(spark)
+        # bound the second pass's own window: if THIS pair diverges
+        # too, the artifact says so and the repass numbers are equally
+        # suspect — the comparator applies the same symmetric band
+        repass_calibration_end = _calibrate(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)
     set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
@@ -285,6 +375,10 @@ def main() -> None:
         "median": medians,
         "stddev": spread,
         "median_total": round(sum(medians.values()), 3),
+        "measurement_pass": measurement_pass,
+        "second_pass": second_pass,
+        "repass_calibration_sec": repass_calibration,
+        "repass_calibration_sec_end": repass_calibration_end,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(DETAIL_PATH, "w") as f:
@@ -302,6 +396,7 @@ def main() -> None:
         "calibration_shuffle_sec_end": calibration_shuffle_end,
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
+        "n_repassed": len(second_pass),
         "query_set_sha1": set_sha1,
         "queries": per_query,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

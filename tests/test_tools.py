@@ -618,3 +618,64 @@ class TestBenchArtifacts:
         assert parsed["queries_detail"] == "BENCH_DETAIL.json"
         assert "excluded" not in parsed and parsed["n_excluded"] == 600
         assert len(line) < 500
+
+    def _bench_module(self):
+        import importlib.util as ilu
+
+        spec = ilu.spec_from_file_location("bench", self._repo("bench.py"))
+        bench = ilu.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        return bench
+
+    def test_storm_repass_selects_high_spread_on_drifted_sweep(self):
+        """r16 verdict Next #2: when the start/end calibration pair
+        diverges >25%, the entries whose 5 runs disagreed
+        (stddev/min > 0.25) get a second settled-box pass.  Synthetic
+        data modeled on the r16 storm: q1's 0.94 s stddev on a 1.40 s
+        min is in; a settled entry with 0.05 stddev on 1.0 s is out."""
+        bench = self._bench_module()
+        mins = {"q1": 1.40, "settled": 1.00, "also_spread": 0.50}
+        stds = {"q1": 0.94, "settled": 0.05, "also_spread": 0.20}
+        # CPU probe moved 1.4x during the sweep, shuffle probe stable
+        picked = bench.storm_repass_entries(
+            mins, stds, [(0.25, 0.35), (0.87, 0.88)]
+        )
+        assert picked == ["also_spread", "q1"]  # sorted, settled excluded
+
+    def test_storm_repass_empty_on_stable_calibration(self):
+        """No calibration movement -> one pass is trustworthy, even if
+        some entry has spread (spread alone is not a storm signal)."""
+        bench = self._bench_module()
+        assert (
+            bench.storm_repass_entries(
+                {"q": 1.0}, {"q": 0.9}, [(0.25, 0.26), (0.87, 0.86)]
+            )
+            == []
+        )
+
+    def test_storm_repass_band_is_symmetric(self):
+        """ADVICE r16: a 21% box SLOWDOWN (end/start = 0.79 ->
+        max(r, 1/r) = 1.266) must trip the same 1.25 band a 26%
+        speedup does; 0.81 (1.235) must not."""
+        bench = self._bench_module()
+        mins, stds = {"q": 1.0}, {"q": 0.9}
+        assert bench.storm_repass_entries(mins, stds, [(1.0, 0.79)]) == ["q"]
+        assert bench.storm_repass_entries(mins, stds, [(1.0, 0.81)]) == []
+        assert bench.storm_repass_entries(mins, stds, [(1.0, 1.26)]) == ["q"]
+
+    def test_storm_repass_guards_missing_and_zero(self):
+        """Missing calibration scalars (smoke sweeps) never trigger a
+        repass; a 0.0-min entry (round(min,3) of a sub-ms query) is
+        skipped rather than dividing by zero."""
+        bench = self._bench_module()
+        assert (
+            bench.storm_repass_entries({"q": 1.0}, {"q": 0.9}, [(None, 0.3)]) == []
+        )
+        assert (
+            bench.storm_repass_entries(
+                {"subms": 0.0, "q": 1.0},
+                {"subms": 0.5, "q": 0.9},
+                [(0.25, 0.40)],
+            )
+            == ["q"]
+        )

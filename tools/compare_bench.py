@@ -205,10 +205,13 @@ def main() -> None:
     # moved DURING the sweep, so one calibration scalar cannot
     # normalize all entries — the r16 storm had 53/69 entries ~1.4×
     # slower while the start-of-sweep calibrations read faster.
+    # Symmetric band (ADVICE r16): the earlier [0.8, 1.25] check let a
+    # 21% slowdown (ratio 0.79) trip the ">25%" warning — use
+    # max(r, 1/r) > 1.25 so both directions get the same threshold.
     for side, rec in (("old", old), ("new", new)):
         for base in ("calibration_sec", "calibration_shuffle_sec"):
             start, end = rec.get(base), rec.get(base + "_end")
-            if start and end and not (0.8 <= end / start <= 1.25):
+            if start and end and max(end / start, start / end) > 1.25:
                 print(
                     f"WARNING: {side} sweep's {base} moved "
                     f"{start} -> {end} during the run (ratio "
