@@ -510,15 +510,34 @@ def link_quality_select(
 
     Returns ``docs``'s columns plus ``rank``, ``coreness`` and
     ``keep``; filtering is the caller's ``.where("keep")`` so audit
-    entries can count both sides."""
+    entries can count both sides.  Because those three names ARE the
+    output contract, ``docs`` may not already carry them (ADVICE r16:
+    a silent left-join would emit duplicate column names, and the
+    keep expression could bind to the corpus column or raise
+    AMBIGUOUS_REFERENCE at a distance) — collisions raise here, at
+    the operator boundary, with a rename hint.  The prior columns are
+    aliased to ``_lq_*`` for the join itself so resolution never
+    depends on join-side precedence."""
+    clash = [c for c in ("rank", "coreness", "keep") if c in docs.columns]
+    if clash:
+        raise ValueError(
+            f"link_quality_select: docs already has column(s) {clash}, "
+            "which this operator outputs - rename them (e.g. "
+            ".withColumnRenamed) before attaching link-quality priors"
+        )
     p = priors.select(
-        F.col("id").alias("_site_id"),
-        F.col("rank"),
-        F.col("coreness"),
+        F.col("id").alias("_lq_site_id"),
+        F.col("rank").alias("_lq_rank"),
+        F.col("coreness").alias("_lq_coreness"),
     )
     if broadcast_priors:
         p = F.broadcast(p)
-    joined = docs.join(p, docs[site_col] == p["_site_id"], "left").drop("_site_id")
+    joined = (
+        docs.join(p, docs[site_col] == p["_lq_site_id"], "left")
+        .drop("_lq_site_id")
+        .withColumnRenamed("_lq_rank", "rank")
+        .withColumnRenamed("_lq_coreness", "coreness")
+    )
     return joined.withColumn(
         "keep",
         (F.coalesce(F.col("rank"), F.lit(0.0)) > F.lit(float(min_rank)))

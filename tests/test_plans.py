@@ -841,10 +841,11 @@ class TestRound16Plans:
         append_batch_keyed's purge-then-move means this batch's own
         rows are the only possible duplicates), and both triangle
         joins keep the store adjacency on the STREAM side of a
-        broadcast hash join.  So the executed plan carries exactly ONE
-        exchange — the single-partition gather of the final count's
-        partial aggregates — zero SortMergeJoins, and two
-        BroadcastHashJoins."""
+        broadcast hash join.  So the executed plan carries exactly TWO
+        exchanges, both batch-derived — the batch canonicalization's
+        own |Δ|-sized .distinct() and the single-partition gather of
+        the final count's partial aggregates — zero SortMergeJoins,
+        and two BroadcastHashJoins."""
         import importlib.util
         import os
 

@@ -707,3 +707,34 @@ class TestTriangleIngestStream:
         # and the failed batch wrote no delta part for batch 1
         deltas = spark.read.parquet(dstore).collect()
         assert len(deltas) == 1
+
+    def test_empty_store_directory_replays_as_first_batch(
+        self, spark, tmp_path
+    ):
+        """ADVICE r16: a crash inside append_batch_keyed between
+        ``fs.mkdirs`` and the first file move leaves the store
+        directory EXISTING but holding zero parquet files.  Under the
+        bare directory-existence check that state took the read path
+        and ``spark.read.parquet`` threw 'unable to infer schema' on
+        EVERY retry — permanently wedging the stream on a state the
+        replay itself would repair.  With the data-file glob
+        (sinks.store_has_data) it must classify as first-batch and the
+        replay must succeed, producing the same result as a clean
+        first run."""
+        import os as _os
+
+        from exosql_spark import sinks, streaming
+
+        estore, dstore = str(tmp_path / "e"), str(tmp_path / "d")
+        # simulate the half-landed mkdirs: directory tree, no files
+        _os.makedirs(_os.path.join(estore, "bucket=3"))
+        assert sinks.path_exists(spark, estore)
+        assert not sinks.store_has_data(spark, estore)
+
+        b0 = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        streaming.triangle_ingest_batch(b0, 0, estore, dstore)
+        assert sinks.store_has_data(spark, estore)
+        inc = streaming.read_triangle_count(spark, dstore).collect()[0]
+        assert inc.n_triangles == 1
