@@ -728,17 +728,38 @@ it(i, rc, rl) AS (
          (1.0 - 0.85) / nn + 0.85 * (m * rl),
          (1.0 - 0.85) / nn + 0.85 * (rc / m)
   FROM it, p WHERE i < 10
+),
+tr(i, tc, tl) AS (
+  SELECT 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT i + 1,
+         (1.0 - 0.85) + 0.85 * (m * tl),
+         0.85 * (tc / m)
+  FROM tr, p WHERE i < 10
 )
-SELECT role, n_nodes, rank, CAST(0.0 AS DOUBLE) AS rank_spread
+SELECT role, n_nodes, rank, rank_spread
 FROM (
   SELECT 'center' AS role, CAST(1 AS BIGINT) AS n_nodes,
-         round(rc, 8) AS rank FROM it, p WHERE i = 10
+         round(rc, 8) AS rank, CAST(0.0 AS DOUBLE) AS rank_spread
+  FROM it, p WHERE i = 10
   UNION ALL
-  SELECT 'leaf', CAST(m AS BIGINT), round(rl, 8) FROM it, p WHERE i = 10
+  SELECT 'leaf', CAST(m AS BIGINT), round(rl, 8), CAST(0.0 AS DOUBLE)
+  FROM it, p WHERE i = 10
   UNION ALL
-  SELECT 'kcore_clique', CAST(10 AS BIGINT), CAST(9.0 AS DOUBLE)
+  SELECT 'kcore_clique', CAST(10 AS BIGINT), CAST(9.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
   UNION ALL
-  SELECT 'kcore_cycle', CAST(20 AS BIGINT), CAST(2.0 AS DOUBLE)
+  SELECT 'kcore_cycle', CAST(20 AS BIGINT), CAST(2.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT 'lq_star', CAST(nn AS BIGINT), round(tl, 8), round(tc - tl, 8)
+  FROM tr, p WHERE i = 10
+  UNION ALL
+  SELECT 'lq_farm', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+  UNION ALL
+  SELECT 'lq_cycle', CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
 )
 ORDER BY role
 """,
@@ -780,7 +801,28 @@ def streaming_pagerank_parity(spark, sf_dir):
     ride the same output schema with the refreshed prior value in
     ``rank`` (coreness as double) and regime spread in
     ``rank_spread`` (exactly 0.0 — every member of a planted regime
-    has identical coreness)."""
+    has identical coreness).
+
+    r17 extension (r16 verdict Next #6 — close the loop the two
+    halves almost form): the STREAM-BUILT stores are now CONSUMED by
+    the curation tier.  The union of both stores is one three-regime
+    link graph — trusted star (this entry's rank half), K₁₀ farm and
+    C₂₀ cycle (the coreness half) — so a trustrank refresh (seeds =
+    {star hub}) ⊕ kcore refresh over ``read_edges(estore) ∪
+    read_edges(kestore)`` yields exactly the prior-table shape
+    ``selection.link_quality_select`` consumes, and the selection
+    over the stores' own site set lands closed-form: the star regime
+    keeps every site (rank follows the same seeded two-variable
+    recurrence as corpus_select_link_quality, replayed in the
+    oracle's second recursive CTE; coreness 1), the farm drops by
+    BOTH rules independently (unreachable ⇒ rank exactly 0.0,
+    coreness 9), the cycle drops by the trust rule alone (rank 0.0,
+    coreness 2 ≤ 8).  ``lq_*`` rows ride the same output schema:
+    kept count in ``n_nodes``, min refreshed rank in ``rank``,
+    max−min rank in ``rank_spread`` (= tc − tl for the star — BOTH
+    recurrence variables verified through the streamed store).  This
+    is the end-to-end streaming-graph→curation story at parity,
+    without spending a streaming window slot."""
     import os
 
     from exosql_spark import streaming
@@ -879,7 +921,41 @@ def streaming_pagerank_parity(spark, sf_dir):
             fround(F.max("c") - F.min("c"), 8).alias("rank_spread"),
         )
     )
-    return pr_rows.unionByName(kcore_rows).orderBy("role")
+
+    # r17: consume BOTH stream-built stores as one three-regime link
+    # graph — refreshed trustrank ⊕ coreness priors into the same
+    # selection operator the batch entry exercises
+    from exosql_spark.operators.graph import trustrank
+    from exosql_spark.operators.selection import link_quality_select
+
+    union_edges = streaming.read_edges(spark, estore).unionByName(
+        streaming.read_edges(spark, kestore)
+    )
+    seeds = spark.range(1).select(F.lit(0).cast("long").alias("id"))
+    priors = trustrank(union_edges, seeds, n_iter=10, damping=0.85).join(
+        kcore(union_edges), "id", "full"
+    )
+    sites = (
+        union_edges.select(F.col("src").alias("site"))
+        .unionByName(union_edges.select(F.col("dst").alias("site")))
+        .distinct()
+    )
+    sel = link_quality_select(sites, priors, site_col="site", max_coreness=8)
+    lq_rows = (
+        sel.withColumn(
+            "role",
+            F.when(F.col("site") < 100000, "lq_star")
+            .when(F.col("site") < 101000, "lq_farm")
+            .otherwise("lq_cycle"),
+        )
+        .groupBy("role")
+        .agg(
+            F.sum(F.col("keep").cast("long")).alias("n_nodes"),
+            fround(F.min("rank"), 8).alias("rank"),
+            fround(F.max("rank") - F.min("rank"), 8).alias("rank_spread"),
+        )
+    )
+    return pr_rows.unionByName(kcore_rows).unionByName(lq_rows).orderBy("role")
 
 
 @register(

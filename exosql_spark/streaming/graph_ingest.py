@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from exosql_spark import cache
+
 EDGES_SCHEMA = T.StructType(
     [
         T.StructField("src", T.LongType()),
@@ -117,12 +119,25 @@ def read_out_strength(spark: SparkSession, degrees_path: str) -> DataFrame:
     )
 
 
+# Above this many wedge rows the per-batch triangle delta's closing
+# join stops BROADCASTING the wedge intermediate and falls back to a
+# keyed shuffle join.  At ~100 B/row the default caps the explicit
+# broadcast near 500 MB — the upper end of sane driver-collected
+# broadcasts; a hub-heavy crawl batch (one vertex with 10⁴+ stored
+# neighbors) can exceed it even under a small maxFilesPerTrigger, and
+# a driver OOM kills the whole stream where one shuffled micro-batch
+# merely costs time.  ``None`` anywhere it is accepted means "guard
+# OFF: broadcast unconditionally" (the pre-r17 behavior).
+WEDGE_BROADCAST_ROW_LIMIT = 5_000_000
+
+
 def triangle_ingest_stream(
     stream_df: DataFrame,
     edges_path: str,
     deltas_path: str,
     checkpoint: str,
     n_buckets: int = 8,
+    broadcast_wedge_limit: int | None = WEDGE_BROADCAST_ROW_LIMIT,
 ):
     """Incremental TRIANGLE maintenance over the edge stream — the
     graph tier's second mergeable-state case (r14 verdict Next #7).
@@ -150,11 +165,13 @@ def triangle_ingest_stream(
     streams the store once) plus O(|Δ| · d̄) join/broadcast work, and
     ZERO store-wide exchanges — no store shuffle, no store sort, no
     store self-join (pinned by tests/test_plans.py's exchange count on
-    the per-batch delta plan).  The broadcast of the wedge
-    intermediate assumes the trigger bounds |Δ| and degree skew keeps
-    |Δ| · d̄ broadcast-sized — for hub-heavy crawl graphs size
-    ``maxFilesPerTrigger`` down rather than letting one batch carry a
-    hub's whole neighborhood.  The full O(m^1.5) degree-ordered
+    the per-batch delta plan).  The wedge broadcast is GUARDED, not
+    assumed (r16 verdict Next #5): the wedge intermediate is
+    persisted and counted, and above ``broadcast_wedge_limit`` rows
+    the closing join degrades to a keyed shuffle join — one store
+    exchange for that batch instead of a driver OOM when a hub
+    vertex's stored neighborhood makes |Δ| · d̄ explode past what
+    ``maxFilesPerTrigger`` can bound.  The full O(m^1.5) degree-ordered
     enumeration (operators/graph.triangles) remains the batch
     recompute path this ingest is verified against
     (streaming_triangles_parity).
@@ -165,7 +182,12 @@ def triangle_ingest_stream(
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         triangle_ingest_batch(
-            batch_df, batch_id, edges_path, deltas_path, n_buckets
+            batch_df,
+            batch_id,
+            edges_path,
+            deltas_path,
+            n_buckets,
+            broadcast_wedge_limit,
         )
 
     return (
@@ -182,15 +204,20 @@ def triangle_ingest_batch(
     edges_path: str,
     deltas_path: str,
     n_buckets: int = 8,
+    broadcast_wedge_limit: int | None = WEDGE_BROADCAST_ROW_LIMIT,
 ) -> None:
     """One micro-batch of :func:`triangle_ingest_stream`, exposed at
     module level so tests can drive the REPLAY path directly (invoke
     twice with the same batch id — state must come out byte-identical,
     including the delta recomputed against a store that already holds
-    this batch's rows)."""
+    this batch's rows).  The wedge persist the hub-skew guard creates
+    (see :func:`batch_triangle_delta`) is drained here as soon as the
+    delta is written, so a long-running stream's cache registry stays
+    flat across micro-batches."""
     from exosql_spark import sinks
 
     spark = batch_df.sparkSession
+    reg_mark = cache.registry_mark(spark)
     b = (
         batch_df.where(F.col("src") != F.col("dst"))
         .select(
@@ -224,17 +251,26 @@ def triangle_ingest_batch(
         )
     else:
         prior = spark.createDataFrame([], b.schema)
-    delta = batch_triangle_delta(b, prior).select(
+    delta = batch_triangle_delta(b, prior, broadcast_wedge_limit).select(
         F.lit(0).alias("bucket"), "n_new_triangles"
     )
-    sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
+    try:
+        sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
+    finally:
+        # the delta write fully consumed the guard's wedge persist —
+        # drain it (even on failure: the replay re-registers its own)
+        cache.release_since(spark, reg_mark)
     store_rows = b.select(
         "a", "b", "batch", F.pmod(F.hash("a"), F.lit(n_buckets)).alias("bucket")
     )
     sinks.append_batch_keyed(store_rows, edges_path, "bucket", batch_id)
 
 
-def batch_triangle_delta(b: DataFrame, prior: DataFrame) -> DataFrame:
+def batch_triangle_delta(
+    b: DataFrame,
+    prior: DataFrame,
+    broadcast_wedge_limit: int | None = WEDGE_BROADCAST_ROW_LIMIT,
+) -> DataFrame:
     """The per-batch triangle delta as a 1-row plan over the batch's
     canonical edges ``b(a, b, batch)`` and the prior store rows
     ``prior(a, b, batch)`` — exposed so the exchange-count plan test
@@ -248,7 +284,26 @@ def batch_triangle_delta(b: DataFrame, prior: DataFrame) -> DataFrame:
     the single-partition gather of the final count's partial
     aggregates — and ZERO store-wide shuffles (no parquet scan sits
     beneath any exchange; tests/test_plans.py::TestRound16Plans
-    asserts exactly this)."""
+    asserts exactly this).
+
+    Hub-skew guard (r16 verdict Next #5): the wedge broadcast assumes
+    |Δ|·d̄ stays driver-sized, which "size maxFilesPerTrigger down"
+    cannot enforce against one hub vertex carrying a 10⁴+ stored
+    neighborhood.  The wedge intermediate is therefore PERSISTED and
+    counted (the count IS the first join's output size — no estimate
+    needed, and the persist means measuring costs no extra store
+    scan: the closing join reuses the materialized wedge, keeping the
+    per-batch total at two store scans).  At or under
+    ``broadcast_wedge_limit`` rows the closing join broadcasts as
+    before; above it, it degrades to a keyed shuffle join on
+    ``(b, _w)`` — the store pays ONE exchange for that batch, the
+    documented price of not OOMing the driver, and the result is
+    identical (pinned by a planted hub-heavy batch in
+    tests/test_streaming.py).  ``broadcast_wedge_limit=None``
+    disables the guard (fully lazy plan, unconditional broadcast).
+    The persist is registered with exosql_spark.cache;
+    :func:`triangle_ingest_batch` drains it as soon as the delta is
+    written."""
     keyed = prior.unionByName(b).select(
         "a", "b", F.struct("batch", "a", "b").alias("k")
     )
@@ -262,16 +317,25 @@ def batch_triangle_delta(b: DataFrame, prior: DataFrame) -> DataFrame:
         ),
         "a",
     )
-    wedges = (
-        F.broadcast(wedge1)
-        .join(
-            adj.select(
-                F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")
-            ),
-            ["b", "_w"],
-        )
-        .where((F.col("k1") < F.col("nk")) & (F.col("k2") < F.col("nk")))
-    )
+    if broadcast_wedge_limit is None:
+        closing_left = F.broadcast(wedge1)
+    else:
+        wedge1 = cache.managed_persist_disk(wedge1)
+        n_wedges = wedge1.count()
+        if n_wedges <= int(broadcast_wedge_limit):
+            closing_left = F.broadcast(wedge1)
+        else:
+            # keyed shuffle, hinted so the choice is deterministic:
+            # Catalyst's own size estimate of a cached intermediate
+            # can still pick a broadcast near the boundary, and the
+            # whole point here is that the MEASURED row count said no
+            closing_left = wedge1.hint("shuffle_hash")
+    wedges = closing_left.join(
+        adj.select(
+            F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")
+        ),
+        ["b", "_w"],
+    ).where((F.col("k1") < F.col("nk")) & (F.col("k2") < F.col("nk")))
     return wedges.agg(F.count(F.lit(1)).cast("long").alias("n_new_triangles"))
 
 

@@ -841,22 +841,20 @@ class TestRound16Plans:
         append_batch_keyed's purge-then-move means this batch's own
         rows are the only possible duplicates), and both triangle
         joins keep the store adjacency on the STREAM side of a
-        broadcast hash join.  So the executed plan carries exactly TWO
-        exchanges, both batch-derived — the batch canonicalization's
-        own |Δ|-sized .distinct() and the single-partition gather of
-        the final count's partial aggregates — zero SortMergeJoins,
-        and two BroadcastHashJoins."""
+        broadcast hash join.  Every exchange in the executed plan must
+        be BATCH-derived: the single-partition gather of the final
+        count's partial aggregates (exactly one), and copies of the
+        batch canonicalization's own |Δ|-sized .distinct() — the r17
+        hub-skew guard persists the wedge intermediate, and the cache
+        boundary stops Spark's exchange-reuse from unifying the
+        distinct across the cached and uncached sides, so its COUNT is
+        an implementation detail while 'no parquet scan beneath any
+        exchange' is the contract.  Zero SortMergeJoins, broadcast
+        closing join."""
         import importlib.util
         import os
 
         from exosql_spark.streaming import graph_ingest as gi
-
-        bench_path = os.path.join(
-            os.path.dirname(os.path.dirname(__file__)), "bench.py"
-        )
-        spec = importlib.util.spec_from_file_location("bench_for_tri_plan", bench_path)
-        bench = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(bench)
 
         estore = str(tmp_path / "edges")
         dstore = str(tmp_path / "deltas")
@@ -889,13 +887,12 @@ class TestRound16Plans:
         # (0,1,3) and (1,2,3) via edge 13, (0,2,3) via edge 03.
         assert rows[0].n_new_triangles == 3, rows
 
-        # Exactly two exchanges by JVM identity, and BOTH are
-        # batch-derived: the batch canonicalization's own .distinct()
-        # (|Δ|-sized) and the final count's single-partition gather
-        # (n_partitions rows).  The store may only ever appear on the
-        # STREAM side of a broadcast join — no parquet scan beneath
-        # any exchange.
-        assert bench._count_shuffles(delta) == 2
+        # Every exchange by JVM identity is batch-derived: exactly ONE
+        # single-partition gather (partial counts), and the rest are
+        # copies of the |Δ|-sized batch .distinct() (HashAggregate on
+        # the canonical (a, b) keys).  The store may only ever appear
+        # on the STREAM side of a broadcast join — no parquet scan
+        # beneath any exchange.
         ge_path = os.path.join(
             os.path.dirname(os.path.dirname(__file__)), "tools", "gen_explain.py"
         )
@@ -905,20 +902,30 @@ class TestRound16Plans:
         nodes = ge.executed_nodes(
             delta._jdf.queryExecution().executedPlan(), spark._jvm
         )
+        n_gather = 0
         for name, node in nodes:
             if name == "ShuffleExchangeExec":
                 if "SinglePartition" in node.outputPartitioning().toString():
                     # the final gather moves one partial-count row per
                     # task, whatever sits beneath it
                     assert "partial_count" in node.child().toString().splitlines()[0]
+                    n_gather += 1
                     continue
                 sub = node.toString()
                 assert "FileScan" not in sub and "parquet" not in sub, (
                     "store scan shuffled:\n" + sub
                 )
+                # the only non-gather shuffle shape allowed is the
+                # batch canonicalization's distinct
+                assert "HashAggregate" in node.child().toString().splitlines()[0]
+        assert n_gather == 1
         s = plan(delta)
         assert "SortMergeJoin" not in s, s
         assert "BroadcastHashJoin" in s, s
+        # hub-skew guard: the wedge intermediate is persisted (the
+        # count that sizes the broadcast reuses it, keeping the batch
+        # at two store scans)
+        assert "InMemoryTableScan" in s, s
 
     def test_link_quality_prior_join_broadcasts(self, spark, sf_dir):
         """selection.link_quality_select joins the |V|-sized per-site

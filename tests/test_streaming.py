@@ -708,6 +708,86 @@ class TestTriangleIngestStream:
         deltas = spark.read.parquet(dstore).collect()
         assert len(deltas) == 1
 
+    def test_hub_skew_fallback_agrees_with_broadcast_path(
+        self, spark, tmp_path
+    ):
+        """r16 verdict Next #5: the wedge broadcast's residual
+        assumption — |Δ|·d̄ stays driver-sized — breaks when a hub
+        vertex carries a 10⁴-neighbor stored adjacency and one new
+        edge touches it.  The guard counts the (persisted) wedge
+        intermediate and above ``broadcast_wedge_limit`` degrades the
+        closing join to a keyed shuffle; both paths must produce the
+        SAME delta, and the fallback plan must not broadcast the
+        oversized wedge."""
+        from pyspark.sql import functions as F
+
+        from exosql_spark import streaming
+        from exosql_spark.streaming import graph_ingest as gi
+
+        # store: hub 0 -- {1..10000} \ {5000}, plus (1,5000), (2,5000)
+        hub = (
+            spark.range(1, 10001)
+            .where("id != 5000")
+            .select(F.lit(0).cast("long").alias("src"), F.col("id").alias("dst"))
+        )
+        closers = spark.createDataFrame(
+            [(1, 5000), (2, 5000)], "src long, dst long"
+        )
+        estore, dstore = str(tmp_path / "e"), str(tmp_path / "d")
+        streaming.triangle_ingest_batch(
+            hub.unionByName(closers), 0, estore, dstore
+        )
+        # batch 1: the hub edge (0, 5000) — wedge1 inherits deg(0) ≈
+        # 10⁴ rows; closes (0,1,5000) and (0,2,5000)
+        def make_b():
+            return (
+                spark.createDataFrame([(0, 5000)], "src long, dst long")
+                .select(
+                    F.least("src", "dst").alias("a"),
+                    F.greatest("src", "dst").alias("b"),
+                )
+                .distinct()
+                .withColumn("batch", F.lit(1).cast("long"))
+            )
+
+        def make_prior():
+            return (
+                spark.read.parquet(estore)
+                .select("a", "b", "batch")
+                .where(F.col("batch") != F.lit(1).cast("long"))
+            )
+
+        bc = gi.batch_triangle_delta(make_b(), make_prior(), None)
+        assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+        assert bc.collect()[0].n_new_triangles == 2
+
+        shuffled = gi.batch_triangle_delta(
+            make_b(), make_prior(), broadcast_wedge_limit=1000
+        )
+        splan = shuffled._jdf.queryExecution().executedPlan().toString()
+        # the closing join degraded: a non-broadcast join is present
+        assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan, splan
+        assert shuffled.collect()[0].n_new_triangles == 2
+
+        # end-to-end through the ingest body with the tiny limit: the
+        # written delta part matches, and the guard's wedge persist is
+        # drained at batch close (registry flat across micro-batches)
+        from exosql_spark import cache
+
+        mark = cache.registry_mark(spark)
+        streaming.triangle_ingest_batch(
+            spark.createDataFrame([(0, 5000)], "src long, dst long"),
+            1,
+            estore,
+            dstore,
+            broadcast_wedge_limit=1000,
+        )
+        assert cache.registry_mark(spark) == mark
+        inc = streaming.read_triangle_count(spark, dstore).collect()[0]
+        # batch 0's internal triangles: none (hub star + two spokes
+        # that only meet at 5000, which the hub doesn't reach yet)
+        assert inc.n_triangles == 2
+
     def test_empty_store_directory_replays_as_first_batch(
         self, spark, tmp_path
     ):
