@@ -356,32 +356,10 @@ def pivot_status_priority(spark, sf_dir):
 # (round-14 window-capacity consolidation).
 
 
-@register(
-    "window_range_frame",
-    oracle=f"""
-SELECT o_orderkey, o_totalprice,
-       count(*) OVER w AS n_similar_price,
-       {_u.fround_sql('CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE) / count(*) OVER w')} AS avg_similar_price
-FROM orders
-WINDOW w AS (ORDER BY o_totalprice
-             RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
-""",
-    tags=("window", "extension"),
-)
-def window_range_frame(spark, sf_dir):
-    """RANGE frame (value-based window): orders within ±1000 of each
-    price. Unpartitioned (fine at orders-dim cardinality; shard the
-    ORDER BY key for fact-scale)."""
-    t = Tables(spark, sf_dir)
-    w = W.orderBy("o_totalprice").rangeBetween(-1000, 1000)
-    n = F.count(F.lit(1)).over(w)
-    dec_sum = F.sum(F.col("o_totalprice").cast("decimal(25,6)")).over(w)
-    return t.orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        n.alias("n_similar_price"),
-        _u.fround(dec_sum.cast("double") / n, 4).alias("avg_similar_price"),
-    )
+# window_range_frame absorbed into windows.py::window_ntile_range_suite
+# (round-17 window-capacity consolidation; window_ntile_percent merged
+# there too — non-bench pair, so the bench query set stays
+# byte-identical).
 
 
 # --------------------------------------------------------------------
