@@ -218,6 +218,24 @@ def main() -> None:
                     f"{end / start:.2f}) - intra-sweep steal storm; "
                     f"treat {side}-side normalizations as suspect"
                 )
+    # Storm-repass provenance (r17): when bench detected intra-sweep
+    # drift it re-measured high-spread entries on the settled box and
+    # recorded min-over-both-passes — say so, so a reader of this
+    # comparison knows which mins carry second-pass provenance.
+    for side, path in (("old", sys.argv[1]), ("new", sys.argv[2])):
+        det = _detail_for(path)
+        if det and det.get("second_pass"):
+            won = sorted(
+                n
+                for n, p in (det.get("measurement_pass") or {}).items()
+                if p == 2
+            )
+            print(
+                f"note: {side} sweep storm-repassed "
+                f"{len(det['second_pass'])} high-spread entries; "
+                f"{len(won)} recorded min(s) came from the settled "
+                f"second pass" + (f": {', '.join(won)}" if won else "")
+            )
     shuffles = _plan_shuffles(sys.argv[2])
     if not shuffles:
         print("no plan_shuffles map found - 'sel' column defaults to norm_shf")
