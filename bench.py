@@ -15,9 +15,11 @@ and parses the last line: a single line carrying the per-query map
 outgrew that window twice (BENCH_r05.json and — after the set reached
 62 queries — BENCH_r12.json both recorded ``parsed: null``, truncating
 away the head scalars and breaking tools/compare_bench.py).  The
-compact summary stays ≲400 chars regardless of catalog growth
-(tests/test_tools.py pins this), so the driver artifact always parses
-and always carries both calibration scalars; the per-query map lives
+compact summary stays ≲600 chars regardless of catalog growth — ≲400
+on a clean sweep, plus four repass calibration scalars when a
+storm-repass ran (tests/test_tools.py pins the worst case under 800)
+— so the driver artifact always parses and always carries every
+calibration scalar; the per-query map lives
 in the first stdout line and, durably, in ``BENCH_DETAIL.json`` next
 to this script — snapshotted per round as ``BENCH_DETAIL_r{N}.json``
 (tools/gen_freshness.py does this at round start), which is also the
@@ -333,8 +335,10 @@ def main() -> None:
     second_pass: dict[str, dict] = {}
     measurement_pass = {name: 1 for name in per_query}
     repass_calibration = repass_calibration_end = None
+    repass_calibration_shuffle = repass_calibration_shuffle_end = None
     if repass_names:
         repass_calibration = _calibrate(spark)
+        repass_calibration_shuffle = _calibrate_shuffle(spark)
         for name in repass_names:
             q = bench[name]
             release_caches(spark)
@@ -352,10 +356,14 @@ def main() -> None:
                 per_query[name] = rec["min"]
                 measurement_pass[name] = 2
         release_caches(spark)
-        # bound the second pass's own window: if THIS pair diverges
-        # too, the artifact says so and the repass numbers are equally
-        # suspect — the comparator applies the same symmetric band
+        # bound the second pass's own window with BOTH probes (same
+        # independence argument as the main sweep's pair): if this
+        # pair diverges too, the repass numbers are equally suspect.
+        # The pairs ride the HEADLINE record (only when a repass ran)
+        # so tools/compare_bench.py's drift loop warns on them with
+        # the same symmetric band it applies to the main pairs.
         repass_calibration_end = _calibrate(spark)
+        repass_calibration_shuffle_end = _calibrate_shuffle(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)
@@ -379,6 +387,8 @@ def main() -> None:
         "second_pass": second_pass,
         "repass_calibration_sec": repass_calibration,
         "repass_calibration_sec_end": repass_calibration_end,
+        "repass_calibration_shuffle_sec": repass_calibration_shuffle,
+        "repass_calibration_shuffle_sec_end": repass_calibration_shuffle_end,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     with open(DETAIL_PATH, "w") as f:
@@ -399,6 +409,18 @@ def main() -> None:
         "n_repassed": len(second_pass),
         "query_set_sha1": set_sha1,
         "queries": per_query,
+        # present only when a storm-repass ran — keeps the compact
+        # summary line small in the (common) clean-sweep case
+        **(
+            {
+                "repass_calibration_sec": repass_calibration,
+                "repass_calibration_sec_end": repass_calibration_end,
+                "repass_calibration_shuffle_sec": repass_calibration_shuffle,
+                "repass_calibration_shuffle_sec_end": repass_calibration_shuffle_end,
+            }
+            if repass_names
+            else {}
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     spark.stop()

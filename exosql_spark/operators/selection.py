@@ -518,12 +518,17 @@ def link_quality_select(
     the operator boundary, with a rename hint.  The prior columns are
     aliased to ``_lq_*`` for the join itself so resolution never
     depends on join-side precedence."""
-    clash = [c for c in ("rank", "coreness", "keep") if c in docs.columns]
+    clash = [
+        c
+        for c in ("rank", "coreness", "keep", "_lq_site_id", "_lq_rank", "_lq_coreness")
+        if c in docs.columns
+    ]
     if clash:
         raise ValueError(
             f"link_quality_select: docs already has column(s) {clash}, "
-            "which this operator outputs - rename them (e.g. "
-            ".withColumnRenamed) before attaching link-quality priors"
+            "which this operator outputs (or uses as join-internal "
+            "temporaries) - rename them (e.g. .withColumnRenamed) "
+            "before attaching link-quality priors"
         )
     p = priors.select(
         F.col("id").alias("_lq_site_id"),

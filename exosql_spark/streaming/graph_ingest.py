@@ -251,10 +251,17 @@ def triangle_ingest_batch(
         )
     else:
         prior = spark.createDataFrame([], b.schema)
-    delta = batch_triangle_delta(b, prior, broadcast_wedge_limit).select(
-        F.lit(0).alias("bucket"), "n_new_triangles"
-    )
     try:
+        # batch_triangle_delta itself registers the guard's wedge
+        # persist and runs the sizing count — a real distributed job
+        # that can fail transiently — so the drain must bracket the
+        # WHOLE delta computation, not just the write: a retried
+        # micro-batch would otherwise stack one leaked persist per
+        # failed attempt, under exactly the storm conditions
+        # Structured Streaming retries.
+        delta = batch_triangle_delta(b, prior, broadcast_wedge_limit).select(
+            F.lit(0).alias("bucket"), "n_new_triangles"
+        )
         sinks.append_batch_keyed(delta, deltas_path, "bucket", batch_id)
     finally:
         # the delta write fully consumed the guard's wedge persist —
@@ -277,14 +284,16 @@ def batch_triangle_delta(
     can pin the cost contract directly: both joins keep the store
     adjacency on the STREAM side of a broadcast hash join (the batch
     broadcasts into the wedge join; the O(|Δ|·d̄) wedge intermediate
-    broadcasts into the closing join), so the executed plan carries
-    exactly TWO exchanges, both batch-derived — the |Δ|-sized shuffle
-    of the batch canonicalization's own ``.distinct()`` (built into
-    the ``b`` argument's lineage by :func:`triangle_ingest_batch`) and
-    the single-partition gather of the final count's partial
-    aggregates — and ZERO store-wide shuffles (no parquet scan sits
-    beneath any exchange; tests/test_plans.py::TestRound16Plans
-    asserts exactly this).
+    broadcasts into the closing join), so every exchange in the
+    executed plan is BATCH-derived: exactly one single-partition
+    gather of the final count's partial aggregates, plus copies of
+    the batch canonicalization's own |Δ|-sized ``.distinct()``
+    shuffle (built into the ``b`` argument's lineage by
+    :func:`triangle_ingest_batch`; the guard's cache boundary stops
+    exchange reuse from unifying the copies, so their count is an
+    implementation detail) — and ZERO store-wide shuffles (no parquet
+    scan sits beneath any exchange;
+    tests/test_plans.py::TestRound16Plans asserts exactly this).
 
     Hub-skew guard (r16 verdict Next #5): the wedge broadcast assumes
     |Δ|·d̄ stays driver-sized, which "size maxFilesPerTrigger down"
@@ -325,11 +334,19 @@ def batch_triangle_delta(
         if n_wedges <= int(broadcast_wedge_limit):
             closing_left = F.broadcast(wedge1)
         else:
-            # keyed shuffle, hinted so the choice is deterministic:
-            # Catalyst's own size estimate of a cached intermediate
-            # can still pick a broadcast near the boundary, and the
-            # whole point here is that the MEASURED row count said no
-            closing_left = wedge1.hint("shuffle_hash")
+            # keyed shuffle via SORT-MERGE, hinted so the choice is
+            # deterministic: Catalyst's own size estimate of a cached
+            # intermediate can still pick a broadcast near the
+            # boundary, and the whole point here is that the MEASURED
+            # row count said no.  Merge, not shuffle_hash: the hash
+            # variant builds a non-spillable per-partition hash map of
+            # the oversized wedge — it can throw
+            # SparkOutOfMemoryError under executor memory pressure
+            # (observed in the long-session test run), which would
+            # re-create the OOM this guard exists to avoid; SMJ sorts
+            # and SPILLS, the only degradation that is safe at any
+            # wedge size.
+            closing_left = wedge1.hint("merge")
     wedges = closing_left.join(
         adj.select(
             F.col("u").alias("b"), F.col("w").alias("_w"), F.col("k").alias("k2")

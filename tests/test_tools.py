@@ -604,20 +604,28 @@ class TestBenchArtifacts:
             "calibration_shuffle_sec": 0.869,
             "estimator": "min_of_5",
             "n_queries": 640,
+            "n_repassed": 3,
             "query_set_sha1": "4a6c8042204c",
             "queries": {f"query_with_a_long_name_{i:03d}": 1.234 for i in range(640)},
             "sf": 0.1,
+            # worst case: a storm-repass ran, so all four repass
+            # calibration scalars ride the compact line too (r17)
+            "repass_calibration_sec": 0.177,
+            "repass_calibration_sec_end": 0.154,
+            "repass_calibration_shuffle_sec": 0.887,
+            "repass_calibration_shuffle_sec_end": 0.822,
         }
         line = bench.summary_line(out)
         parsed = json.loads(line)
         assert "queries" not in parsed
         assert parsed["calibration_sec"] == 0.245
         assert parsed["calibration_shuffle_sec"] == 0.869
+        assert parsed["repass_calibration_sec"] == 0.177
         assert parsed["value"] == 123.456
         assert parsed["query_set_sha1"] == "4a6c8042204c"
         assert parsed["queries_detail"] == "BENCH_DETAIL.json"
         assert "excluded" not in parsed and parsed["n_excluded"] == 600
-        assert len(line) < 500
+        assert len(line) < 800
 
     def _bench_module(self):
         import importlib.util as ilu

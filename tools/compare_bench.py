@@ -94,7 +94,45 @@ def _from_detail(detail: dict) -> dict:
         "n_queries": detail.get("n_queries"),
         "query_set_sha1": detail.get("query_set_sha1"),
         "sf": detail.get("sf"),
+        "repass_calibration_sec": detail.get("repass_calibration_sec"),
+        "repass_calibration_sec_end": detail.get("repass_calibration_sec_end"),
+        "repass_calibration_shuffle_sec": detail.get(
+            "repass_calibration_shuffle_sec"
+        ),
+        "repass_calibration_shuffle_sec_end": detail.get(
+            "repass_calibration_shuffle_sec_end"
+        ),
     }
+
+
+def _detail_matching(path: str, rec: dict) -> dict | None:
+    """The detail record that actually describes ``rec``'s sweep,
+    verified by query_set_sha1: the per-round snapshot first, then
+    the live BENCH_DETAIL.json (artifact dir, then repo root) — the
+    same fallback chain _plan_shuffles uses, which matters for a
+    FRESH artifact whose name doesn't match BENCH_r{N}.json and so
+    has no snapshot yet.  The sha guard rejects a stale snapshot
+    (re-run artifact, old detail) instead of attributing the wrong
+    sweep's provenance."""
+    sha = rec.get("query_set_sha1")
+    cands = []
+    d = _detail_for(path)
+    if d is not None:
+        cands.append(d)
+    for cand in (
+        os.path.join(os.path.dirname(os.path.abspath(path)), "BENCH_DETAIL.json"),
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json",
+        ),
+    ):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                cands.append(json.load(f))
+    for d in cands:
+        if sha and d.get("query_set_sha1") == sha:
+            return d
+    return None
 
 
 def _load(path: str) -> dict:
@@ -209,7 +247,14 @@ def main() -> None:
     # 21% slowdown (ratio 0.79) trip the ">25%" warning — use
     # max(r, 1/r) > 1.25 so both directions get the same threshold.
     for side, rec in (("old", old), ("new", new)):
-        for base in ("calibration_sec", "calibration_shuffle_sec"):
+        for base in (
+            "calibration_sec",
+            "calibration_shuffle_sec",
+            # present only when that sweep ran a storm-repass —
+            # bounds the SECOND pass's own window (r17)
+            "repass_calibration_sec",
+            "repass_calibration_shuffle_sec",
+        ):
             start, end = rec.get(base), rec.get(base + "_end")
             if start and end and max(end / start, start / end) > 1.25:
                 print(
@@ -222,8 +267,11 @@ def main() -> None:
     # drift it re-measured high-spread entries on the settled box and
     # recorded min-over-both-passes — say so, so a reader of this
     # comparison knows which mins carry second-pass provenance.
-    for side, path in (("old", sys.argv[1]), ("new", sys.argv[2])):
-        det = _detail_for(path)
+    for side, path, rec in (
+        ("old", sys.argv[1], old),
+        ("new", sys.argv[2], new),
+    ):
+        det = _detail_matching(path, rec)
         if det and det.get("second_pass"):
             won = sorted(
                 n
