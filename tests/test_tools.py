@@ -635,6 +635,30 @@ class TestBenchArtifacts:
         spec.loader.exec_module(bench)
         return bench
 
+    def test_detail_matching_sha_guard_and_fallback(self, tmp_path):
+        """compare_bench._detail_matching (r17): a FRESH artifact with
+        no per-round snapshot must resolve through the live
+        BENCH_DETAIL.json in its own directory, and a snapshot whose
+        query_set_sha1 does not match the record (stale snapshot vs a
+        re-run artifact) must be rejected rather than attributing the
+        wrong sweep's repass provenance."""
+        import json
+
+        cb = self._load_compare_bench()
+        rec = {"query_set_sha1": "abc123def456"}
+        live = {
+            "query_set_sha1": "abc123def456",
+            "second_pass": {"q": {"min": 1.0}},
+            "min": {"q": 1.0},
+        }
+        (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps(live))
+        art = tmp_path / "fresh_run.json"  # name matches no BENCH_r{N}
+        art.write_text(json.dumps(rec))
+        got = cb._detail_matching(str(art), rec)
+        assert got is not None and got.get("second_pass")
+        # sha mismatch -> rejected
+        assert cb._detail_matching(str(art), {"query_set_sha1": "zzz"}) is None
+
     def test_storm_repass_selects_high_spread_on_drifted_sweep(self):
         """r16 verdict Next #2: when the start/end calibration pair
         diverges >25%, the entries whose 5 runs disagreed
