@@ -215,22 +215,47 @@ def fn_datetime(spark, sf_dir):
     )
 
 
-@register(
-    "fn_format",
-    oracle="""
-SELECT o_orderkey,
-       printf('Order %d: %.2f (%s)', o_orderkey, o_totalprice, o_orderstatus) AS label
+def _format_suite_oracle() -> str:
+    from exosql_spark.functions.format_compat import humanize_si_sql
+
+    return f"""
+SELECT 'printf' AS variant, o_orderkey,
+       printf('Order %d: %.2f (%s)', o_orderkey, o_totalprice, o_orderstatus) AS label,
+       CAST(NULL AS VARCHAR) AS price_human
 FROM orders
 WHERE o_orderkey <= 500
-""",
+UNION ALL
+SELECT 'si', o_orderkey,
+       CAST(NULL AS VARCHAR),
+       {humanize_si_sql('o_totalprice')}
+FROM orders
+"""
+
+
+@register(
+    "fn_format_suite",
+    # The si variant is an exact oracle because humanize_si pre-rounds
+    # half-up on the binary double (fround) before formatting, so Java
+    # %.1f (HALF_UP) and DuckDB printf (half-even) agree on every
+    # value — no rendering ties left.
+    oracle=_format_suite_oracle(),
     tags=("functions", "format"),
 )
-def fn_format(spark, sf_dir):
-    """printf ``format()`` C subset → native format_string (reference
-    ``lib/exosql/format.ex``). The ``%k`` SI suffix is covered by
-    fn_humanize_si (rows-only)."""
+def fn_format_suite(spark, sf_dir):
+    """The reference's formatting surface as tagged variants (r17
+    window-capacity consolidation of fn_format + fn_humanize_si —
+    both non-bench, both over orders; every column of both originals
+    preserved, null-padded per variant):
+
+    - ``printf``: the ``format()`` C subset → native format_string
+      (reference ``lib/exosql/format.ex``);
+    - ``si``: the dashboard ``%k`` SI suffix (1234567 → '1.2M') —
+      pure-Column, no UDF."""
+    from exosql_spark.functions.format_compat import humanize_si
+
     t = Tables(spark, sf_dir)
-    return t.orders.filter(F.col("o_orderkey") <= 500).select(
+    printf = t.orders.filter(F.col("o_orderkey") <= 500).select(
+        F.lit("printf").alias("variant"),
         "o_orderkey",
         exo_format(
             "Order %d: %.2f (%s)",
@@ -238,34 +263,15 @@ def fn_format(spark, sf_dir):
             F.col("o_totalprice"),
             F.col("o_orderstatus"),
         ).alias("label"),
+        F.lit(None).cast("string").alias("price_human"),
     )
-
-
-def _humanize_oracle() -> str:
-    from exosql_spark.functions.format_compat import humanize_si_sql
-
-    return (
-        "SELECT o_orderkey, "
-        f"{humanize_si_sql('o_totalprice')} AS price_human FROM orders"
+    si = t.orders.select(
+        F.lit("si").alias("variant"),
+        "o_orderkey",
+        F.lit(None).cast("string").alias("label"),
+        humanize_si(F.col("o_totalprice")).alias("price_human"),
     )
-
-
-@register(
-    "fn_humanize_si",
-    # Exact oracle: humanize_si pre-rounds half-up on the binary double
-    # (fround) before formatting, so Java %.1f (HALF_UP) and DuckDB
-    # printf (half-even) agree on every value — no rendering ties left.
-    oracle=_humanize_oracle(),
-    tags=("functions", "format"),
-)
-def fn_humanize_si(spark, sf_dir):
-    """Dashboard ``%k`` SI suffix (1234567 → '1.2M') — pure-Column."""
-    from exosql_spark.functions.format_compat import humanize_si
-
-    t = Tables(spark, sf_dir)
-    return t.orders.select(
-        "o_orderkey", humanize_si(F.col("o_totalprice")).alias("price_human")
-    )
+    return printf.unionByName(si)
 
 
 @register(
