@@ -148,6 +148,83 @@ def _calibrate_shuffle(spark) -> float:
 # the motivating datum — while settled entries sit well under 0.1.
 CAL_DRIFT_BAND = 1.25
 REPASS_SPREAD_RATIO = 0.25
+# Cross-round drift tier (r17 verdict Next #2).  The spread gate has
+# a proven blind spot: a SLOW-VARYING steal storm keeps all 5
+# consecutive runs of one entry inside a single load regime, so the
+# level moves 2× while the spread stays tight —
+# recursive_cte_hierarchy sailed 0.952→1.279→2.609 s across
+# r15/r16/r17 with spread ratios under 0.18 and was never selected.
+# The drift tier compares each entry's pass-1 min against the PRIOR
+# round's committed BENCH_DETAIL min instead: >1.5× slower with an
+# UNCHANGED code fingerprint is a level shift no code explains, so it
+# earns a re-measurement regardless of what the in-sweep calibration
+# pair saw.  When the pair DID trip, the tighter 1.25 band applies
+# (ADVICE r17: a uniform storm inflates all 5 runs together, yielding
+# low spread — the r16 "53/69 uniformly ~1.4×" shape — so
+# prior-round level movement is the only in-sweep signal left).
+DRIFT_REPASS_RATIO = 1.5
+
+
+def storm_repass_tiers(
+    mins: dict,
+    stddevs: dict,
+    cal_pairs,
+    band: float = CAL_DRIFT_BAND,
+    spread_ratio: float = REPASS_SPREAD_RATIO,
+    prior_mins: dict | None = None,
+    changed=(),
+    drift_ratio: float = DRIFT_REPASS_RATIO,
+) -> dict:
+    """Entries needing a second measurement pass → selection reason
+    (``"spread"``, ``"drift"``, or ``"spread+drift"``).
+
+    Two OR-ed tiers, both pure so tests can pin the selection on
+    synthetic data without a SparkSession:
+
+    *Spread tier* (r16): ``cal_pairs`` is a sequence of (start, end)
+    calibration scalars from the same sweep (CPU probe + shuffle
+    probe).  If any pair moved more than ``band`` in either
+    direction, the box moved DURING the sweep (the r16 steal storm:
+    53/69 entries ~1.4× slower while the start-of-sweep calibrations
+    read faster), and the entries whose own 5 runs disagreed
+    (stddev/min > ``spread_ratio``) get re-measured after the sweep,
+    when the storm has typically passed.
+
+    *Drift tier* (r17): an entry whose pass-1 min exceeds its PRIOR
+    round's committed min (``prior_mins``) by ``drift_ratio`` — or by
+    ``band`` when a calibration pair tripped, per ADVICE r17's
+    uniform-storm note — while its code fingerprint is unchanged
+    (``changed`` holds the names whose fingerprint moved) is a level
+    shift the code cannot explain; it gets re-measured even on a
+    sweep whose own calibration pair was quiet, closing the
+    slow-varying-storm blind spot that let recursive_cte_hierarchy's
+    tight-spread 2.7× inflation cross three round boundaries
+    unmeasured.  Entries with changed fingerprints are excluded — a
+    real code regression SHOULD survive into the record and flag in
+    the comparator, not be min-washed away by a repass.
+    """
+    def moved(start, end) -> bool:
+        if not start or not end:
+            return False
+        r = end / start
+        return max(r, 1.0 / r) > band
+
+    cal_moved = any(moved(s, e) for s, e in cal_pairs)
+    tiers: dict[str, str] = {}
+    if cal_moved:
+        for name, m in mins.items():
+            if m > 0 and stddevs.get(name, 0.0) / m > spread_ratio:
+                tiers[name] = "spread"
+    if prior_mins:
+        threshold = band if cal_moved else drift_ratio
+        for name, m in mins.items():
+            prior = prior_mins.get(name)
+            if m > 0 and prior and prior > 0 and name not in changed:
+                if m / prior > threshold:
+                    tiers[name] = (
+                        "spread+drift" if tiers.get(name) == "spread" else "drift"
+                    )
+    return tiers
 
 
 def storm_repass_entries(
@@ -156,33 +233,53 @@ def storm_repass_entries(
     cal_pairs,
     band: float = CAL_DRIFT_BAND,
     spread_ratio: float = REPASS_SPREAD_RATIO,
+    prior_mins: dict | None = None,
+    changed=(),
+    drift_ratio: float = DRIFT_REPASS_RATIO,
 ) -> list:
-    """Entries needing a settled-box second measurement pass.
-
-    ``cal_pairs`` is a sequence of (start, end) calibration scalars
-    from the same sweep (CPU probe + shuffle probe).  If NO pair moved
-    more than ``band`` in either direction, the sweep ran on a stable
-    box and the answer is [] — one pass is trustworthy.  Otherwise the
-    box moved DURING the sweep (the r16 steal storm: 53/69 entries
-    ~1.4× slower while the start-of-sweep calibrations read faster),
-    and the entries whose own 5 runs disagreed (stddev/min >
-    ``spread_ratio``) get re-measured after the sweep, when the storm
-    has typically passed.  Pure function so tests can pin the
-    selection on synthetic spread data without a SparkSession.
-    """
-    def moved(start, end) -> bool:
-        if not start or not end:
-            return False
-        r = end / start
-        return max(r, 1.0 / r) > band
-
-    if not any(moved(s, e) for s, e in cal_pairs):
-        return []
+    """Sorted names needing a second pass — ``storm_repass_tiers``
+    without the reasons; kept as the stable pinned surface (the r16
+    synthetic tests and the hypothesis property test call this)."""
     return sorted(
-        name
-        for name, m in mins.items()
-        if m > 0 and stddevs.get(name, 0.0) / m > spread_ratio
+        storm_repass_tiers(
+            mins, stddevs, cal_pairs, band, spread_ratio,
+            prior_mins, changed, drift_ratio,
+        )
     )
+
+
+def _drift_tier_inputs(current_sf, repo: str | None = None):
+    """Load (prior_mins, changed, prior_round) for the drift tier —
+    best-effort: the prior round's committed BENCH_DETAIL_r{N}.json
+    (N = FRESHNESS.json's latest_round, the same snapshot
+    tools/round_start.py writes) plus the set of entries whose
+    current-disk fingerprint differs from the FRESHNESS record.  Any
+    missing/corrupt input, an SF mismatch (cross-SF mins aren't
+    comparable — auxiliary 10×/100× sweeps must not diff against the
+    sf0.1 record), or a fingerprint walk failure degrades to
+    (None, frozenset(), None): bench falls back to the spread tier
+    alone rather than crashing or mis-selecting."""
+    if repo is None:
+        repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "FRESHNESS.json")) as f:
+            fresh = json.load(f)
+        prior_round = int(fresh["latest_round"])
+        with open(
+            os.path.join(repo, f"BENCH_DETAIL_r{prior_round}.json")
+        ) as f:
+            prior = json.load(f)
+        if prior.get("sf") != current_sf:
+            return None, frozenset(), None
+        prior_mins = prior.get("min") or {}
+        from exosql_spark import catalog as _catalog
+
+        cur = _catalog.current_fingerprints(_catalog.all_queries())
+        rec = fresh.get("fingerprints", {})
+        changed = frozenset(n for n, fp in cur.items() if rec.get(n) != fp)
+        return prior_mins, changed, prior_round
+    except (OSError, json.JSONDecodeError, KeyError, TypeError, ValueError):
+        return None, frozenset(), None
 
 
 def _gen_explain_module():
@@ -322,16 +419,27 @@ def main() -> None:
     # moved during the sweep, re-measure the entries whose own runs
     # disagreed, on the now-settled box, and take the min over BOTH
     # passes (the min is the cost estimator; a storm only ever
-    # inflates).  Both passes land in BENCH_DETAIL so the comparator
-    # can see which pass produced each recorded number.
-    repass_names = storm_repass_entries(
+    # inflates).  The cross-round DRIFT tier (r17 verdict Next #2)
+    # additionally re-measures entries whose pass-1 min regressed
+    # past the prior round's committed min with an unchanged code
+    # fingerprint — the slow-varying-storm shape the spread gate is
+    # blind to.  Both passes land in BENCH_DETAIL with per-entry
+    # selection reasons so the comparator can see which pass and
+    # which tier produced each recorded number.
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    prior_mins, fp_changed, drift_prior_round = _drift_tier_inputs(sf_val)
+    repass_tiers = storm_repass_tiers(
         per_query,
         spread,
         [
             (calibration, calibration_end),
             (calibration_shuffle, calibration_shuffle_end),
         ],
+        prior_mins=prior_mins,
+        changed=fp_changed,
     )
+    repass_names = sorted(repass_tiers)
     second_pass: dict[str, dict] = {}
     measurement_pass = {name: 1 for name in per_query}
     repass_calibration = repass_calibration_end = None
@@ -365,7 +473,6 @@ def main() -> None:
         repass_calibration_end = _calibrate(spark)
         repass_calibration_shuffle_end = _calibrate_shuffle(spark)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     query_set = sorted(per_query)
     set_sha1 = hashlib.sha1("\n".join(query_set).encode()).hexdigest()[:12]
     detail = {
@@ -385,11 +492,13 @@ def main() -> None:
         "median_total": round(sum(medians.values()), 3),
         "measurement_pass": measurement_pass,
         "second_pass": second_pass,
+        "repass_tier": repass_tiers,
+        "drift_prior_round": drift_prior_round,
         "repass_calibration_sec": repass_calibration,
         "repass_calibration_sec_end": repass_calibration_end,
         "repass_calibration_shuffle_sec": repass_calibration_shuffle,
         "repass_calibration_shuffle_sec_end": repass_calibration_shuffle_end,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -407,6 +516,7 @@ def main() -> None:
         "estimator": f"min_of_{RUNS}",
         "n_queries": len(per_query),
         "n_repassed": len(second_pass),
+        "n_repassed_drift": sum(1 for t in repass_tiers.values() if "drift" in t),
         "query_set_sha1": set_sha1,
         "queries": per_query,
         # present only when a storm-repass ran — keeps the compact
@@ -421,7 +531,7 @@ def main() -> None:
             if repass_names
             else {}
         ),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     spark.stop()
     # Both lines print after spark.stop() so no executor/JVM shutdown

@@ -444,3 +444,71 @@ def test_storm_repass_selector_properties(mins, stds, pairs):
         assert stds.get(name, 0.0) / mins[name] > bench.REPASS_SPREAD_RATIO
     tighter = bench.storm_repass_entries(mins, stds, pairs, spread_ratio=0.5)
     assert set(tighter) <= set(out)
+
+
+@given(
+    mins=st.dictionaries(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        max_size=12,
+    ),
+    stds=st.dictionaries(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        max_size=12,
+    ),
+    pairs=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(min_value=0.01, max_value=10.0)),
+            st.one_of(st.none(), st.floats(min_value=0.01, max_value=10.0)),
+        ),
+        max_size=3,
+    ),
+    priors=st.dictionaries(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        max_size=12,
+    ),
+    changed=st.frozensets(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8), max_size=6
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_storm_repass_drift_tier_properties(mins, stds, pairs, priors, changed):
+    """Invariants of the r17 drift tier on arbitrary inputs: tiers'
+    keys equal storm_repass_entries' selection; every drift-labeled
+    entry really exceeds the effective threshold vs a positive prior
+    and has an unchanged fingerprint; every spread-labeled entry
+    passes the spread gate under a tripped calibration; supplying
+    priors never REMOVES a spread selection; and the drift tier is
+    monotone — raising drift_ratio never adds entries."""
+    bench = _bench_module()
+    tiers = bench.storm_repass_tiers(
+        mins, stds, pairs, prior_mins=priors, changed=changed
+    )
+    out = bench.storm_repass_entries(
+        mins, stds, pairs, prior_mins=priors, changed=changed
+    )
+    assert out == sorted(tiers)
+    cal_moved = any(
+        s and e and max(e / s, s / e) > bench.CAL_DRIFT_BAND for s, e in pairs
+    )
+    threshold = bench.CAL_DRIFT_BAND if cal_moved else bench.DRIFT_REPASS_RATIO
+    base = set(bench.storm_repass_entries(mins, stds, pairs))
+    assert base <= set(out)
+    for name, tier in tiers.items():
+        assert tier in ("spread", "drift", "spread+drift")
+        if "drift" in tier:
+            assert name not in changed
+            assert priors.get(name, 0.0) > 0
+            assert mins[name] / priors[name] > threshold
+        if "spread" in tier:
+            assert cal_moved
+            assert stds.get(name, 0.0) / mins[name] > bench.REPASS_SPREAD_RATIO
+        if tier == "drift":
+            assert name not in base
+    looser = bench.storm_repass_entries(
+        mins, stds, pairs, prior_mins=priors, changed=changed, drift_ratio=3.0
+    )
+    if not cal_moved:
+        assert set(looser) <= set(out)

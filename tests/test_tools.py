@@ -605,6 +605,7 @@ class TestBenchArtifacts:
             "estimator": "min_of_5",
             "n_queries": 640,
             "n_repassed": 3,
+            "n_repassed_drift": 2,
             "query_set_sha1": "4a6c8042204c",
             "queries": {f"query_with_a_long_name_{i:03d}": 1.234 for i in range(640)},
             "sf": 0.1,
@@ -659,6 +660,23 @@ class TestBenchArtifacts:
         # sha mismatch -> rejected
         assert cb._detail_matching(str(art), {"query_set_sha1": "zzz"}) is None
 
+    def test_detail_loaders_skip_corrupt_candidates(self, tmp_path):
+        """ADVICE r17: a truncated / mid-write detail file must cost
+        only the provenance note, not crash the comparison — both
+        _detail_for and _detail_matching skip unreadable candidates
+        and degrade to None."""
+        import json
+
+        cb = self._load_compare_bench()
+        # truncated per-round snapshot next to the artifact
+        (tmp_path / "BENCH_DETAIL_r09.json").write_text('{"min": {"q": 1.')
+        art = tmp_path / "BENCH_r09.json"
+        art.write_text(json.dumps({"query_set_sha1": "abc"}))
+        assert cb._detail_for(str(art)) is None
+        # truncated live BENCH_DETAIL.json in the artifact dir too
+        (tmp_path / "BENCH_DETAIL.json").write_text("")
+        assert cb._detail_matching(str(art), {"query_set_sha1": "abc"}) is None
+
     def test_storm_repass_selects_high_spread_on_drifted_sweep(self):
         """r16 verdict Next #2: when the start/end calibration pair
         diverges >25%, the entries whose 5 runs disagreed
@@ -711,3 +729,107 @@ class TestBenchArtifacts:
             )
             == ["q"]
         )
+
+    def test_drift_tier_selects_low_spread_monotone_regression(self):
+        """r17 verdict Next #2, the recursive_cte_hierarchy shape: a
+        quiet sweep (calibration pair stable), tight spread, but the
+        entry's min sits 2× over the prior round's committed min with
+        an unchanged fingerprint — the spread gate is blind to this
+        by construction; the drift tier must select it."""
+        bench = self._bench_module()
+        tiers = bench.storm_repass_tiers(
+            {"rcte": 2.609, "steady": 1.00},
+            {"rcte": 0.462, "steady": 0.05},  # spread ratio 0.177 < 0.25
+            [(0.25, 0.26), (0.87, 0.86)],  # calibration quiet
+            prior_mins={"rcte": 1.279, "steady": 0.98},
+            changed=frozenset(),
+        )
+        assert tiers == {"rcte": "drift"}
+        # 1.4x over prior on a quiet sweep stays UNDER the 1.5 tier
+        assert (
+            bench.storm_repass_tiers(
+                {"q": 1.4}, {"q": 0.0}, [(0.25, 0.26)],
+                prior_mins={"q": 1.0}, changed=frozenset(),
+            )
+            == {}
+        )
+
+    def test_drift_tier_tightens_to_band_when_calibration_trips(self):
+        """ADVICE r17: a UNIFORM storm inflates all 5 runs together
+        (low spread), so when the calibration pair trips, entries
+        that regressed past the 1.25 band vs the prior snapshot are
+        repassed even though 1.25 < the quiet-sweep 1.5 threshold;
+        tier labels record which gate(s) fired."""
+        bench = self._bench_module()
+        tiers = bench.storm_repass_tiers(
+            {"uniform": 1.40, "both_gates": 2.0, "ok": 1.0},
+            {"uniform": 0.05, "both_gates": 0.9, "ok": 0.01},
+            [(0.25, 0.40)],  # calibration tripped
+            prior_mins={"uniform": 1.0, "both_gates": 1.0, "ok": 0.99},
+            changed=frozenset(),
+        )
+        assert tiers == {"uniform": "drift", "both_gates": "spread+drift"}
+        assert bench.storm_repass_entries(
+            {"uniform": 1.40, "both_gates": 2.0, "ok": 1.0},
+            {"uniform": 0.05, "both_gates": 0.9, "ok": 0.01},
+            [(0.25, 0.40)],
+            prior_mins={"uniform": 1.0, "both_gates": 1.0, "ok": 0.99},
+            changed=frozenset(),
+        ) == ["both_gates", "uniform"]
+
+    def test_drift_tier_excludes_changed_fingerprints_and_bad_priors(self):
+        """A changed-fingerprint entry 3× over prior is a CODE effect
+        candidate — it must survive into the record and flag in the
+        comparator, not be min-washed by a repass.  Missing/zero
+        priors and entries absent from the prior snapshot are
+        skipped; no prior_mins at all degrades to the spread tier
+        (pinning that the r16 call signature is behavior-identical)."""
+        bench = self._bench_module()
+        tiers = bench.storm_repass_tiers(
+            {"edited": 3.0, "new_entry": 3.0, "zero_prior": 3.0},
+            {"edited": 0.0, "new_entry": 0.0, "zero_prior": 0.0},
+            [(0.25, 0.26)],
+            prior_mins={"edited": 1.0, "zero_prior": 0.0},
+            changed=frozenset({"edited"}),
+        )
+        assert tiers == {}
+        assert bench.storm_repass_entries(
+            {"q": 9.9}, {"q": 0.0}, [(0.25, 0.26)]
+        ) == []
+
+    def test_drift_tier_inputs_guards(self, tmp_path):
+        """bench._drift_tier_inputs degrades to (None, frozenset(),
+        None) on every bad input — missing FRESHNESS, corrupt JSON,
+        missing prior snapshot, SF mismatch — instead of crashing the
+        sweep or mis-selecting cross-SF."""
+        import json
+
+        bench = self._bench_module()
+        # missing FRESHNESS.json entirely
+        assert bench._drift_tier_inputs(0.1, repo=str(tmp_path)) == (
+            None, frozenset(), None,
+        )
+        # corrupt FRESHNESS.json (mid-write truncation)
+        (tmp_path / "FRESHNESS.json").write_text('{"latest_round": 7')
+        assert bench._drift_tier_inputs(0.1, repo=str(tmp_path))[0] is None
+        # valid FRESHNESS but no matching prior snapshot on disk
+        (tmp_path / "FRESHNESS.json").write_text(
+            json.dumps({"latest_round": 7, "fingerprints": {}})
+        )
+        assert bench._drift_tier_inputs(0.1, repo=str(tmp_path))[0] is None
+        # snapshot exists but at a different SF (auxiliary sweep)
+        (tmp_path / "BENCH_DETAIL_r7.json").write_text(
+            json.dumps({"sf": 0.001, "min": {"q": 1.0}})
+        )
+        assert bench._drift_tier_inputs(0.1, repo=str(tmp_path))[0] is None
+        # matching SF: priors + round come back; every live entry
+        # whose fingerprint is absent from the (empty) record counts
+        # as changed — new entries never drift-repass
+        prior_mins, changed, rnd = bench._drift_tier_inputs(
+            0.001, repo=str(tmp_path)
+        )
+        assert prior_mins == {"q": 1.0} and rnd == 7
+        from exosql_spark import catalog as _catalog
+
+        live = _catalog.current_fingerprints(_catalog.all_queries())
+        assert changed == frozenset(live)

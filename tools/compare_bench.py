@@ -74,9 +74,14 @@ def _detail_for(path: str) -> dict | None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), fname
         ),
     ):
-        if os.path.exists(cand):
+        # a truncated / mid-write snapshot must degrade to "no detail"
+        # (the caller falls back or reports no provenance), not crash
+        # the whole comparison (ADVICE r17)
+        try:
             with open(cand) as f:
                 return json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
     return None
 
 
@@ -126,9 +131,14 @@ def _detail_matching(path: str, rec: dict) -> dict | None:
             "BENCH_DETAIL.json",
         ),
     ):
-        if os.path.exists(cand):
+        # same degradation as _detail_for: skip unreadable candidates
+        # so a mid-write BENCH_DETAIL.json costs only the provenance
+        # note, never the comparison (ADVICE r17)
+        try:
             with open(cand) as f:
                 cands.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue
     for d in cands:
         if sha and d.get("query_set_sha1") == sha:
             return d
