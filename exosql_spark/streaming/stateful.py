@@ -34,6 +34,25 @@ try:  # transformWithState needs the protobuf state-server protocol
 except ImportError:  # pragma: no cover - container has no protobuf
     StatefulProcessor = object  # type: ignore[assignment,misc]
     HAS_TRANSFORM_WITH_STATE = False
+
+# The single load-bearing reason string for the gated twin: raised by
+# event_type_profile_tws, reported by the suite's skip, and pinned by
+# a meta-test (tests/test_streaming.py) so it can't silently rot.
+# WHICH environment provides the dependency: any interpreter with the
+# ``protobuf`` distribution (``pip install "pyspark[connect]"`` pulls
+# it, as does plain ``pip install protobuf``) — Spark 4's
+# transformWithStateInPandas speaks a protobuf wire protocol to the
+# JVM state server, and pyspark imports google.protobuf at
+# StatefulProcessor import time, so no pure-Python fallback exists.
+# This container is no-install, so the twin stays gated here while
+# the behavior-equivalent applyInPandasWithState path (the parity
+# entry's engine) carries the driver-checked coverage.
+TWS_UNAVAILABLE_REASON = (
+    "transformWithStateInPandas needs the 'protobuf' package "
+    "(provided by `pip install protobuf` or `pip install "
+    "'pyspark[connect]'`); this no-install container lacks it, so the "
+    "applyInPandasWithState twin carries the coverage"
+)
 from pyspark.sql import types as T
 
 _STATS_OUT = T.StructType(
@@ -199,9 +218,7 @@ def event_type_profile_tws(events: DataFrame) -> DataFrame:
     runs :func:`event_type_profile` and the test suite skips this
     variant unless HAS_TRANSFORM_WITH_STATE."""
     if not HAS_TRANSFORM_WITH_STATE:  # pragma: no cover
-        raise ImportError(
-            "transformWithStateInPandas needs the 'protobuf' package"
-        )
+        raise ImportError(TWS_UNAVAILABLE_REASON)
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=_EventTypeProfile(),
         outputStructType="user_id long, event_type string, n_events long",

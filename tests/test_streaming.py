@@ -536,15 +536,37 @@ class TestEventTypeProfile:
         if not stateful.HAS_TRANSFORM_WITH_STATE:
             import pytest as _pt
 
-            with _pt.raises(ImportError):
+            with _pt.raises(ImportError, match="protobuf"):
                 stateful.event_type_profile_tws(events_stream)
-            _pt.skip("protobuf absent: transformWithState protocol unavailable")
+            _pt.skip(stateful.TWS_UNAVAILABLE_REASON)
         got = drain(
             stateful.event_type_profile_tws(events_stream),
             "t_type_profile_tws",
             mode="update",
         )
         assert got.count() > 0
+
+    def test_tws_skip_reason_is_load_bearing(self):
+        """r17 verdict Next #6: the twin's skip (and its ImportError)
+        must carry ONE shared reason string that documents exactly
+        which environment provides the missing dependency — pin its
+        content so neither the raise nor the skip can drift to an
+        uninformative message.  The string must name the package, a
+        concrete way to get it, and where the coverage lives while
+        the twin is gated."""
+        from exosql_spark.streaming import stateful
+
+        reason = stateful.TWS_UNAVAILABLE_REASON
+        assert "protobuf" in reason
+        assert "pip install" in reason  # which environment provides it
+        assert "applyInPandasWithState" in reason  # coverage pointer
+        if not stateful.HAS_TRANSFORM_WITH_STATE:
+            # the gate raises THE SAME string the suite skips with
+            import pytest as _pt
+
+            with _pt.raises(ImportError) as exc:
+                stateful.event_type_profile_tws(None)
+            assert str(exc.value) == reason
 
 
 class TestGraphIngestStream:
