@@ -649,42 +649,82 @@ def text_quality_score(spark, sf_dir):
 
 
 @register(
-    "filter_quality_percentile",
+    "filter_quality_percentile_suite",
     oracle=_SQL_QUALITY_CTES
     + """
 , thr AS (SELECT quantile_cont(quality, 0.2) AS t FROM quality_scored)
-SELECT q.doc_id, q.quality
+, dql AS (
+  SELECT q.doc_id, d.lang, q.quality
+  FROM quality_scored q JOIN documents d USING (doc_id)
+), lthr AS (
+  SELECT lang, quantile_cont(quality, 0.2) AS t FROM dql GROUP BY lang
+)
+SELECT 'global' AS variant, q.doc_id, CAST(NULL AS VARCHAR) AS lang, q.quality
 FROM quality_scored q, thr
 WHERE q.quality >= thr.t
-ORDER BY q.doc_id
+UNION ALL
+SELECT 'by_lang', dql.doc_id, dql.lang, dql.quality
+FROM dql JOIN lthr USING (lang)
+WHERE dql.quality >= lthr.t
+ORDER BY variant, doc_id
 """,
     tags=("llm", "text", "quality", "scale"),
 )
-def filter_quality_percentile(spark, sf_dir):
-    """ADAPTIVE quality gate: keep documents at/above the corpus's own
-    20th quality percentile — the relative-threshold curation rule
-    (absolute thresholds like quality ≥ 0.3 go stale as the corpus
-    mix shifts; a percentile gate tracks it). One pass computes the
-    features; the exact interpolated percentile (Spark `percentile` ==
-    DuckDB quantile_cont — proven by agg_percentiles) rides back in as
-    a 1-row broadcast scalar (the scalar-attachment house pattern);
-    the filter then drops the bottom quintile. Boundary robustness:
-    with a fractional interpolation index the threshold lies STRICTLY
-    between two adjacent data values (≥ 1e-4 from either on the
-    4-decimal quality grid), and with an integer index it IS a data
-    value bit-exactly in both engines — either way the ≥ comparison
-    cannot flip on float noise. At 100 TB swap in approx_percentile
-    (the sketch twin agg_approx_percentile documents it) — the gate
-    shape is identical."""
+def filter_quality_percentile_suite(spark, sf_dir):
+    """Both ADAPTIVE quality gates as tagged variants (r18
+    window-capacity consolidation of filter_quality_percentile ⊕
+    filter_quality_percentile_by_lang — a NON-bench pair, bench query
+    set untouched; every column of both originals preserved,
+    null-padded per variant); the feature frame is computed ONCE and
+    persisted across both gates — at 100 TB that single shared scan
+    is the point of evaluating curation rules side by side:
+
+    - ``global``: keep documents at/above the corpus's own 20th
+      quality percentile — the relative-threshold curation rule
+      (absolute thresholds like quality ≥ 0.3 go stale as the corpus
+      mix shifts).  The exact interpolated percentile (Spark
+      `percentile` == DuckDB quantile_cont — proven by
+      agg_percentiles) rides back in as a 1-row broadcast scalar (the
+      scalar-attachment house pattern).  Boundary robustness: with a
+      fractional interpolation index the threshold lies STRICTLY
+      between two adjacent data values (≥ 1e-4 from either on the
+      4-decimal quality grid), and with an integer index it IS a data
+      value bit-exactly in both engines — either way the ≥ comparison
+      cannot flip on float noise.  At 100 TB swap in
+      approx_percentile (the sketch twin agg_approx_percentile
+      documents it) — the gate shape is identical.
+    - ``by_lang``: keep documents at/above their OWN language's 20th
+      percentile — the C4/mC4 rule.  A single global threshold
+      silently guts low-resource languages whose quality distribution
+      sits lower (stopword lists, token ratios are language-biased);
+      the |langs|-row per-stratum thresholds come from one tiny
+      shuffle and BROADCAST back onto the scored corpus."""
+    from exosql_spark.cache import managed_persist
+
     t = Tables(spark, sf_dir)
-    scored = text.quality_score(t.documents, "text").select("doc_id", "quality")
+    scored = managed_persist(
+        text.quality_score(t.documents, "text").select(
+            "doc_id", "lang", "quality"
+        )
+    )
     thr = scored.agg(F.percentile("quality", F.lit(0.2)).alias("_t"))
-    return (
+    glob = (
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("_t"))
-        .select("doc_id", "quality")
-        .orderBy("doc_id")
+        .select(
+            F.lit("global").alias("variant"),
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            "quality",
+        )
     )
+    lthr = scored.groupBy("lang").agg(F.percentile("quality", 0.2).alias("_t"))
+    by_lang = (
+        scored.join(F.broadcast(lthr), "lang")
+        .filter(F.col("quality") >= F.col("_t"))
+        .select(F.lit("by_lang").alias("variant"), "doc_id", "lang", "quality")
+    )
+    return glob.unionByName(by_lang).orderBy("variant", "doc_id")
 
 
 @register(
@@ -1018,52 +1058,46 @@ def text_lang_id(spark, sf_dir):
 
 
 @register(
-    "text_fingerprint",
-    oracle=r"""
-SELECT doc_id,
-       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
-                               '\s+', ' ', 'g'))) AS fp_md5
-FROM documents
-""",
-    tags=("llm", "text"),
-)
-def text_fingerprint(spark, sf_dir):
-    """Content fingerprint: md5 of normalized text (engine-portable);
-    the rolling-hash variant is covered rows-only below."""
-    t = Tables(spark, sf_dir)
-    return t.documents.select(
-        "doc_id", text.fingerprint_md5(F.col("text")).alias("fp_md5")
-    )
-
-
-@register(
-    "text_fingerprint_rolling",
+    "text_fingerprint_suite",
     oracle=rf"""
 WITH f AS (
   SELECT doc_id,
-         list_transform(
-           list_filter(
-             string_split_regex(
-               trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
-                                   '\s+', ' ', 'g')), '\s+'),
-             x -> x <> ''),
-           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {text._ROLL_MOD}) AS ht
+         trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                             '\s+', ' ', 'g')) AS norm
   FROM documents
+), h AS (
+  SELECT doc_id, norm,
+         list_transform(
+           list_filter(string_split_regex(norm, '\s+'), x -> x <> ''),
+           t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {text._ROLL_MOD}) AS ht
+  FROM f
 )
 SELECT doc_id,
+       md5(norm) AS fp_md5,
        CASE WHEN len(ht) = 0 THEN CAST(0 AS BIGINT)
             ELSE list_reduce(ht, (acc, h) -> (acc * 31 + h) % {text._ROLL_MOD})
        END AS fp_rolling
-FROM f
+FROM h
 """,
     tags=("llm", "text"),
 )
-def text_fingerprint_rolling(spark, sf_dir):
-    """Order-sensitive rolling hash over tokens (one JVM pass;
-    md5-derived token hashes so DuckDB reproduces it bit-for-bit)."""
+def text_fingerprint_suite(spark, sf_dir):
+    """Both content fingerprints in ONE scan (r18 window-capacity
+    consolidation of text_fingerprint ⊕ text_fingerprint_rolling —
+    a NON-bench pair, bench query set untouched; every column of both
+    originals preserved): per document, the order-insensitive md5 of
+    the normalized text AND the order-sensitive rolling hash over its
+    tokens (md5-derived token hashes so DuckDB reproduces the
+    recurrence bit-for-bit).  Unlike the null-padded union suites,
+    both originals were per-doc scalars over the same table, so the
+    consolidation is a plain two-column projection — at 100 TB this
+    HALVES the corpus scans a fingerprint pass pays, which is exactly
+    how a production pipeline would fuse them."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
-        "doc_id", text.fingerprint_rolling(F.col("text")).alias("fp_rolling")
+        "doc_id",
+        text.fingerprint_md5(F.col("text")).alias("fp_md5"),
+        text.fingerprint_rolling(F.col("text")).alias("fp_rolling"),
     )
 
 
@@ -3148,47 +3182,9 @@ def corpus_merge_upsert(spark, sf_dir):
 # --------------------------------------------------------------------
 
 
-@register(
-    "filter_quality_percentile_by_lang",
-    oracle=_SQL_QUALITY_CTES
-    + """
-, dql AS (
-  SELECT q.doc_id, d.lang, q.quality
-  FROM quality_scored q JOIN documents d USING (doc_id)
-), lthr AS (
-  SELECT lang, quantile_cont(quality, 0.2) AS t FROM dql GROUP BY lang
-)
-SELECT dql.doc_id, dql.lang, dql.quality
-FROM dql JOIN lthr USING (lang)
-WHERE dql.quality >= lthr.t
-ORDER BY dql.doc_id
-""",
-    tags=("llm", "text", "quality", "scale"),
-)
-def filter_quality_percentile_by_lang(spark, sf_dir):
-    """PER-LANGUAGE adaptive quality gate: keep documents at/above
-    their OWN language's 20th quality percentile — the C4/mC4 rule.
-    A single global threshold (filter_quality_percentile) silently
-    guts low-resource languages whose quality distribution sits lower
-    (stopword lists, token ratios are language-biased); a per-stratum
-    percentile keeps each language's best 80% on its own scale.
 
-    Plan shape: one pass computes the features; the per-language
-    exact interpolated percentiles (|langs| rows — single digits) come
-    from one tiny shuffle and BROADCAST back onto the scored corpus,
-    so the gate costs one scan + one broadcast join at any corpus
-    size."""
-    t = Tables(spark, sf_dir)
-    scored = text.quality_score(t.documents, "text").select(
-        "doc_id", "lang", "quality"
-    )
-    thr = scored.groupBy("lang").agg(F.percentile("quality", 0.2).alias("_t"))
-    return (
-        scored.join(F.broadcast(thr), "lang")
-        .filter(F.col("quality") >= F.col("_t"))
-        .select("doc_id", "lang", "quality")
-        .orderBy("doc_id")
-    )
+# filter_quality_percentile_by_lang lives on as the `by_lang` variant
+# of filter_quality_percentile_suite (r18 consolidation, above).
 
 
 @register(

@@ -119,7 +119,9 @@ class TestNoAccidentalCartesian:
         # broadcast (both 1-row/k-bounded sides, same as its arms)
         "search_hybrid_rrf_ann_planted",
         "text_lm_score",  # 1-row vocab-size broadcast scalar
-        "filter_quality_percentile",  # 1-row percentile broadcast scalar
+        # 1-row percentile broadcast scalar (global variant; the
+        # by_lang variant's keyed broadcast join is not a BNLJ)
+        "filter_quality_percentile_suite",
         "corpus_quality_winsorize",  # 1-row p1/p99 bounds broadcast
         "text_keywords_per_doc",  # 1-row corpus-size broadcast scalar
         "corpus_length_survival",  # 1-row total-mass broadcast scalar
