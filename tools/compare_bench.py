@@ -288,9 +288,29 @@ def main() -> None:
                 for n, p in (det.get("measurement_pass") or {}).items()
                 if p == 2
             )
+            tiers = det.get("repass_tier") or {}
+            tier_note = ""
+            if tiers:
+                # r18: say WHICH gate selected the repassed entries —
+                # a drift-tier selection means the entry's level moved
+                # vs the prior round's record (BENCH_DETAIL_r{N}) with
+                # unchanged code, so a reader should expect its flag
+                # here to be environmental ("spread+drift" entries
+                # count in both gates)
+                n_spread = sum(1 for t in tiers.values() if "spread" in t)
+                n_drift = sum(1 for t in tiers.values() if "drift" in t)
+                drift_vs = (
+                    f" vs r{det['drift_prior_round']} record"
+                    if n_drift and det.get("drift_prior_round")
+                    else ""
+                )
+                tier_note = (
+                    f" ({n_spread} spread-gated, "
+                    f"{n_drift} drift-gated{drift_vs})"
+                )
             print(
                 f"note: {side} sweep storm-repassed "
-                f"{len(det['second_pass'])} high-spread entries; "
+                f"{len(det['second_pass'])} entries{tier_note}; "
                 f"{len(won)} recorded min(s) came from the settled "
                 f"second pass" + (f": {', '.join(won)}" if won else "")
             )
