@@ -184,12 +184,32 @@ def global_rank(
     (known for free from the same aggregate — saves callers a second
     pass when computing quantiles from the rank). Same execution
     contract as ``take_while_budget``: ONE small job at composition
-    time; ``n_parts=None`` derives sizing from a cheap count."""
+    time; ``n_parts=None`` derives sizing from a cheap count.
+
+    The per-range position comes from ``monotonically_increasing_id``
+    over the range-partitioned, partition-SORTED, persisted frame (the
+    id is partition_idx·2³³ + row-index-within-partition, so
+    ``id & (2³³−1)`` is exactly the 0-based position in the sorted
+    range) instead of a ``row_number() OVER (PARTITION BY _pid)``
+    window: the window form forced a SECOND full-data exchange (hash
+    on ``_pid``) plus a re-sort after the range exchange had already
+    clustered the data — guide §2.4's "two operations keyed the same
+    way sharing one exchange", r18 optimization.  Plan: ONE range
+    exchange + one in-partition sort total (measured 2 hash/range
+    exchanges → 1 on every consumer; values byte-identical — the same
+    total order produces the same ranks).  Determinism: the position
+    is read off the PERSISTED frame, whose per-partition row order is
+    the explicit ``sortWithinPartitions`` order — a total order, so
+    retried scans reproduce it."""
     if n_parts is None:
         n_parts = derive_n_parts(df.count())
-    ranged = df.repartitionByRange(n_parts, *order_by)
-    stamped = ranged.withColumn("_pid", F.spark_partition_id()).transform(
-        managed_persist_disk
+    ranged = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(
+        *order_by
+    )
+    stamped = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pos", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)))
+        .transform(managed_persist_disk)
     )
     counts = stamped.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     per_pid = sorted((r["_pid"], r["_n"]) for r in counts)
@@ -202,11 +222,10 @@ def global_rank(
     off = F.broadcast(
         spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
     )
-    w = Window.partitionBy("_pid").orderBy(*order_by)
     out = (
         stamped.join(off, "_pid")
-        .withColumn(rank_col, F.col("_off") + F.row_number().over(w))
-        .drop("_pid", "_off")
+        .withColumn(rank_col, F.col("_off") + F.col("_pos") + 1)
+        .drop("_pid", "_off", "_pos")
     )
     if total_col:
         out = out.withColumn(total_col, F.lit(total))

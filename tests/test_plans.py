@@ -463,17 +463,26 @@ class TestRound9Plans:
         assert "Sort [_pid" in s
 
     def test_global_rank_window_is_partitioned(self, spark, sf_dir):
-        """corpus_quality_deciles' exact global rank must come from
-        per-range local windows over the distributed prefix-sum —
-        never the oracle's single-task global row_number."""
+        """corpus_quality_deciles' exact global rank must come from the
+        distributed prefix-sum — never the oracle's single-task global
+        row_number.  r18 optimization: the per-range position is read
+        off monotonically_increasing_id over the range-partitioned,
+        partition-sorted frame, so the OLD second exchange
+        (hashpartitioning(_pid) feeding a row_number window) must be
+        GONE — the rank costs one range exchange + one in-partition
+        sort total (guide §2.4: same-keyed operations share one
+        exchange)."""
         from exosql_spark.catalog import all_queries
 
         df = all_queries()["corpus_quality_deciles"].fn(spark, sf_dir)
         s = plan(df)
-        assert "hashpartitioning(_pid" in s
+        assert "hashpartitioning(_pid" not in s  # the removed exchange
         assert "SinglePartition" not in s
         assert "rangepartitioning" in s
-        assert "Sort [_pid" in s
+        assert "monotonically_increasing_id" in s
+        # the in-partition sort on the selection order survives (it is
+        # what makes the position deterministic)
+        assert "Sort [quality" in s
 
     def test_capped_per_key_pretrim_before_window(self, spark, sf_dir):
         """Two-level cap: the partition-local slice (ObjectHashAggregate
