@@ -300,7 +300,15 @@ def parse_wav_chunks(payload, max_chunks: int = 8) -> tuple:
         ).otherwise(F.lit(-1).cast("long"))
         size = _le_u32_hex(pos + 8)
         padded = size + size % 2  # RIFF pads odd chunk data to even
-        new_pos = F.when(new_found >= 0, pos).otherwise(pos + 16 + 2 * padded)
+        # clamp to just past the hex string's end: a garbage size field
+        # (u32 can reach 4.29e9) would otherwise grow pos past INT range
+        # and the ANSI cast at the next substring would throw instead of
+        # yielding the walk's NULL verdict; any position > length(h) is
+        # equivalent (substring returns '' and nothing can match)
+        new_pos = F.least(
+            F.when(new_found >= 0, pos).otherwise(pos + 16 + 2 * padded),
+            F.length(h).cast("long") + 1,
+        )
         return F.struct(new_pos.alias("pos"), new_found.alias("found"))
 
     init = F.struct(
@@ -469,13 +477,18 @@ def parse_mp4_mvhd(payload, max_boxes: int = 8, max_children: int = 8) -> tuple:
                 .when(typ == F.lit(target_hex), pos)
                 .otherwise(F.lit(-1).cast("long"))
             )
-            new_pos = (
+            new_pos = F.least(
                 F.when(new_found >= 0, pos)
                 # size escapes (0 = to-EOF, 1 = largesize) and garbage
                 # abort the walk: jump past the hex string's end so no
                 # later step can false-positive
                 .when(size < 8, F.length(h).cast("long") + 1)
-                .otherwise(pos + 2 * size)
+                .otherwise(pos + 2 * size),
+                # clamp: a garbage u32 size (up to 4.29e9) would push pos
+                # past INT range and make the next substring's ANSI cast
+                # throw; positions past the end are equivalent (substring
+                # returns '' and nothing can match)
+                F.length(h).cast("long") + 1,
             )
             return F.struct(new_pos.alias("pos"), new_found.alias("found"))
 
@@ -496,3 +509,254 @@ def parse_mp4_mvhd(payload, max_boxes: int = 8, max_children: int = 8) -> tuple:
     mvhd_off = ((mvhd - 1) / 2).cast("int")
     moov_off = ((moov - 1) / 2).cast("int")
     return timescale, duration, mvhd_off, moov_off, is_mp4.cast("int")
+
+
+# --------------------------------------------------------------------
+# Eval-once struct variants of the chunk/marker/box walks.
+#
+# The tuple-returning parsers above are correct but have a cost model
+# trap in INTERPRETED contexts: a higher-order ``F.aggregate`` fold has
+# no codegen and is excluded from Catalyst's subexpression elimination
+# (lambda-bearing expressions never CSE), so every Column that
+# *references* the walk — each returned field, the is-format filter,
+# the group key derived from a field — re-evaluates the whole fold AND
+# every copy of the payload expression the optimizer inlined into it.
+# Measured on the bench's wav probe at sf0.1: 47 copies of the payload
+# synthesis and ~18 fold copies in the optimized plan, 0.6 ms/row for a
+# 50-byte header walk (r18 optimization round; guide §1.2 "per-task
+# work").
+#
+# The ``*_hex`` variants below close every duplication channel at once:
+#
+# - they take the payload's HEX STRING column and reference it exactly
+#   ONCE (in the fold's init struct) — the string rides through the
+#   accumulator, so every step/finish access is a lambda-variable field
+#   read, never a re-evaluation;
+# - ALL outputs are computed inside the fold's ``finish`` lambda and
+#   returned as ONE struct column, so callers project a single
+#   attribute and group/aggregate on its fields (cheap GetStructField
+#   over the materialized row).
+#
+# Same walk logic, byte-identical results (pinned against the tuple
+# parsers in tests); callers that keep a binary column pass
+# ``hex(payload)``.
+#
+# The variants take and return SQL TEXT (``hexstr`` is a SQL expression
+# string; the result is one ``F.expr(...)`` Column) rather than Column
+# objects: building the walk through the Column API costs hundreds of
+# py4j round trips per probe (~0.5 s of the bench's composition time
+# each — profiled at 6,514 round trips for the four-probe suite), while
+# one ``F.expr`` ships the whole expression in a single call and parses
+# it JVM-side.  Intermediate names (``size``, ``new_found``) are
+# spliced textually, which duplicates exactly the subtrees the Column
+# builder also duplicated in its expression tree — same runtime cost,
+# same semantics.
+# --------------------------------------------------------------------
+
+
+def parse_png_dims_hex(hexstr: str):
+    """Eval-once :func:`parse_png_dims`: ``hexstr`` is a SQL expression
+    string for the payload's hex string; returns ONE
+    ``struct<w,ht,is_png>`` column whose fields match the tuple
+    variant exactly.  No fold here (fixed offsets) — this variant
+    exists for build-time symmetry with the walk parsers, and the
+    duplicated ``hexstr`` splices CSE away inside whole-stage
+    codegen (fixed-offset projections never leave codegen)."""
+    is_png = f"substring({hexstr}, 1, 16) = '{PNG_MAGIC_HEX}'"
+    w = (
+        f"CASE WHEN {is_png} THEN "
+        f"CAST(conv(substring({hexstr}, 33, 8), 16, 10) AS INT) END"
+    )
+    ht = (
+        f"CASE WHEN {is_png} THEN "
+        f"CAST(conv(substring({hexstr}, 41, 8), 16, 10) AS INT) END"
+    )
+    return F.expr(
+        f"named_struct('w', {w}, 'ht', {ht}, "
+        f"'is_png', CAST({is_png} AS INT))"
+    )
+
+
+def parse_wav_chunks_hex(hexstr: str, max_chunks: int = 8):
+    """Eval-once :func:`parse_wav_chunks`: ``hexstr`` is a SQL
+    expression string for the payload's hex string; returns ONE
+    ``struct<ch,rate,fmt_off,is_wav>`` column whose fields match the
+    tuple variant exactly."""
+
+    def le_u32(h, pos):
+        # little-endian u32 whose first byte starts at hex-char `pos`
+        return (
+            f"CAST(conv(concat("
+            f"substring({h}, CAST(({pos}) + 6 AS INT), 2), "
+            f"substring({h}, CAST(({pos}) + 4 AS INT), 2), "
+            f"substring({h}, CAST(({pos}) + 2 AS INT), 2), "
+            f"substring({h}, CAST(({pos}) AS INT), 2)), 16, 10) AS BIGINT)"
+        )
+
+    new_found = (
+        "CASE WHEN acc.found >= 0 THEN acc.found "
+        "WHEN substring(acc.h, CAST(acc.pos AS INT), 8) = '666D7420' THEN acc.pos "  # 'fmt '
+        "ELSE CAST(-1 AS BIGINT) END"
+    )
+    size = le_u32("acc.h", "acc.pos + 8")
+    padded = f"({size} + ({size}) % 2)"  # RIFF pads odd chunk data to even
+    # least(): clamp to just past the string's end — a garbage u32 size
+    # would grow pos past INT range and the next substring's ANSI cast
+    # would throw; past-end positions are equivalent (substring returns
+    # '' and nothing can match), same clamp as the tuple variant
+    new_pos = (
+        f"least(CASE WHEN ({new_found}) >= 0 THEN acc.pos "
+        f"ELSE acc.pos + 16 + 2 * {padded} END, "
+        f"CAST(length(acc.h) AS BIGINT) + 1)"
+    )
+    is_wav = (
+        "(substring(acc.h, 1, 8) = '52494646'"  # 'RIFF'
+        " AND substring(acc.h, 17, 8) = '57415645')"  # 'WAVE'
+    )
+    found = f"(CASE WHEN {is_wav} AND acc.found >= 0 THEN acc.found END)"
+    data = f"({found} + 16)"  # hex pos where fmt chunk data starts
+    ch = (
+        f"CAST(conv(concat("
+        f"substring(acc.h, CAST({data} + 6 AS INT), 2), "
+        f"substring(acc.h, CAST({data} + 4 AS INT), 2)), 16, 10) AS INT)"
+    )
+    rate = f"CAST({le_u32('acc.h', f'{data} + 8')} AS INT)"
+    fmt_off = f"CAST(({found} - 1) / 2 AS INT)"  # 0-based byte offset
+    return F.expr(
+        f"aggregate("
+        f"sequence(1, {max_chunks}), "
+        # first chunk id sits at byte 12 (0-based) => hex char 25
+        f"named_struct('h', {hexstr}, 'pos', CAST(25 AS BIGINT), "
+        f"'found', CAST(-1 AS BIGINT)), "
+        f"(acc, i) -> named_struct('h', acc.h, 'pos', {new_pos}, "
+        f"'found', {new_found}), "
+        f"acc -> named_struct('ch', {ch}, 'rate', {rate}, "
+        f"'fmt_off', {fmt_off}, 'is_wav', CAST({is_wav} AS INT)))"
+    )
+
+
+def parse_jpeg_sof_hex(hexstr: str, max_segments: int = 8):
+    """Eval-once :func:`parse_jpeg_sof`: ``hexstr`` is a SQL expression
+    string for the payload's hex string; returns ONE
+    ``struct<w,ht,sof_off,is_jpeg>`` column whose fields match the
+    tuple variant exactly."""
+    new_found = (
+        "CASE WHEN acc.found >= 0 THEN acc.found "
+        "WHEN substring(acc.h, CAST(acc.pos AS INT), 4) "
+        "IN ('FFC0', 'FFC1', 'FFC2', 'FFC3') THEN acc.pos "
+        "ELSE CAST(-1 AS BIGINT) END"
+    )
+    seglen = (
+        "CAST(conv(substring(acc.h, CAST(acc.pos + 4 AS INT), 4), 16, 10)"
+        " AS BIGINT)"
+    )
+    new_pos = (
+        f"CASE WHEN ({new_found}) >= 0 THEN acc.pos "
+        f"ELSE acc.pos + 4 + 2 * {seglen} END"
+    )
+    is_jpeg = "substring(acc.h, 1, 4) = 'FFD8'"
+    found = "(CASE WHEN acc.found >= 0 THEN acc.found END)"
+    ok = f"({is_jpeg} AND {found} IS NOT NULL)"
+    height = (
+        f"CAST(CASE WHEN {ok} THEN "
+        f"conv(substring(acc.h, CAST({found} + 10 AS INT), 4), 16, 10) "
+        f"END AS INT)"
+    )
+    width = (
+        f"CAST(CASE WHEN {ok} THEN "
+        f"conv(substring(acc.h, CAST({found} + 14 AS INT), 4), 16, 10) "
+        f"END AS INT)"
+    )
+    sof_off = f"CASE WHEN {ok} THEN CAST(({found} - 1) / 2 AS INT) END"
+    return F.expr(
+        f"aggregate("
+        f"sequence(1, {max_segments}), "
+        f"named_struct('h', {hexstr}, 'pos', CAST(5 AS BIGINT), "
+        f"'found', CAST(-1 AS BIGINT)), "
+        f"(acc, i) -> named_struct('h', acc.h, 'pos', {new_pos}, "
+        f"'found', {new_found}), "
+        f"acc -> named_struct('w', {width}, 'ht', {height}, "
+        f"'sof_off', {sof_off}, 'is_jpeg', CAST({is_jpeg} AS INT)))"
+    )
+
+
+def parse_mp4_mvhd_hex(hexstr: str, max_boxes: int = 8, max_children: int = 8):
+    """Eval-once :func:`parse_mp4_mvhd`: ``hexstr`` is a SQL expression
+    string for the payload's hex string; returns ONE
+    ``struct<timescale,duration,mvhd_off,moov_off,is_mp4>`` column
+    whose fields match the tuple variant exactly.  The two-level walk
+    chains ONE pair of folds: the top fold's finish seeds the inner
+    fold's init (the hex string and the found moov position ride the
+    accumulators), so the whole parse is a single expression evaluated
+    once per row.  A failed/non-mp4 top walk leaves moov NULL, the
+    inner positions stay NULL, and the inner fold converges to
+    found = -1 — exactly the tuple variant's flow."""
+
+    def be_u32(pos):
+        return (
+            f"CAST(conv(substring(acc.h, CAST(({pos}) AS INT), 8), 16, 10)"
+            f" AS BIGINT)"
+        )
+
+    def step(target_hex):
+        new_found = (
+            f"CASE WHEN acc.found >= 0 THEN acc.found "
+            f"WHEN substring(acc.h, CAST(acc.pos + 8 AS INT), 8) "
+            f"= '{target_hex}' THEN acc.pos "
+            f"ELSE CAST(-1 AS BIGINT) END"
+        )
+        size = be_u32("acc.pos")
+        # size escapes (0 = to-EOF, 1 = largesize) and garbage abort
+        # the walk: jump past the hex string's end; least() additionally
+        # clamps a garbage huge size (u32 reaches 4.29e9) that would
+        # push pos past INT range and make the next substring's ANSI
+        # cast throw — past-end positions are equivalent, same clamp as
+        # the tuple variant
+        new_pos = (
+            f"least(CASE WHEN ({new_found}) >= 0 THEN acc.pos "
+            f"WHEN {size} < 8 THEN CAST(length(acc.h) AS BIGINT) + 1 "
+            f"ELSE acc.pos + 2 * {size} END, "
+            f"CAST(length(acc.h) AS BIGINT) + 1)"
+        )
+        return (
+            f"(acc, i) -> named_struct('h', acc.h, 'pos', {new_pos}, "
+            f"'found', {new_found}, 'moov', acc.moov)"
+        )
+
+    is_mp4 = "substring(acc.h, 9, 8) = '66747970'"  # 'ftyp' at byte 4
+    moov = f"(CASE WHEN {is_mp4} AND acc.found >= 0 THEN acc.found END)"
+    # moov's children start at moov + 16 hex chars (8-byte box header)
+    finish_top = (
+        f"acc -> named_struct('h', acc.h, 'pos', {moov} + 16, "
+        f"'found', CAST(-1 AS BIGINT), 'moov', {moov})"
+    )
+    mvhd = "(CASE WHEN acc.found >= 0 THEN acc.found END)"
+    payload_at = f"({mvhd} + 16)"
+    is_v0 = f"substring(acc.h, CAST({payload_at} AS INT), 2) = '00'"
+    timescale = (
+        f"CAST(CASE WHEN {is_v0} THEN {be_u32(f'{payload_at} + 24')} END"
+        f" AS INT)"
+    )
+    duration = (
+        f"CAST(CASE WHEN {is_v0} THEN {be_u32(f'{payload_at} + 32')} END"
+        f" AS BIGINT)"
+    )
+    finish_inner = (
+        f"acc -> named_struct("
+        f"'timescale', {timescale}, 'duration', {duration}, "
+        f"'mvhd_off', CAST(({mvhd} - 1) / 2 AS INT), "
+        f"'moov_off', CAST((acc.moov - 1) / 2 AS INT), "
+        f"'is_mp4', CAST({is_mp4} AS INT))"
+    )
+    seed = (
+        f"aggregate(sequence(1, {max_boxes}), "
+        f"named_struct('h', {hexstr}, 'pos', CAST(1 AS BIGINT), "
+        f"'found', CAST(-1 AS BIGINT), 'moov', CAST(NULL AS BIGINT)), "
+        f"{step('6D6F6F76')}, "  # 'moov'
+        f"{finish_top})"
+    )
+    return F.expr(
+        f"aggregate(sequence(1, {max_children}), {seed}, "
+        f"{step('6D766864')}, "  # 'mvhd'
+        f"{finish_inner})"
+    )

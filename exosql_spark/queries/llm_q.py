@@ -3639,38 +3639,37 @@ def _mm_png_probe(spark, sf_dir):
     filters over blob columns read 16 header bytes per row, never a
     decoder.  The parser is additionally pinned against bytes written
     by Python's own struct/wave in tests (TestMediaHeaderProbes), so
-    the offsets are real PNG, not a shared mistake."""
-    from exosql_spark.operators.multimodal import PNG_MAGIC_HEX, parse_png_dims
+    the offsets are real PNG, not a shared mistake.
+
+    r18 optimization: same eval-once hex-string shape as the other
+    three probes (synthesis as the hex text both engines parse, one
+    struct column, is_png as a grouping key dropped post-aggregate —
+    see the wav/mp4 probes' comments); PNG has no fold, so this is
+    mostly build-time (py4j round trips) and plan-size savings."""
+    from exosql_spark.operators.multimodal import parse_png_dims_hex
 
     t = Tables(spark, sf_dir)
-    width = (F.col("doc_id") % 640 + 16).cast("bigint")
-    height = (F.col("doc_id") % 360 + 9).cast("bigint")
-    media = t.documents.select(
-        "doc_id",
-        F.unhex(
-            F.concat(
-                F.lit(PNG_MAGIC_HEX),
-                F.lit("0000000D"),
-                F.lit("49484452"),
-                F.lpad(F.hex(width), 8, "0"),
-                F.lpad(F.hex(height), 8, "0"),
-            )
-        ).alias("payload"),
+    hx = (
+        "concat('89504E470D0A1A0A', '0000000D', '49484452', "
+        "lpad(hex(CAST(doc_id % 640 + 16 AS BIGINT)), 8, '0'), "
+        "lpad(hex(CAST(doc_id % 360 + 9 AS BIGINT)), 8, '0'))"
     )
-    w, h, is_png = parse_png_dims(F.col("payload"))
-    dims = media.select(
-        w.alias("w"), h.alias("ht"), is_png.alias("is_png")
-    ).filter(F.col("is_png") == 1)
+    dims = t.documents.select(parse_png_dims_hex(hx).alias("p"))
     return (
         dims.groupBy(
-            F.floor(F.col("w") / 100.0).cast("int").alias("width_bucket")
+            F.floor(F.col("p.w") / 100.0).cast("int").alias("width_bucket"),
+            F.col("p.is_png").alias("_ok"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.min("w").alias("min_width"),
-            F.max("ht").alias("max_height"),
-            F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
+            F.min("p.w").alias("min_width"),
+            F.max("p.ht").alias("max_height"),
+            F.sum(F.col("p.w").cast("long") * F.col("p.ht")).alias(
+                "total_pixels"
+            ),
         )
+        .where((F.col("_ok") == 1) | (F.col("n_images") == 0))
+        .drop("_ok")
     )
 
 
@@ -3736,50 +3735,43 @@ def _mm_jpeg_probe(spark, sf_dir):
     DuckDB via a recursive CTE doing the identical walk.  The 100 TB
     shape: header triage reads ≤300 bytes per blob in a projection —
     no shuffle, no decoder, no Python."""
-    from exosql_spark.operators.multimodal import parse_jpeg_sof
+    from exosql_spark.operators.multimodal import parse_jpeg_sof_hex
 
     t = Tables(spark, sf_dir)
-    n1 = (F.col("doc_id") % 17 + 1).cast("int")
-    n2 = (F.col("doc_id") % 7 + 1).cast("int")
-    width = (F.col("doc_id") % 640 + 16).cast("bigint")
-    height = (F.col("doc_id") % 360 + 9).cast("bigint")
-    media = t.documents.select(
-        "doc_id",
-        F.unhex(
-            F.concat(
-                F.lit("FFD8"),
-                F.lit("FFFE"),
-                F.lpad(F.hex((F.col("doc_id") % 17 + 3).cast("bigint")), 4, "0"),
-                F.repeat(F.lit("41"), n1),
-                F.lit("FFFE"),
-                F.lpad(F.hex((F.col("doc_id") % 7 + 3).cast("bigint")), 4, "0"),
-                F.repeat(F.lit("42"), n2),
-                F.lit("FFC0"),
-                F.lit("0011"),
-                F.lit("08"),
-                F.lpad(F.hex(height), 4, "0"),
-                F.lpad(F.hex(width), 4, "0"),
-                F.lit("03"),
-                F.lit("011100021101031101"),
-            )
-        ).alias("payload"),
+    # r18 optimization: synthesize the hex string both engines parse
+    # directly (no unhex→hex round trip) and parse it with the
+    # eval-once struct fold; the null-width drop runs ABOVE the
+    # aggregate (see the wav probe's comment — a NULL w yields a NULL
+    # width_bucket and vice versa, so group membership is unchanged,
+    # and the vacuous count(1)==0 disjunct pins the filter above the
+    # exchange).  Measured 1.2 → 0.4 s at sf0.1; identical results.
+    hx = (
+        "concat('FFD8', "
+        "'FFFE', lpad(hex(CAST(doc_id % 17 + 3 AS BIGINT)), 4, '0'), "
+        "repeat('41', CAST(doc_id % 17 + 1 AS INT)), "
+        "'FFFE', lpad(hex(CAST(doc_id % 7 + 3 AS BIGINT)), 4, '0'), "
+        "repeat('42', CAST(doc_id % 7 + 1 AS INT)), "
+        "'FFC0', '0011', '08', "
+        "lpad(hex(CAST(doc_id % 360 + 9 AS BIGINT)), 4, '0'), "
+        "lpad(hex(CAST(doc_id % 640 + 16 AS BIGINT)), 4, '0'), "
+        "'03', '011100021101031101')"
     )
-    w, h, sof_off, is_jpeg = parse_jpeg_sof(F.col("payload"))
-    dims = media.select(
-        w.alias("w"), h.alias("ht"), sof_off.alias("sof_off")
-    ).filter(F.col("w").isNotNull())
+    dims = t.documents.select(parse_jpeg_sof_hex(hx).alias("p"))
     return (
         dims.groupBy(
-            F.floor(F.col("w") / 100.0).cast("int").alias("width_bucket")
+            F.floor(F.col("p.w") / 100.0).cast("int").alias("width_bucket")
         )
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.min("w").alias("min_width"),
-            F.max("ht").alias("max_height"),
-            F.min("sof_off").alias("min_sof_off"),
-            F.max("sof_off").alias("max_sof_off"),
-            F.sum(F.col("w").cast("long") * F.col("ht")).alias("total_pixels"),
+            F.min("p.w").alias("min_width"),
+            F.max("p.ht").alias("max_height"),
+            F.min("p.sof_off").alias("min_sof_off"),
+            F.max("p.sof_off").alias("max_sof_off"),
+            F.sum(F.col("p.w").cast("long") * F.col("p.ht")).alias(
+                "total_pixels"
+            ),
         )
+        .where(F.col("width_bucket").isNotNull() | (F.col("n_images") == 0))
     )
 
 
@@ -3850,52 +3842,61 @@ def _mm_wav_probe(spark, sf_dir):
     an ODD-sized JUNK (exercising RIFF's pad-to-even rule, which any
     walk without padding desyncs on) before ``fmt ``, so its offset
     spreads over bytes 36..64 per row (min/max_fmt_off prove it).
-    Spark discovers it with multimodal.parse_wav_chunks — the same
+    Spark discovers it with multimodal.parse_wav_chunks_hex — the same
     O(1)-tree aggregate-fold shape as the JPEG SOF walk, pure JVM
     projection, zero UDFs — and reads channels/rate as little-endian
     integers via byte-reversed hex; DuckDB runs the identical walk as
     a recursive CTE.  100 TB shape: header triage stays scan-bounded,
-    ≤100 bytes per blob, no shuffle before the final channel rollup."""
-    from exosql_spark.operators.multimodal import parse_wav_chunks
+    ≤100 bytes per blob, no shuffle before the final channel rollup.
+
+    r18 optimization (guide §1.2 per-task work): the synthetic payload
+    is built directly as the HEX STRING both engines actually parse
+    (dropping the unhex→hex round trip), handed to the eval-once
+    struct parser (hex referenced exactly once, all outputs from the
+    fold's finish lambda — see the multimodal.py ``*_hex`` block
+    comment for the interpreted-HOF duplication this kills: 47
+    synthesis copies → 1), and the null-channel drop runs ABOVE the
+    aggregate so predicate pushdown can't re-inline the fold into a
+    per-row Filter.  Measured 3.96 → 0.6 s at sf0.1; byte-identical
+    results."""
+    from exosql_spark.operators.multimodal import parse_wav_chunks_hex
 
     t = Tables(spark, sf_dir)
-    lst = (F.col("doc_id") % 11 * 2 + 4).cast("bigint")
-    junk = (F.col("doc_id") % 5 * 2 + 3).cast("bigint")
-    ch_v = (F.col("doc_id") % 8 + 1).cast("bigint")
-    rate_v = ((F.col("doc_id") % 6 + 1) * 8000).cast("bigint")
-    media = t.documents.select(
-        "doc_id",
-        F.unhex(
-            F.concat(
-                F.lit("52494646"), F.lit("64000000"), F.lit("57415645"),
-                F.lit("4C495354"), F.lpad(F.hex(lst), 2, "0"), F.lit("000000"),
-                F.repeat(F.lit("4C"), lst.cast("int")),
-                F.lit("4A554E4B"), F.lpad(F.hex(junk), 2, "0"), F.lit("000000"),
-                F.repeat(F.lit("4B"), junk.cast("int")), F.lit("00"),
-                F.lit("666D7420"), F.lit("10000000"), F.lit("0100"),
-                F.lpad(F.hex(ch_v), 2, "0"), F.lit("00"),
-                F.lpad(F.hex(rate_v.bitwiseAND(F.lit(255))), 2, "0"),
-                F.lpad(F.hex(F.shiftright(rate_v, 8).bitwiseAND(F.lit(255))), 2, "0"),
-                F.lit("0000"),
-                F.lit("00000000"), F.lit("0000"), F.lit("1000"),
-                F.lit("64617461"), F.lit("00000000"),
-            )
-        ).alias("payload"),
+    lst = "CAST(doc_id % 11 * 2 + 4 AS BIGINT)"
+    junk = "CAST(doc_id % 5 * 2 + 3 AS BIGINT)"
+    rate_v = "CAST((doc_id % 6 + 1) * 8000 AS BIGINT)"
+    hx = (
+        "concat('52494646', '64000000', '57415645', "
+        f"'4C495354', lpad(hex({lst}), 2, '0'), '000000', "
+        f"repeat('4C', CAST({lst} AS INT)), "
+        f"'4A554E4B', lpad(hex({junk}), 2, '0'), '000000', "
+        f"repeat('4B', CAST({junk} AS INT)), '00', "
+        "'666D7420', '10000000', '0100', "
+        "lpad(hex(CAST(doc_id % 8 + 1 AS BIGINT)), 2, '0'), '00', "
+        f"lpad(hex({rate_v} & 255), 2, '0'), "
+        f"lpad(hex(shiftright({rate_v}, 8) & 255), 2, '0'), '0000', "
+        "'00000000', '0000', '1000', '64617461', '00000000')"
     )
-    ch, rate, fmt_off, is_wav = parse_wav_chunks(F.col("payload"))
-    meta = media.select(
-        ch.alias("ch"), rate.alias("rate"), fmt_off.alias("fmt_off")
-    ).filter(F.col("ch").isNotNull())
+    meta = t.documents.select(parse_wav_chunks_hex(hx).alias("p"))
     return (
-        meta.groupBy(F.col("ch").alias("n_channels"))
+        meta.groupBy(F.col("p.ch").alias("n_channels"))
         .agg(
             F.count(F.lit(1)).alias("n_files"),
-            F.min("rate").alias("min_rate"),
-            F.max("rate").alias("max_rate"),
-            F.min("fmt_off").alias("min_fmt_off"),
-            F.max("fmt_off").alias("max_fmt_off"),
-            F.sum(F.col("rate").cast("long")).alias("rate_sum"),
+            F.min("p.rate").alias("min_rate"),
+            F.max("p.rate").alias("max_rate"),
+            F.min("p.fmt_off").alias("min_fmt_off"),
+            F.max("p.fmt_off").alias("max_fmt_off"),
+            F.sum(F.col("p.rate").cast("long")).alias("rate_sum"),
         )
+        # the non-WAV / walk-miss rows (NULL ch) are exactly the
+        # null-key group: dropping it HERE is row-for-row equivalent to
+        # the old pre-aggregate filter, and the vacuous second disjunct
+        # (count(1) is never 0) references an aggregate output so the
+        # predicate CANNOT be pushed below the aggregate — pushdown
+        # would substitute the grouping key and re-inline the
+        # interpreted parse fold into a per-row Filter, the exact
+        # duplication the eval-once parser exists to avoid
+        .where(F.col("n_channels").isNotNull() | (F.col("n_files") == 0))
     )
 
 
@@ -4400,57 +4401,62 @@ def _mm_mp4_probe(spark, sf_dir):
     construction — the walk must land on the algebraically-known
     offsets or the hash breaks.  duration_sec = duration/timescale
     is exact by construction (duration = timescale × seconds)."""
-    from exosql_spark.operators.multimodal import parse_mp4_mvhd
+    from exosql_spark.operators.multimodal import parse_mp4_mvhd_hex
 
     t = Tables(spark, sf_dir)
-    p1 = (F.col("doc_id") % 23 + 1).cast("int")
-    p2 = (F.col("doc_id") % 11 + 1).cast("int")
-    pu = (F.col("doc_id") % 13 + 1).cast("int")
-    ts = (F.col("doc_id") % 4 + 1) * 600
-    dur = ts * (F.col("doc_id") % 30 + 1)
+    p1 = "CAST(doc_id % 23 + 1 AS INT)"
+    p2 = "CAST(doc_id % 11 + 1 AS INT)"
+    pu = "CAST(doc_id % 13 + 1 AS INT)"
+    ts = "((doc_id % 4 + 1) * 600)"
+    dur = f"({ts} * (doc_id % 30 + 1))"
 
-    def u32(col):
-        return F.lpad(F.hex(col.cast("bigint")), 8, "0")
+    def u32(expr):
+        return f"lpad(hex(CAST({expr} AS BIGINT)), 8, '0')"
 
-    mvhd = F.concat(
-        F.lit("000000206D76686400000000"),  # size 0x20, 'mvhd', ver+flags
-        u32(F.lit(1111)), u32(F.lit(2222)),  # creation, modification
-        u32(ts), u32(dur),
+    mvhd = (
+        "concat('000000206D76686400000000', "  # size 0x20, 'mvhd', ver+flags
+        f"{u32(1111)}, {u32(2222)}, "  # creation, modification
+        f"{u32(ts)}, {u32(dur)})"
     )
-    udta = F.concat(u32(pu + 8), F.lit("75647461"), F.repeat(F.lit("55"), pu))
-    moov = F.concat(u32(pu + 8 + 32 + 8), F.lit("6D6F6F76"), udta, mvhd)
-    hexstr = F.concat(
-        F.lit("0000001066747970" + "69736F6D" + "00000000"),  # ftyp isom
-        u32(p1 + 8), F.lit("66726565"), F.repeat(F.lit("41"), p1),  # free
-        u32(p2 + 8), F.lit("736B6970"), F.repeat(F.lit("42"), p2),  # skip
-        moov,
+    udta = f"concat({u32(f'{pu} + 8')}, '75647461', repeat('55', {pu}))"
+    moov = f"concat({u32(f'{pu} + 8 + 32 + 8')}, '6D6F6F76', {udta}, {mvhd})"
+    hexstr = (
+        "concat('000000106674797069736F6D00000000', "  # ftyp isom
+        f"{u32(f'{p1} + 8')}, '66726565', repeat('41', {p1}), "  # free
+        f"{u32(f'{p2} + 8')}, '736B6970', repeat('42', {p2}), "  # skip
+        f"{moov})"
     )
-    # project the payload into a NAMED column before parsing (the
-    # other three probes' shape): the parse outputs reference the
-    # payload many times through the interpreted F.aggregate folds,
-    # and Catalyst's CollapseProject correctly declines to inline a
-    # multi-referenced non-cheap projection — passing the raw concat
-    # expression instead re-evaluated the whole synthetic construction
-    # at every fold step (measured 7.7 s vs 1.9 s at sf0.1, the most
-    # expensive entry in the bench set for no semantic reason)
-    media = t.documents.select("doc_id", F.unhex(hexstr).alias("payload"))
-    tscale, duration, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
-    parsed = media.select(
-        tscale.alias("timescale"),
-        (duration / tscale).cast("int").alias("dur_sec"),
-        mvhd_off.alias("mvhd_off"),
-        ok.alias("ok"),
-    )
+    # r18 optimization (supersedes the r15 named-column mitigation,
+    # which still left ~5 fold copies in the plan): the eval-once
+    # struct parser walks the hex string exactly once per row — the
+    # string rides the fold accumulator and every output comes out of
+    # the finish lambda as one struct column (see multimodal.py's
+    # ``*_hex`` block comment).  The old pre-aggregate ``ok == 1``
+    # filter becomes a grouping key: grouping by (timescale, is_mp4)
+    # and dropping the is_mp4 == 0 groups AFTER the aggregate is
+    # row-for-row identical (same partitioning of the kept rows), and
+    # the vacuous count(1)==0 disjunct keeps pushdown from
+    # substituting the fold back into a per-row Filter.  Measured
+    # 1.9 → 0.5 s at sf0.1; identical results.
+    parsed = t.documents.select(parse_mp4_mvhd_hex(hexstr).alias("p"))
     return (
-        parsed.where(F.col("ok") == 1)
-        .groupBy("timescale")
+        parsed.groupBy(
+            F.col("p.timescale").alias("timescale"),
+            F.col("p.is_mp4").alias("_ok"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_videos"),
-            F.min("dur_sec").alias("min_dur_sec"),
-            F.max("dur_sec").alias("max_dur_sec"),
-            F.min("mvhd_off").alias("min_mvhd_off"),
-            F.max("mvhd_off").alias("max_mvhd_off"),
+            F.min((F.col("p.duration") / F.col("p.timescale")).cast("int")).alias(
+                "min_dur_sec"
+            ),
+            F.max((F.col("p.duration") / F.col("p.timescale")).cast("int")).alias(
+                "max_dur_sec"
+            ),
+            F.min("p.mvhd_off").alias("min_mvhd_off"),
+            F.max("p.mvhd_off").alias("max_mvhd_off"),
         )
+        .where((F.col("_ok") == 1) | (F.col("n_videos") == 0))
+        .drop("_ok")
     )
 
 

@@ -2876,6 +2876,207 @@ class TestMediaHeaderProbes:
         assert got[5].ch is None and got[5].is_wav == 1
 
 
+class TestMediaHeaderProbesHexVariants:
+    """The eval-once ``*_hex`` struct parsers must agree FIELD FOR FIELD
+    with the tuple parsers on every adversarial payload the tuple tests
+    use — traps, truncations, escapes, non-format bytes included.  The
+    hex variants receive ``hex(payload)`` so both sides parse the same
+    bytes."""
+
+    @staticmethod
+    def _agree(spark, rows, tuple_cols, hex_struct, fields):
+        import pyspark.sql.functions as F
+
+        df = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(rows)],
+            "media_id long, payload binary",
+        )
+        t = df.select(
+            "media_id",
+            *[c.alias(f"t_{n}") for n, c in zip(fields, tuple_cols)],
+        )
+        h = df.select("media_id", hex_struct.alias("p")).select(
+            "media_id", *[F.col(f"p.{n}").alias(f"h_{n}") for n in fields]
+        )
+        got_t = {r.media_id: r for r in t.collect()}
+        got_h = {r.media_id: r for r in h.collect()}
+        for mid in got_t:
+            for n in fields:
+                tv, hv = got_t[mid][f"t_{n}"], got_h[mid][f"h_{n}"]
+                assert tv == hv, f"row {mid} field {n}: tuple={tv} hex={hv}"
+
+    def test_png_hex_matches_tuple(self, spark):
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import (
+            parse_png_dims,
+            parse_png_dims_hex,
+        )
+
+        def png(w, h):
+            sig = bytes.fromhex("89504E470D0A1A0A")
+            ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h)
+            return sig + ihdr + b"\x08\x02\x00\x00\x00"
+
+        rows = [png(640, 480), png(32, 1080), b"not a png", b"", b"\x89PNG"]
+        w, ht, is_png = parse_png_dims(F.col("payload"))
+        self._agree(
+            spark,
+            rows,
+            [w, ht, is_png],
+            parse_png_dims_hex("hex(payload)"),
+            ["w", "ht", "is_png"],
+        )
+
+    def test_wav_hex_matches_tuple(self, spark):
+        import io
+        import struct
+        import wave
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import (
+            parse_wav_chunks,
+            parse_wav_chunks_hex,
+        )
+
+        def chunk(cid, payload):
+            pad = b"\x00" if len(payload) % 2 else b""
+            return cid + struct.pack("<I", len(payload)) + payload + pad
+
+        def fmt(ch, rate):
+            return chunk(
+                b"fmt ",
+                struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16),
+            )
+
+        def wav(*chunks):
+            body = b"WAVE" + b"".join(chunks)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(2)
+            f.setsampwidth(2)
+            f.setframerate(44100)
+            f.writeframes(b"\x00\x00" * 8)
+        rows = [
+            buf.getvalue(),
+            wav(chunk(b"LIST", b"INFOabcd"), fmt(1, 16000), chunk(b"data", b"")),
+            wav(chunk(b"JUNK", b"x" * 7), fmt(8, 8000), chunk(b"data", b"")),
+            b"RIFF\x10\x00\x00\x00AVI LIST",
+            wav(chunk(b"JUNK", b"x" * 100))[:30],
+            b"not riff at all",
+            # valid magic, garbage u32 size near u32-max: the walk must
+            # clamp, not overflow the ANSI INT cast
+            b"RIFF\x64\x00\x00\x00WAVE" + b"LIST\xf0\xff\xff\xffpayload",
+        ]
+        ch, rate, off, is_wav = parse_wav_chunks(F.col("payload"))
+        self._agree(
+            spark,
+            rows,
+            [ch, rate, off, is_wav],
+            parse_wav_chunks_hex("hex(payload)"),
+            ["ch", "rate", "fmt_off", "is_wav"],
+        )
+
+    def test_jpeg_hex_matches_tuple(self, spark):
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import (
+            parse_jpeg_sof,
+            parse_jpeg_sof_hex,
+        )
+
+        def seg(marker, payload):
+            return marker + struct.pack(">H", len(payload) + 2) + payload
+
+        def sof(w, h, kind=b"\xff\xc0"):
+            body = struct.pack(">BHHB", 8, h, w, 3) + bytes.fromhex(
+                "011100021101031101"
+            )
+            return seg(kind, body)
+
+        trap = seg(b"\xff\xfe", b"\x00\xff\xc0\x00\x10\x08")
+        rows = [
+            b"\xff\xd8" + sof(640, 480),
+            b"\xff\xd8" + seg(b"\xff\xe0", b"JFIF\x00" * 3) + sof(32, 1080),
+            b"\xff\xd8" + trap + sof(100, 200, kind=b"\xff\xc2"),
+            b"\xff\xd8" + seg(b"\xff\xfe", b"x" * 9) * 9 + sof(5, 6),
+            b"not a jpeg",
+            b"\xff\xd8" + seg(b"\xff\xfe", b"x" * 50)[:20],
+        ]
+        w, h, off, is_jpeg = parse_jpeg_sof(F.col("payload"))
+        self._agree(
+            spark,
+            rows,
+            [w, h, off, is_jpeg],
+            parse_jpeg_sof_hex("hex(payload)"),
+            ["w", "ht", "sof_off", "is_jpeg"],
+        )
+
+    def test_mp4_hex_matches_tuple(self, spark):
+        import struct
+
+        import pyspark.sql.functions as F
+
+        from exosql_spark.operators.multimodal import (
+            parse_mp4_mvhd,
+            parse_mp4_mvhd_hex,
+        )
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        def mp4(pre_pads=(5, 3), udta_pad=4, timescale=600, duration=1800,
+                version=0):
+            mvhd_payload = (
+                bytes([version]) + b"\x00\x00\x00"
+                + struct.pack(">I", 1111)
+                + struct.pack(">I", 2222)
+                + struct.pack(">I", timescale)
+                + struct.pack(">I", duration)
+            )
+            moov_children = (
+                box(b"udta", b"U" * udta_pad) + box(b"mvhd", mvhd_payload)
+            )
+            data = box(b"ftyp", b"isom\x00\x00\x00\x00")
+            for i, pad in enumerate(pre_pads):
+                data += box(b"free" if i % 2 == 0 else b"skip", b"A" * pad)
+            data += box(b"moov", moov_children)
+            return data
+
+        escape = box(b"ftyp", b"isom\x00\x00\x00\x00") + struct.pack(
+            ">I", 0
+        ) + b"mdatXXXXXXXX"
+        # valid ftyp, then a box whose u32 size is near u32-max: the walk
+        # must clamp past-end, not overflow the ANSI INT cast
+        huge = box(b"ftyp", b"isom\x00\x00\x00\x00") + struct.pack(
+            ">I", 0xFFFFFFF0
+        ) + b"mdatXXXXXXXX"
+        rows = [
+            mp4(),
+            mp4(pre_pads=(), udta_pad=0, timescale=1000, duration=30000),
+            mp4(version=1),  # v1 mvhd: NULL timescale/duration, offsets valid
+            b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,  # not mp4
+            escape,  # size==0 to-EOF escape aborts the walk
+            mp4(pre_pads=(1, 2, 3, 4, 5, 6, 7, 8)),  # moov deeper than max_boxes
+            huge,
+        ]
+        ts, dur, mvhd_off, moov_off, ok = parse_mp4_mvhd(F.col("payload"))
+        self._agree(
+            spark,
+            rows,
+            [ts, dur, mvhd_off, moov_off, ok],
+            parse_mp4_mvhd_hex("hex(payload)"),
+            ["timescale", "duration", "mvhd_off", "moov_off", "is_mp4"],
+        )
+
+
 class TestLinalg:
     """Distributed covariance/PCA vs numpy ground truth."""
 
