@@ -131,11 +131,19 @@ def pagerank(
     verts.unpersist()
 
     teleport = (1.0 - damping) / n
+    # Dangling fast path (r18 optimization, guide §1.2): whether any
+    # vertex is dangling is a property of the GRAPH, not the iteration —
+    # decide it once against the checkpointed init frame (a bounded
+    # 0/1-row read) instead of paying a full-frame aggregate plus a
+    # broadcast build in every iteration.  When no vertex is dangling
+    # the per-iteration mass is exactly 0.0 and ``in + 0.0/n == in``
+    # bit-for-bit, so skipping the attachment leaves every rank
+    # identical; graphs WITH dangling vertices keep the original path.
+    has_dangling = (
+        ranks.filter(F.col("_deg").isNull()).limit(1).count() > 0
+    )
     for _ in range(n_iter):
         prev_ranks = ranks
-        dangling = ranks.filter(F.col("_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
         contrib = (
             e.join(
                 ranks.select(
@@ -147,23 +155,21 @@ def pagerank(
             .groupBy(F.col("_d").alias("id"))
             .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
         )
-        ranks = (
-            ranks.select("id", "_deg")
-            .join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dangling))  # 1-row mass attachment
-            .select(
-                "id",
-                "_deg",
-                (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dm") / n
-                    )
-                ).alias("rank"),
+        nxt = ranks.select("id", "_deg").join(contrib, "id", "left")
+        if has_dangling:
+            dangling = ranks.filter(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint()  # eager: truncates the 3-ref lineage
+            new_rank = F.lit(teleport) + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n
+            )
+            nxt = nxt.crossJoin(F.broadcast(dangling))  # 1-row mass attachment
+        else:
+            new_rank = F.lit(teleport) + F.lit(damping) * F.coalesce(
+                F.col("_in"), F.lit(0.0)
+            )
+        ranks = nxt.select("id", "_deg", new_rank.alias("rank")).localCheckpoint(
+            # eager: truncates the 3-ref lineage
         )
         if tol is not None:
             delta = (
@@ -537,10 +543,14 @@ def trustrank(
         )
         .localCheckpoint()
     )
+    # Same dangling fast path as pagerank (r18): the dangling set is a
+    # graph property — decide once on the checkpointed init frame; when
+    # empty, ``_dm * _t`` is exactly 0.0 every iteration, so dropping
+    # the aggregate + broadcast attachment leaves every rank identical.
+    has_dangling = (
+        ranks.filter(F.col("_deg").isNull()).limit(1).count() > 0
+    )
     for _ in range(n_iter):
-        dangling = ranks.filter(F.col("_deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-        )
         contrib = (
             e.join(
                 ranks.select(
@@ -552,25 +562,23 @@ def trustrank(
             .groupBy(F.col("_d").alias("id"))
             .agg(F.sum("_c").alias("_in"))
         )
-        ranks = (
-            ranks.select("id", "_deg", "_t")
-            .join(contrib, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                "_deg",
-                "_t",
-                (
-                    F.lit(1.0 - damping) * F.col("_t")
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dm") * F.col("_t")
-                    )
-                ).alias("rank"),
+        nxt = ranks.select("id", "_deg", "_t").join(contrib, "id", "left")
+        if has_dangling:
+            dangling = ranks.filter(F.col("_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
-            .localCheckpoint()
-        )
+            nxt = nxt.crossJoin(F.broadcast(dangling))
+            new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(damping) * (
+                F.coalesce(F.col("_in"), F.lit(0.0))
+                + F.col("_dm") * F.col("_t")
+            )
+        else:
+            new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(
+                damping
+            ) * F.coalesce(F.col("_in"), F.lit(0.0))
+        ranks = nxt.select(
+            "id", "_deg", "_t", new_rank.alias("rank")
+        ).localCheckpoint()
     e.unpersist()
     return ranks.select("id", "rank")
 
