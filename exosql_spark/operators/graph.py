@@ -638,31 +638,45 @@ def kcore(
         .repartition(F.col("nb"))
         .persist()
     )
+    from pyspark.sql import Observation
+
+    # r18 optimization (guide §1.2): the convergence check used to be
+    # its own job per iteration — a join of two checkpointed |V|-frames
+    # plus a count.  The H-index iteration is monotone NON-INCREASING
+    # per vertex (Montresor et al. 2011, Thm 1 — c starts at degree and
+    # every step is an H-index of values that themselves never
+    # increase), so "no vertex changed" ⟺ "Σ c unchanged", and Σ c can
+    # ride the SAME action that materializes the generation via
+    # ``observe`` (CollectMetrics accumulates during the localCheckpoint
+    # job — zero extra job, zero extra pass).  Same fixed point, same
+    # stopping iteration, identical output.
+    obs0 = Observation("kcore_init")
     c = (
         adj.groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .observe(obs0, F.sum("c").alias("s"))
         .localCheckpoint()
     )
+    prev_sum = obs0.get["s"]
     from pyspark.sql import Window
 
     w_desc = Window.partitionBy("id").orderBy(F.col("_cn").desc())
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = adj.join(
             c.select(F.col("id").alias("nb"), F.col("c").alias("_cn")), "nb"
         ).select("id", "_cn")
+        obs = Observation(f"kcore_{i}")
         new_c = (
             neigh.withColumn("_r", F.row_number().over(w_desc))
             .groupBy("id")
             .agg(F.max(F.least(F.col("_cn"), F.col("_r"))).alias("c"))
+            .observe(obs, F.sum("c").alias("s"))
             .localCheckpoint()
         )
-        changed = (
-            new_c.join(c.select("id", F.col("c").alias("_prev")), "id")
-            .where(F.col("c") != F.col("_prev"))
-            .count()
-        )
+        new_sum = obs.get["s"]
         c = new_c
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     adj.unpersist()
     return c.select("id", F.col("c").cast("int").alias("coreness"))
