@@ -122,26 +122,32 @@ def pagerank(
         F.sum("_w").alias("_deg")
     )
     # (id, deg, rank): deg NULL marks dangling vertices; checkpointed
-    # so every iteration starts from a lineage-free frame
+    # so every iteration starts from a lineage-free frame.
+    # Dangling fast path (r18 optimization, guide §1.2): whether any
+    # vertex is dangling is a property of the GRAPH, not the iteration —
+    # counted ONCE via ``observe`` during the init frame's checkpoint
+    # job (zero extra jobs) instead of paying a full-frame aggregate
+    # plus a broadcast build in every iteration.  When no vertex is
+    # dangling the per-iteration mass is exactly 0.0 and
+    # ``in + 0.0/n == in`` bit-for-bit, so skipping the attachment
+    # leaves every rank identical; graphs WITH dangling vertices keep
+    # the original path.
+    from pyspark.sql import Observation
+
+    obs_d = Observation("pagerank_dangling")
     ranks = (
         verts.join(out_deg, "id", "left")
         .select("id", "_deg", F.lit(1.0 / n).alias("rank"))
+        .observe(
+            obs_d,
+            F.sum(F.when(F.col("_deg").isNull(), 1).otherwise(0)).alias("nd"),
+        )
         .localCheckpoint()
     )
     verts.unpersist()
 
     teleport = (1.0 - damping) / n
-    # Dangling fast path (r18 optimization, guide §1.2): whether any
-    # vertex is dangling is a property of the GRAPH, not the iteration —
-    # decide it once against the checkpointed init frame (a bounded
-    # 0/1-row read) instead of paying a full-frame aggregate plus a
-    # broadcast build in every iteration.  When no vertex is dangling
-    # the per-iteration mass is exactly 0.0 and ``in + 0.0/n == in``
-    # bit-for-bit, so skipping the attachment leaves every rank
-    # identical; graphs WITH dangling vertices keep the original path.
-    has_dangling = (
-        ranks.filter(F.col("_deg").isNull()).limit(1).count() > 0
-    )
+    has_dangling = (obs_d.get["nd"] or 0) > 0
     for _ in range(n_iter):
         prev_ranks = ranks
         contrib = (
@@ -532,6 +538,14 @@ def trustrank(
     out_deg = e.groupBy(F.col("_s").alias("id")).agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
     )
+    # Same dangling fast path as pagerank (r18): the dangling set is a
+    # graph property — counted once via ``observe`` during the init
+    # checkpoint job (zero extra jobs); when empty, ``_dm * _t`` is
+    # exactly 0.0 every iteration, so dropping the aggregate +
+    # broadcast attachment leaves every rank identical.
+    from pyspark.sql import Observation
+
+    obs_d = Observation("trustrank_dangling")
     ranks = (
         verts.join(out_deg, "id", "left")
         .join(seed_t, "id", "left")
@@ -541,15 +555,13 @@ def trustrank(
             F.coalesce(F.col("_t"), F.lit(0.0)).alias("_t"),
             F.coalesce(F.col("_t"), F.lit(0.0)).alias("rank"),
         )
+        .observe(
+            obs_d,
+            F.sum(F.when(F.col("_deg").isNull(), 1).otherwise(0)).alias("nd"),
+        )
         .localCheckpoint()
     )
-    # Same dangling fast path as pagerank (r18): the dangling set is a
-    # graph property — decide once on the checkpointed init frame; when
-    # empty, ``_dm * _t`` is exactly 0.0 every iteration, so dropping
-    # the aggregate + broadcast attachment leaves every rank identical.
-    has_dangling = (
-        ranks.filter(F.col("_deg").isNull()).limit(1).count() > 0
-    )
+    has_dangling = (obs_d.get["nd"] or 0) > 0
     for _ in range(n_iter):
         contrib = (
             e.join(

@@ -416,21 +416,31 @@ def probe_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFra
     p = F.col(payload_col)
     w, h, is_png = parse_png_dims(p)
     ch, rate, is_wav = parse_wav_meta(p)
-    jw, jh, _sof_off, is_jpeg = parse_jpeg_sof(p)
+    # The JPEG walk is the one INTERPRETED fold here (PNG/canonical-WAV
+    # are fixed-offset projections): bind its eval-once struct variant
+    # as ONE named column and read fields from it — the tuple variant's
+    # three outputs + the detection predicate would otherwise carry four
+    # copies of the fold through the projection (r18; see the ``*_hex``
+    # block comment). CollapseProject declines to inline a
+    # multi-referenced non-cheap projection, so the fold runs once per
+    # row. Field-for-field equality with the tuple parser is pinned by
+    # TestMediaHeaderProbesHexVariants.
+    out = df.withColumn("_j", parse_jpeg_sof_hex(f"hex({payload_col})"))
     return (
-        df.withColumn("png_width", w)
+        out.withColumn("png_width", w)
         .withColumn("png_height", h)
         .withColumn("wav_channels", ch)
         .withColumn("wav_sample_rate", rate)
-        .withColumn("jpeg_width", jw)
-        .withColumn("jpeg_height", jh)
+        .withColumn("jpeg_width", F.col("_j.w"))
+        .withColumn("jpeg_height", F.col("_j.ht"))
         .withColumn(
             "detected",
             F.when(is_png == 1, F.lit("png"))
             .when(is_wav == 1, F.lit("wav"))
-            .when(is_jpeg == 1, F.lit("jpeg"))
+            .when(F.col("_j.is_jpeg") == 1, F.lit("jpeg"))
             .otherwise(F.lit("unknown")),
         )
+        .drop("_j")
     )
 
 
