@@ -35,26 +35,64 @@ from pyspark.sql import functions as F
 
 
 def _pair_counts(df: DataFrame, tokens: str, freq: str) -> DataFrame:
-    # greatest(.., 0): F.slice raises on a negative length, which an
-    # EMPTY tokens array would otherwise produce (size - 1 = -1)
-    n_pairs = F.greatest(F.size(tokens) - 1, F.lit(0))
-    pairs = F.zip_with(
-        F.slice(F.col(tokens), 1, n_pairs),
-        F.slice(F.col(tokens), 2, n_pairs),
-        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    # greatest(.., 0): slice raises on a negative length, which an
+    # EMPTY tokens array would otherwise produce (size - 1 = -1).
+    # SQL text for the same reason as _merge_pair_sql (r18): this is
+    # rebuilt once per merge per query construction.
+    q = "`" + tokens.replace("`", "``") + "`"
+    n_pairs = f"greatest(size({q}) - 1, 0)"
+    pairs = (
+        f"zip_with(slice({q}, 1, {n_pairs}), slice({q}, 2, {n_pairs}), "
+        "(a, b) -> struct(a as l, b as r))"
     )
     return (
-        df.select(F.explode(pairs).alias("p"), F.col(freq).alias("f"))
+        df.select(F.expr(f"explode({pairs})").alias("p"), F.col(freq).alias("f"))
         .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
         .agg(F.sum("f").alias("n"))
     )
 
 
-def merge_pair(tokens: Column, left: str, right: str, joined: str | None = None) -> Column:
+def _sql_str(s: str) -> str:
+    """SQL string literal (backslash-escaped, the Spark default)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair_sql(
+    tokens_sql: str, left: str, right: str, joined: str | None = None
+) -> str:
+    """:func:`merge_pair`'s fold as SQL text over a SQL fragment — one
+    py4j round trip to build instead of ~80 ms of Column-API calls per
+    merge (r18; bench times build+count per run, so learn_bpe paid the
+    composition k times per run). Identical expression tree; pinned by
+    TestSqlTextBuilderEquivalence and the serial-reference BPE tests."""
+    j = _sql_str(joined if joined is not None else left + right)
+    l, r = _sql_str(left), _sql_str(right)
+    fuse = f"acc.prev is not null and acc.prev = {l} and t = {r}"
+    return (
+        f"aggregate({tokens_sql}, "
+        "struct(cast(array() as array<string>) as out,"
+        " cast(null as string) as prev), "
+        "(acc, t) -> struct("
+        f"case when {fuse} then concat(acc.out, array({j})) "
+        "when acc.prev is not null then concat(acc.out, array(acc.prev)) "
+        "else acc.out end as out, "
+        f"case when {fuse} then cast(null as string) else t end as prev), "
+        "acc -> case when acc.prev is not null"
+        " then concat(acc.out, array(acc.prev)) else acc.out end)"
+    )
+
+
+def merge_pair(
+    tokens: Column | str, left: str, right: str, joined: str | None = None
+) -> Column:
     """Left-to-right non-overlapping rewrite of every adjacent
     ``(left, right)`` into their concatenation: an ``F.aggregate``
     fold carrying the previous token as pending state (O(1) expression
-    tree, runtime loop — see module docstring)."""
+    tree, runtime loop — see module docstring).  ``tokens`` as a str
+    (column name) takes the one-round-trip SQL-text path."""
+    if isinstance(tokens, str):
+        quoted = "`" + tokens.replace("`", "``") + "`"
+        return F.expr(_merge_pair_sql(quoted, left, right, joined))
     joined_lit = F.lit(joined if joined is not None else left + right)
     l_lit, r_lit = F.lit(left), F.lit(right)
 
@@ -152,7 +190,7 @@ def learn_bpe(
         # generations are ever held (the newest + its predecessor
         # until the next action fills the newest).
         prev = df
-        df = df.withColumn(tokens, merge_pair(F.col(tokens), l, r)).persist()
+        df = df.withColumn(tokens, merge_pair(tokens, l, r)).persist()
         pending_unpersist = prev
     if pending_unpersist is not None:
         # materialize the final generation so its predecessor can be

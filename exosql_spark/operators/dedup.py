@@ -124,6 +124,41 @@ def fingerprint(text_col: str) -> F.Column:
 
 
 # --------------------------------------------------------------------
+# SQL-text expression builders (r18 optimization round, guide §1.2)
+#
+# Composing these trees through the Column API costs one py4j round
+# trip per node (~0.17 ms each on this box); the banding/shingle
+# builders below run to hundreds of nodes and are re-built on EVERY
+# query construction, so the bench — which times build+count per run —
+# paid ~0.4–0.9 s/run of pure driver-side socket round trips on the
+# dedup-family entries (measured with cProfile: 5,402 round trips per
+# dedup_incremental_batch build). Rendering each builder as ONE
+# F.expr(sql_text) collapses that to a single round trip. The SQL
+# parses to the IDENTICAL expression tree (same analyzed plan, same
+# results — pinned by TestSqlTextBuilderEquivalence), so this changes
+# nothing downstream; it is the same fix the multimodal header probes
+# landed earlier this round.
+# --------------------------------------------------------------------
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+#: normalize_text (lower → strip punct → collapse ws → trim) as a SQL
+#: fragment — the doubled backslashes survive SQL string-literal
+#: unescaping to reach the regex engine as ``[^\w\s]`` / ``\s+``.
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^\\\\w\\\\s]', ''),"
+    " '\\\\s+', ' '))"
+)
+
+#: tokens(normalize_text(c)): whitespace-split, empties dropped.
+_TOKS_SQL = "filter(split(trim(" + _NORM_SQL + "), '\\\\s+'), t -> t != '')"
+
+
+# --------------------------------------------------------------------
 # Shingling (shared by MinHash / Jaccard)
 # --------------------------------------------------------------------
 
@@ -136,21 +171,25 @@ def shingles(text_col: str, k: int = 3) -> F.Column:
     ``transform(array(x), ...)​[0]`` encoding) so the regex-heavy
     tokenize subtree evaluates ONCE per row — referenced naively in
     the slice lambda it would re-inline per shingle (Catalyst has no
-    CSE across array elements; measured 6× on the shingle pass)."""
+    CSE across array elements; measured 6× on the shingle pass).
 
-    def _make(toks: F.Column) -> F.Column:
-        n = F.size(toks)
-        full = F.array(F.array_join(toks, " "))
-        sh = F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.array_join(F.slice(toks, i, k), " "),
-        )
-        # null/empty text → empty shingle set (not [NULL])
-        return F.when(n > 0, F.array_distinct(F.when(n >= k, sh).otherwise(full))).otherwise(
-            F.array().cast("array<string>")
-        )
-
-    return F.transform(F.array(tokens(normalize_text(text_col))), _make)[0]
+    Built as ONE SQL-text expression (r18 — see the block comment at
+    `_sql_ident`): the Column-API form of this tree cost ~0.1 s of py4j
+    round trips per call, re-paid on every query build. Equivalence
+    with the Column form is pinned by TestSqlTextBuilderEquivalence."""
+    if not isinstance(text_col, str):
+        raise TypeError("shingles() takes a column NAME (str)")
+    toks = _TOKS_SQL.format(c=_sql_ident(text_col))
+    # null/empty text → empty shingle set (not [NULL])
+    return F.expr(
+        f"transform(array({toks}), toks -> "
+        "case when size(toks) > 0 then "
+        f"array_distinct(case when size(toks) >= {k} then "
+        f"transform(sequence(1, size(toks) - {k - 1}), i -> "
+        f"array_join(slice(toks, i, {k}), ' ')) "
+        "else array(array_join(toks, ' ')) end) "
+        "else cast(array() as array<string>) end)[0]"
+    )
 
 
 def jaccard(a: F.Column, b: F.Column) -> F.Column:
@@ -298,21 +337,17 @@ def signature_bands(sig: DataFrame, num_hashes: int = 64, bands: int = 16) -> Da
     by ``key``, so each incremental batch joins against it
     shuffle-free on the ref side."""
     rows_per_band = num_hashes // bands
+    # One SQL-text expr instead of a bands-wide struct/xxhash64/slice
+    # listcomp (r18): the Column-API form cost ~0.2 s of py4j round
+    # trips per call and is re-built on every query construction.
+    # Identical expression tree; pinned by TestSqlTextBuilderEquivalence.
+    parts = ", ".join(
+        f"named_struct('band', {b}, 'key', "
+        f"xxhash64(slice(_sig, {b * rows_per_band + 1}, {rows_per_band})))"
+        for b in range(bands)
+    )
     return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "_id", F.expr(f"explode(array({parts}))").alias("bk")
     ).select("_id", "bk.band", "bk.key")
 
 

@@ -89,9 +89,16 @@ def _planted_docs(spark, n_groups=10, n_tokens=60, members=((100000, ""), (10100
     ``w{g}x{j}`` (+tail). Disjoint per-group vocabularies ⇒ zero
     cross-group or group-to-corpus similarity, so exact-oracle entries
     can state the expected pair/cluster set in closed form."""
-    toks = [F.concat(F.lit("w"), F.col("g"), F.lit(f"x{j}")) for j in range(n_tokens)]
+    # One SQL-text expr instead of an n_tokens-wide concat listcomp
+    # (r18): the Column-API form cost ~0.35 s of py4j round trips per
+    # build — identical strings ("w{g}x{j}" joined by spaces; int→string
+    # coercion inside concat is the same both ways).
     g = spark.range(n_groups).select(
-        F.col("id").alias("g"), F.concat_ws(" ", *toks).alias("text")
+        F.col("id").alias("g"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(0, {n_tokens - 1}),"
+            " j -> concat('w', g, 'x', j)))"
+        ).alias("text"),
     )
     out = None
     for offset, tail in members:
@@ -1576,9 +1583,14 @@ def _planted_curation_corpus(spark, n_groups=10, n_tokens=60):
     - 104000+g  one token repeated 12× (quality = round((12/20 + 0 +
                 round(1/12, 4))/3, 4) = 0.2278 < 0.3) → quality loser
     """
-    toks = [F.concat(F.lit("w"), F.col("g"), F.lit(f"x{j}")) for j in range(n_tokens)]
+    def toks_sql(n: int) -> str:  # "w{g}x0 .. w{g}x{n-1}" as ONE expr (r18)
+        return (
+            f"concat_ws(' ', transform(sequence(0, {n - 1}),"
+            " j -> concat('w', g, 'x', j)))"
+        )
+
     base = spark.range(n_groups).select(
-        F.col("id").alias("g"), F.concat_ws(" ", *toks).alias("text")
+        F.col("id").alias("g"), F.expr(toks_sql(n_tokens)).alias("text")
     )
     rep_tok = F.concat(F.lit("w"), F.col("g"), F.lit("rep"))
     parts = [
@@ -1590,7 +1602,7 @@ def _planted_curation_corpus(spark, n_groups=10, n_tokens=60):
         ),
         base.select(
             (F.col("g") + 103000).alias("doc_id"),
-            F.concat_ws(" ", *toks[:3]).alias("text"),
+            F.expr(toks_sql(3)).alias("text"),
         ),
         base.select(
             (F.col("g") + 104000).alias("doc_id"),

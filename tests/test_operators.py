@@ -4193,3 +4193,97 @@ class TestLinkQualitySelect:
             docs.withColumnRenamed("rank", "bm25_rank"), priors
         ).collect()[0]
         assert out.bm25_rank == 0.9 and out.rank == 0.5 and out.keep
+
+
+class TestSqlTextBuilderEquivalence:
+    """The r18 SQL-text expression builders (dedup.shingles,
+    dedup.signature_bands, bpe.merge_pair's str path, bpe._pair_counts)
+    must agree FIELD FOR FIELD with their Column-API reference forms —
+    the rewrites exist only to collapse py4j round-trip volume at query
+    build time, never to change an expression."""
+
+    def test_shingles_matches_column_reference(self, spark):
+        from exosql_spark.operators.text import normalize_text, tokens
+
+        def column_shingles(text_col, k=3):  # the pre-r18 builder, verbatim
+            def _make(toks):
+                n = F.size(toks)
+                full = F.array(F.array_join(toks, " "))
+                sh = F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "),
+                )
+                return F.when(
+                    n > 0, F.array_distinct(F.when(n >= k, sh).otherwise(full))
+                ).otherwise(F.array().cast("array<string>"))
+
+            return F.transform(F.array(tokens(normalize_text(text_col))), _make)[0]
+
+        rows = [
+            (1, "The  quick, brown fox! jumps\tover the lazy dog"),
+            (2, None),
+            (3, ""),
+            (4, "a b"),
+            (5, "x"),
+            (6, "Hello   WORLD's \n end."),
+            (7, "a b c a b c a b c"),
+            (8, "  \t  "),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        for k in (2, 3, 5):
+            got = df.select("i", dedup.shingles("t", k).alias("s")).orderBy("i")
+            ref = df.select("i", column_shingles("t", k).alias("s")).orderBy("i")
+            assert got.schema == ref.schema
+            assert got.collect() == ref.collect()
+
+    def test_signature_bands_matches_column_reference(self, spark):
+        def column_bands(sig, num_hashes, bands):  # the pre-r18 builder
+            rpb = num_hashes // bands
+            return sig.select(
+                "_id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("band"),
+                                F.xxhash64(
+                                    F.slice("_sig", b * rpb + 1, rpb)
+                                ).alias("key"),
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select("_id", "bk.band", "bk.key")
+
+        df = spark.createDataFrame(
+            [(1, list(range(64))), (2, [7] * 64), (3, list(range(100, 164)))],
+            "_id long, _sig array<long>",
+        )
+        for nh, nb in ((64, 16), (64, 32), (8, 4)):
+            got = dedup.signature_bands(df, nh, nb).orderBy("_id", "band")
+            ref = column_bands(df, nh, nb).orderBy("_id", "band")
+            assert got.schema == ref.schema
+            assert got.collect() == ref.collect()
+
+    def test_merge_pair_str_path_matches_column_path(self, spark):
+        from exosql_spark.operators.bpe import merge_pair
+
+        rows = [
+            (1, ["a", "b", "a", "b", "a"]),
+            (2, ["a", "a", "b"]),
+            (3, []),
+            (4, ["b", "a"]),
+            (5, [None, "a", "b"]),
+            (6, ["a", None, "b"]),
+            (7, ["it's", "o'k", "it'so'k"]),
+            (8, ["x\\y", "z", "x\\yz"]),
+        ]
+        df = spark.createDataFrame(rows, "i long, t array<string>")
+        for l, r in (("a", "b"), ("it's", "o'k"), ("x\\y", "z")):
+            got = df.select("i", merge_pair("t", l, r).alias("m")).orderBy("i")
+            ref = df.select(
+                "i", merge_pair(F.col("t"), l, r).alias("m")
+            ).orderBy("i")
+            assert got.schema == ref.schema
+            assert got.collect() == ref.collect()
