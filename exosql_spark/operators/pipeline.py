@@ -162,7 +162,7 @@ def curate_corpus(
     # frame feeds every downstream consumer (see the config field's doc
     # for the ordering tradeoff).
     featured = text.quality_score(docs, text_col).withColumn(
-        "lang_pred", text.lang_id(F.col(text_col))
+        "lang_pred", text.lang_id(text_col)
     ).withColumn("n_tokens", F.col("q_n_tokens")).withColumn(
         "content_hash", text.fingerprint_md5(F.col(text_col))
     )

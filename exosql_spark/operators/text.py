@@ -14,6 +14,30 @@ from pyspark.sql import functions as F
 from exosql_spark.cache import managed_persist
 
 # --------------------------------------------------------------------
+# SQL-text fragments (r18 optimization round, guide §1.2): the quality
+# and lang-id column programs below re-build a few-hundred-node tree
+# through the Column API on every query construction (~0.2 s of py4j
+# round trips each — see the block comment at dedup._sql_ident for the
+# measurement), and their Column forms re-INLINE the tokenize subtree
+# at every reference (interpreted HOFs, no CSE). The SQL-text forms
+# cost one round trip to build and let-bind the token array once per
+# row via the transform(array(x), ...)[0] encoding — identical values,
+# pinned by TestSqlTextBuilderEquivalence.
+# --------------------------------------------------------------------
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in SQL text."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+#: tokens(c) on the RAW text: whitespace-split, empties dropped (the
+#: doubled backslashes survive SQL string-literal unescaping to reach
+#: the regex engine as ``\s+``).
+_RAW_TOKS_SQL = "filter(split(trim({c}), '\\\\s+'), t -> t != '')"
+
+
+# --------------------------------------------------------------------
 # Tokenization
 # --------------------------------------------------------------------
 
@@ -52,24 +76,38 @@ _STOPWORDS_EN = (
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append cheap quality-filter features to a documents DataFrame."""
-    c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*_STOPWORDS_EN))
-    )
-    n_chars = F.length(c)
-    punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+    """Append cheap quality-filter features to a documents DataFrame.
+
+    SQL-text columns with the token array let-bound per column (r18 —
+    see the module-top block comment): same values as the Column form
+    (pinned by TestSqlTextBuilderEquivalence), one py4j round trip per
+    column instead of ~0.2 s of composition, and the tokenize subtree
+    evaluates once per row instead of once per reference."""
+    c = _sql_ident(text_col)
+    toks = _RAW_TOKS_SQL.format(c=c)
+
+    def over_toks(body: str) -> F.Column:  # let-bind toks once per row
+        return F.expr(f"transform(array({toks}), toks -> {body})[0]")
+
     return df.select(
         "*",
-        n_chars.alias("q_n_chars"),
-        n_tok.alias("q_n_tokens"),
-        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("q_avg_token_len"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("q_punct_ratio"),
-        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("q_stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("q_distinct_ratio"),
+        F.length(F.col(text_col)).alias("q_n_chars"),
+        F.expr(f"size({toks})").alias("q_n_tokens"),
+        over_toks(
+            f"round(length({c}) / greatest(size(toks), 1), 4)"
+        ).alias("q_avg_token_len"),
+        F.expr(
+            f"round(size(regexp_extract_all({c}, '[^\\\\w\\\\s]', 0))"
+            f" / greatest(length({c}), 1), 4)"
+        ).alias("q_punct_ratio"),
+        over_toks(
+            "round(size(filter(toks, t -> lower(t) in ("
+            + ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+            + "))) / greatest(size(toks), 1), 4)"
+        ).alias("q_stopword_ratio"),
+        over_toks(
+            "round(size(array_distinct(toks)) / greatest(size(toks), 1), 4)"
+        ).alias("q_distinct_ratio"),
     )
 
 
@@ -115,7 +153,28 @@ def lang_scores(col: Column | str) -> Column:
 
 
 def lang_id(col: Column | str) -> Column:
-    """argmax over lang_scores; 'und' when nothing hits."""
+    """argmax over lang_scores; 'und' when nothing hits.
+
+    With a column NAME (str) this builds as ONE SQL-text expression
+    (r18 — module-top block comment) that let-binds the lowercased
+    token array AND the argmax struct, so the tokenize subtree and the
+    array_max run once per row instead of once per reference (the
+    Column form inlines toks into every per-language filter and the
+    max struct into both output references). Same values — pinned by
+    TestSqlTextBuilderEquivalence. Column input keeps the legacy form."""
+    if isinstance(col, str):
+        toks = _RAW_TOKS_SQL.format(c=_sql_ident(col))
+        scored = ", ".join(
+            "struct(size(filter(toks, t -> t in ("
+            + ", ".join(f"'{w}'" for w in words)
+            + f"))) / greatest(size(toks), 1) as score, '{lang}' as lang)"
+            for lang, words in _LANG_LEXICON.items()
+        )
+        return F.expr(
+            f"transform(array(transform({toks}, t -> lower(t))), toks -> "
+            f"transform(array(array_max(array({scored}))), best -> "
+            "case when best.score > 0 then best.lang else 'und' end)[0])[0]"
+        )
     toks = F.transform(tokens(col), lambda t: F.lower(t))
     n = F.greatest(F.size(toks), F.lit(1))
     scored = F.array(

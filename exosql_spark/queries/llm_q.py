@@ -1060,7 +1060,7 @@ def text_lang_id(spark, sf_dir):
     inspectable: predicted = lang_id(text))."""
     t = Tables(spark, sf_dir)
     return t.documents.select(
-        "doc_id", "lang", text.lang_id(F.col("text")).alias("lang_pred")
+        "doc_id", "lang", text.lang_id("text").alias("lang_pred")
     )
 
 

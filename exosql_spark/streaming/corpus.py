@@ -63,7 +63,7 @@ def curate_stream(
     expressions, streaming execution."""
     featured = (
         text.quality_score(docs, text_col)
-        .withColumn("lang_pred", text.lang_id(F.col(text_col)))
+        .withColumn("lang_pred", text.lang_id(text_col))
         .withColumn("content_hash", text.fingerprint_md5(F.col(text_col)))
     )
     return featured.filter(

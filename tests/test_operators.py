@@ -4287,3 +4287,69 @@ class TestSqlTextBuilderEquivalence:
             ).orderBy("i")
             assert got.schema == ref.schema
             assert got.collect() == ref.collect()
+
+    def test_quality_features_match_column_reference(self, spark):
+        from exosql_spark.operators import text as T
+
+        def column_features(df, text_col):  # the pre-r18 builder, verbatim
+            c = F.col(text_col)
+            toks = T.tokens(c)
+            n_tok = F.size(toks)
+            distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(
+                n_tok, F.lit(1)
+            )
+            stop_hits = F.size(
+                F.filter(toks, lambda t: F.lower(t).isin(*T._STOPWORDS_EN))
+            )
+            n_chars = F.length(c)
+            punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0))
+            return df.select(
+                "*",
+                n_chars.alias("q_n_chars"),
+                n_tok.alias("q_n_tokens"),
+                F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias(
+                    "q_avg_token_len"
+                ),
+                F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias(
+                    "q_punct_ratio"
+                ),
+                F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias(
+                    "q_stopword_ratio"
+                ),
+                F.round(distinct_ratio, 4).alias("q_distinct_ratio"),
+            )
+
+        rows = [
+            (1, "The quick, brown fox! jumps over the lazy dog."),
+            (2, None),
+            (3, ""),
+            (4, "word word word word word"),
+            (5, "a"),
+            (6, "  \t \n "),
+            (7, "the the THE tHe and of to!!! ??? ..."),
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = T.quality_features(df, "t").orderBy("i")
+        ref = column_features(df, "t").orderBy("i")
+        assert got.schema == ref.schema
+        assert got.collect() == ref.collect()
+
+    def test_lang_id_str_path_matches_column_path(self, spark):
+        from exosql_spark.operators.text import lang_id
+
+        rows = [
+            (1, "the cat and the dog are in the house"),
+            (2, "el perro y el gato en la casa no se que"),
+            (3, "le chat et le chien dans la maison qui est"),
+            (4, "der Hund und die Katze in den Haus mit sich"),
+            (5, "这 是 一 个 人 我 在 有 他"),
+            (6, "zzz qqq www"),
+            (7, None),
+            (8, ""),
+            (9, "the el le der"),  # 4-way tie -> array_max tie-break
+        ]
+        df = spark.createDataFrame(rows, "i long, t string")
+        got = df.select("i", lang_id("t").alias("p")).orderBy("i")
+        ref = df.select("i", lang_id(F.col("t")).alias("p")).orderBy("i")
+        assert got.schema == ref.schema
+        assert got.collect() == ref.collect()
