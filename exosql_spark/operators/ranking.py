@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist_disk
 
-from exosql_spark.queries._util import fround
 
 
 def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -38,6 +37,25 @@ def _terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
     )
+
+
+# --------------------------------------------------------------------
+# SQL-text expression builders (r18 optimization round, guide §1.2):
+# the BM25/TF-IDF/RRF score trees below were composed through the
+# Column API on every query construction (~0.17 ms of py4j round-trip
+# latency per node; bm25_topk alone measured ~0.30 s of build per
+# run across three bench entries). Rendering each aggregate/score as
+# one F.expr/selectExpr string collapses the build to a handful of
+# round trips. Double literals are spelled `CAST(x AS DOUBLE)`/`xD`
+# so the SQL parses to the IDENTICAL double-typed tree F.lit builds
+# (bare SQL decimals would silently switch the arithmetic to
+# DECIMAL). Values pinned by TestSqlTextBuilderEquivalence.
+# --------------------------------------------------------------------
+
+
+def _sql_str(s: str) -> str:
+    """Single-quote a string literal for embedding in SQL text."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
 def tfidf_top_terms(
@@ -57,21 +75,17 @@ def tfidf_top_terms(
     terms = _terms(df, text_col, id_col)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     per_term = terms.groupBy("term").agg(
-        F.count(F.lit(1)).alias("total_tf"),
-        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+        F.expr("count(1) AS total_tf"),
+        F.expr(f"count(DISTINCT `{id_col}`) AS doc_freq"),
     )
-    idf = (
-        F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("doc_freq")))
-        + F.lit(1.0)
-    )
+    # SQL-text score (r18 — block comment at _sql_str); same tree as
+    # the fround(total_tf * idf) Column form.
+    s = float(10**nd)
+    idf = f"(ln(({1.0}D + n_docs) / ({1.0}D + doc_freq)) + {1.0}D)"
+    tfidf = f"floor((total_tf * {idf}) * {s}D + 0.5D) / {s}D"
     return (
         per_term.crossJoin(F.broadcast(n_docs))
-        .select(
-            "term",
-            "total_tf",
-            "doc_freq",
-            fround(F.col("total_tf") * idf, nd).alias("tfidf"),
-        )
+        .selectExpr("term", "total_tf", "doc_freq", f"{tfidf} AS tfidf")
         .orderBy(F.col("tfidf").desc(), "term")
         .limit(k)
     )
@@ -131,10 +145,15 @@ def bm25_topk(
     terms = _terms(df, text_col, id_col)
     # Pivot the (few) query terms into columns: ONE corpus scan, ONE
     # shuffle keyed on the doc id produces doc length + per-term tf.
+    # SQL-text aggregates (r18 — block comment at _sql_str): one py4j
+    # round trip per output column instead of ~10 per term.
     per_doc = terms.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("dl"),
+        F.expr("count(1) AS dl"),
         *[
-            F.sum(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"tf_{i}")
+            F.expr(
+                f"sum(CASE WHEN term = {_sql_str(t)} THEN 1 ELSE 0 END)"
+                f" AS tf_{i}"
+            )
             for i, t in enumerate(qt)
         ],
     )
@@ -147,39 +166,36 @@ def bm25_topk(
     # Corpus scalars + per-term doc frequencies in one 1-row aggregate
     # over the already-reduced per_doc frame; broadcast back in.
     stats = per_doc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("CAST(sum(dl) AS DOUBLE) / count(1) AS avgdl"),
         *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            F.expr(f"sum(CAST(tf_{i} > 0 AS BIGINT)) AS df_{i}")
             for i in range(len(qt))
         ],
     )
 
-    def contrib(i: int):
-        tf = F.col(f"tf_{i}")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
+    # BM25 score as ONE SQL-text expression (r18 — block comment at
+    # _sql_str): same left-to-right term addition as the Column form —
+    # bit-stable (a row-wise Σ over an exploded frame would sum in
+    # shuffle order).
+    def contrib(i: int) -> str:
+        idf = (
+            f"ln({1.0}D + (n_docs - df_{i} + {0.5}D) / (df_{i} + {0.5}D))"
         )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        denom = (
+            f"tf_{i} + {float(k1)}D * ({1.0}D - {float(b)}D"
+            f" + {float(b)}D * dl / avgdl)"
         )
-        return idf * tf * F.lit(k1 + 1.0) / denom
+        return f"{idf} * tf_{i} * {float(k1 + 1.0)}D / ({denom})"
 
-    # Fixed left-to-right addition over the term columns — bit-stable
-    # (a row-wise Σ over an exploded frame would sum in shuffle order).
-    score = contrib(0)
-    for i in range(1, len(qt)):
-        score = score + contrib(i)
-    any_term = None
-    for i in range(len(qt)):
-        cond = F.col(f"tf_{i}") > 0
-        any_term = cond if any_term is None else (any_term | cond)
+    score = " + ".join(contrib(i) for i in range(len(qt)))
+    any_term = " OR ".join(f"tf_{i} > 0" for i in range(len(qt)))
+    s = float(10**nd)  # fround(score, nd) as SQL text
+    bm25 = f"floor(({score}) * {s}D + 0.5D) / {s}D"
     return (
         per_doc.crossJoin(F.broadcast(stats))
         .where(any_term)
-        .select(F.col(id_col), fround(score, nd).alias("bm25"))
+        .selectExpr(f"`{id_col}`", f"{bm25} AS bm25")
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(k)
     )
@@ -221,22 +237,19 @@ def rrf_fuse(
         u = part if u is None else u.unionByName(part)
     if u is None:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    # SQL-text aggregate + rank tail (r18 — block comment at _sql_str).
+    s = float(10**nd)
+    rrf_sum = f"sum({1.0}D / ({float(k0)}D + _r))"
     fused = u.groupBy("_id").agg(
-        fround(
-            F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))), nd
-        ).alias("_rrf"),
-        F.count(F.lit(1)).alias("n_lists"),
+        F.expr(f"floor(({rrf_sum}) * {s}D + 0.5D) / {s}D AS _rrf"),
+        F.expr("count(1) AS n_lists"),
     )
-    w = Window.orderBy(F.col("_rrf").desc(), F.col("_id"))
     return (
-        fused.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_rrf").alias("rrf"),
-            "n_lists",
-            "rank",
+        fused.selectExpr(
+            "*", "row_number() OVER (ORDER BY _rrf DESC, _id) AS rank"
         )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(f"_id AS `{id_col}`", "_rrf AS rrf", "n_lists", "rank")
     )
 
 

@@ -44,6 +44,69 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+# --------------------------------------------------------------------
+# SQL-text expression builders (r18 optimization round, guide §1.2):
+# the cosine/L2 trees below are rebuilt through the Column API on
+# every query construction at ~0.17 ms of py4j round-trip latency per
+# node; rendering each as ONE F.expr/selectExpr string collapses the
+# build to a handful of round trips. The SQL parses to the identical
+# expression tree (double literals spelled `0.0D` to match F.lit's
+# double, not SQL's default decimal) — same analyzed plan, same
+# values, pinned by TestSqlTextBuilderEquivalence. Same mechanism as
+# the dedup/BPE/text conversions earlier this round.
+# --------------------------------------------------------------------
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    """cosine(a, b) as a SQL fragment — the exact tree :func:`cosine`
+    builds (cast-to-double, zip_with dot, per-side norms)."""
+    da = f"transform({a}, x -> cast(x as double))"
+    db = f"transform({b}, x -> cast(x as double))"
+    dot = (
+        f"aggregate(zip_with({da}, {db}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D,"
+            " (acc, v) -> acc + v))"
+        )
+
+    return f"{dot} / ({norm(da)} * {norm(db)})"
+
+
+#: exact squared L2 in double (vectors arrive float32) — the
+#: :func:`exact_rerank` sq_l2 tree.
+_SQ_L2_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) ->"
+    " (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))),"
+    " 0.0D, (acc, v) -> acc + v)"
+)
+
+
+def _cosine_rank_tail(cands: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of :func:`lsh_topk` / :func:`ivf_topk`:
+    cosine(c_vec, q_vec), per-query rank window, top-``k`` — the
+    SQL-text form of the (score → row_number → filter → round) chain
+    (r18; see the block comment at :func:`_cosine_sql`)."""
+    return (
+        cands.selectExpr(
+            "query_id", "vec_id", f"{_cosine_sql('c_vec', 'q_vec')} AS _sim"
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY _sim DESC, vec_id) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            "query_id", "vec_id", "round(_sim, 4) AS cosine_sim", "rank"
+        )
+    )
+
+
 def _norm(a: F.Column) -> F.Column:
     return F.sqrt(
         F.aggregate(
@@ -89,50 +152,41 @@ def cosine_topk(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
     )
-    scored = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
-    ).crossJoin(q).select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim"),
+    # SQL-text column programs (r18 — block comment at _cosine_sql):
+    # same trees as the Column-API form, a handful of py4j round trips
+    # instead of ~400 per build.
+    scored = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(q)
+        .selectExpr(
+            "query_id", "vec_id", f"{_cosine_sql('c_vec', 'q_vec')} AS _sim"
+        )
     )
     # Level 1: partition-local top-k (negated sim → ascending struct sort
     # gives sim desc, vec_id asc — identical to the global rank order).
     partial = (
-        scored.withColumn("_pid", F.spark_partition_id())
+        scored.selectExpr("*", "spark_partition_id() AS _pid")
         .groupBy("_pid", "query_id")
         .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            (-F.col("_sim")).alias("ns"),
-                            F.col("vec_id").alias("v"),
-                            F.col("_sim").alias("s"),
-                        )
-                    )
-                ),
-                1,
-                k,
-            ).alias("_top")
+            F.expr(
+                "slice(array_sort(collect_list("
+                "named_struct('ns', -_sim, 'v', vec_id, 's', _sim)"
+                f")), 1, {int(k)}) AS _top"
+            )
         )
-        .select("query_id", F.explode("_top").alias("_t"))
-        .select(
-            "query_id",
-            F.col("_t.v").alias("vec_id"),
-            F.col("_t.s").alias("_sim"),
-        )
+        .selectExpr("query_id", "explode(_top) AS _t")
+        .selectExpr("query_id", "_t.v AS vec_id", "_t.s AS _sim")
     )
     # Level 2: global rank over the k-bounded survivors.
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "vec_id",
-            F.round("_sim", 4).alias("cosine_sim"),
-            "rank",
+        partial.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY _sim DESC, vec_id) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            "query_id", "vec_id", "round(_sim, 4) AS cosine_sim", "rank"
         )
     )
 
@@ -435,15 +489,7 @@ def lsh_topk(
         .select("query_id", "vec_id", "c_vec", "q_vec")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cands.select(
-        "query_id", "vec_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"), "rank")
-    )
+    return _cosine_rank_tail(cands, k)
 
 
 # --------------------------------------------------------------------
@@ -656,15 +702,10 @@ def ivf_topk(
                 )
             ).alias("probe"),
         ).select("query_id", "q_vec", F.col("probe.cell").alias("cell"))
-    scored = c_assigned.join(F.broadcast(q_probes), "cell").select(
-        "query_id", "vec_id", cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim")
+    cands = c_assigned.join(F.broadcast(q_probes), "cell").select(
+        "query_id", "vec_id", "c_vec", "q_vec"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("_sim", 4).alias("cosine_sim"), "rank")
-    )
+    return _cosine_rank_tail(cands, k)
 
 
 def exact_rerank(
@@ -722,33 +763,31 @@ def exact_rerank(
         .join(cand, "vec_id")
         .join(qv, "query_id")
     )
+    # SQL-text forms of the score + rank tail (r18 — block comment at
+    # _cosine_sql): identical trees, single-digit py4j round trips.
     if metric == "cosine":
-        score = cosine(F.col("c_vec"), F.col("q_vec"))
-        order = [F.col("_s").desc_nulls_last(), F.col("vec_id")]
+        score_sql = _cosine_sql("c_vec", "q_vec")
+        order_sql = "_s DESC NULLS LAST, vec_id"
         out_name = "cosine_sim"
     else:
-        # exact squared L2 in double (vectors arrive float32)
-        score = F.aggregate(
-            F.zip_with(
-                F.col("c_vec"),
-                F.col("q_vec"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # exact squared L2 in double (vectors arrive float32);
         # nulls LAST: a NULL or length-mismatched vector scores NULL
         # (zip_with pads with nulls) — asc would otherwise rank it #1
         # and evict a true neighbor
-        order = [F.col("_s").asc_nulls_last(), F.col("vec_id")]
+        score_sql = _SQ_L2_SQL.format(a="c_vec", b="q_vec")
+        order_sql = "_s ASC NULLS LAST, vec_id"
         out_name = "exact_sq_dist"
-    w = Window.partitionBy("query_id").orderBy(*order)
     return (
-        matched.select("query_id", "vec_id", score.alias("_s"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", F.round("_s", 4).alias(out_name), "rank")
+        matched.selectExpr("query_id", "vec_id", f"{score_sql} AS _s")
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY {order_sql}) AS rank",
+        )
+        .where(f"rank <= {int(k)}")
+        .selectExpr(
+            "query_id", "vec_id", f"round(_s, 4) AS {out_name}", "rank"
+        )
     )
 
 

@@ -4353,3 +4353,284 @@ class TestSqlTextBuilderEquivalence:
         ref = df.select("i", lang_id(F.col("t")).alias("p")).orderBy("i")
         assert got.schema == ref.schema
         assert got.collect() == ref.collect()
+
+    def test_bm25_tfidf_rrf_match_column_reference(self, spark):
+        from exosql_spark.cache import managed_persist_disk, release_caches
+        from exosql_spark.operators import ranking as R
+        from exosql_spark.queries._util import fround
+
+        def column_bm25(df, query_terms, k=20, k1=1.2, b=0.75, nd=4):
+            # the pre-r18 builder, verbatim
+            qt = [str(t) for t in query_terms]
+            terms = R._terms(df, "text", "doc_id")
+            per_doc = terms.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("dl"),
+                *[
+                    F.sum(
+                        F.when(F.col("term") == t, 1).otherwise(0)
+                    ).alias(f"tf_{i}")
+                    for i, t in enumerate(qt)
+                ],
+            )
+            per_doc = per_doc.transform(managed_persist_disk)
+            stats = per_doc.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+                *[
+                    F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                    for i in range(len(qt))
+                ],
+            )
+
+            def contrib(i):
+                tf = F.col(f"tf_{i}")
+                idf = F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                    / (F.col(f"df_{i}") + F.lit(0.5))
+                )
+                denom = tf + F.lit(k1) * (
+                    F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+                )
+                return idf * tf * F.lit(k1 + 1.0) / denom
+
+            score = contrib(0)
+            for i in range(1, len(qt)):
+                score = score + contrib(i)
+            any_term = None
+            for i in range(len(qt)):
+                cond = F.col(f"tf_{i}") > 0
+                any_term = cond if any_term is None else (any_term | cond)
+            return (
+                per_doc.crossJoin(F.broadcast(stats))
+                .where(any_term)
+                .select(F.col("doc_id"), fround(score, nd).alias("bm25"))
+                .orderBy(F.col("bm25").desc(), "doc_id")
+                .limit(k)
+            )
+
+        rows = [
+            (1, "data systems and data pipelines process data"),
+            (2, "the cat sat on the mat"),
+            (3, "data quality matters for model training runs"),
+            (4, "irrelevant text entirely about gardening tulips"),
+            (5, "pipelines pipelines pipelines"),
+            (6, "model training data systems"),
+            (7, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        terms = ["data", "pipelines", "training's"]  # quote-escape path
+        got = R.bm25_topk(df, terms, k=10).collect()
+        release_caches(spark)
+        ref = column_bm25(df, terms, k=10).collect()
+        release_caches(spark)
+        assert got == ref
+
+        got_t = R.tfidf_top_terms(df, k=8).collect()
+
+        def column_tfidf(df, k=8, nd=4):  # pre-r18, verbatim
+            terms = R._terms(df, "text", "doc_id")
+            n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+            per_term = terms.groupBy("term").agg(
+                F.count(F.lit(1)).alias("total_tf"),
+                F.count_distinct(F.col("doc_id")).alias("doc_freq"),
+            )
+            idf = (
+                F.log(
+                    (F.lit(1.0) + F.col("n_docs"))
+                    / (F.lit(1.0) + F.col("doc_freq"))
+                )
+                + F.lit(1.0)
+            )
+            return (
+                per_term.crossJoin(F.broadcast(n_docs))
+                .select(
+                    "term",
+                    "total_tf",
+                    "doc_freq",
+                    fround(F.col("total_tf") * idf, nd).alias("tfidf"),
+                )
+                .orderBy(F.col("tfidf").desc(), "term")
+                .limit(k)
+            )
+
+        assert got_t == column_tfidf(df).collect()
+
+        from pyspark.sql import Window
+
+        def column_rrf(lists, k0=60, k=15, nd=6):  # pre-r18, verbatim
+            u = None
+            for d in lists:
+                part = d.select(
+                    F.col("doc_id").alias("_id"), F.col("rank").alias("_r")
+                )
+                u = part if u is None else u.unionByName(part)
+            fused = u.groupBy("_id").agg(
+                fround(
+                    F.sum(F.lit(1.0) / (F.lit(float(k0)) + F.col("_r"))), nd
+                ).alias("_rrf"),
+                F.count(F.lit(1)).alias("n_lists"),
+            )
+            w = Window.orderBy(F.col("_rrf").desc(), F.col("_id"))
+            return (
+                fused.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.col("_id").alias("doc_id"),
+                    F.col("_rrf").alias("rrf"),
+                    "n_lists",
+                    "rank",
+                )
+            )
+
+        l1 = spark.createDataFrame(
+            [(1, 1), (2, 2), (3, 3), (9, 4)], "doc_id long, rank int"
+        )
+        l2 = spark.createDataFrame(
+            [(3, 1), (1, 2), (7, 3)], "doc_id long, rank int"
+        )
+        got_r = R.rrf_fuse([l1, l2], k0=60, k=3)
+        ref_r = column_rrf([l1, l2], k0=60, k=3)
+        assert got_r.schema == ref_r.schema
+        assert got_r.collect() == ref_r.collect()
+
+    def test_cosine_topk_and_rerank_match_column_reference(self, spark):
+        from pyspark.sql import Window
+
+        from exosql_spark.operators import similarity as S
+
+        def column_cosine_topk(corpus, queries, k=10):  # pre-r18, verbatim
+            q = F.broadcast(
+                queries.select(
+                    F.col("query_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"),
+                )
+            )
+            scored = (
+                corpus.select(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("c_vec"),
+                )
+                .crossJoin(q)
+                .select(
+                    "query_id",
+                    "vec_id",
+                    S.cosine(F.col("c_vec"), F.col("q_vec")).alias("_sim"),
+                )
+            )
+            partial = (
+                scored.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid", "query_id")
+                .agg(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    (-F.col("_sim")).alias("ns"),
+                                    F.col("vec_id").alias("v"),
+                                    F.col("_sim").alias("s"),
+                                )
+                            )
+                        ),
+                        1,
+                        k,
+                    ).alias("_top")
+                )
+                .select("query_id", F.explode("_top").alias("_t"))
+                .select(
+                    "query_id",
+                    F.col("_t.v").alias("vec_id"),
+                    F.col("_t.s").alias("_sim"),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("_sim").desc(), F.col("vec_id")
+            )
+            return (
+                partial.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.round("_sim", 4).alias("cosine_sim"),
+                    "rank",
+                )
+            )
+
+        import random
+
+        rng = random.Random(7)
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+            "vec_id long, embedding array<float>",
+        )
+        queries = spark.createDataFrame(
+            [(100, [rng.uniform(-1, 1) for _ in range(8)]),
+             (101, [rng.uniform(-1, 1) for _ in range(8)])],
+            "query_id long, embedding array<float>",
+        )
+        got = S.cosine_topk(corpus, queries, k=5)
+        ref = column_cosine_topk(corpus, queries, k=5)
+        assert got.schema == ref.schema
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+        def column_exact_rerank(shortlist, corpus, queries, k, metric):
+            # pre-r18, verbatim
+            cand = F.broadcast(
+                shortlist.select(
+                    F.col("query_id").alias("query_id"),
+                    F.col("vec_id").alias("vec_id"),
+                ).distinct()
+            )
+            qv = F.broadcast(
+                queries.select(
+                    F.col("query_id").alias("query_id"),
+                    F.col("embedding").alias("q_vec"),
+                )
+            )
+            matched = (
+                corpus.select(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("c_vec"),
+                )
+                .join(cand, "vec_id")
+                .join(qv, "query_id")
+            )
+            if metric == "cosine":
+                score = S.cosine(F.col("c_vec"), F.col("q_vec"))
+                order = [F.col("_s").desc_nulls_last(), F.col("vec_id")]
+                out_name = "cosine_sim"
+            else:
+                score = F.aggregate(
+                    F.zip_with(
+                        F.col("c_vec"),
+                        F.col("q_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                order = [F.col("_s").asc_nulls_last(), F.col("vec_id")]
+                out_name = "exact_sq_dist"
+            w = Window.partitionBy("query_id").orderBy(*order)
+            return (
+                matched.select("query_id", "vec_id", score.alias("_s"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(
+                    "query_id",
+                    "vec_id",
+                    F.round("_s", 4).alias(out_name),
+                    "rank",
+                )
+            )
+
+        shortlist = got.select("query_id", "vec_id")
+        for metric in ("sq_l2", "cosine"):
+            got_r = S.exact_rerank(shortlist, corpus, queries, k=3, metric=metric)
+            ref_r = column_exact_rerank(shortlist, corpus, queries, 3, metric)
+            assert got_r.schema == ref_r.schema
+            assert got_r.collect() == ref_r.collect()
