@@ -20,7 +20,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -80,8 +80,19 @@ def asof_join(
         c for c in right.columns if c not in (on, right_ts)
     ]
 
+    # SQL-text column programs (r18 optimization round, guide §1.2):
+    # the tagged-union selects, carry windows and unpack select below
+    # were composed through the Column API at ~0.17 ms of py4j
+    # round-trip latency per node (2,491 round trips for one 3-variant
+    # join_asof_suite build) and struct_ddl ANALYZED a fresh select per
+    # side just to read types that df.schema already holds. Same
+    # trees, same values — pinned by the asof equivalence test and the
+    # exact join_asof_suite oracle.
+    def q(name: str) -> str:
+        return "`" + name.replace("`", "``") + "`"
+
     def struct_ddl(df: DataFrame, cols: list[str]) -> str:
-        fields = df.select(*cols).schema.fields
+        fields = [df.schema[c] for c in cols]
         return (
             "struct<"
             + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in fields)
@@ -91,44 +102,44 @@ def asof_join(
     r_ddl = struct_ddl(right, [right_ts, *value_cols])
     l_ddl = struct_ddl(left, list(left.columns))
 
-    l_tagged = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),  # left sorts after right on ties (<=)
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
-        F.lit(None).cast(r_ddl).alias("_r"),
+    l_tagged = left.selectExpr(
+        f"{q(on)} AS _k",
+        f"{q(left_ts)} AS _ts",
+        "1 AS _side",  # left sorts after right on ties (<=)
+        "struct(" + ", ".join(q(c) for c in left.columns) + ") AS _l",
+        f"CAST(NULL AS {r_ddl}) AS _r",
     )
-    r_tagged = right.select(
-        F.col(on).alias("_k"),
-        F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(l_ddl).alias("_l"),
-        F.struct(F.col(right_ts), *[F.col(c) for c in value_cols]).alias("_r"),
+    r_tagged = right.selectExpr(
+        f"{q(on)} AS _k",
+        f"{q(right_ts)} AS _ts",
+        "0 AS _side",
+        f"CAST(NULL AS {l_ddl}) AS _l",
+        "struct("
+        + ", ".join(q(c) for c in [right_ts, *value_cols])
+        + ") AS _r",
     )
     # strict (</>): left rows sort BEFORE right rows at equal ts so the
     # carried value excludes same-instant right rows. Forward mode =
     # the same merge over descending ts (carry the next right row).
-    order_side = F.col("_side").asc() if not strict else F.col("_side").desc()
+    side_sql = "_side ASC" if not strict else "_side DESC"
+
+    def carry_sql(ts_order: str) -> str:
+        return (
+            "last(_r, true) OVER (PARTITION BY _k"
+            f" ORDER BY _ts {ts_order}, {side_sql}"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+
     if direction == "nearest":
         # both carries over ONE union: the backward candidate is the
         # max right ts <= left ts (nearest below), the forward one the
         # min right ts >= left ts (nearest above) — the global nearest
         # is whichever delta is smaller, backward on equidistant ties
         # (the earlier row, pandas merge_asof's rule)
-        w_b = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_ts").asc(), order_side)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        w_f = (
-            Window.partitionBy("_k")
-            .orderBy(F.col("_ts").desc(), order_side)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        u = (
-            l_tagged.unionByName(r_tagged)
-            .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_b))
-            .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_f))
+        u = l_tagged.unionByName(r_tagged).selectExpr(
+            "*",
+            f"{carry_sql('ASC')} AS _mb",
+            f"{carry_sql('DESC')} AS _mf",
         )
         # Deltas in exact long arithmetic: timestamps → epoch micros
         # (a subtraction of raw TIMESTAMP columns would only work via
@@ -150,38 +161,30 @@ def asof_join(
                 f"{right.schema[right_ts].dataType.simpleString()}"
             )
         if l_is_ts:
-            _num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+            _num = lambda e: f"unix_micros(CAST({e} AS TIMESTAMP))"  # noqa: E731
         else:
-            _num = lambda c: c  # noqa: E731
-        d_b = F.abs(_num(F.col("_ts")) - _num(F.col("_mb")[right_ts]))
-        d_f = F.abs(_num(F.col("_mf")[right_ts]) - _num(F.col("_ts")))
-        merged = u.withColumn(
-            "_match",
-            F.when(F.col("_mb").isNull(), F.col("_mf"))
-            .when(F.col("_mf").isNull(), F.col("_mb"))
-            .when(d_b <= d_f, F.col("_mb"))
-            .otherwise(F.col("_mf")),
+            _num = lambda e: e  # noqa: E731
+        d_b = f"abs({_num('_ts')} - {_num('_mb.' + q(right_ts))})"
+        d_f = f"abs({_num('_mf.' + q(right_ts))} - {_num('_ts')})"
+        merged = u.selectExpr(
+            "*",
+            "CASE WHEN _mb IS NULL THEN _mf"
+            " WHEN _mf IS NULL THEN _mb"
+            f" WHEN {d_b} <= {d_f} THEN _mb"
+            " ELSE _mf END AS _match",
         )
     else:
-        order_ts = (
-            F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+        ts_order = "ASC" if direction == "backward" else "DESC"
+        merged = l_tagged.unionByName(r_tagged).selectExpr(
+            "*", f"{carry_sql(ts_order)} AS _match"
         )
-        w = (
-            Window.partitionBy("_k")
-            .orderBy(order_ts, order_side)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        merged = l_tagged.unionByName(r_tagged).withColumn(
-            "_match", F.last("_r", ignorenulls=True).over(w)
-        )
-    out = merged.filter(F.col("_side") == 1).select(
-        *[F.col("_l")[c].alias(c) for c in left.columns],
+    return merged.where("_side = 1").selectExpr(
+        *[f"_l.{q(c)} AS {q(c)}" for c in left.columns],
         *[
-            F.col("_match")[c].alias(f"{c}{suffix}")
+            f"_match.{q(c)} AS {q(c + suffix)}"
             for c in [right_ts, *value_cols]
         ],
     )
-    return out
 
 
 def range_join(

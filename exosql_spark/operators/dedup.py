@@ -553,59 +553,57 @@ def jaccard_index_pairs(
     # the downstream joins — persist it once or Catalyst re-executes the
     # explode per consumer (df-agg, size-agg, both self-join sides)
     sh = sh.transform(managed_persist_disk)
-    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    # SQL-text column programs from here down (r18 — block comment at
+    # _sql_ident): the Column-API build of this operator cost 1,227
+    # py4j round trips (~0.5 s/run, ≈ the entry's whole compute at
+    # sf0.1); same trees, pinned by TestSqlTextBuilderEquivalence and
+    # the exact dedup_jaccard_exact_pairs oracle.
+    dfreq = sh.groupBy("_h").agg(F.expr("count(1) AS _df"))
     if not prefix_filter:
-        sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("_h"), "_h")
-        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+        sh = sh.join(dfreq.where(f"_df <= {int(max_df)}").select("_h"), "_h")
+        sizes = sh.groupBy("_id").agg(F.expr("count(1) AS _n"))
         a, b = sh.alias("a"), sh.alias("b")
         inter = (
-            a.join(
-                b,
-                (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")),
-            )
+            a.join(b, F.expr("a._h = b._h AND a._id < b._id"))
             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("_inter"))
+            .agg(F.expr("count(1) AS _inter"))
         )
-        na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
-        nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+        na = sizes.selectExpr("_id AS id_a", "_n AS _na")
+        nb = sizes.selectExpr("_id AS id_b", "_n AS _nb")
         return (
             inter.join(na, "id_a")
             .join(nb, "id_b")
-            .select(
+            .selectExpr(
                 "id_a",
                 "id_b",
-                F.round(
-                    F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")),
-                    4,
-                ).alias("jaccard_sim"),
+                "round(_inter / (_na + _nb - _inter), 4) AS jaccard_sim",
             )
-            .filter(F.col("jaccard_sim") >= threshold)
+            .where(f"jaccard_sim >= {float(threshold)!r}D")
         )
 
     # ---- prefix-filtered path ----
     t_prefix = max(0.0, threshold - 1e-4)
+    t_sql = f"{float(t_prefix)!r}D"
     docs = (
-        sh.join(dfreq.filter(F.col("_df") <= max_df), "_h")
+        sh.join(dfreq.where(f"_df <= {int(max_df)}"), "_h")
         .groupBy("_id")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_sorted"))
-        .select(
+        .agg(F.expr("array_sort(collect_list(struct(_df, _h))) AS _sorted"))
+        .selectExpr(
             "_id",
-            F.transform("_sorted", lambda s: s["_h"]).alias("_hs"),
-            F.size("_sorted").alias("_n"),
+            "transform(_sorted, s -> s._h) AS _hs",
+            "size(_sorted) AS _n",
         )
         # three consumers: prefix explode + both verification sides
         .transform(managed_persist_disk)
     )
-    prefix_len = (
-        F.col("_n") - F.ceil(F.col("_n") * F.lit(t_prefix)).cast("int") + F.lit(1)
-    )
+    prefix_len = f"_n - CAST(ceil(_n * {t_sql}) AS INT) + 1"
     # posexplode: the 0-based prefix position rides along for the
     # PPJoin positional filter below (the ubound formula expects
     # 0-based positions)
-    pref = docs.select(
+    pref = docs.selectExpr(
         "_id",
-        F.col("_n"),
-        F.posexplode(F.slice("_hs", F.lit(1), prefix_len)).alias("_p", "_h"),
+        "_n",
+        f"posexplode(slice(_hs, 1, {prefix_len})) AS (_p, _h)",
     )
     a, b = pref.alias("a"), pref.alias("b")
     # PPJoin positional + length filters (Xiao et al., WWW'08 — both
@@ -619,44 +617,32 @@ def jaccard_index_pairs(
     # here is a row that never shuffles its doc arrays. The length
     # filter (t·nb ≤ na, both orders) is the coarse special case that
     # also prunes unbalanced pairs the position test misses at p=0.
-    alpha = F.ceil(
-        F.lit(t_prefix) / F.lit(1.0 + t_prefix)
-        * (F.col("a._n") + F.col("b._n"))
-    ).cast("int")
-    ubound = F.lit(1) + F.least(
-        F.col("a._n") - F.col("a._p") - F.lit(1),
-        F.col("b._n") - F.col("b._p") - F.lit(1),
+    alpha = (
+        f"CAST(ceil({t_sql} / {float(1.0 + t_prefix)!r}D"
+        " * (a._n + b._n)) AS INT)"
     )
+    ubound = "1 + least(a._n - a._p - 1, b._n - b._p - 1)"
     cands = (
-        a.join(
-            b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id"))
+        a.join(b, F.expr("a._h = b._h AND a._id < b._id"))
+        .where(
+            f"{ubound} >= {alpha}"
+            f" AND a._n >= {t_sql} * b._n AND b._n >= {t_sql} * a._n"
         )
-        .filter(
-            (ubound >= alpha)
-            & (F.col("a._n") >= F.lit(t_prefix) * F.col("b._n"))
-            & (F.col("b._n") >= F.lit(t_prefix) * F.col("a._n"))
-        )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .selectExpr("a._id AS id_a", "b._id AS id_b")
         .distinct()
     )
-    da = docs.select(
-        F.col("_id").alias("id_a"), F.col("_hs").alias("_hs_a"), F.col("_n").alias("_na")
-    )
-    db = docs.select(
-        F.col("_id").alias("id_b"), F.col("_hs").alias("_hs_b"), F.col("_n").alias("_nb")
-    )
-    inter = F.size(F.array_intersect("_hs_a", "_hs_b"))
+    da = docs.selectExpr("_id AS id_a", "_hs AS _hs_a", "_n AS _na")
+    db = docs.selectExpr("_id AS id_b", "_hs AS _hs_b", "_n AS _nb")
+    inter = "size(array_intersect(_hs_a, _hs_b))"
     return (
         cands.join(da, "id_a")
         .join(db, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(inter / (F.col("_na") + F.col("_nb") - inter), 4).alias(
-                "jaccard_sim"
-            ),
+            f"round({inter} / (_na + _nb - {inter}), 4) AS jaccard_sim",
         )
-        .filter(F.col("jaccard_sim") >= threshold)
+        .where(f"jaccard_sim >= {float(threshold)!r}D")
     )
 
 

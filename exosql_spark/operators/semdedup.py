@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist
 
-from exosql_spark.operators.similarity import _norm, cosine
+from exosql_spark.operators.similarity import _cosine_sql, _norm, cosine  # noqa: F401 — cosine kept for API parity
 
 # Measured k ∝ n rule (round-8 100× experiment; SCALE.md "SemDeDup at
 # 100×"): clusters of ~125 vectors keep candidate work Σ|c|² ≈ 125·n/2
@@ -67,11 +67,24 @@ def normalize_embeddings(
     df: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:
     """Scale each vector to unit L2 norm (as double); zero/empty
-    vectors pass through unscaled rather than dividing by zero."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    n = _norm(v)
-    unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
-    return df.withColumn(vec_col, unit)
+    vectors pass through unscaled rather than dividing by zero.
+
+    SQL-text form (r18 — block comment at similarity._cosine_sql):
+    same tree as the Column build (the norm subtree inlines at each
+    reference in both forms), one py4j round trip."""
+    c = "`" + vec_col.replace("`", "``") + "`"
+    v = f"transform({c}, x -> cast(x as double))"
+    n = (
+        f"sqrt(aggregate(transform({v}, x -> x * x), 0.0D,"
+        " (acc, v) -> acc + v))"
+    )
+    return df.withColumn(
+        vec_col,
+        F.expr(
+            f"CASE WHEN {n} > 0 THEN transform({v}, x -> x / {n})"
+            f" ELSE {v} END"
+        ),
+    )
 
 
 def _cosine_pandas_udf():
@@ -201,24 +214,26 @@ def semantic_dedup_pairs(
     # barrier the k-distance assignment math runs twice per row
     sides = _cap_buckets(sides, ["cluster"], max_cluster).transform(managed_persist)
     a, b = sides.alias("a"), sides.alias("b")
+    # SQL-text join condition + hof score (r18 — block comment at
+    # similarity._cosine_sql); the pandas scorer keeps the Column
+    # select (a UDF column can't ride selectExpr).
+    joined = a.join(b, F.expr("a.cluster = b.cluster AND a._id < b._id"))
     if scorer == "pandas":
         sim = _cosine_pandas_udf()(F.col("a._vec"), F.col("b._vec"))
-    else:
-        sim = cosine(F.col("a._vec"), F.col("b._vec"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
+        scored = joined.select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
             F.col("a.cluster").alias("cluster"),
             F.round(sim, 4).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    else:
+        scored = joined.selectExpr(
+            "a._id AS id_a",
+            "b._id AS id_b",
+            "a.cluster AS cluster",
+            f"round({_cosine_sql('a._vec', 'b._vec')}, 4) AS cosine_sim",
+        )
+    return scored.where(f"cosine_sim >= {float(threshold)!r}D")
 
 
 def semantic_dedup(

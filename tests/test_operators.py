@@ -4634,3 +4634,223 @@ class TestSqlTextBuilderEquivalence:
             ref_r = column_exact_rerank(shortlist, corpus, queries, 3, metric)
             assert got_r.schema == ref_r.schema
             assert got_r.collect() == ref_r.collect()
+
+    def test_asof_join_matches_column_reference(self, spark):
+        from pyspark.sql import Window
+
+        from exosql_spark.operators.asof import asof_join
+
+        def column_asof(left, right, on, left_ts="ts", right_ts="ts",
+                        value_cols=None, suffix="_right", strict=False,
+                        direction="backward"):
+            # the pre-r18 builder, verbatim
+            value_cols = value_cols or [
+                c for c in right.columns if c not in (on, right_ts)
+            ]
+
+            def struct_ddl(df, cols):
+                fields = df.select(*cols).schema.fields
+                return (
+                    "struct<"
+                    + ",".join(
+                        f"{f.name}:{f.dataType.simpleString()}" for f in fields
+                    )
+                    + ">"
+                )
+
+            r_ddl = struct_ddl(right, [right_ts, *value_cols])
+            l_ddl = struct_ddl(left, list(left.columns))
+            l_tagged = left.select(
+                F.col(on).alias("_k"),
+                F.col(left_ts).alias("_ts"),
+                F.lit(1).alias("_side"),
+                F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+                F.lit(None).cast(r_ddl).alias("_r"),
+            )
+            r_tagged = right.select(
+                F.col(on).alias("_k"),
+                F.col(right_ts).alias("_ts"),
+                F.lit(0).alias("_side"),
+                F.lit(None).cast(l_ddl).alias("_l"),
+                F.struct(
+                    F.col(right_ts), *[F.col(c) for c in value_cols]
+                ).alias("_r"),
+            )
+            order_side = (
+                F.col("_side").asc() if not strict else F.col("_side").desc()
+            )
+            if direction == "nearest":
+                w_b = (
+                    Window.partitionBy("_k")
+                    .orderBy(F.col("_ts").asc(), order_side)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                w_f = (
+                    Window.partitionBy("_k")
+                    .orderBy(F.col("_ts").desc(), order_side)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                u = (
+                    l_tagged.unionByName(r_tagged)
+                    .withColumn("_mb", F.last("_r", ignorenulls=True).over(w_b))
+                    .withColumn("_mf", F.last("_r", ignorenulls=True).over(w_f))
+                )
+                l_is_ts = (
+                    left.schema[left_ts].dataType.typeName().startswith(
+                        "timestamp"
+                    )
+                )
+                if l_is_ts:
+                    _num = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+                else:
+                    _num = lambda c: c  # noqa: E731
+                d_b = F.abs(_num(F.col("_ts")) - _num(F.col("_mb")[right_ts]))
+                d_f = F.abs(_num(F.col("_mf")[right_ts]) - _num(F.col("_ts")))
+                merged = u.withColumn(
+                    "_match",
+                    F.when(F.col("_mb").isNull(), F.col("_mf"))
+                    .when(F.col("_mf").isNull(), F.col("_mb"))
+                    .when(d_b <= d_f, F.col("_mb"))
+                    .otherwise(F.col("_mf")),
+                )
+            else:
+                order_ts = (
+                    F.col("_ts").asc()
+                    if direction == "backward"
+                    else F.col("_ts").desc()
+                )
+                w = (
+                    Window.partitionBy("_k")
+                    .orderBy(order_ts, order_side)
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                merged = l_tagged.unionByName(r_tagged).withColumn(
+                    "_match", F.last("_r", ignorenulls=True).over(w)
+                )
+            return merged.filter(F.col("_side") == 1).select(
+                *[F.col("_l")[c].alias(c) for c in left.columns],
+                *[
+                    F.col("_match")[c].alias(f"{c}{suffix}")
+                    for c in [right_ts, *value_cols]
+                ],
+            )
+
+        left = spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2), ("a", 5, 3), ("b", 7, 4), ("c", 1, 5)],
+            "k string, ts long, lid long",
+        )
+        right = spark.createDataFrame(
+            [("a", 10, 1.5), ("a", 15, 2.5), ("b", 9, 3.5), ("d", 1, 9.9)],
+            "k string, ts long, px double",
+        )
+        for direction in ("backward", "forward", "nearest"):
+            for strict in ((False, True) if direction != "nearest" else (False,)):
+                got = asof_join(
+                    left, right, "k", strict=strict, direction=direction
+                )
+                ref = column_asof(
+                    left, right, "k", strict=strict, direction=direction
+                )
+                assert got.schema == ref.schema, (direction, strict)
+                assert sorted(map(tuple, got.collect())) == sorted(
+                    map(tuple, ref.collect())
+                ), (direction, strict)
+        # timestamp path for nearest (unix_micros branch)
+        lts = left.selectExpr("k", "timestamp_micros(ts * 1000000) AS ts", "lid")
+        rts = right.selectExpr("k", "timestamp_micros(ts * 1000000) AS ts", "px")
+        got = asof_join(lts, rts, "k", direction="nearest")
+        ref = column_asof(lts, rts, "k", direction="nearest")
+        assert got.schema == ref.schema
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_jaccard_index_pairs_matches_prior_results(self, spark):
+        from exosql_spark.cache import release_caches
+        from exosql_spark.operators.dedup import jaccard_index_pairs
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "the quick brown fox leaps over the lazy dog"),
+            (4, "entirely different text about gardening tulips here"),
+            (5, "the quick brown fox jumps over the lazy dog"),
+            (6, "short text"),
+            (7, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # Expected pairs computed independently: exact 3-gram Jaccard
+        # over normalized shingle sets (see the operator docstring).
+        import itertools
+        import re as _re
+
+        def sh(t, k=3):
+            toks = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", t.lower())).strip().split()
+            if not toks:
+                return set()
+            if len(toks) < k:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+        sets = {i: sh(t) for i, t in rows}
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            j = int(j * 10000 + 0.5) / 10000  # round half-up like fround/round
+            if j >= 0.3:
+                expect[(a, b)] = j
+        for prefix_filter in (True, False):
+            got = {
+                (r.id_a, r.id_b): r.jaccard_sim
+                for r in jaccard_index_pairs(
+                    df, prefix_filter=prefix_filter
+                ).collect()
+            }
+            release_caches(spark)
+            assert got == expect, prefix_filter
+
+    def test_semdedup_sqltext_matches_column_reference(self, spark):
+        from exosql_spark.operators import semdedup as SD
+        from exosql_spark.operators.similarity import _norm, cosine
+
+        def column_normalize(df, vec_col="embedding"):  # pre-r18, verbatim
+            v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            n = _norm(v)
+            unit = F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+            return df.withColumn(vec_col, unit)
+
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector passes through
+            (5, None),
+            (6, [2.0, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = SD.normalize_embeddings(df).orderBy("vec_id")
+        ref = column_normalize(df).orderBy("vec_id")
+        assert got.schema == ref.schema
+        assert got.collect() == ref.collect()
+
+        corners = [
+            [1.0 if j == i else 0.0 for j in range(4)] for i in range(2)
+        ]
+        # zero-norm and NULL vectors stay out of the pair scoring: the
+        # pair cosine's 0/0 raises under ANSI in the Column form too
+        # (pre-existing contract — normalize guards ITS division, the
+        # scorer assumes callers feed real vectors)
+        got_p = SD.semantic_dedup_pairs(
+            df.filter("vec_id NOT IN (4, 5)"),
+            threshold=0.9,
+            centroids=corners,
+        ).orderBy("id_a", "id_b")
+        # hof scorer path must agree with the round-tripped cosine of
+        # the normalized vectors (ids 1, 2, 6 share cluster 0; 1-2 and
+        # 2-6 and 1-6 are the candidates)
+        vals = {(r.id_a, r.id_b): r.cosine_sim for r in got_p.collect()}
+        assert (1, 6) in vals and vals[(1, 6)] == 1.0
+        assert (1, 2) in vals and abs(vals[(1, 2)] - 0.9939) < 1e-9
