@@ -833,3 +833,100 @@ class TestBenchArtifacts:
 
         live = _catalog.current_fingerprints(_catalog.all_queries())
         assert changed == frozenset(live)
+
+
+class TestPlanNormdiff:
+    """tools/plan_normdiff.py — the r18 plan-evidence comparator. Its
+    verdicts are load-bearing: OPTIMIZATION_r18.md claims 13 of the 14
+    SQL-text conversion plan pairs are structurally identical BASED ON
+    this normalizer, so a normalization that silently ate a real
+    structural difference would turn the round's equivalence evidence
+    into noise. Pin both directions: session-dependent tokens must
+    normalize away, structural differences must survive."""
+
+    @staticmethod
+    def _load():
+        import importlib.util
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tools",
+            "plan_normdiff.py",
+        )
+        spec = importlib.util.spec_from_file_location("plan_normdiff", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_session_dependent_tokens_normalize_away(self):
+        norm = self._load().normalize
+        # realistic formatted-plan syntax: lambda variable REFERENCES are
+        # always printed with the "lambda " prefix ("lambda x_67#90"),
+        # which is what keeps the alpha-rename safe — a bare column
+        # rename (no prefix) deliberately does NOT normalize away
+        a = (
+            "*(3) Project [query_id#512L, vec_id#513]\n"
+            "+- aggregate(transform(v#88, lambdafunction(lambda x_67#90, "
+            "lambda x_67#90, false)), named_struct(a, 1)) [codegen id : 3]\n"
+            "   [plan_id=42]"
+        )
+        b = (
+            "*(7) Project [query_id#1024L, vec_id#1025]\n"
+            "+- aggregate(transform(v#12, lambdafunction(lambda acc#14, "
+            "lambda acc#14, false)), struct(a, 1)) [codegen id : 7]\n"
+            "   [plan_id=9000]"
+        )
+        assert norm(a) == norm(b)
+
+    def test_structural_differences_survive(self):
+        norm = self._load().normalize
+        # a different operator, a different join key, an extra exchange:
+        # none of these may normalize to equality
+        pairs = [
+            ("SortMergeJoin [k#1], [k#2]", "BroadcastHashJoin [k#1], [k#2]"),
+            ("Exchange hashpartitioning(a#1, 200)",
+             "Exchange hashpartitioning(b#1, 200)"),
+            ("Filter (x#1 > 5)", "Filter (x#1 > 6)"),
+        ]
+        for a, b in pairs:
+            assert norm(a) != norm(b), (a, b)
+
+    def test_committed_r18_pairs_verdicts(self):
+        """The committed evidence itself: every *_before/after pair under
+        plans/r18 except dedup_incremental_batch (the documented
+        concat-to-transform collapse) must normalize identical."""
+        mod = self._load()
+        plans = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "plans", "r18"
+        )
+        import glob
+
+        pairs = sorted(
+            p[: -len("_before.txt")]
+            for p in glob.glob(os.path.join(plans, "*_before.txt"))
+        )
+        sql_text_pairs = [
+            p
+            for p in pairs
+            if os.path.exists(p + "_after.txt")
+            and os.path.basename(p)
+            not in (
+                # pre-resume structural optimizations: the diff IS the point
+                "corpus_quality_deciles",
+                "corpus_curriculum_order",
+                "stats_equidepth_histogram",
+                "multimodal_header_probe_suite",
+                "curate_corpus_pipeline",
+                "text_lang_id",
+                "text_quality_score",
+            )
+        ]
+        assert sql_text_pairs, "no r18 SQL-text plan pairs found"
+        for p in sql_text_pairs:
+            a = mod.normalize(open(p + "_before.txt").read())
+            b = mod.normalize(open(p + "_after.txt").read())
+            name = os.path.basename(p)
+            if name == "dedup_incremental_batch":
+                assert a != b  # the documented intended collapse
+            else:
+                assert a == b, f"{name}: structural drift in committed evidence"
