@@ -515,7 +515,12 @@ class TestBenchArtifacts:
         cb = self._load_compare_bench()
         seen = 0
         for path in sorted(glob.glob(self._repo("BENCH_r*.json"))):
-            rnd = int(re.search(r"BENCH_r(\d+)\.json$", path).group(1))
+            m = re.search(r"BENCH_r(\d+)\.json$", path)
+            if m is None:
+                # auxiliary driver artifacts (BENCH_r18_c8.json, the
+                # low-core run) are not round records
+                continue
+            rnd = int(m.group(1))
             if rnd < 9:
                 continue
             parsed = cb._load(path)  # detail-snapshot fallback inside
@@ -926,7 +931,9 @@ class TestPlanNormdiff:
             a = mod.normalize(open(p + "_before.txt").read())
             b = mod.normalize(open(p + "_after.txt").read())
             name = os.path.basename(p)
-            if name == "dedup_incremental_batch":
-                assert a != b  # the documented intended collapse
+            if name in ("dedup_incremental_batch", "multimodal_triage_mixed"):
+                # documented intended structural changes: the concat-to-
+                # transform collapse and the eval-once JPEG struct fold
+                assert a != b, f"{name}: expected structural diff vanished"
             else:
                 assert a == b, f"{name}: structural drift in committed evidence"
