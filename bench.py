@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: runs the catalog's bench-tagged queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines: first the full
-record including the per-query map, then — as the FINAL line of
-stdout — a COMPACT summary (everything except the per-query map):
+local[$SPARK_GRAFT_CPUS] and prints THREE JSON lines: the full record
+including the per-query map, then the same per-query map at 2-decimal
+precision under abbreviated keys (``perquery_line`` — small enough to
+ride the driver's bounded tail capture; r18 verdict Next #2), then —
+as the FINAL line of stdout — a COMPACT summary (everything except
+the per-query map):
 
   {"metric": "...", "value": N, "unit": "sec", "estimator":
    "min_of_5", "n_queries": K, "query_set_sha1": "...",
@@ -346,6 +349,95 @@ _SHUFFLE_EXCHANGE_RE = re.compile(
 )
 
 
+# Per-query tail map (r18 verdict Next #2).  The driver's PERF
+# comparator records only a bounded (~2000-char) TAIL of stdout, so the
+# full-name per-query map on line 1 is invisible to it and its
+# round-over-round per-query comparison ran empty (PERF_r18.json:
+# per_query {}, n_common 0).  Canonical names don't fit — 69 entries at
+# 2-decimal precision is ~2.1 KB before the ~0.5 KB final summary — so
+# the map is emitted on its own line, immediately before the final
+# summary, under a FIXED reversible abbreviation: an ordered
+# family-prefix table (tpch_q → "T", corpus_ → "C.", …), then each
+# remaining underscore-token truncated to its first 4 characters.  The
+# function is data-independent (same name → same key in every round),
+# so cross-round key matching needs no name list; expansion back to
+# canonical names resolves against the committed detail's query_set
+# (expand_query_names).  Injectivity over the whole catalog is pinned
+# by tests/test_tools.py; at runtime a collision falls back to the
+# colliding entries' full names rather than merging them.
+_ABBREV_PREFIXES = (
+    ("similarity_topk_", "S."),
+    ("search_hybrid_rrf", "R"),
+    ("multimodal_", "M."),
+    ("streaming_", "Y."),
+    ("corpus_", "C."),
+    ("dedup_", "D."),
+    ("graph_", "G."),
+    ("tpch_q", "T"),
+    ("text_", "X."),
+    ("events_", "E."),
+    ("stats_", "A."),
+    ("join_", "J."),
+    ("window_", "W."),
+    ("federation_", "F."),
+    ("embedding_", "B."),
+    ("eval_", "V."),
+    ("fn_", "N."),
+    ("agg_", "Q."),
+    ("filter_", "I."),
+    ("sample_", "P."),
+    ("layout_", "L."),
+    ("skew_", "Z."),
+    ("udf_", "U."),
+    ("curate_", "K."),
+    ("recursive_", "H."),
+    ("pack_", "O."),
+)
+
+
+def abbrev_query_name(name: str) -> str:
+    """Deterministic short key for the tail-line per-query map: family
+    prefix code + first-4-chars of each remaining underscore-token."""
+    code, rest = "", name
+    for pre, short in _ABBREV_PREFIXES:
+        if name.startswith(pre):
+            code, rest = short, name[len(pre):]
+            break
+    return code + "".join(t[:4] for t in rest.split("_"))
+
+
+def expand_query_names(keys, names) -> dict[str, str]:
+    """abbreviated-key → canonical-name map for the given catalog
+    ``names`` (e.g. a committed detail's query_set)."""
+    rev = {abbrev_query_name(n): n for n in names}
+    return {k: rev[k] for k in keys if k in rev}
+
+
+def perquery_line(out: dict) -> str:
+    """The second-to-last stdout line: the whole per-query map at
+    2-decimal precision under abbreviated keys — small enough that it
+    and the final summary line BOTH fit the driver's tail capture."""
+    per_query = out.get("queries", {})
+    keyed: dict[str, float] = {}
+    collided = set()
+    for name in per_query:
+        k = abbrev_query_name(name)
+        if k in keyed:
+            collided.add(k)
+        keyed[k] = per_query[name]
+    if collided:
+        # never merge two entries under one key: colliding entries keep
+        # their full names (still parsable, a few chars longer)
+        keyed = {}
+        for name in per_query:
+            k = abbrev_query_name(name)
+            keyed[name if k in collided else k] = per_query[name]
+    return json.dumps(
+        {"q2dp": {k: round(v, 2) for k, v in sorted(keyed.items())}},
+        separators=(",", ":"),
+    )
+
+
 def summary_line(out: dict) -> str:
     """The compact FINAL-stdout-line JSON: ``out`` minus the bulky
     per-query map, plus a pointer at where the map lives.  Split out
@@ -541,6 +633,10 @@ def main() -> None:
     # guaranteed to hold intact.
     sys.stdout.flush()
     print(json.dumps(out, separators=(",", ":")))
+    # second-to-last line: the whole per-query map, abbreviated to fit
+    # the driver's tail capture alongside the final summary (r18
+    # verdict Next #2) — the FINAL compact line is unchanged.
+    print(perquery_line(out))
     print(summary_line(out))
     sys.stdout.flush()
 

@@ -633,6 +633,85 @@ class TestBenchArtifacts:
         assert "excluded" not in parsed and parsed["n_excluded"] == 600
         assert len(line) < 800
 
+    def test_perquery_line_fits_tail_with_summary(self):
+        """r18 verdict Next #2: the driver records only a bounded
+        ~2000-char stdout tail, so the abbreviated per-query line PLUS
+        the final summary line must fit it together — for the REAL
+        bench set, with worst-case 5-char values and the storm-repass
+        summary scalars present."""
+        import json
+        import sys
+
+        sys.path.insert(0, self._repo(""))
+        try:
+            from exosql_spark.catalog import all_queries
+        finally:
+            sys.path.pop(0)
+        bench = self._bench_module()
+        names = sorted(n for n, q in all_queries().items() if q.bench)
+        out = {
+            "metric": "headline_queries_total_wall",
+            "excluded": [],
+            "value": 123.456,
+            "unit": "sec",
+            "calibration_sec": 0.245,
+            "calibration_shuffle_sec": 0.869,
+            "calibration_sec_end": 0.245,
+            "calibration_shuffle_sec_end": 0.869,
+            "estimator": "min_of_5",
+            "n_queries": len(names),
+            "n_repassed": 3,
+            "n_repassed_drift": 2,
+            "query_set_sha1": "4a6c8042204c",
+            "queries": {n: 12.34 for n in names},  # worst-case width
+            "sf": 0.1,
+            "repass_calibration_sec": 0.177,
+            "repass_calibration_sec_end": 0.154,
+            "repass_calibration_shuffle_sec": 0.887,
+            "repass_calibration_shuffle_sec_end": 0.822,
+        }
+        pq_line = bench.perquery_line(out)
+        s_line = bench.summary_line(out)
+        combined = len(pq_line) + len(s_line) + 2  # two newlines
+        assert combined < 2000, combined
+        m = json.loads(pq_line)["q2dp"]
+        assert len(m) == len(names)
+        assert all(v == 12.34 for v in m.values())
+
+    def test_query_name_abbreviation_round_trips(self):
+        """The abbreviation must be injective over the ENTIRE catalog
+        (not just the bench set — future bench additions come from
+        there) and must expand back to canonical names against a name
+        list; a collision would silently merge two entries' timings in
+        the driver's tail record."""
+        import sys
+
+        sys.path.insert(0, self._repo(""))
+        try:
+            from exosql_spark.catalog import all_queries
+        finally:
+            sys.path.pop(0)
+        bench = self._bench_module()
+        names = sorted(all_queries())
+        keys = [bench.abbrev_query_name(n) for n in names]
+        assert len(set(keys)) == len(names), "abbreviation collision"
+        expanded = bench.expand_query_names(keys, names)
+        assert [expanded[k] for k in keys] == names
+
+    def test_perquery_line_collision_fallback(self):
+        """A runtime collision (two names sharing an abbreviated key)
+        must fall back to full names for the colliding entries, never
+        merge them under one key."""
+        import json
+
+        bench = self._bench_module()
+        a, b = "zz_abcd_x", "zz_abcde_x"  # same 4-char token prefixes
+        assert bench.abbrev_query_name(a) == bench.abbrev_query_name(b)
+        out = {"queries": {a: 1.0, b: 2.0, "q1_pricing_summary": 3.0}}
+        m = json.loads(bench.perquery_line(out))["q2dp"]
+        assert m[a] == 1.0 and m[b] == 2.0
+        assert m[bench.abbrev_query_name("q1_pricing_summary")] == 3.0
+
     def _bench_module(self):
         import importlib.util as ilu
 
