@@ -41,10 +41,63 @@ nd-rounded ranks — the repo-wide fround convention.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist
+
+#: Target rows per shuffle partition inside the power-iteration loops.
+#: The frames those loops exchange are vertex-keyed and O(|V|)- or
+#: O(|E|)-row bounded (the contribution groupBy is map-side combined,
+#: the re-attach join ships the |V| rank frame) at ~24–32 bytes/row,
+#: and the per-row work is a hash-join probe + sum — compute-light, so
+#: partitions sized well under the guide §2.2 shuffle ceiling (1M rows
+#: ≈ 25–30 MB) keep mid-size graphs parallel on wide clusters without
+#: making tasks small in absolute terms.  Overridable per deployment.
+_LOOP_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_ROWS_PER_TASK", "1000000")
+)
+
+
+def _loop_partitions(spark, n_rows: int) -> tuple[int, int]:
+    """(derived loop partition count, session default).  Derived from
+    the MEASURED per-iteration row bound (guide §2: make partitioning
+    scale-adaptive — derive from input size — rather than a constant
+    tuned for local mode or the cluster), clamped to the session's
+    configured ceiling so a deployment's sizing is never exceeded."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = -(-max(int(n_rows), 1) // _LOOP_ROWS_PER_TASK)
+    # floor of a few tasks keeps adjacent tiny stages overlapping in
+    # local runs; at scale ``derived`` dominates and the floor is moot
+    p = max(1, min(4, default), min(default, derived))
+    return p, default
+
+
+@contextmanager
+def _loop_conf(spark, partitions: int):
+    """Scheduling scope for the fixed-shape iteration loops: shuffle
+    partitions pinned to the size-derived ``partitions`` (from
+    :func:`_loop_partitions`) and AQE disabled for the scope's
+    duration (measured r19: AQE re-plans and stage-materializes each
+    tiny fixed-shape iteration as separate jobs — 63 → 24 jobs for 10
+    PageRank iterations at sf0.1 — pure scheduler overhead, while the
+    loop offers AQE nothing to fix: the edge side of the contribution
+    join is cache-partitioned so skew splitting cannot reach it, the
+    vertex-keyed exchanges are unique-key, and the per-iteration shape
+    never changes).  Always restores the caller's confs."""
+    conf = spark.conf
+    saved_aqe = conf.get("spark.sql.adaptive.enabled")
+    saved_p = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        conf.set("spark.sql.shuffle.partitions", saved_p)
 
 
 def pagerank(
@@ -117,9 +170,13 @@ def pagerank(
         return verts.withColumn("rank", F.lit(0.0))
 
     # out-strength: Σ weights per source (== out-degree when
-    # unweighted, since every _w is 1.0)
+    # unweighted, since every _w is 1.0); ``_dc`` counts the rows so
+    # Σ_dc == |E| rides the init observation for free — the loop's
+    # partition sizing (r19, _loop_conf) needs the edge count and this
+    # aggregation already scans every edge exactly once
     out_deg = e.groupBy(F.col("_s").alias("id")).agg(
-        F.sum("_w").alias("_deg")
+        F.sum("_w").alias("_deg"),
+        F.count(F.lit(1)).alias("_dc"),
     )
     # (id, deg, rank): deg NULL marks dangling vertices; checkpointed
     # so every iteration starts from a lineage-free frame.
@@ -137,58 +194,81 @@ def pagerank(
     obs_d = Observation("pagerank_dangling")
     ranks = (
         verts.join(out_deg, "id", "left")
-        .select("id", "_deg", F.lit(1.0 / n).alias("rank"))
         .observe(
             obs_d,
             F.sum(F.when(F.col("_deg").isNull(), 1).otherwise(0)).alias("nd"),
+            F.sum("_dc").alias("ne"),
         )
+        .select("id", "_deg", F.lit(1.0 / n).alias("rank"))
         .localCheckpoint()
     )
     verts.unpersist()
 
     teleport = (1.0 - damping) / n
     has_dangling = (obs_d.get["nd"] or 0) > 0
-    for _ in range(n_iter):
-        prev_ranks = ranks
-        contrib = (
-            e.join(
-                ranks.select(
-                    F.col("id").alias("_s"),
-                    (F.col("rank") / F.col("_deg")).alias("_c"),
-                ),
-                "_s",
-            )
-            .groupBy(F.col("_d").alias("id"))
-            .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
-        )
-        nxt = ranks.select("id", "_deg").join(contrib, "id", "left")
-        if has_dangling:
-            dangling = ranks.filter(F.col("_deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-            )
-            new_rank = F.lit(teleport) + F.lit(damping) * (
-                F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n
-            )
-            nxt = nxt.crossJoin(F.broadcast(dangling))  # 1-row mass attachment
-        else:
-            new_rank = F.lit(teleport) + F.lit(damping) * F.coalesce(
-                F.col("_in"), F.lit(0.0)
-            )
-        ranks = nxt.select("id", "_deg", new_rank.alias("rank")).localCheckpoint(
-            # eager: truncates the 3-ref lineage
-        )
-        if tol is not None:
-            delta = (
-                ranks.select("id", "rank")
-                .join(
-                    prev_ranks.select("id", F.col("rank").alias("_pr")), "id"
+    ne = int(obs_d.get["ne"] or 0)
+    spark = edges.sparkSession
+    # r19 (guide §2.2): the loop's exchanges move O(|V|)-bounded rank
+    # rows (map-side-combined contribution aggregation, |V|-row
+    # re-attach join), so its shuffle partition count should follow the
+    # MEASURED graph size, not the session ceiling — at the ceiling, a
+    # small graph pays a full task wave per exchange per iteration for
+    # rows that fit one task.  When the derived count is far below the
+    # edge frame's layout, ``e`` is re-laid-out ONCE from its cache (a
+    # bounded job over an already-small frame — the re-layout only
+    # triggers when the graph is small relative to the ceiling, so its
+    # cost is self-limiting; big graphs keep their layout and skip it).
+    p_loop, default_p = _loop_partitions(spark, max(n, ne))
+    with _loop_conf(spark, p_loop):
+        if p_loop * 2 <= default_p:
+            e2 = e.repartition(p_loop, "_s").persist()
+            e2.count()  # materialize from e's cache before dropping it
+            e.unpersist()
+            e = e2
+        for _ in range(n_iter):
+            prev_ranks = ranks
+            contrib = (
+                e.join(
+                    ranks.select(
+                        F.col("id").alias("_s"),
+                        (F.col("rank") / F.col("_deg")).alias("_c"),
+                    ),
+                    "_s",
                 )
-                .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
-                .first()
-                .d
+                .groupBy(F.col("_d").alias("id"))
+                .agg(F.sum(F.col("_c") * F.col("_w")).alias("_in"))
             )
-            if delta is not None and delta < tol:
-                break
+            nxt = ranks.select("id", "_deg").join(contrib, "id", "left")
+            if has_dangling:
+                dangling = ranks.filter(F.col("_deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+                new_rank = F.lit(teleport) + F.lit(damping) * (
+                    F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n
+                )
+                nxt = nxt.crossJoin(F.broadcast(dangling))  # 1-row mass
+            else:
+                new_rank = F.lit(teleport) + F.lit(damping) * F.coalesce(
+                    F.col("_in"), F.lit(0.0)
+                )
+            ranks = nxt.select(
+                "id", "_deg", new_rank.alias("rank")
+            ).localCheckpoint(
+                # eager: truncates the 3-ref lineage
+            )
+            if tol is not None:
+                delta = (
+                    ranks.select("id", "rank")
+                    .join(
+                        prev_ranks.select("id", F.col("rank").alias("_pr")),
+                        "id",
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.col("_pr"))).alias("d"))
+                    .first()
+                    .d
+                )
+                if delta is not None and delta < tol:
+                    break
     e.unpersist()
     return ranks.select("id", "rank")
 
@@ -414,9 +494,15 @@ def hits(
     # on the other key.
     e_src = e.repartition(F.col("_s")).persist()
     e_dst = e.repartition(F.col("_d")).persist()
+    from pyspark.sql import Observation
+
+    # endpoint union has exactly 2|E| rows — the edge count rides the
+    # vertex count's job for free (r19, _loop_conf partition sizing)
+    obs_e = Observation("hits_edges")
     verts = (
         e_src.select(F.col("_s").alias("id"))
         .unionByName(e_src.select(F.col("_d").alias("id")))
+        .observe(obs_e, F.count(F.lit(1)).alias("n2e"))
         .distinct()
     )
     n = verts.count()  # the one driver scalar
@@ -432,6 +518,28 @@ def hits(
         F.lit(1.0 / n).alias("auth"),
     ).localCheckpoint()
 
+    ne = int(obs_e.get["n2e"] or 0) // 2
+    spark = edges.sparkSession
+    # r19: same size-derived loop scope as pagerank (see there); both
+    # persisted edge layouts are re-laid-out once when the graph is
+    # small relative to the session's partition ceiling
+    p_loop, default_p = _loop_partitions(spark, max(n, ne))
+    with _loop_conf(spark, p_loop):
+        if p_loop * 2 <= default_p:
+            es2 = e_src.repartition(p_loop, "_s").persist()
+            ed2 = e_dst.repartition(p_loop, "_d").persist()
+            es2.count()
+            ed2.count()  # materialize from the caches before dropping them
+            e_src.unpersist()
+            e_dst.unpersist()
+            e_src, e_dst = es2, ed2
+        scores = _hits_loop(e_src, e_dst, scores, n_iter)
+    e_src.unpersist()
+    e_dst.unpersist()
+    return scores
+
+
+def _hits_loop(e_src, e_dst, scores, n_iter):
     for _ in range(n_iter):
         # authority half-step: pull hub mass along edges, normalize
         a_in = (
@@ -479,8 +587,6 @@ def hits(
             )
             .localCheckpoint()
         )
-    e_src.unpersist()
-    e_dst.unpersist()
     return scores.select("id", "hub", "auth")
 
 
@@ -558,39 +664,57 @@ def trustrank(
         .observe(
             obs_d,
             F.sum(F.when(F.col("_deg").isNull(), 1).otherwise(0)).alias("nd"),
+            # Σ out-degree == |E| (``_deg`` IS a row count here) and the
+            # row count == |V| — both ride the init checkpoint for free;
+            # the loop's partition sizing (r19, _loop_conf) needs them
+            F.sum("_deg").alias("ne"),
+            F.count(F.lit(1)).alias("nv"),
         )
         .localCheckpoint()
     )
     has_dangling = (obs_d.get["nd"] or 0) > 0
-    for _ in range(n_iter):
-        contrib = (
-            e.join(
-                ranks.select(
-                    F.col("id").alias("_s"),
-                    (F.col("rank") / F.col("_deg")).alias("_c"),
-                ),
-                "_s",
+    ne = int(obs_d.get["ne"] or 0)
+    nv = int(obs_d.get["nv"] or 0)
+    spark = edges.sparkSession
+    # r19: same size-derived loop scope as pagerank (see there)
+    p_loop, default_p = _loop_partitions(spark, max(nv, ne))
+    with _loop_conf(spark, p_loop):
+        if p_loop * 2 <= default_p:
+            e2 = e.repartition(p_loop, "_s").persist()
+            e2.count()  # materialize from e's cache before dropping it
+            e.unpersist()
+            e = e2
+        for _ in range(n_iter):
+            contrib = (
+                e.join(
+                    ranks.select(
+                        F.col("id").alias("_s"),
+                        (F.col("rank") / F.col("_deg")).alias("_c"),
+                    ),
+                    "_s",
+                )
+                .groupBy(F.col("_d").alias("id"))
+                .agg(F.sum("_c").alias("_in"))
             )
-            .groupBy(F.col("_d").alias("id"))
-            .agg(F.sum("_c").alias("_in"))
-        )
-        nxt = ranks.select("id", "_deg", "_t").join(contrib, "id", "left")
-        if has_dangling:
-            dangling = ranks.filter(F.col("_deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
-            )
-            nxt = nxt.crossJoin(F.broadcast(dangling))
-            new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(damping) * (
-                F.coalesce(F.col("_in"), F.lit(0.0))
-                + F.col("_dm") * F.col("_t")
-            )
-        else:
-            new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(
-                damping
-            ) * F.coalesce(F.col("_in"), F.lit(0.0))
-        ranks = nxt.select(
-            "id", "_deg", "_t", new_rank.alias("rank")
-        ).localCheckpoint()
+            nxt = ranks.select("id", "_deg", "_t").join(contrib, "id", "left")
+            if has_dangling:
+                dangling = ranks.filter(F.col("_deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+                nxt = nxt.crossJoin(F.broadcast(dangling))
+                new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(
+                    damping
+                ) * (
+                    F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.col("_dm") * F.col("_t")
+                )
+            else:
+                new_rank = F.lit(1.0 - damping) * F.col("_t") + F.lit(
+                    damping
+                ) * F.coalesce(F.col("_in"), F.lit(0.0))
+            ranks = nxt.select(
+                "id", "_deg", "_t", new_rank.alias("rank")
+            ).localCheckpoint()
     e.unpersist()
     return ranks.select("id", "rank")
 
@@ -666,29 +790,45 @@ def kcore(
     c = (
         adj.groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .observe(obs0, F.sum("c").alias("s"))
+        # Σ c == Σ deg == 2|E| (the convergence scalar) and the row
+        # count == |V| — the loop's partition sizing (r19, _loop_conf)
+        # reads both off the init job for free
+        .observe(obs0, F.sum("c").alias("s"), F.count(F.lit(1)).alias("nv"))
         .localCheckpoint()
     )
     prev_sum = obs0.get["s"]
+    nv = int(obs0.get["nv"] or 0)
     from pyspark.sql import Window
 
     w_desc = Window.partitionBy("id").orderBy(F.col("_cn").desc())
-    for i in range(max_iter):
-        neigh = adj.join(
-            c.select(F.col("id").alias("nb"), F.col("c").alias("_cn")), "nb"
-        ).select("id", "_cn")
-        obs = Observation(f"kcore_{i}")
-        new_c = (
-            neigh.withColumn("_r", F.row_number().over(w_desc))
-            .groupBy("id")
-            .agg(F.max(F.least(F.col("_cn"), F.col("_r"))).alias("c"))
-            .observe(obs, F.sum("c").alias("s"))
-            .localCheckpoint()
-        )
-        new_sum = obs.get["s"]
-        c = new_c
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    spark = edges.sparkSession
+    # r19: same size-derived loop scope as pagerank (see there); the
+    # per-iteration frames are the 2|E|-row neighbor expansion and the
+    # |V|-row c frame
+    p_loop, default_p = _loop_partitions(spark, max(nv, int(prev_sum or 0)))
+    with _loop_conf(spark, p_loop):
+        if p_loop * 2 <= default_p:
+            adj2 = adj.repartition(p_loop, "nb").persist()
+            adj2.count()  # materialize from adj's cache before dropping it
+            adj.unpersist()
+            adj = adj2
+        for i in range(max_iter):
+            neigh = adj.join(
+                c.select(F.col("id").alias("nb"), F.col("c").alias("_cn")),
+                "nb",
+            ).select("id", "_cn")
+            obs = Observation(f"kcore_{i}")
+            new_c = (
+                neigh.withColumn("_r", F.row_number().over(w_desc))
+                .groupBy("id")
+                .agg(F.max(F.least(F.col("_cn"), F.col("_r"))).alias("c"))
+                .observe(obs, F.sum("c").alias("s"))
+                .localCheckpoint()
+            )
+            new_sum = obs.get["s"]
+            c = new_c
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     adj.unpersist()
     return c.select("id", F.col("c").cast("int").alias("coreness"))

@@ -3796,6 +3796,49 @@ def test_pagerank_differential_vs_python_reference(spark):
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
 
 
+def test_graph_loop_conf_scope_and_sizing(spark):
+    """r19 loop scope: the derived partition count follows the
+    measured row bound (floor of a few tasks, ceiling at the session
+    conf), the iteration runs under AQE-off + the derived count, and
+    BOTH confs are restored afterwards — including when the loop body
+    raises."""
+    import pytest
+
+    from exosql_spark.operators import graph
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tiny graph → floor; huge row bound → clamped at the ceiling
+    assert graph._loop_partitions(spark, 201)[0] == max(1, min(4, default))
+    big = default * graph._LOOP_ROWS_PER_TASK + 1
+    assert graph._loop_partitions(spark, big) == (default, default)
+    mid = 3 * graph._LOOP_ROWS_PER_TASK
+    assert graph._loop_partitions(spark, mid)[0] == max(
+        1, min(default, max(3, min(4, default)))
+    )
+
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled")
+    with graph._loop_conf(spark, 2):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+
+    with pytest.raises(RuntimeError):
+        with graph._loop_conf(spark, 2):
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+
+    # an operator run leaves the session confs untouched end-to-end
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
+    )
+    graph.pagerank(ring, n_iter=2).collect()
+    graph.kcore(ring, max_iter=2).collect()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe_before
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+
+
 def test_pagerank_tol_early_stop(spark):
     """A ring is at its fixed point from iteration 1 (uniform stays
     uniform exactly), so tol must stop the loop early and return the
