@@ -396,12 +396,17 @@ def dsir_importance(
     top-k keeps the operator oracle-exact — noise belongs to the
     caller, e.g. via ordering.epoch_shuffle's seeded keys).
 
-    100 TB shape: two token passes (one aggregates the two bucket
-    histograms — ``n_buckets`` rows, map-side combined; one scores),
-    the per-bucket log-ratio table is ≤ ``n_buckets`` rows and rides a
-    broadcast join into the scoring scan; the per-doc sum is one
-    hash aggregation keyed by ``id_col``.  Nothing global ever
-    materializes beyond two 1-row totals attached in-plan.
+    100 TB shape: the exploded (id, is_target, bucket) token frame is
+    computed ONCE and persisted (memory-and-disk) — the histogram pass
+    populates it, the scoring pass re-reads it, so the corpus text is
+    scanned and tokenized exactly once (r19; the prior two-pass
+    re-tokenize was A/B-measured slower at sf0.1 AND at the 10× scale
+    point — the cached frame is three narrow columns, SMALLER than the
+    decompressed text it replaces, and spills gracefully).  The
+    histogram is ``n_buckets`` rows, map-side combined; the per-bucket
+    log-ratio table rides a broadcast join into the scoring pass; the
+    per-doc sum is one hash aggregation keyed by ``id_col``.  Nothing
+    global ever materializes beyond two 1-row totals attached in-plan.
 
     Per-token log-ratios pass through DECIMAL(25,6) before summing
     (the repo's dsum convention) so the per-doc sum is
@@ -410,16 +415,20 @@ def dsir_importance(
     from exosql_spark.operators.text import tokens
     from exosql_spark.queries._util import dsum
 
-    toks = docs.select(
-        F.col(id_col),
-        is_target.alias("_t"),
-        F.explode(tokens(text_col)).alias("_tok"),
-    ).select(
-        id_col,
-        "_t",
-        F.pmod(portable_hash60(F.col("_tok")), F.lit(n_buckets).cast("long")).alias(
-            "_b"
-        ),
+    from exosql_spark.cache import managed_persist
+
+    toks = managed_persist(
+        docs.select(
+            F.col(id_col),
+            is_target.alias("_t"),
+            F.explode(tokens(text_col)).alias("_tok"),
+        ).select(
+            id_col,
+            "_t",
+            F.pmod(
+                portable_hash60(F.col("_tok")), F.lit(n_buckets).cast("long")
+            ).alias("_b"),
+        )
     )
     hist = toks.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"),
