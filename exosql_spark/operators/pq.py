@@ -39,8 +39,22 @@ from pyspark.sql import functions as F
 from exosql_spark.operators.clustering import _sq_dist
 
 
+def collect_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple]:
+    """ONE bounded driver collect of ``(id, vector)`` pairs, ordered by
+    id — r19 collect consolidation: the PQ query entries used to pay a
+    separate scan job per driver-side consumer (codebook training
+    sample, query vectors, rerank query frame) even when the consumers
+    read overlapping row sets; collect once, slice driver-side."""
+    return [
+        (r[0], list(r[1]))
+        for r in df.select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+
+
 def train_codebooks(
-    sample: DataFrame,
+    sample: DataFrame | list[tuple],
     m: int = 8,
     k: int = 16,
     iters: int = 3,
@@ -61,12 +75,20 @@ def train_codebooks(
     k × sub_dim literal-centroid expression trees it rebuilt for every
     (subspace, iteration) pair — the same Catalyst-analysis trap
     clustering.train_kmeans_sample documents. Returns plain Python
-    lists — the codebooks are literal-sized by construction."""
+    lists — the codebooks are literal-sized by construction.
+
+    ``sample`` may be pre-collected ``(id, vector)`` rows from
+    :func:`collect_vectors` (r19): callers that also need query
+    vectors driver-side then pay ONE collect job for both."""
     import numpy as np
 
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub_dim = dim // m
-    rows = sample.select(id_col, vec_col).orderBy(id_col).collect()
+    rows = (
+        sample
+        if isinstance(sample, list)
+        else collect_vectors(sample, id_col, vec_col)
+    )
     if not rows:
         raise ValueError("train_codebooks: empty training sample")
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
@@ -179,11 +201,19 @@ def _adc_table(q_vec: list[float], codebooks: list[list[list[float]]]) -> list[l
     return table
 
 
-def _empty_topk(codes: DataFrame, queries: DataFrame, query_id_col: str) -> DataFrame:
+def _qid_type(queries, query_id_col: str) -> str:
+    """Query-id SQL type: from the frame's schema, or ``bigint`` for
+    pre-collected row lists (the collect_vectors contract — ids are
+    the stored bigint vec_ids)."""
+    if isinstance(queries, list):
+        return "bigint"
+    return dict(queries.dtypes)[query_id_col]
+
+
+def _empty_topk(codes: DataFrame, qid_type: str) -> DataFrame:
     """Schema-faithful empty (query_id, vec_id, approx_sq_dist, rank)
     frame for an empty caller-supplied query set (queries is external
     input — an empty frame must not crash the per-query expansion)."""
-    qid_type = dict(queries.dtypes)[query_id_col]
     return codes.select(
         F.lit(None).cast(qid_type).alias("query_id"),
         "vec_id",
@@ -194,7 +224,7 @@ def _empty_topk(codes: DataFrame, queries: DataFrame, query_id_col: str) -> Data
 
 def pq_topk(
     codes: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | list[tuple],
     codebooks: list[list[list[float]]],
     k: int = 10,
     vec_col: str = "embedding",
@@ -210,13 +240,21 @@ def pq_topk(
     Two-level top-k (partition-local slice → k-bounded global window),
     same losslessness argument as similarity.cosine_topk — the partial
     keeps rows under the exact global order (dist asc, vec_id asc).
-    Columns: query_id, vec_id, approx_sq_dist, rank."""
-    qs = [
-        (r[query_id_col], list(r[vec_col]))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
+    Columns: query_id, vec_id, approx_sq_dist, rank.
+
+    ``queries`` may be pre-collected ``(id, vector)`` rows
+    (:func:`collect_vectors`) — skips this function's own collect."""
+    qid_type = _qid_type(queries, query_id_col)
+    qs = (
+        queries
+        if isinstance(queries, list)
+        else [
+            (r[query_id_col], list(r[vec_col]))
+            for r in queries.select(query_id_col, vec_col).collect()
+        ]
+    )
     if not qs:
-        return _empty_topk(codes, queries, query_id_col)
+        return _empty_topk(codes, qid_type)
     # The per-query ADC tables travel as broadcast DATA (one row per
     # query: query_id + the m×k table), not as literals: folding each
     # table into its own expression branch and unioning the branches
@@ -224,7 +262,6 @@ def pq_topk(
     # (~2 s/query measured) — as data, the plan has ONE small
     # expression over the adc column and a 1-row-per-query broadcast.
     spark = codes.sparkSession
-    qid_type = dict(queries.dtypes)[query_id_col]
     adc = F.broadcast(
         spark.createDataFrame(
             [(qid, _adc_table(q_vec, codebooks)) for qid, q_vec in qs],
@@ -373,7 +410,7 @@ def validate_encoded_ivfpq(
 
 def ivfpq_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | list[tuple],
     codebooks: list[list[list[float]]],
     k: int = 10,
     n_cells: int = 16,
@@ -407,6 +444,9 @@ def ivfpq_topk(
     the raw vectors are never touched.
 
     Columns: query_id, vec_id, approx_sq_dist, rank.
+
+    ``queries`` may be pre-collected ``(id, vector)`` rows
+    (:func:`collect_vectors`) — skips this function's own collect.
     """
     from exosql_spark.operators.similarity import _hyperplanes
 
@@ -421,12 +461,17 @@ def ivfpq_topk(
             corpus, codebooks, cents, vec_col, id_col, encoder
         )
 
-    qs = [
-        (r[query_id_col], list(r[vec_col]))
-        for r in queries.select(query_id_col, vec_col).collect()
-    ]
+    qid_type = _qid_type(queries, query_id_col)
+    qs = (
+        queries
+        if isinstance(queries, list)
+        else [
+            (r[query_id_col], list(r[vec_col]))
+            for r in queries.select(query_id_col, vec_col).collect()
+        ]
+    )
     if not qs:
-        return _empty_topk(table_side, queries, query_id_col)
+        return _empty_topk(table_side, qid_type)
     # Probe rows carry (query_id, cell, adc table) — the ADC tables
     # ride the broadcast as data (n_probe rows × m·k floats per
     # query), so the distance expression is ONE small lookup chain
@@ -442,8 +487,7 @@ def ivfpq_topk(
         table = _adc_table(q_vec, codebooks)
         probes.extend((qid, cell, table) for _, cell in scores[:n_probe])
 
-    spark = queries.sparkSession
-    qid_type = dict(queries.dtypes)[query_id_col]
+    spark = table_side.sparkSession
     probe_df = F.broadcast(
         spark.createDataFrame(
             probes, f"query_id {qid_type}, cell int, adc array<array<double>>"

@@ -2078,13 +2078,20 @@ def search_hybrid_rrf_ann_planted(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_query_copies(t, n_queries=1, n_copies=10)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
+    )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    # r19 collect consolidation: the ADC stage takes the pre-collected
+    # rows (no second scan job); the exact-rerank broadcast keeps the
+    # parquet-backed frame (pushdown-pruned scan - measured faster than
+    # a rebuilt LocalRelation here)
+    query_rows = [(i, v) for i, v in sample_rows if i == 0]
     queries = t.embeddings.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     shortlist = pq.ivfpq_topk(
-        corpus, queries, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
+        corpus, query_rows, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
     )
     ann = similarity.exact_rerank(shortlist, corpus, queries, k=10)
     bm25 = ranking.bm25_topk(t.documents, _BM25_TERMS, k=20)
@@ -2387,12 +2394,14 @@ def similarity_topk_pq(spark, sf_dir):
     t = Tables(spark, sf_dir)
     # train on a bounded sample (the documented practice at scale —
     # codebooks converge long before the corpus is exhausted)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    codes = pq.pq_encode(t.embeddings, books, encoder="pandas")
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
     )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    codes = pq.pq_encode(t.embeddings, books, encoder="pandas")
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     return pq.pq_topk(codes, queries, books, k=10)
 
 
@@ -2415,11 +2424,13 @@ def similarity_topk_ivfpq(spark, sf_dir):
     from exosql_spark.operators import pq
 
     t = Tables(spark, sf_dir)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
     )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     return pq.ivfpq_topk(
         t.embeddings, queries, books, k=10, n_cells=16, n_probe=4,
         encoder="pandas",
@@ -2452,12 +2463,14 @@ def _similarity_topk_pq_planted(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_query_copies(t, n_copies=3)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    codes = pq.pq_encode(corpus, books, encoder="pandas")
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
     )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    codes = pq.pq_encode(corpus, books, encoder="pandas")
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     res = pq.pq_topk(codes, queries, books, k=10)
     return (
         res.filter(F.col("vec_id") >= 100000)
@@ -2478,11 +2491,13 @@ def _similarity_topk_ivfpq_planted(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_query_copies(t, n_copies=3)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
     )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     res = pq.ivfpq_topk(
         corpus, queries, books, k=10, n_cells=16, n_probe=4, encoder="pandas"
     )
@@ -2512,8 +2527,10 @@ def _similarity_topk_ivfpq_stored_planted(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_query_copies(t, n_copies=3)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
+    )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
     cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
     # unique dir per invocation — see similarity_topk_ivf_stored_planted
     path = os.path.join(_ephemeral_dir("exosql_ivfpq_stored_"), "layout")
@@ -2523,9 +2540,9 @@ def _similarity_topk_ivfpq_stored_planted(spark, sf_dir):
         partition_by=["cell"],
     )
     stored = spark.read.parquet(path)
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     res = pq.ivfpq_topk(
         corpus, queries, books, k=10, n_probe=4, centroids=cents,
         encoded=stored,
@@ -2558,8 +2575,10 @@ def _similarity_topk_ivfpq_appended_planted(spark, sf_dir):
     full = _embeddings_with_query_copies(t, n_copies=3)
     base = t.embeddings.select("vec_id", "embedding")
     increment = full.filter(F.col("vec_id") >= 100000)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
+    )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
     cents = _hyperplanes(64, 16, 7)  # ivfpq_topk's default coarse grid
     path = os.path.join(_ephemeral_dir("exosql_ivfpq_append_"), "layout")
     sinks.write_table(
@@ -2569,9 +2588,9 @@ def _similarity_topk_ivfpq_appended_planted(spark, sf_dir):
     )
     pq.ivfpq_append(increment, books, cents, path, encoder="pandas")
     stored = spark.read.parquet(path)
-    queries = t.embeddings.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    # r19 collect consolidation: slice the query vectors out of the
+    # one sample collect instead of paying a second scan job
+    queries = [(i, v) for i, v in sample_rows if i < 5]
     res = pq.ivfpq_topk(
         full, queries, books, k=10, n_probe=4, centroids=cents,
         encoded=stored,
@@ -2603,13 +2622,20 @@ def similarity_topk_ivfpq_rerank(spark, sf_dir):
     from exosql_spark.operators import pq
 
     t = Tables(spark, sf_dir)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
+    )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    # r19 collect consolidation: the ADC stage takes the pre-collected
+    # rows (no second scan job); the exact-rerank broadcast keeps the
+    # parquet-backed frame (pushdown-pruned scan - measured faster than
+    # a rebuilt LocalRelation here)
+    query_rows = [(i, v) for i, v in sample_rows if i < 5]
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     shortlist = pq.ivfpq_topk(
-        t.embeddings, queries, books, k=20, n_cells=16, n_probe=4,
+        t.embeddings, query_rows, books, k=20, n_cells=16, n_probe=4,
         encoder="pandas",
     )
     return similarity.exact_rerank(shortlist, t.embeddings, queries, k=10)
@@ -2645,13 +2671,20 @@ def similarity_topk_ivfpq_rerank_planted(spark, sf_dir):
 
     t = Tables(spark, sf_dir)
     corpus = _embeddings_with_perturbed_copies(t, n_copies=3, delta=1e-3)
-    sample = t.embeddings.filter(F.col("vec_id") < 500)
-    books = pq.train_codebooks(sample, m=8, k=16, iters=2, dim=64)
+    sample_rows = pq.collect_vectors(
+        t.embeddings.filter(F.col("vec_id") < 500)
+    )
+    books = pq.train_codebooks(sample_rows, m=8, k=16, iters=2, dim=64)
+    # r19 collect consolidation: the ADC stage takes the pre-collected
+    # rows (no second scan job); the exact-rerank broadcast keeps the
+    # parquet-backed frame (pushdown-pruned scan - measured faster than
+    # a rebuilt LocalRelation here)
+    query_rows = [(i, v) for i, v in sample_rows if i < 5]
     queries = t.embeddings.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     shortlist = pq.ivfpq_topk(
-        corpus, queries, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
+        corpus, query_rows, books, k=20, n_cells=16, n_probe=4, encoder="pandas"
     )
     res = similarity.exact_rerank(shortlist, corpus, queries, k=10)
     return (

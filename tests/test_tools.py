@@ -971,9 +971,25 @@ class TestPlanNormdiff:
             ("Exchange hashpartitioning(a#1, 200)",
              "Exchange hashpartitioning(b#1, 200)"),
             ("Filter (x#1 > 5)", "Filter (x#1 > 6)"),
+            # identity-sensitive cases (ADVICE r18): same-name
+            # DISTINCT-id join keys vs a self-comparison, and swapped
+            # lambda operands — the old all-ids-to-one-token collapse
+            # equated both pairs
+            ("Join (a#1 = a#2)", "Join (a#1 = a#1)"),
+            (
+                "lambdafunction((lambda x_6#1 - lambda y_7#2), "
+                "lambda x_6#1, lambda y_7#2, false)",
+                "lambdafunction((lambda y_7#2 - lambda x_6#1), "
+                "lambda x_6#1, lambda y_7#2, false)",
+            ),
         ]
         for a, b in pairs:
             assert norm(a) != norm(b), (a, b)
+        # and renumbering still equates plans whose raw ids merely
+        # differ by session counter values
+        assert norm("Join (a#5 = b#9), Project [a#5]") == norm(
+            "Join (a#51 = b#90), Project [a#51]"
+        )
 
     def test_committed_r18_pairs_verdicts(self):
         """The committed evidence itself: every *_before/after pair under
