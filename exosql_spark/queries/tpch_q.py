@@ -978,7 +978,18 @@ def tpch_q20_volume_share_suppliers(spark, sf_dir):
     partsupp availqty, so the threshold is >2/3 of the part's 1997
     'red%' volume — a share predicate, scale-factor-free). Two stacked
     aggregates feed a semi-join into the supplier dimension; the
-    threshold multiplies through (3·sq > 2·tq) to stay exact-decimal."""
+    threshold multiplies through (3·sq > 2·tq) to stay exact-decimal.
+
+    The part total ``tq`` is a WINDOW sum over ``base`` (r19), not a
+    second aggregate self-joined back: the self-join form referenced
+    ``base`` twice, and whether AQE exchange reuse merged the two
+    physical copies was nondeterministic — constraint inference
+    decorated them with differently-ordered isnotnull terms run to
+    run, so the lineitem⋈part aggregate sometimes computed twice (the
+    4⇄5 exchange-count flap EXPLAIN.md recorded across two rounds).
+    One reference ⇒ one computation, deterministically, with one fewer
+    aggregate and join; same sq/tq pairs (DECIMAL sums are
+    order-independent), so the same suppliers qualify."""
     t = Tables(spark, sf_dir)
     base = (
         t.lineitem.filter(
@@ -992,11 +1003,12 @@ def tpch_q20_volume_share_suppliers(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("sq"))
     )
-    tot = base.groupBy("l_partkey").agg(F.sum("sq").alias("tq")).withColumnRenamed(
-        "l_partkey", "tot_partkey"
-    )
+    from pyspark.sql import Window
+
     dominant = (
-        base.join(tot, F.col("l_partkey") == F.col("tot_partkey"))
+        base.withColumn(
+            "tq", F.sum("sq").over(Window.partitionBy("l_partkey"))
+        )
         .filter(F.col("sq") * 3 > F.col("tq") * 2)
         .select("l_suppkey")
     )

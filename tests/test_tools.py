@@ -1032,3 +1032,34 @@ class TestPlanNormdiff:
                 assert a != b, f"{name}: expected structural diff vanished"
             else:
                 assert a == b, f"{name}: structural drift in committed evidence"
+
+    def test_committed_r19_pairs_verdicts(self):
+        """Same contract for the r19 evidence: pairs whose diff IS the
+        documented optimization must differ; everything else must
+        normalize identical."""
+        mod = self._load()
+        plans = os.path.join(
+            os.path.dirname(os.path.dirname(__file__)), "plans", "r19"
+        )
+        import glob
+
+        pairs = sorted(
+            p[: -len("_before.txt")]
+            for p in glob.glob(os.path.join(plans, "*_before.txt"))
+            if os.path.exists(p[: -len("_before.txt")] + "_after.txt")
+        )
+        assert pairs, "no r19 plan pairs found"
+        structural = {
+            # the shared persisted token frame (InMemoryRelation appears)
+            "corpus_dsir_importance",
+            # tot self-join replaced by a window over one base reference
+            "tpch_q20_volume_share_suppliers",
+        }
+        for p in pairs:
+            a = mod.normalize(open(p + "_before.txt").read())
+            b = mod.normalize(open(p + "_after.txt").read())
+            name = os.path.basename(p)
+            if name in structural:
+                assert a != b, f"{name}: expected structural diff vanished"
+            else:
+                assert a == b, f"{name}: structural drift in committed evidence"
