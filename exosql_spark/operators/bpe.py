@@ -34,7 +34,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _pair_counts(df: DataFrame, tokens: str, freq: str) -> DataFrame:
+def _pair_counts(
+    df: DataFrame, tokens: str, freq: str, observe_with=None
+) -> DataFrame:
     # greatest(.., 0): slice raises on a negative length, which an
     # EMPTY tokens array would otherwise produce (size - 1 = -1).
     # SQL text for the same reason as _merge_pair_sql (r18): this is
@@ -45,11 +47,18 @@ def _pair_counts(df: DataFrame, tokens: str, freq: str) -> DataFrame:
         f"zip_with(slice({q}, 1, {n_pairs}), slice({q}, 2, {n_pairs}), "
         "(a, b) -> struct(a as l, b as r))"
     )
-    return (
-        df.select(F.expr(f"explode({pairs})").alias("p"), F.col(freq).alias("f"))
-        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.sum("f").alias("n"))
+    exploded = df.select(
+        F.expr(f"explode({pairs})").alias("p"), F.col(freq).alias("f")
     )
+    if observe_with is not None:
+        # pair-instance row count rides the aggregation's own job —
+        # learn_bpe's iteration scope sizes its partitions from it
+        exploded = exploded.observe(
+            observe_with, F.count(F.lit(1)).alias("np")
+        )
+    return exploded.groupBy(
+        F.col("p.l").alias("l"), F.col("p.r").alias("r")
+    ).agg(F.sum("f").alias("n"))
 
 
 def _sql_str(s: str) -> str:
@@ -161,41 +170,66 @@ def learn_bpe(
     list of (left, right, pair_count) and rewritten_df carries the
     corpus after applying them all.  Stops early if no pair is left.
     Ties break on (left, right) ascending — deterministic across
-    engines, runs, and partitionings."""
+    engines, runs, and partitionings.
+
+    Merges 2..k run under the iteration scope of
+    ``operators.iterative`` (r19): the first pair-count job counts the
+    exploded pair instances for free via ``observe``, and the
+    remaining fixed-shape merge rounds run with AQE off and a
+    size-derived shuffle partition count (measured at sf0.1:
+    16 → 6 jobs, 0.85× for the 8-merge bench entry — each tiny
+    per-merge argmax was paying AQE stage-jobs and a full task wave)."""
+    from contextlib import ExitStack
+
+    from pyspark.sql import Observation
+
+    from exosql_spark.operators.iterative import loop_conf, loop_partitions
+
+    spark = df.sparkSession
     merges: list[tuple[str, str, int]] = []
     pending_unpersist = None
-    for _ in range(n_merges):
-        # This collect is the action that populates the newest
-        # generation's cache — only THEN is its predecessor safe to
-        # drop (unpersisting earlier would force the fold lineage to
-        # recompute from the raw corpus, the exact O(k²) this avoids).
-        top = (
-            _pair_counts(df, tokens, freq)
-            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
-            .limit(1)
-            .collect()
-        )
+    obs = Observation("bpe_pair_rows")
+    with ExitStack() as scope:
+        for it in range(n_merges):
+            # This collect is the action that populates the newest
+            # generation's cache — only THEN is its predecessor safe to
+            # drop (unpersisting earlier would force the fold lineage
+            # to recompute from the raw corpus, the exact O(k²) this
+            # avoids).
+            top = (
+                _pair_counts(
+                    df, tokens, freq, observe_with=obs if it == 0 else None
+                )
+                .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if it == 0:
+                p_loop, _ = loop_partitions(spark, int(obs.get["np"] or 0))
+                scope.enter_context(loop_conf(spark, p_loop))
+            if pending_unpersist is not None:
+                pending_unpersist.unpersist()
+                pending_unpersist = None
+            if not top:
+                break
+            l, r, n = top[0].l, top[0].r, top[0].n
+            merges.append((l, r, int(n)))
+            # Bound lineage: without the persist, iteration k's pair
+            # count re-applies all k-1 earlier merge folds to the raw
+            # corpus (O(k²) fold work by the last merge, and an
+            # ever-deeper plan).  Each rewrite is cached so every
+            # iteration is one pass over the previous iteration's
+            # materialized output; at most two generations are ever
+            # held (the newest + its predecessor until the next action
+            # fills the newest).
+            prev = df
+            df = df.withColumn(tokens, merge_pair(tokens, l, r)).persist()
+            pending_unpersist = prev
         if pending_unpersist is not None:
+            # materialize the final generation so its predecessor can
+            # be released now rather than leaking until the caller's
+            # first action (one extra pass over the final, smallest
+            # corpus)
+            df.count()
             pending_unpersist.unpersist()
-            pending_unpersist = None
-        if not top:
-            break
-        l, r, n = top[0].l, top[0].r, top[0].n
-        merges.append((l, r, int(n)))
-        # Bound lineage: without the persist, iteration k's pair count
-        # re-applies all k-1 earlier merge folds to the raw corpus
-        # (O(k²) fold work by the last merge, and an ever-deeper plan).
-        # Each rewrite is cached so every iteration is one pass over
-        # the previous iteration's materialized output; at most two
-        # generations are ever held (the newest + its predecessor
-        # until the next action fills the newest).
-        prev = df
-        df = df.withColumn(tokens, merge_pair(tokens, l, r)).persist()
-        pending_unpersist = prev
-    if pending_unpersist is not None:
-        # materialize the final generation so its predecessor can be
-        # released now rather than leaking until the caller's first
-        # action (one extra pass over the final, smallest corpus)
-        df.count()
-        pending_unpersist.unpersist()
     return merges, df

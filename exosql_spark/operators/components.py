@@ -45,43 +45,66 @@ def connected_components(
     equivalence test). For diameter-heavy graphs prefer
     :func:`connected_components_star`, whose round count is
     O(log² n) regardless of diameter."""
-    # symmetrize once: propagate both directions
+    from pyspark.sql import Observation
+
+    from exosql_spark.operators.iterative import loop_conf, loop_partitions
+
+    # symmetrize once: propagate both directions; the row counts ride
+    # the two init checkpoints via observe (r19, zero extra jobs) to
+    # size the iteration scope's partitions
+    obs_e = Observation("cc_edges")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n2e"))
         .localCheckpoint()
     )
+    # Convergence scalar (r19, the kcore pattern): labels are LONG ids
+    # and min-propagation is monotone NON-INCREASING per id over a
+    # fixed id set, so "no label changed" ⟺ "Σ labels unchanged" — the
+    # Σ rides each generation's checkpoint job via observe, replacing
+    # the old per-round join + limit(1).count() convergence job.
+    # DECIMAL(38,0) so a 10⁹-node graph of 10¹⁸-ish ids cannot
+    # overflow the sum.
+    _dsum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    obs0 = Observation("cc_init")
     labels = (
         e.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
+        .observe(obs0, _dsum, F.count(F.lit(1)).alias("nv"))
         .localCheckpoint()
     )
+    prev_sum = obs0.get["s"]
+    nv = int(obs0.get["nv"] or 0)
+    n2e = int(obs_e.get["n2e"] or 0)
+    spark = edges.sparkSession
+    p_loop, _ = loop_partitions(spark, max(nv, n2e))
     rounds = 0
-    while max_iterations is None or rounds < max_iterations:
-        rounds += 1
-        # candidate labels arriving over edges
-        incoming = (
-            e.join(labels.withColumnRenamed("id", "v2"), e.v == F.col("v2"))
-            .select(F.col("u").alias("id"), "component")
-        )
-        new_labels = (
-            labels.union(incoming)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    with loop_conf(spark, p_loop):
+        while max_iterations is None or rounds < max_iterations:
+            rounds += 1
+            # candidate labels arriving over edges
+            incoming = (
+                e.join(
+                    labels.withColumnRenamed("id", "v2"), e.v == F.col("v2")
+                )
+                .select(F.col("u").alias("id"), "component")
+            )
+            obs = Observation(f"cc_{rounds}")
+            new_labels = (
+                labels.union(incoming)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .observe(obs, _dsum)
+                .localCheckpoint()
+            )
+            new_sum = obs.get["s"]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     return labels
 
 
@@ -134,26 +157,46 @@ def connected_components_star(
     Per round: two groupBy-min aggregations + two joins on the edge
     list, lineage cut with localCheckpoint; termination = edge-set
     fixpoint (the graph has collapsed into depth-1 stars)."""
+    from pyspark.sql import Observation
+
+    from exosql_spark.operators.iterative import loop_conf, loop_partitions
+
+    obs_n = Observation("ccs_nodes")
     nodes = (
         edges.select(F.col(src).alias("id"))
         .union(edges.select(F.col(dst).alias("id")))
         .distinct()
+        .observe(obs_n, F.count(F.lit(1)).alias("nv"))
         .localCheckpoint()
     )
-    e = _symmetrize(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint()
+    obs_e = Observation("ccs_edges")
+    e = (
+        _symmetrize(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+        .observe(obs_e, F.count(F.lit(1)).alias("ne"))
+        .localCheckpoint()
+    )
+    nv = int(obs_n.get["nv"] or 0)
+    ne = int(obs_e.get["ne"] or 0)
+    spark = edges.sparkSession
+    # r19 iteration scope (see operators.iterative); the star rounds'
+    # set-equality convergence check stays — edge-set equality is not
+    # expressible as a monotone scalar the way min-label sums are
+    p_loop, _ = loop_partitions(spark, max(nv, ne))
     converged = False
-    for _ in range(max_iterations):
-        out = _star_round(_symmetrize(_star_round(_symmetrize(e), True)), False)
-        out = out.localCheckpoint()
-        changed = (
-            out.exceptAll(e).limit(1).count() + e.exceptAll(out).limit(1).count()
-        )
-        e = out
-        if changed == 0:
-            converged = True
-            break
+    with loop_conf(spark, p_loop):
+        for _ in range(max_iterations):
+            out = _star_round(
+                _symmetrize(_star_round(_symmetrize(e), True)), False
+            )
+            out = out.localCheckpoint()
+            changed = (
+                out.exceptAll(e).limit(1).count()
+                + e.exceptAll(out).limit(1).count()
+            )
+            e = out
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         # Without the fixpoint, e is NOT a depth-1 star forest and the
         # final join would emit conflicting duplicate (id, component)

@@ -41,63 +41,19 @@ nd-rounded ranks — the repo-wide fround convention.
 
 from __future__ import annotations
 
-import os
-from contextlib import contextmanager
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from exosql_spark.cache import managed_persist
 
-#: Target rows per shuffle partition inside the power-iteration loops.
-#: The frames those loops exchange are vertex-keyed and O(|V|)- or
-#: O(|E|)-row bounded (the contribution groupBy is map-side combined,
-#: the re-attach join ships the |V| rank frame) at ~24–32 bytes/row,
-#: and the per-row work is a hash-join probe + sum — compute-light, so
-#: partitions sized well under the guide §2.2 shuffle ceiling (1M rows
-#: ≈ 25–30 MB) keep mid-size graphs parallel on wide clusters without
-#: making tasks small in absolute terms.  Overridable per deployment.
-_LOOP_ROWS_PER_TASK = int(
-    os.environ.get("SPARK_GRAFT_GRAPH_ROWS_PER_TASK", "1000000")
+# The loop-scope helpers live in operators.iterative (r19; shared with
+# bpe.learn_bpe).  Private aliases keep this module's call sites and
+# the pinned tests stable.
+from exosql_spark.operators.iterative import (  # noqa: E402
+    LOOP_ROWS_PER_TASK as _LOOP_ROWS_PER_TASK,
+    loop_conf as _loop_conf,
+    loop_partitions as _loop_partitions,
 )
-
-
-def _loop_partitions(spark, n_rows: int) -> tuple[int, int]:
-    """(derived loop partition count, session default).  Derived from
-    the MEASURED per-iteration row bound (guide §2: make partitioning
-    scale-adaptive — derive from input size — rather than a constant
-    tuned for local mode or the cluster), clamped to the session's
-    configured ceiling so a deployment's sizing is never exceeded."""
-    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    derived = -(-max(int(n_rows), 1) // _LOOP_ROWS_PER_TASK)
-    # floor of a few tasks keeps adjacent tiny stages overlapping in
-    # local runs; at scale ``derived`` dominates and the floor is moot
-    p = max(1, min(4, default), min(default, derived))
-    return p, default
-
-
-@contextmanager
-def _loop_conf(spark, partitions: int):
-    """Scheduling scope for the fixed-shape iteration loops: shuffle
-    partitions pinned to the size-derived ``partitions`` (from
-    :func:`_loop_partitions`) and AQE disabled for the scope's
-    duration (measured r19: AQE re-plans and stage-materializes each
-    tiny fixed-shape iteration as separate jobs — 63 → 24 jobs for 10
-    PageRank iterations at sf0.1 — pure scheduler overhead, while the
-    loop offers AQE nothing to fix: the edge side of the contribution
-    join is cache-partitioned so skew splitting cannot reach it, the
-    vertex-keyed exchanges are unique-key, and the per-iteration shape
-    never changes).  Always restores the caller's confs."""
-    conf = spark.conf
-    saved_aqe = conf.get("spark.sql.adaptive.enabled")
-    saved_p = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
-        yield
-    finally:
-        conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        conf.set("spark.sql.shuffle.partitions", saved_p)
 
 
 def pagerank(
